@@ -1,0 +1,125 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's GraphQL query surface re-expressed as pure DataFrame
+  * builders (GraphQLService.scala:207-292 root fields; Slick queries in
+  * GraphQLPersistence.scala).
+  *
+  * Each root field is a function `(tables, args) => DataFrame`; nested
+  * fields (tenant, credit/debit account, balance) are joins computed inside
+  * the same Catalyst plan instead of the reference's deferred Fetcher waves
+  * (GraphQLService.scala:118-151) — the N+1 batching problem disappears.
+  *
+  * Filter semantics: the reference INVERTS its range comparators (its
+  * `amount_gte` runs `<=`, etc. — GraphQLPersistence.scala:277-316, bug Q1,
+  * and `currency >=` for accounts, Q2). We implement the documented
+  * meaning; `bugCompat = true` replicates the reference bit-for-bit.
+  */
+object Api {
+
+  /** Optional (null-skipped) filter: apply `f` only when the arg is present.
+    * Ref pattern: `opt.isEmpty || row.col op opt` (GraphQLPersistence.scala:197-204).
+    */
+  private def optFilter[T](df: DataFrame, opt: Option[T])(f: T => Column): DataFrame =
+    opt.map(v => df.filter(f(v))).getOrElse(df)
+
+  /** Deterministic keyset pagination: total order on `keys`, then
+    * offset/limit (Dataset.offset — Spark ≥ 3.4 native Offset operator).
+    * Ref: `sortBy(..).drop(offset).take(limit)` (GraphQLPersistence.scala:149-165).
+    */
+  private def paginate(df: DataFrame, keys: Seq[String], limit: Long, offset: Long): DataFrame =
+    df.orderBy(keys.map(col): _*).offset(offset.toInt).limit(limit.toInt)
+
+  /** `tenants(limit, offset)` — GraphQLPersistence.scala:149-165. */
+  def tenants(tenant: DataFrame, limit: Long, offset: Long): DataFrame =
+    paginate(tenant.select(col("name")), Seq("name"), limit, offset)
+
+  /** `tenant(name)` point lookup — GraphQLPersistence.scala:167-182. */
+  def tenant(tenantDf: DataFrame, name: String): DataFrame =
+    tenantDf.filter(col("name") === lit(name)).limit(1)
+
+  /** `accounts(tenant, currency?, format?, limit, offset)` —
+    * GraphQLPersistence.scala:184-224.
+    */
+  def accounts(account: DataFrame, tenant: String,
+               currency: Option[String] = None, format: Option[String] = None,
+               limit: Long = 100, offset: Long = 0,
+               bugCompat: Boolean = false): DataFrame = {
+    var df = account.filter(col("tenant") === lit(tenant))
+    df = optFilter(df, format)(v => col("format") === lit(v))
+    df = optFilter(df, currency) { v =>
+      if (bugCompat) col("currency") >= lit(v) else col("currency") === lit(v) // Q2
+    }
+    paginate(df.select("tenant", "name", "currency", "format"), Seq("name"), limit, offset)
+  }
+
+  /** `account(tenant, name)` point lookup — GraphQLPersistence.scala:226-242. */
+  def account(accountDf: DataFrame, tenant: String, name: String): DataFrame =
+    accountDf.filter(col("tenant") === lit(tenant) && col("name") === lit(name)).limit(1)
+
+  /** Range/equality argument set of `transfers(...)` — GraphQLService.scala:91-106. */
+  final case class TransferArgs(
+      currency: Option[String] = None,
+      status: Option[Int] = None,
+      amountLt: Option[BigDecimal] = None,
+      amountLte: Option[BigDecimal] = None,
+      amountGt: Option[BigDecimal] = None,
+      amountGte: Option[BigDecimal] = None,
+      valueDateLt: Option[Timestamp] = None,
+      valueDateLte: Option[Timestamp] = None,
+      valueDateGt: Option[Timestamp] = None,
+      valueDateGte: Option[Timestamp] = None)
+
+  /** `transfers(tenant, filters…, limit, offset)` —
+    * GraphQLPersistence.scala:244-368. Documented comparator semantics by
+    * default; `bugCompat` reproduces the reference's inverted operators (Q1).
+    */
+  def transfers(transfer: DataFrame, tenant: String, args: TransferArgs = TransferArgs(),
+                limit: Long = 100, offset: Long = 0,
+                bugCompat: Boolean = false): DataFrame = {
+    var df = transfer.filter(col("tenant") === lit(tenant))
+    df = optFilter(df, args.currency)(v => col("currency") === lit(v))
+    df = optFilter(df, args.status)(v => col("status") === lit(v))
+
+    def rng(c: String, lt: Option[Any], lte: Option[Any], gt: Option[Any], gte: Option[Any]): Unit = {
+      // reference bug Q1: gte→<=, gt→<=, lte→>=, lt→>
+      df = optFilter(df, gte)(v => if (bugCompat) col(c) <= lit(v) else col(c) >= lit(v))
+      df = optFilter(df, gt)(v => if (bugCompat) col(c) <= lit(v) else col(c) > lit(v))
+      df = optFilter(df, lte)(v => if (bugCompat) col(c) >= lit(v) else col(c) <= lit(v))
+      df = optFilter(df, lt)(v => if (bugCompat) col(c) > lit(v) else col(c) < lit(v))
+    }
+    rng("amount", args.amountLt, args.amountLte, args.amountGt, args.amountGte)
+    rng("value_date", args.valueDateLt, args.valueDateLte, args.valueDateGt, args.valueDateGte)
+
+    paginate(df, Seq("transaction", "transfer"), limit, offset)
+  }
+
+  /** Status code ↔ GraphQL enum word, applied at the API edge only
+    * (GraphQLService.scala:38-59).
+    */
+  def statusWord(c: Column): Column =
+    when(c === 1, "committed").when(c === 2, "rollbacked").otherwise("promised")
+
+  /** Nested-field resolution for a transfers page: tenant + credit/debit
+    * accounts (with balances) joined in-plan. The account dimension is
+    * broadcast twice (credit side, debit side) — the Spark analog of the
+    * reference's batched Fetchers (J1/J2).
+    */
+  def transfersResolved(transferPage: DataFrame, account: DataFrame,
+                        balances: DataFrame): DataFrame = {
+    val acct = account
+      .join(balances, Seq("tenant", "name"), "left")
+      .withColumn("balance", coalesce(col("balance"), lit(0).cast("decimal(38,18)")))
+      .select(col("tenant"), col("name"), col("currency"), col("format"), col("balance"))
+    val credit = acct.toDF(acct.columns.map("credit_" + _): _*)
+    val debit  = acct.toDF(acct.columns.map("debit_" + _): _*)
+    transferPage
+      .join(broadcast(credit), Seq("credit_tenant", "credit_name"), "left")
+      .join(broadcast(debit), Seq("debit_tenant", "debit_name"), "left")
+      .withColumn("status_word", statusWord(col("status")))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import graft.api.Api
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-core operators (balance unpivot, balance aggregation, the
+  * transfers query surface, anti-join merge) driven through the oracle gate.
+  *
+  * The driver's testdata has no banking journal, so these queries first map
+  * TPC-H rows into the warehouse `transfer` shape deterministically (orders
+  * → transfers, customer/supplier keys → account names) and then run the
+  * REAL warehouse operators on top. The DuckDB oracle re-states the same
+  * mapping in ANSI SQL.
+  */
+object WarehouseQueries {
+
+  /** orders → transfer-shaped frame: status from o_orderstatus
+    * (F→1 committed, O→0 promised, P→2), amount = o_totalprice,
+    * credit party = customer, debit party = order bucket.
+    */
+  private def transferShape(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      lit("T").as("tenant"),
+      col("o_orderkey").cast("string").as("transaction"),
+      col("o_orderkey").cast("string").as("transfer"),
+      when(col("o_orderstatus") === "F", 1)
+        .when(col("o_orderstatus") === "P", 2).otherwise(0).as("status"),
+      lit("T").as("credit_tenant"),
+      concat(lit("c"), col("o_custkey").cast("string")).as("credit_name"),
+      lit("T").as("debit_tenant"),
+      concat(lit("b"), (col("o_orderkey") % 7).cast("string")).as("debit_name"),
+      col("o_totalprice").cast(DecimalType(18, 4)).cast(DecimalType(38, 18)).as("amount"),
+      lit("CZK").as("currency"),
+      col("o_orderdate").as("value_date"))
+
+  private val transferShapeSql =
+    """SELECT 'T' AS tenant,
+      |  CAST(o_orderkey AS VARCHAR) AS transaction,
+      |  CAST(o_orderkey AS VARCHAR) AS transfer,
+      |  CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'P' THEN 2 ELSE 0 END AS status,
+      |  'T' AS credit_tenant,
+      |  'c' || CAST(o_custkey AS VARCHAR) AS credit_name,
+      |  'T' AS debit_tenant,
+      |  'b' || CAST(o_orderkey % 7 AS VARCHAR) AS debit_name,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(38,18)) AS amount,
+      |  'CZK' AS currency,
+      |  o_orderdate AS value_date
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B6 unpivot (stack) + A1 grouped SUM with coalesce-to-zero semantics.
+    "q_balance" -> ((s, dir) => {
+      Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir)))
+        .withColumn("balance", col("balance").cast(DecimalType(38, 4)))
+        .orderBy("tenant", "name")
+    }),
+
+    // The GraphQL `transfers` root: equality + range filters, deterministic
+    // keyset pagination (offset+limit). Ref: GraphQLPersistence.scala:244-368.
+    "q_transfers_page" -> ((s, dir) => {
+      Api.transfers(transferShape(s, dir), "T",
+          Api.TransferArgs(status = Some(1),
+            amountGte = Some(BigDecimal(1000)), amountLt = Some(BigDecimal(150000))),
+          limit = 50, offset = 10)
+        .withColumn("amount", col("amount").cast(DecimalType(38, 4)))
+        .withColumn("status_word", Api.statusWord(col("status")))
+    }),
+
+    // J3/E1 insert-only merge: rows of `discovered` absent from `existing`
+    // (left_anti on the key) — here "already known" = orders before 1997.
+    "q_merge_new_rows" -> ((s, dir) => {
+      val all = transferShape(s, dir)
+      val known = all.filter(year(col("value_date")) < 1997)
+      Warehouse.newRows(all, known, Seq("tenant", "transaction", "transfer"))
+        .withColumn("amount", col("amount").cast(DecimalType(38, 4)))
+        .orderBy("transaction")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_balance" ->
+      s"""WITH t AS ($transferShapeSql),
+         |changes AS (
+         |  SELECT tenant, credit_name AS name, amount FROM t WHERE status = 1
+         |  UNION ALL
+         |  SELECT tenant, debit_name AS name, -amount FROM t WHERE status = 1
+         |)
+         |SELECT tenant, name, CAST(SUM(amount) AS DECIMAL(38,4)) AS balance
+         |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_transfers_page" ->
+      s"""WITH t AS ($transferShapeSql)
+         |SELECT tenant, transaction, transfer, status, credit_tenant, credit_name,
+         |  debit_tenant, debit_name, CAST(amount AS DECIMAL(38,4)) AS amount,
+         |  currency, value_date,
+         |  CASE status WHEN 1 THEN 'committed' WHEN 2 THEN 'rollbacked'
+         |    ELSE 'promised' END AS status_word
+         |FROM t
+         |WHERE status = 1 AND amount >= 1000 AND amount < 150000
+         |ORDER BY transaction, transfer LIMIT 50 OFFSET 10""".stripMargin,
+    "q_merge_new_rows" ->
+      s"""WITH t AS ($transferShapeSql)
+         |SELECT tenant, transaction, transfer, status, credit_tenant, credit_name,
+         |  debit_tenant, debit_name, CAST(amount AS DECIMAL(38,4)) AS amount,
+         |  currency, value_date
+         |FROM t
+         |WHERE transaction NOT IN (
+         |  SELECT transaction FROM t WHERE year(value_date) < 1997)
+         |ORDER BY transaction""".stripMargin
+  )
+}

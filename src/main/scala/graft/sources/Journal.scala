@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reader for the reference's primary-storage filesystem journal.
+  *
+  * Layout (reference `PrimaryPersistence.scala:54-96`):
+  * {{{
+  * <root>/
+  *   t_<TENANT>/                              # tenant dir, name = t_.+
+  *     account/<ACCOUNT>/
+  *       snapshot/<VERSION %010d>             # line 1: "CCY FORMAT_X"
+  *       events/<SNAP %010d>/<STATUS>_<DIR>_<TRANSACTION>   # line 1: version
+  *     transaction/<TRANSACTION>              # line 1: status word,
+  *                                            # then transfer records
+  * }}}
+  *
+  * The reference walks this tree with an Akka-Streams pipeline of
+  * per-directory listings and per-file line sources
+  * (`PrimaryDataExplorationService.scala:38-266`). Here each entity class is
+  * ONE distributed read: a glob text/wholetext scan whose path components are
+  * parsed out of `input_file_name()` with columnar expressions — no
+  * driver-side iteration, no UDFs, fully whole-stage-codegen'd. On a real
+  * cluster the glob listing is driver metadata work (same as any Hive-style
+  * partitioned table) and the file contents are read by executors.
+  */
+object Journal {
+
+  /** Glob-read tolerant of "no matches" (fresh/partial journals): Spark
+    * throws on a glob with zero matches, so probe with Hadoop's globStatus
+    * first and fall back to an empty DataFrame of the right shape.
+    */
+  private def safeWholetext(spark: SparkSession, glob: String): DataFrame = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val matches = fs.globStatus(new Path(glob))
+    if (matches == null || matches.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("value", StringType), StructField("path", StringType))))
+    } else {
+      spark.read.option("wholetext", "true").text(glob)
+        .withColumn("path", input_file_name())
+    }
+  }
+
+  /** Discovered tenants: directories matching `t_.+` under the root.
+    * Ref: PrimaryDataExplorationService.scala:40-47 (P1).
+    * Directory listing is metadata (one level, small) — listed on the
+    * driver like partition discovery, then parallelized.
+    */
+  def tenants(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root)
+    val names: Seq[String] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.matches("t_.+"))
+        .map(_.stripPrefix("t_"))
+    names.toDF("name")
+  }
+
+  /** Account metadata from each account's version-0 snapshot header.
+    * Ref: PrimaryPersistence.scala:166-203 (S3): first line `CCY FORMAT_X`,
+    * currency = chars 0-2, format = chars 4..len-3 (trailing `_T`/`_F`
+    * stripped).
+    */
+  def accounts(spark: SparkSession, root: String): DataFrame = {
+    val snaps = safeWholetext(spark, s"$root/t_*/account/*/snapshot/*")
+    val header = substring_index(col("value"), "\n", 1)
+    snaps
+      .withColumn("tenant", regexp_extract(col("path"), "t_([^/]+)/account/", 1))
+      .withColumn("name", regexp_extract(col("path"), "/account/([^/]+)/snapshot/", 1))
+      .withColumn("version", regexp_extract(col("path"), "/snapshot/([0-9]+)$", 1).cast(IntegerType))
+      .filter(col("version") === 0)
+      .withColumn("line", header)
+      .select(
+        col("tenant"), col("name"),
+        substring(col("line"), 1, 3).as("currency"),
+        expr("substring(line, 5, length(line) - 6)").as("format"),
+        lit(0).as("last_syn_snapshot"),
+        lit(0).as("last_syn_event"))
+  }
+
+  /** Account events. Status + transaction come from the FILENAME
+    * `<status>_<direction>_<transaction>` (direction ignored, as in the
+    * reference); event version is the file's first line.
+    * Ref: PrimaryPersistence.scala:124-164 (S4).
+    */
+  def events(spark: SparkSession, root: String): DataFrame = {
+    val ev = safeWholetext(spark, s"$root/t_*/account/*/events/*/*")
+    val fname = regexp_extract(col("path"), "/events/[0-9]+/([^/]+)$", 1)
+    ev
+      .withColumn("tenant", regexp_extract(col("path"), "t_([^/]+)/account/", 1))
+      .withColumn("account", regexp_extract(col("path"), "/account/([^/]+)/events/", 1))
+      .withColumn("snapshot_version",
+        regexp_extract(col("path"), "/events/([0-9]+)/", 1).cast(IntegerType))
+      .withColumn("fname", fname)
+      .select(
+        col("tenant"), col("account"), col("snapshot_version"),
+        split(col("fname"), "_", 3).getItem(0).cast(IntegerType).as("status"),
+        split(col("fname"), "_", 3).getItem(2).as("transaction"),
+        substring_index(col("value"), "\n", 1).cast(IntegerType).as("version"))
+  }
+
+  /** Transfers from transaction files. Line 1 is the status word
+    * (committed→1, rollbacked→2, anything else→0/promised); every further
+    * non-empty line is a space-separated transfer record
+    * `transfer creditTenant creditAccount debitTenant debitAccount valueDate amount currency`.
+    * Ref: PrimaryPersistence.scala:205-275 (S5 + stateful parse T1).
+    *
+    * The reference carries the status line as mutable state while streaming
+    * lines (`statefulMapConcat`). Columnar equivalent: read each file whole,
+    * `split` into lines, stamp line 0's status onto the `posexplode` of the
+    * remaining lines — same semantics, no state, fully parallel.
+    */
+  def transfers(spark: SparkSession, root: String): DataFrame = {
+    val tx = safeWholetext(spark, s"$root/t_*/transaction/*")
+    val lines = split(col("value"), "\n")
+    val statusWord = element_at(lines, 1)
+    val parsed = tx
+      .withColumn("tenant", regexp_extract(col("path"), "t_([^/]+)/transaction/", 1))
+      .withColumn("transaction", regexp_extract(col("path"), "/transaction/([^/]+)$", 1))
+      .withColumn("status",
+        when(statusWord === "committed", 1)
+          .when(statusWord === "rollbacked", 2)
+          .otherwise(0))
+      .select(col("tenant"), col("transaction"), col("status"),
+        posexplode(slice(lines, 2, Int.MaxValue - 2)).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+    val f = split(col("line"), " ")
+    parsed.select(
+      col("tenant"),
+      col("transaction"),
+      f.getItem(0).as("transfer"),
+      col("status"),
+      f.getItem(1).as("credit_tenant"),
+      f.getItem(2).as("credit_name"),
+      f.getItem(3).as("debit_tenant"),
+      f.getItem(4).as("debit_name"),
+      f.getItem(6).cast(DecimalType(38, 18)).as("amount"),
+      f.getItem(7).as("currency"),
+      f.getItem(5).cast(TimestampType).as("value_date"))
+  }
+}
