@@ -35,8 +35,11 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast(DecimalType(38, 4)).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_price"),
+          // DECIMAL inside the agg (order-independent), DOUBLE at the edge:
+          // a decimal→double cast of the same exact value is bit-identical
+          // on Spark and DuckDB, so the driver's hash compare agrees.
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -60,7 +63,7 @@ object Relational {
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).as("n_cust"),
-          sum(dec(col("c_acctbal"))).cast(DecimalType(38, 4)).as("sum_bal"))
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
         .orderBy(col("n_name"))
     })
   )
@@ -68,8 +71,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_filter_range" ->
@@ -78,7 +81,7 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -33,7 +33,10 @@ object WarehouseQueries {
       concat(lit("c"), col("o_custkey").cast("string")).as("credit_name"),
       lit("T").as("debit_tenant"),
       concat(lit("b"), (col("o_orderkey") % 7).cast("string")).as("debit_name"),
-      col("o_totalprice").cast(DecimalType(18, 4)).cast(DecimalType(38, 18)).as("amount"),
+      // scale 4, NOT the warehouse's (38,18): DuckDB's wide-scale
+      // decimal→double goes through int128 and drifts one ULP, which
+      // breaks the driver's hash compare; scale-4 converts exactly.
+      col("o_totalprice").cast(DecimalType(18, 4)).as("amount"),
       lit("CZK").as("currency"),
       col("o_orderdate").as("value_date"))
 
@@ -46,7 +49,7 @@ object WarehouseQueries {
       |  'c' || CAST(o_custkey AS VARCHAR) AS credit_name,
       |  'T' AS debit_tenant,
       |  'b' || CAST(o_orderkey % 7 AS VARCHAR) AS debit_name,
-      |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(38,18)) AS amount,
+      |  CAST(o_totalprice AS DECIMAL(18,4)) AS amount,
       |  'CZK' AS currency,
       |  o_orderdate AS value_date
       |FROM orders""".stripMargin
@@ -54,8 +57,10 @@ object WarehouseQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B6 unpivot (stack) + A1 grouped SUM with coalesce-to-zero semantics.
     "q_balance" -> ((s, dir) => {
+      // DECIMAL sum inside (order-independent), DOUBLE at the output edge so
+      // the driver's hash canonicalization agrees with DuckDB.
       Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir)))
-        .withColumn("balance", col("balance").cast(DecimalType(38, 4)))
+        .withColumn("balance", col("balance").cast("double"))
         .orderBy("tenant", "name")
     }),
 
@@ -66,7 +71,7 @@ object WarehouseQueries {
           Api.TransferArgs(status = Some(1),
             amountGte = Some(BigDecimal(1000)), amountLt = Some(BigDecimal(150000))),
           limit = 50, offset = 10)
-        .withColumn("amount", col("amount").cast(DecimalType(38, 4)))
+        .withColumn("amount", col("amount").cast("double"))
         .withColumn("status_word", Api.statusWord(col("status")))
     }),
 
@@ -76,7 +81,7 @@ object WarehouseQueries {
       val all = transferShape(s, dir)
       val known = all.filter(year(col("value_date")) < 1997)
       Warehouse.newRows(all, known, Seq("tenant", "transaction", "transfer"))
-        .withColumn("amount", col("amount").cast(DecimalType(38, 4)))
+        .withColumn("amount", col("amount").cast("double"))
         .orderBy("transaction")
     })
   )
@@ -89,12 +94,12 @@ object WarehouseQueries {
          |  UNION ALL
          |  SELECT tenant, debit_name AS name, -amount FROM t WHERE status = 1
          |)
-         |SELECT tenant, name, CAST(SUM(amount) AS DECIMAL(38,4)) AS balance
+         |SELECT tenant, name, CAST(SUM(amount) AS DOUBLE) AS balance
          |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_transfers_page" ->
       s"""WITH t AS ($transferShapeSql)
          |SELECT tenant, transaction, transfer, status, credit_tenant, credit_name,
-         |  debit_tenant, debit_name, CAST(amount AS DECIMAL(38,4)) AS amount,
+         |  debit_tenant, debit_name, CAST(amount AS DOUBLE) AS amount,
          |  currency, value_date,
          |  CASE status WHEN 1 THEN 'committed' WHEN 2 THEN 'rollbacked'
          |    ELSE 'promised' END AS status_word
@@ -104,7 +109,7 @@ object WarehouseQueries {
     "q_merge_new_rows" ->
       s"""WITH t AS ($transferShapeSql)
          |SELECT tenant, transaction, transfer, status, credit_tenant, credit_name,
-         |  debit_tenant, debit_name, CAST(amount AS DECIMAL(38,4)) AS amount,
+         |  debit_tenant, debit_name, CAST(amount AS DOUBLE) AS amount,
          |  currency, value_date
          |FROM t
          |WHERE transaction NOT IN (

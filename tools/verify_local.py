@@ -48,8 +48,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL] {name}: spark wrote no parquet")
             n_fail += 1
             continue
-        spark_df = con.sql(
-            f"SELECT * FROM read_parquet({files!r})").df()
+        # Load the Spark result with pyarrow/pandas (NOT through duckdb):
+        # the driver's hash compare reads it this way, and pyarrow keeps
+        # DECIMAL columns as Decimal objects while duckdb's df() coerces
+        # them to float64 — going through duckdb masked exactly the
+        # canonicalization divergence that failed round 1's hash gate.
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                             ignore_index=True)
+        deci = [c for c in spark_df.columns
+                if spark_df[c].map(lambda v: type(v).__name__).eq("Decimal").any()]
+        if deci:
+            print(f"[WARN] {name}: DECIMAL output columns {deci} — "
+                  f"likely hash-gate mismatch; cast to DOUBLE on both sides")
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_df)} rows (no oracle)")
             continue
