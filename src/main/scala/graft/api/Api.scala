@@ -85,15 +85,25 @@ object Api {
     df = optFilter(df, args.currency)(v => col("currency") === lit(v))
     df = optFilter(df, args.status)(v => col("status") === lit(v))
 
-    def rng(c: String, lt: Option[Any], lte: Option[Any], gt: Option[Any], gte: Option[Any]): Unit = {
-      // reference bug Q1: gte→<=, gt→<=, lte→>=, lt→>
+    // Reference bug Q1 (GraphQLPersistence.scala:277-316): the inversion is
+    // PER COLUMN, not uniform. amount: gte→`<=`, gt→`<` (strict), lte→`>=`,
+    // lt→`>` (strict). value_date: gte→`<=`, gt→`<=`, lte→`>=`, lt→`>=`
+    // (gt/lt degrade to the non-strict comparator, :302-306 and :313-316).
+    def rng(c: String, strictInverse: Boolean,
+            lt: Option[Any], lte: Option[Any], gt: Option[Any], gte: Option[Any]): Unit = {
       df = optFilter(df, gte)(v => if (bugCompat) col(c) <= lit(v) else col(c) >= lit(v))
-      df = optFilter(df, gt)(v => if (bugCompat) col(c) <= lit(v) else col(c) > lit(v))
+      df = optFilter(df, gt)(v =>
+        if (bugCompat) { if (strictInverse) col(c) < lit(v) else col(c) <= lit(v) }
+        else col(c) > lit(v))
       df = optFilter(df, lte)(v => if (bugCompat) col(c) >= lit(v) else col(c) <= lit(v))
-      df = optFilter(df, lt)(v => if (bugCompat) col(c) > lit(v) else col(c) < lit(v))
+      df = optFilter(df, lt)(v =>
+        if (bugCompat) { if (strictInverse) col(c) > lit(v) else col(c) >= lit(v) }
+        else col(c) < lit(v))
     }
-    rng("amount", args.amountLt, args.amountLte, args.amountGt, args.amountGte)
-    rng("value_date", args.valueDateLt, args.valueDateLte, args.valueDateGt, args.valueDateGte)
+    rng("amount", strictInverse = true,
+      args.amountLt, args.amountLte, args.amountGt, args.amountGte)
+    rng("value_date", strictInverse = false,
+      args.valueDateLt, args.valueDateLte, args.valueDateGt, args.valueDateGte)
 
     paginate(df, Seq("transaction", "transfer"), limit, offset)
   }
@@ -105,9 +115,13 @@ object Api {
     when(c === 1, "committed").when(c === 2, "rollbacked").otherwise("promised")
 
   /** Nested-field resolution for a transfers page: tenant + credit/debit
-    * accounts (with balances) joined in-plan. The account dimension is
-    * broadcast twice (credit side, debit side) — the Spark analog of the
+    * accounts (with balances) joined in-plan — the Spark analog of the
     * reference's batched Fetchers (J1/J2).
+    *
+    * No broadcast hint: the account dimension grows with the data (every
+    * account ever seen), so a forced broadcast OOMs at scale. Spark's
+    * size-based broadcast threshold + AQE pick broadcast when the dim is
+    * actually small and a shuffled hash join on (tenant, name) otherwise.
     */
   def transfersResolved(transferPage: DataFrame, account: DataFrame,
                         balances: DataFrame): DataFrame = {
@@ -118,8 +132,8 @@ object Api {
     val credit = acct.toDF(acct.columns.map("credit_" + _): _*)
     val debit  = acct.toDF(acct.columns.map("debit_" + _): _*)
     transferPage
-      .join(broadcast(credit), Seq("credit_tenant", "credit_name"), "left")
-      .join(broadcast(debit), Seq("debit_tenant", "debit_name"), "left")
+      .join(credit, Seq("credit_tenant", "credit_name"), "left")
+      .join(debit, Seq("debit_tenant", "debit_name"), "left")
       .withColumn("status_word", statusWord(col("status")))
   }
 }

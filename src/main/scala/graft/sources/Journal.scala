@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -34,8 +34,11 @@ object Journal {
     * first and fall back to an empty DataFrame of the right shape.
     */
   private def safeWholetext(spark: SparkSession, glob: String): DataFrame = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val matches = fs.globStatus(new Path(glob))
+    // Resolve the filesystem FROM the path: FileSystem.get(conf) returns the
+    // default FS, which breaks for s3a://.. or hdfs://.. journal roots.
+    val p = new Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = fs.globStatus(p)
     if (matches == null || matches.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -53,8 +56,8 @@ object Journal {
     */
   def tenants(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names: Seq[String] =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq
@@ -69,15 +72,18 @@ object Journal {
     * Ref: PrimaryPersistence.scala:166-203 (S3): first line `CCY FORMAT_X`,
     * currency = chars 0-2, format = chars 4..len-3 (trailing `_T`/`_F`
     * stripped).
+    *
+    * The glob names the `%010d`-formatted version-0 file directly, so
+    * non-zero snapshot versions are never listed or read — an
+    * `input_file_name()`-derived filter could not be pushed into file
+    * listing and would scan unbounded snapshot history.
     */
   def accounts(spark: SparkSession, root: String): DataFrame = {
-    val snaps = safeWholetext(spark, s"$root/t_*/account/*/snapshot/*")
+    val snaps = safeWholetext(spark, s"$root/t_*/account/*/snapshot/0000000000")
     val header = substring_index(col("value"), "\n", 1)
     snaps
       .withColumn("tenant", regexp_extract(col("path"), "t_([^/]+)/account/", 1))
       .withColumn("name", regexp_extract(col("path"), "/account/([^/]+)/snapshot/", 1))
-      .withColumn("version", regexp_extract(col("path"), "/snapshot/([0-9]+)$", 1).cast(IntegerType))
-      .filter(col("version") === 0)
       .withColumn("line", header)
       .select(
         col("tenant"), col("name"),

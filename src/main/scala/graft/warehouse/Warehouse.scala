@@ -87,9 +87,9 @@ object Warehouse {
     import graft.sources.Journal
 
     def readOr(name: String, empty: => DataFrame): DataFrame = {
-      val path = s"$warehouseDir/$name"
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
+      val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(p.toString)
       else empty
     }
 

@@ -121,15 +121,33 @@ class JournalSpec extends SparkSpec {
   test("pagination: documented filter semantics and offset/limit") {
     val root = writeFixture()
     val transfers = Journal.transfers(spark, root.toString)
-    // amount >= 1 keeps the row under documented semantics
+    // documented semantics: non-strict bounds keep amount==1, strict drop it
     assert(Api.transfers(transfers, "TENANT",
       Api.TransferArgs(amountGte = Some(BigDecimal(1)))).count() == 1)
-    // bugCompat inverts it to <=, which also keeps amount==1
     assert(Api.transfers(transfers, "TENANT",
       Api.TransferArgs(amountGt = Some(BigDecimal(1)))).count() == 0)
-    assert(Api.transfers(transfers, "TENANT",
-      Api.TransferArgs(amountGt = Some(BigDecimal(1))), bugCompat = true).count() == 1)
     // offset beyond data → empty page
     assert(Api.transfers(transfers, "TENANT", limit = 10, offset = 5).count() == 0)
+  }
+
+  test("bugCompat replicates the reference's per-column inverted comparators") {
+    // Reference GraphQLPersistence.scala:277-316: amount gte→`<=`, gt→`<`
+    // (strict), lte→`>=`, lt→`>`; value_date gte→`<=`, gt→`<=`, lte→`>=`,
+    // lt→`>=` (gt/lt are NON-strict for value_date).
+    val root = writeFixture()
+    val transfers = Journal.transfers(spark, root.toString)
+    val one = BigDecimal(1)
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2020-01-01T00:00:00Z"))
+    def n(args: Api.TransferArgs): Long =
+      Api.transfers(transfers, "TENANT", args, bugCompat = true).count()
+    // fixture row: amount == 1, value_date == ts (all boundary cases)
+    assert(n(Api.TransferArgs(amountGte = Some(one))) == 1) // <=  keeps
+    assert(n(Api.TransferArgs(amountGt = Some(one))) == 0)  // <   drops
+    assert(n(Api.TransferArgs(amountLte = Some(one))) == 1) // >=  keeps
+    assert(n(Api.TransferArgs(amountLt = Some(one))) == 0)  // >   drops
+    assert(n(Api.TransferArgs(valueDateGte = Some(ts))) == 1) // <= keeps
+    assert(n(Api.TransferArgs(valueDateGt = Some(ts))) == 1)  // <= keeps (non-strict)
+    assert(n(Api.TransferArgs(valueDateLte = Some(ts))) == 1) // >= keeps
+    assert(n(Api.TransferArgs(valueDateLt = Some(ts))) == 1)  // >= keeps (non-strict)
   }
 }
