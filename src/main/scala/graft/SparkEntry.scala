@@ -29,12 +29,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-      operators.WarehouseQueries.queries
+      operators.WarehouseQueries.queries ++
+      operators.TextOps.queries ++
+      operators.Similarity.queries ++
+      operators.EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
-      operators.WarehouseQueries.oracles
+      operators.WarehouseQueries.oracles ++
+      operators.TextOps.oracles ++
+      operators.Similarity.oracles ++
+      operators.EventWindows.oracles
 }

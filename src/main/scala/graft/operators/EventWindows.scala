@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+
+/** Event-time window aggregations over the `events` table — tumbling,
+  * sliding, and session windows (the batch shape of the Structured
+  * Streaming operators; see graft.streaming for the streaming variant).
+  *
+  * The testdata's `events.ts` is a NANOSECOND parquet timestamp, which
+  * vanilla Spark refuses (PARQUET_TYPE_ILLEGAL). We read it via the
+  * `nanosAsLong` legacy conf and convert with integer `div 1000` — the same
+  * truncation DuckDB applies when it narrows ns→µs, so both engines see
+  * bit-identical microsecond values.
+  *
+  * All timestamp OUTPUT columns are TIMESTAMP_NTZ: Spark's TimestampType is
+  * an instant (parquet isAdjustedToUTC=true ⇒ pandas reads it tz-aware,
+  * "+00:00"), while DuckDB emits naive timestamps — NTZ on the Spark side
+  * makes the driver's string canonicalization agree. Session TZ is UTC so
+  * the instant→NTZ cast is the identity on the wall clock.
+  *
+  * Scale: each query is one shuffle (partial+final hash agg keyed by the
+  * window bucket); the sliding window multiplies rows by window/slide = 4
+  * BEFORE the partial agg, which is the standard Spark plan. Sums of the
+  * double `value` go through DECIMAL(18,6) so partial-agg order cannot
+  * change the result (and the oracle hash-matches).
+  */
+object EventWindows {
+
+  /** events with `ts` as microsecond TIMESTAMP_NTZ (see class doc). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+  }
+
+  private def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Tumbling 1-hour windows × event_type: count + exact sum. */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  private val tumblingSql =
+    """SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Sliding windows: 1 hour long, sliding every 15 minutes — each event
+    * lands in exactly 4 window instances. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
+  private val slidingSql =
+    """SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS window_start,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-user session windows with a 6-hour inactivity gap. Session end =
+    * last event + gap (Spark session_window semantics). */
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionsSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts >= lag(ts) OVER w + INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, sid, min(ts) AS session_start,
+      |    max(ts) + INTERVAL 6 HOUR AS session_end,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, session_start, session_end, n_events, sum_value
+      |FROM g ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_tumbling" -> (tumbling(_, _)),
+    "q_window_sliding" -> (sliding(_, _)),
+    "q_window_session" -> (sessions(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_window_tumbling" -> tumblingSql,
+    "q_window_sliding" -> slidingSql,
+    "q_window_session" -> sessionsSql)
+}

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication operator family over the `documents` table
+  * — the LLM-training-data-pipeline surface (exact dedup, text stats,
+  * language ID, MinHash-LSH near-dup detection).
+  *
+  * Scale posture (the 100 TB contract):
+  *   - exact dedup is a single hash-shuffle groupBy on a digest, never a
+  *     text-to-text comparison;
+  *   - near-dup candidates come from banded MinHash LSH bucket joins —
+  *     all-pairs comparison NEVER happens; the exact Jaccard check runs on
+  *     candidates only (planted near-dups at sim≥0.9 are recalled with
+  *     P(miss) = (1-s^4)^32 ≈ 1e-15);
+  *   - everything is built-in columnar expressions (split / transform /
+  *     aggregate / hash) — no UDFs, stays inside whole-stage codegen.
+  *
+  * Cross-engine determinism: every hash the ORACLE must reproduce is md5
+  * (bit-identical in DuckDB); Spark-internal murmur3 (`hash()`) is used only
+  * where it affects recall, not output (MinHash signatures).
+  */
+object TextOps {
+
+  /** Whitespace-collapsed lowercase view of a text column — the dedup
+    * normalization key. */
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Tokens of the normalized text (single spaces guaranteed by norm). */
+  private def toks(c: Column): Column = split(norm(c), " ")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: group by md5 of normalized text, keep the smallest doc_id
+    * as the canonical survivor. The testdata has no exact duplicates, so the
+    * query first simulates a re-crawl (the same corpus appended again with
+    * shifted ids) — every group then has a duplicate to collapse, which
+    * exercises the survivor choice for real.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val recrawl = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    d.select(col("doc_id"), col("text"))
+      .unionByName(recrawl)
+      .select(col("doc_id"), md5(norm(col("text"))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("text_hash"))
+  }
+
+  private val dedupExactSql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents)
+       |SELECT md5($normSql) AS text_hash,
+       |  min(doc_id) AS keep_doc_id, count(*) AS n_dups
+       |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ text stats
+
+  private val StopEn = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString(", ")
+
+  /** Per-document quality statistics: token/char counts, mean token length,
+    * alphabetic ratio, stopword count, and a boolean quality gate — the
+    * usual pre-training corpus filters, all as codegen'd expressions on the
+    * scan (no shuffle at all: this is a pure map).
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("avg_token_len",
+        length(regexp_replace(norm(col("text")), " ", "")).cast("double") / col("n_tokens"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")))
+      .withColumn("n_stopwords",
+        expr(s"size(filter(t, x -> x IN (${inList(StopEn)})))"))
+      .withColumn("is_quality",
+        (col("n_tokens") >= 20 && col("alpha_ratio") > lit(0.5)).cast("int"))
+      .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "alpha_ratio",
+        "n_stopwords", "is_quality")
+      .orderBy("doc_id")
+
+  private val textStatsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    string_split($normSql, ' ') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(toks) AS n_tokens,
+       |  length(text) AS n_chars,
+       |  CAST(length(replace($normSql, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS alpha_ratio,
+       |  len(list_filter(toks, x -> x IN (${inList(StopEn)}))) AS n_stopwords,
+       |  CAST(len(toks) >= 20 AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |    / length(text) > 0.5 AS INT) AS is_quality
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- language ID
+
+  /** Stopword vote sets per language — the classic cheap n-gram-free
+    * language-ID heuristic. Deterministic argmax with a fixed tie-break
+    * order (en > de > fr > es), 'und' when no set scores. */
+  private val LangSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  /** Language-ID heuristic: count stopword hits per language over the token
+    * stream, pick the argmax (fixed tie-break). Pure map — no shuffle.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("t", toks(col("text")))
+    val scored = LangSets.foldLeft(base) { case (df, (code, words)) =>
+      df.withColumn(s"score_$code",
+        expr(s"size(filter(t, x -> x IN (${inList(words)})))"))
+    }
+    val best = LangSets.map { case (code, _) => col(s"score_$code") }
+      .reduce((a, b) => greatest(a, b))
+    val guess = LangSets.foldRight(lit("und"): Column) { case ((code, _), acc) =>
+      when(col(s"score_$code") === best && best > 0, lit(code)).otherwise(acc)
+    }
+    // foldRight builds en-first WHEN chain => ties resolve en > de > fr > es
+    scored
+      .withColumn("lang_guess", guess)
+      .select(col("doc_id") +: col("lang_guess") +:
+        LangSets.map { case (code, _) => col(s"score_$code") }: _*)
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val scores = LangSets.map { case (code, words) =>
+      s"len(list_filter(toks, x -> x IN (${inList(words)}))) AS score_$code"
+    }.mkString(",\n  ")
+    val best = "greatest(" + LangSets.map { case (c, _) => s"score_$c" }.mkString(", ") + ")"
+    val chain = LangSets.map { case (c, _) =>
+      s"WHEN score_$c = $best AND $best > 0 THEN '$c'"
+    }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |sc AS (SELECT doc_id, $scores FROM t)
+       |SELECT doc_id, CASE $chain ELSE 'und' END AS lang_guess,
+       |  ${LangSets.map { case (c, _) => s"score_$c" }.mkString(", ")}
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ MinHash near-dup
+
+  private val NumHashes = 128
+  private val NumBands = 32 // 4 rows/band: P(candidate) = 1-(1-s^4)^32
+  private val JaccardThreshold = 0.8
+
+  /** Distinct word-3-gram shingle sets per document (docs with <3 tokens
+    * carry no shingles and are skipped). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+          .as("s"))
+
+  /** Near-duplicate pairs by MinHash + banded LSH, exact-verified.
+    *
+    * Plan shape (the part that must survive 100 TB):
+    *   1. shingle → explode → groupBy(doc): 128 `min(hash(shingle, i))`
+    *      signatures in ONE hash-aggregate pass (one shuffle by doc_id);
+    *   2. 32 band keys per doc (hash of 4 signature rows), self-join on
+    *      (band, band_hash) — candidates only ever meet inside a bucket;
+    *   3. exact Jaccard on candidate pairs via their distinct shingle sets,
+    *      keep sim ≥ 0.8.
+    *
+    * The ORACLE is the exact all-pairs n-gram Jaccard (fine at sf0.01's 500
+    * docs) — LSH recall at the 0.9+ planted similarity makes the outputs
+    * identical (miss probability ~1e-15 per pair).
+    */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+
+    val exploded = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val sigAggs = (0 until NumHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"m$i"))
+    val sigs = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+
+    val bandCols = (0 until NumBands).map { b =>
+      hash((b * 4 until b * 4 + 4).map(r => col(s"m$r")): _*)
+    }
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+
+    val x = bands.toDF("doc_a", "band", "sig")
+    val y = bands.toDF("doc_b", "band", "sig")
+    val candidates = x.join(y, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    val sa = sh.toDF("doc_a", "sa")
+    val sb = sh.toDF("doc_b", "sb")
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val union = size(col("sa")) + size(col("sb")) - inter
+    candidates
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val minhashNearDupSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t)-2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.s, b.s)) AS inter,
+       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS un
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/un AS jaccard
+       |FROM pairs WHERE CAST(inter AS DOUBLE)/un >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact(_, _)),
+    "q_text_stats" -> (textStats(_, _)),
+    "q_lang_id" -> (langId(_, _)),
+    "q_minhash_neardup" -> (minhashNearDup(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_text_stats" -> textStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_minhash_neardup" -> minhashNearDupSql)
+}
