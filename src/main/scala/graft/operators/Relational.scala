@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -65,6 +66,56 @@ object Relational {
           count(lit(1)).as("n_cust"),
           sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
         .orderBy(col("n_name"))
+    }),
+
+    // P5 membership filter (reference `name = ANY(...)` —
+    // GraphQLPersistence.scala:168-171, 227-231). isin compiles to an IN
+    // predicate pushed into the parquet scan.
+    "q_isin" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // L2 per-group top-k (reference take-2-oldest-snapshots —
+    // PrimaryDataExplorationService.scala:118-124): rank window + filter,
+    // deterministic tie-break on the key.
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // A3/A4 fold-to-sequence + in-group sort (reference fold + sortBy —
+    // PrimaryDataExplorationService.scala:154, 176-177): collect_list +
+    // sort_array, rendered as a joined string so the compare is exact.
+    // Sort happens on the NUMERIC keys, then cast to string (string sort
+    // would put "10" before "9").
+    "q_collect_sorted" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("array_join(transform(sort_array(collect_list(o_orderkey)), x -> CAST(x AS STRING)), ',')")
+            .as("order_keys"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // E2 union (reference Future.reduceLeft(_ ++ _) over per-tenant fetches
+    // — GraphQLService.scala:141-150): unionByName of two disjoint slices
+    // projected in different column orders (the name-alignment is the op).
+    "q_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val p = o.filter(col("o_orderstatus") === "P")
+        .select(col("o_totalprice"), col("o_orderkey"), col("o_orderstatus"))
+      f.unionByName(p).orderBy(col("o_orderkey"))
     })
   )
 
@@ -83,6 +134,24 @@ object Relational {
       """SELECT n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_isin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q_collect_sorted" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_union" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('F', 'P') ORDER BY o_orderkey""".stripMargin
   )
 }

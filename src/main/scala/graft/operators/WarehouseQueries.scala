@@ -83,8 +83,67 @@ object WarehouseQueries {
       Warehouse.newRows(all, known, Seq("tenant", "transaction", "transfer"))
         .withColumn("amount", col("amount").cast("double"))
         .orderBy("transaction")
+    }),
+
+    // S10 point lookup through the Api surface: unique key + limit(1) is
+    // deterministic. Ref: SecondaryPersistence.scala:129-225.
+    "q_point_lookup" -> ((s, dir) => {
+      Api.account(accountShape(s, dir), "T", "c42")
+    }),
+
+    // J2 two-key account join through transfersResolved: a transfers page
+    // joined to the account dimension on (tenant, name) twice (credit and
+    // debit side) with per-account balances coalesced to 0. No broadcast
+    // hint — the dim scales with the data; AQE picks the strategy.
+    "q_resolved_join" -> ((s, dir) => {
+      val transfers = transferShape(s, dir)
+      val page = Api.transfers(transfers, "T",
+        Api.TransferArgs(status = Some(1)), limit = 40, offset = 0)
+      val balances = Warehouse.balances(Warehouse.balanceChanges(transfers))
+      Api.transfersResolved(page, accountShape(s, dir), balances)
+        .select(col("tenant"), col("transaction"), col("transfer"), col("status"),
+          col("credit_name"), col("debit_name"),
+          col("amount").cast("double").as("amount"),
+          col("credit_balance").cast("double").as("credit_balance"),
+          col("debit_balance").cast("double").as("debit_balance"),
+          col("status_word"))
+        .orderBy("transaction", "transfer")
+    }),
+
+    // S8 keep-latest upsert: incoming watermark rows beat existing on the
+    // key; version column breaks ties deterministically.
+    // Ref: SecondaryPersistence.scala:60-94 (ON CONFLICT DO UPDATE).
+    "q_upsert_latest" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val existing = orders.select(
+        lit("T").as("tenant"),
+        concat(lit("c"), col("o_custkey").cast("string")).as("name"),
+        lit(0L).as("last_syn")).distinct()
+      val incoming = orders.filter(year(col("o_orderdate")) >= 1997)
+        .groupBy(concat(lit("c"), col("o_custkey").cast("string")).as("name"))
+        .agg(max(col("o_orderkey")).as("last_syn"))
+        .select(lit("T").as("tenant"), col("name"), col("last_syn"))
+      Warehouse.upsert(incoming, existing, Seq("tenant", "name"), Seq("last_syn"))
+        .orderBy("name")
     })
   )
+
+  /** Account dimension derived from the order shape: every party name seen
+    * on either side of a transfer, with constant currency/format. */
+  private def accountShape(s: SparkSession, dir: String): DataFrame = {
+    val t = transferShape(s, dir)
+    t.select(col("credit_tenant").as("tenant"), col("credit_name").as("name"))
+      .unionByName(t.select(col("debit_tenant").as("tenant"), col("debit_name").as("name")))
+      .distinct()
+      .withColumn("currency", lit("CZK"))
+      .withColumn("format", lit("FMT"))
+  }
+
+  private val accountShapeSql =
+    s"""SELECT tenant, name, 'CZK' AS currency, 'FMT' AS format FROM (
+       |  SELECT DISTINCT credit_tenant AS tenant, credit_name AS name FROM t
+       |  UNION
+       |  SELECT DISTINCT debit_tenant AS tenant, debit_name AS name FROM t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_balance" ->
@@ -114,6 +173,48 @@ object WarehouseQueries {
          |FROM t
          |WHERE transaction NOT IN (
          |  SELECT transaction FROM t WHERE year(value_date) < 1997)
-         |ORDER BY transaction""".stripMargin
+         |ORDER BY transaction""".stripMargin,
+    "q_point_lookup" ->
+      s"""WITH t AS ($transferShapeSql),
+         |a AS ($accountShapeSql)
+         |SELECT tenant, name, currency, format FROM a
+         |WHERE tenant = 'T' AND name = 'c42'""".stripMargin,
+    "q_resolved_join" ->
+      s"""WITH t AS ($transferShapeSql),
+         |ch AS (
+         |  SELECT tenant, credit_name AS name, amount FROM t WHERE status = 1
+         |  UNION ALL
+         |  SELECT tenant, debit_name AS name, -amount FROM t WHERE status = 1),
+         |b AS (
+         |  SELECT tenant, name, CAST(sum(amount) AS DOUBLE) AS balance
+         |  FROM ch GROUP BY 1, 2),
+         |page AS (
+         |  SELECT * FROM t WHERE status = 1
+         |  ORDER BY transaction, transfer LIMIT 40)
+         |SELECT p.tenant, p.transaction, p.transfer, p.status,
+         |  p.credit_name, p.debit_name, CAST(p.amount AS DOUBLE) AS amount,
+         |  COALESCE(cb.balance, 0) AS credit_balance,
+         |  COALESCE(db.balance, 0) AS debit_balance,
+         |  CASE p.status WHEN 1 THEN 'committed' WHEN 2 THEN 'rollbacked'
+         |    ELSE 'promised' END AS status_word
+         |FROM page p
+         |LEFT JOIN b cb ON cb.tenant = p.credit_tenant AND cb.name = p.credit_name
+         |LEFT JOIN b db ON db.tenant = p.debit_tenant AND db.name = p.debit_name
+         |ORDER BY transaction, transfer""".stripMargin,
+    "q_upsert_latest" ->
+      """WITH existing AS (
+        |  SELECT DISTINCT 'T' AS tenant,
+        |    'c' || CAST(o_custkey AS VARCHAR) AS name,
+        |    CAST(0 AS BIGINT) AS last_syn
+        |  FROM orders),
+        |incoming AS (
+        |  SELECT 'T' AS tenant, 'c' || CAST(o_custkey AS VARCHAR) AS name,
+        |    max(o_orderkey) AS last_syn
+        |  FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 2)
+        |SELECT tenant, name, last_syn FROM incoming
+        |UNION ALL
+        |SELECT e.tenant, e.name, e.last_syn FROM existing e
+        |WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.name = e.name)
+        |ORDER BY name""".stripMargin
   )
 }

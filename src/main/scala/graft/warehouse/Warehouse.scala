@@ -31,15 +31,19 @@ object Warehouse {
       .join(existing.select(keys.map(col): _*), keys, "left_anti")
 
   /** `INSERT … ON CONFLICT DO UPDATE` ≡ keep the newest version of each key
-    * across existing ∪ incoming. `precedence` orders candidates (highest
-    * wins); incoming rows get precedence 1, existing 0, so on a key clash
-    * the incoming row replaces the stored one.
+    * across existing ∪ incoming. Incoming rows beat existing rows on a key
+    * clash; `version` columns (descending) break ties among multiple
+    * incoming rows for the same key, so the survivor is deterministic —
+    * a bare precedence window would pick an arbitrary row when one batch
+    * carries two updates for one key.
     * Ref: SecondaryPersistence.scala:60-94 (account upsert).
     */
-  def upsert(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(incoming: DataFrame, existing: DataFrame, keys: Seq[String],
+             version: Seq[String] = Seq.empty): DataFrame = {
     val inc = incoming.withColumn("__prec", lit(1))
     val ex  = existing.withColumn("__prec", lit(0))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec").desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__prec").desc +: version.map(col(_).desc): _*)
     ex.unionByName(inc)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
