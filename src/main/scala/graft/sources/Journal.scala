@@ -125,8 +125,15 @@ object Journal {
     * `split` into lines, stamp line 0's status onto the `posexplode` of the
     * remaining lines — same semantics, no state, fully parallel.
     */
-  def transfers(spark: SparkSession, root: String): DataFrame = {
-    val tx = safeWholetext(spark, s"$root/t_*/transaction/*")
+  def transfers(spark: SparkSession, root: String): DataFrame =
+    parseTransfers(safeWholetext(spark, s"$root/t_*/transaction/*"))
+
+  /** Transaction-file parse on a raw (value, path) frame — shared by the
+    * batch reader above and the Structured Streaming source
+    * (graft.streaming.JournalStream), which feed the same plan from
+    * different sources.
+    */
+  def parseTransfers(tx: DataFrame): DataFrame = {
     val lines = split(col("value"), "\n")
     val statusWord = element_at(lines, 1)
     val parsed = tx

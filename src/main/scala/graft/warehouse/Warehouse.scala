@@ -78,22 +78,38 @@ object Warehouse {
       .groupBy(col("tenant"), col("name"))
       .agg(sum(col("amount")).cast(DecimalType(38, 18)).as("balance"))
 
-  /** One ETL pass: journal → warehouse tables, idempotently merged into
-    * `warehouseDir` (parquet dirs tenant/account/transfer). Re-running on an
-    * unchanged journal is a no-op (T6 effectively-once).
+  /** One incremental ETL pass: journal → warehouse tables, idempotently
+    * merged into `warehouseDir` (parquet dirs tenant/account/transfer).
+    * Re-running on an unchanged journal is a no-op (T6 effectively-once).
+    *
+    * Mirrors the reference exploration loop
+    * (PrimaryDataExplorationService.scala:116-264) Spark-first:
+    *   1. tenants + newly-discovered accounts insert-only (S7/S8-insert);
+    *   2. events past each account's watermark (P8: snapshot_version ≥
+    *      last_syn_snapshot, version > last_syn_event);
+    *   3. transfers of those events' transactions, kept only where the
+    *      event's account is the credit or debit party (P6, ref :215-218),
+    *      with the transfer-status-vs-event-status assertion (P7, :219-226);
+    *   4. new transfers appended (anti-join on key, J3/E1);
+    *   5. account watermarks advanced via keep-latest upsert (T3, :260-264)
+    *      with the (last_syn_snapshot, last_syn_event) version tie-break.
     *
     * At 100 TB the tables would be `partitionBy("tenant")` so tenant-scoped
-    * queries prune partitions; testdata tenants are tiny so the layout knob
-    * lives here in one place.
+    * queries prune partitions, and the account-table rewrite in step 5 would
+    * be a Delta/Iceberg MERGE instead of the write-new-then-swap used on
+    * plain parquet here (the swap keeps the overwrite safe while the plan
+    * still reads the old files).
     */
   def sync(spark: SparkSession, journalRoot: String, warehouseDir: String,
            partitionByTenant: Boolean = false): Unit = {
     import graft.sources.Journal
 
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def tablePath(name: String) = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+
     def readOr(name: String, empty: => DataFrame): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.parquet(p.toString)
+      val p = tablePath(name)
+      if (p.getFileSystem(hconf).exists(p)) spark.read.parquet(p.toString)
       else empty
     }
 
@@ -105,13 +121,62 @@ object Warehouse {
 
     val tenants = Journal.tenants(spark, journalRoot)
     val accounts = Journal.accounts(spark, journalRoot)
-    val transfers = Journal.transfers(spark, journalRoot)
 
     append(newRows(tenants, readOr("tenant", tenants.limit(0)), Seq("name")),
       "tenant", Seq.empty)
     append(newRows(accounts, readOr("account", accounts.limit(0)), Seq("tenant", "name")),
       "account", Seq("tenant"))
-    append(newRows(transfers, readOr("transfer", transfers.limit(0)),
+
+    val accountTable = readOr("account", accounts.limit(0))
+
+    // P8: watermark filter — events already mirrored are skipped.
+    val events = Journal.events(spark, journalRoot)
+      .join(accountTable.select(col("tenant"), col("name").as("account"),
+        col("last_syn_snapshot"), col("last_syn_event")), Seq("tenant", "account"))
+      .filter(col("snapshot_version") >= col("last_syn_snapshot") &&
+        col("version") > col("last_syn_event"))
+      .cache()
+
+    // Transfers of non-pending events' transactions, P6 ownership-filtered:
+    // the announcing account must be one side of the transfer.
+    val announced = events.filter(col("status") =!= 0)
+      .select(col("tenant"), col("account"), col("transaction"),
+        col("status").as("event_status"))
+    val txTransfers = Journal.transfers(spark, journalRoot)
+      .join(announced, Seq("tenant", "transaction"))
+      .filter(col("credit_name") === col("account") ||
+        col("debit_name") === col("account"))
+
+    // P7: a transfer whose parsed status disagrees with its announcing
+    // event's status is journal corruption — fail the pass (ref :219-226).
+    val mismatches = txTransfers.filter(col("status") =!= col("event_status")).count()
+    if (mismatches > 0)
+      throw new IllegalStateException(
+        s"$mismatches transfer(s) with status differing from their announcing event")
+
+    val discovered = txTransfers.drop("account", "event_status")
+    append(newRows(discovered, readOr("transfer", discovered.limit(0)),
       Seq("tenant", "transaction", "transfer")), "transfer", Seq("tenant"))
+
+    // T3: advance per-account watermarks through the keep-latest upsert.
+    val marks = events.groupBy(col("tenant"), col("account").as("name"))
+      .agg(max(col("snapshot_version")).as("last_syn_snapshot"),
+        max(col("version")).as("last_syn_event"))
+    if (!marks.isEmpty) {
+      val updated = accountTable
+        .join(marks, Seq("tenant", "name"), "left_semi")
+        .drop("last_syn_snapshot", "last_syn_event")
+        .join(marks, Seq("tenant", "name"))
+        .select(accountTable.columns.map(col): _*)
+      val merged = upsert(updated, accountTable, Seq("tenant", "name"),
+        Seq("last_syn_snapshot", "last_syn_event"))
+      // write-new-then-swap: the merged plan reads the live account files,
+      // so a direct overwrite would delete its own input mid-plan.
+      val fs = tablePath("account").getFileSystem(hconf)
+      merged.write.mode("overwrite").parquet(s"$warehouseDir/account_new")
+      fs.delete(tablePath("account"), true)
+      fs.rename(tablePath("account_new"), tablePath("account"))
+    }
+    events.unpersist()
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.streaming.JournalStream
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental-sync behavior: watermark advancement (T3/P8), ownership and
+  * status-assert filters (P6/P7), and the Structured Streaming variant (T2).
+  */
+class SyncSpec extends SparkSpec {
+
+  private def put(root: Path, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  /** Fixture with one committed 1 CZK transfer CREDIT←DEBIT (event v1). */
+  private def baseFixture(): Path = {
+    val root = Files.createTempDirectory("journal")
+    put(root, "t_T/account/CREDIT/snapshot/0000000000", "CZK FORMAT_T\n")
+    put(root, "t_T/account/DEBIT/snapshot/0000000000", "CZK FORMAT_T\n")
+    put(root, "t_T/account/CREDIT/events/0000000000/1_1_TRN", "1\n")
+    put(root, "t_T/account/DEBIT/events/0000000000/1_-1_TRN", "1\n")
+    put(root, "t_T/transaction/TRN",
+      "committed\nTRX T CREDIT T DEBIT 2020-01-01T00:00:00Z 1 CZK\n")
+    root
+  }
+
+  test("sync advances account watermarks and skips synced events") {
+    val root = baseFixture()
+    val wh = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, root.toString, wh)
+
+    val marks = spark.read.parquet(s"$wh/account")
+      .select("name", "last_syn_snapshot", "last_syn_event")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(marks == Map("CREDIT" -> (0, 1), "DEBIT" -> (0, 1)))
+    assert(spark.read.parquet(s"$wh/transfer").count() == 1)
+
+    // second event (v2) lands: only it is ingested on the next pass
+    put(root, "t_T/account/CREDIT/events/0000000000/1_1_TRN2", "2\n")
+    put(root, "t_T/account/DEBIT/events/0000000000/1_-1_TRN2", "2\n")
+    put(root, "t_T/transaction/TRN2",
+      "committed\nTRX2 T CREDIT T DEBIT 2020-01-02T00:00:00Z 2 CZK\n")
+    Warehouse.sync(spark, root.toString, wh)
+
+    val marks2 = spark.read.parquet(s"$wh/account")
+      .select("name", "last_syn_event").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(marks2 == Map("CREDIT" -> 2, "DEBIT" -> 2))
+    val transfers = spark.read.parquet(s"$wh/transfer")
+      .select("transfer").orderBy("transfer").collect().map(_.getString(0)).toSeq
+    assert(transfers == Seq("TRX", "TRX2"))
+
+    // third pass on an unchanged journal is a no-op
+    Warehouse.sync(spark, root.toString, wh)
+    assert(spark.read.parquet(s"$wh/transfer").count() == 2)
+  }
+
+  test("sync ignores transfers whose transaction no event announced") {
+    val root = baseFixture()
+    // orphan transaction file: no event references it -> not ingested
+    put(root, "t_T/transaction/ORPHAN",
+      "committed\nTRX9 T CREDIT T DEBIT 2020-01-03T00:00:00Z 9 CZK\n")
+    val wh = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, root.toString, wh)
+    assert(spark.read.parquet(s"$wh/transfer").count() == 1)
+  }
+
+  test("sync raises on event/transfer status mismatch (P7)") {
+    val root = baseFixture()
+    // event announces status 2 (rollbacked) but the transaction says committed
+    put(root, "t_T/account/CREDIT/events/0000000000/2_1_TRNBAD", "2\n")
+    put(root, "t_T/transaction/TRNBAD",
+      "committed\nTRXB T CREDIT T DEBIT 2020-01-04T00:00:00Z 3 CZK\n")
+    val wh = Files.createTempDirectory("wh").toString
+    val e = intercept[IllegalStateException] {
+      Warehouse.sync(spark, root.toString, wh)
+    }
+    assert(e.getMessage.contains("status"))
+  }
+
+  test("streaming sync ingests files appended mid-run (T2)") {
+    val root = baseFixture()
+    val wh = Files.createTempDirectory("whs").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = JournalStream.start(spark, root.toString, wh, ckpt,
+      trigger = Trigger.ProcessingTime("1 second"))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$wh/transfer").count() == 1)
+      // a new transaction file appears while the query runs
+      put(root, "t_T/transaction/TRN2",
+        "committed\nTRX2 T CREDIT T DEBIT 2020-01-02T00:00:00Z 2 CZK\n")
+      q.processAllAvailable()
+      val transfers = spark.read.parquet(s"$wh/transfer")
+        .select("transfer").orderBy("transfer").collect().map(_.getString(0)).toSeq
+      assert(transfers == Seq("TRX", "TRX2"))
+    } finally q.stop()
+  }
+}
