@@ -84,9 +84,122 @@ object Similarity {
        |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------------------- LSH-bucketed ANN
+
+  private val Dim = 64
+  private val BandBits = 6  // 64 buckets per band
+  private val AnnBands = 16 // OR-amplification: candidate iff any band agrees
+  private val AnnK = 5
+
+  /** Deterministic ±1 random-hyperplane matrix (AnnBands*BandBits × Dim),
+    * derived from md5 parity so it is reproducible from the code alone. It
+    * is inlined as a LITERAL into both the Spark plan and the oracle SQL —
+    * the two engines never have to agree on an internal hash function.
+    */
+  private lazy val planes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until AnnBands * BandBits).map { j =>
+      (0 until Dim).map { i =>
+        val h = md.digest(s"${j}_$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  /** Approximate nearest neighbors by sign-random-projection LSH — the
+    * 100 TB path where brute force stops being an option.
+    *
+    * Plan shape: every vector gets 16 6-bit band signatures (pure map);
+    * corpus and query signatures join on (band, signature) — candidates
+    * only ever meet inside a bucket, so the work scales with bucket
+    * occupancy, not corpus². Exact cosine re-ranks the candidates, top-5
+    * per query. The signature table carries only (vec_id, band, sig);
+    * vectors re-attach by id afterward, so the shuffled data stays narrow.
+    *
+    * The oracle replays the identical literal-plane LSH in SQL, so the
+    * approximate result itself is exact-compared (not just row-counted).
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .withColumn("nn", expr(foldSum("transform(v, x -> x * x)")))
+      .cache()
+
+    val sigs = corpus
+      .withColumn("p", typedLit(planes))
+      .withColumn("dots", expr(
+        s"transform(sequence(0, ${AnnBands * BandBits - 1}), j -> ${foldSum(
+          s"transform(sequence(0, ${Dim - 1}), i -> v[i] * p[j][i])")})"))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${AnnBands - 1}), b ->
+             |  aggregate(sequence(0, ${BandBits - 1}), 0,
+             |    (acc, k) -> acc + IF(dots[b * $BandBits + k] > 0D, shiftleft(1, k), 0)))"""
+            .stripMargin)).as(Seq("band", "sig")))
+
+    val qsigs = sigs.filter(col("vec_id") < NumQueries).toDF("qid", "band", "sig")
+    val cands = sigs.join(qsigs, Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid")).distinct()
+
+    val queries = corpus.select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("nq"))
+    val neighbors = corpus.select(col("vec_id").as("nid"), col("v"), col("nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    cands.join(queries, "qid").join(neighbors, "nid")
+      .withColumn("dot", expr(foldSum("zip_with(qv, v, (x, y) -> x * y)")))
+      .withColumn("cosine", col("dot") / (sqrt(col("nq")) * sqrt(col("nn"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  private lazy val annLshSql = {
+    val planesLit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |pl AS (SELECT $planesLit AS p),
+       |d AS (
+       |  SELECT vec_id,
+       |    list_transform(range(${AnnBands * BandBits}), j ->
+       |      list_reduce(list_transform(range($Dim), i -> v[i+1] * p[j+1][i+1]),
+       |        (a, b) -> a + b)) AS dots
+       |  FROM n CROSS JOIN pl),
+       |sg AS (
+       |  SELECT vec_id, bb.band,
+       |    list_reduce(list_prepend(0, list_transform(range($BandBits),
+       |      k -> CASE WHEN dots[bb.band * $BandBits + k + 1] > 0
+       |                THEN (1 << k) ELSE 0 END)), (a, c) -> a + c) AS sig
+       |  FROM d CROSS JOIN (SELECT unnest(range($AnnBands)) AS band) bb),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM sg q JOIN sg c ON q.band = c.band AND q.sig = c.sig
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id != q.vec_id),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> qn.v[i+1] * cn.v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(qn.nn) * sqrt(cn.nn)) AS cosine
+       |  FROM cand
+       |  JOIN n qn ON qn.vec_id = cand.qid
+       |  JOIN n cn ON cn.vec_id = cand.nid),
+       |r AS (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cosine_topk" -> (cosineTopK(_, _)))
+    "q_cosine_topk" -> (cosineTopK(_, _)),
+    "q_ann_lsh" -> (annLsh(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_cosine_topk" -> cosineTopKSql)
+    "q_cosine_topk" -> cosineTopKSql,
+    "q_ann_lsh" -> annLshSql)
 }

@@ -239,17 +239,167 @@ object TextOps {
        |FROM pairs WHERE CAST(inter AS DOUBLE)/un >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --------------------------------------------------------------- tokens
+
+  /** BPE-ish pre-tokenization pattern: letter runs, single digits, single
+    * non-alphanumeric marks — the usual subword-tokenizer front end. Plain
+    * character classes only, so Java (Spark) and RE2 (DuckDB) agree. */
+  private val BpePattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  /** Token counting two ways: whitespace tokens and BPE-ish regex tokens —
+    * the corpus-sizing numbers every training-data pipeline reports.
+    * Pure map on the scan.
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n", norm(col("text")))
+      .select(
+        col("doc_id"),
+        size(split(col("n"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("n"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val tokenCountSql =
+    s"""SELECT doc_id,
+       |  len(string_split($normSql, ' ')) AS n_ws_tokens,
+       |  len(regexp_extract_all($normSql, '$BpePattern')) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- simhash
+
+  /** 60-bit md5-prefix hash — the one hash family both engines compute
+    * bit-identically (Spark conv(hex,16,10), DuckDB CAST('0x…' AS UBIGINT)),
+    * so hash-dependent operators stay oracle-checkable. */
+  private def hash60Sql(arg: String): String =
+    s"CAST(conv(substring(md5($arg), 1, 15), 16, 10) AS BIGINT)"
+
+  private def duckHash60(arg: String): String =
+    s"CAST(CAST('0x' || substring(md5($arg), 1, 15) AS UBIGINT) AS BIGINT)"
+
+  private val SimBands = 4 // 15 bits each: pigeonhole-exact for hamming <= 3
+  private val SimMaxHamming = 3
+
+  /** SimHash near-dup pairs (hamming distance ≤ 3 over 60-bit signatures).
+    *
+    * Per-doc signature is a pure map (no shuffle): hash each distinct
+    * token, take the per-bit majority across the token set — all in array
+    * expressions inside codegen. Pairing uses the pigeonhole band trick:
+    * signatures within hamming d of each other MUST agree on one of d+1
+    * disjoint bands, so a 4×15-bit band join finds every pair with d ≤ 3
+    * EXACTLY (no probabilistic recall) while never comparing all pairs.
+    */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sims = docs(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("hs", expr(s"transform(array_distinct(t), tok -> ${hash60Sql("tok")})"))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  transform(sequence(0, 59), b ->
+          |    IF(2 * size(filter(hs, x -> (shiftright(x, b) & 1) = 1)) > size(hs),
+          |       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .select("doc_id", "simhash")
+
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "sig")))
+    val x = bands.toDF("doc_a", "sim_a", "band", "sig")
+    val y = bands.toDF("doc_b", "sim_b", "band", "sig")
+    x.join(y, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val simhashNearDupSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_distinct(t)) AS tok FROM t),
+       |h AS (
+       |  SELECT doc_id, ${duckHash60("tok")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN 2 * sum((h >> b) & 1) > count(*)
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bit
+       |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+       |sim AS (
+       |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------------- fingerprint
+
+  private val GramLen = 8 // winnowing char k-grams
+  private val WinLen = 4  // guarantee window
+
+  /** Document fingerprinting by winnowing (Schleimer et al.): hash all
+    * char 8-grams, keep the minimum of each 4-gram sliding window, distinct
+    * the kept hashes. Robust to small edits — the standard plagiarism /
+    * near-dup fingerprint. Entirely array expressions on the scan (no
+    * shuffle, no explode): the per-doc fingerprint SET would feed a
+    * fingerprint→doc inverted index at scale; here we emit its size and a
+    * mod-sum checksum so the gate compares exactly.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n", norm(col("text")))
+      .filter(length(col("n")) >= GramLen + WinLen - 1)
+      .withColumn("hs", expr(
+        s"transform(sequence(0, length(n) - $GramLen), i -> ${hash60Sql(s"substring(n, i + 1, $GramLen)")})"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(0, size(hs) - $WinLen), j -> array_min(slice(hs, j + 1, $WinLen))))"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc + x % 1000000007)")
+          .as("fp_checksum"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    s"""WITH n AS (
+       |  SELECT doc_id, $normSql AS n FROM documents
+       |  WHERE length($normSql) >= ${GramLen + WinLen - 1}),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(length(n) - ${GramLen - 1}),
+       |      i -> ${duckHash60(s"substring(n, i + 1, $GramLen)")}) AS hs
+       |  FROM n),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(hs) - ${WinLen - 1}),
+       |      j -> list_min(hs[j + 1 : j + $WinLen]))) AS fps
+       |  FROM g)
+       |SELECT doc_id, len(fps) AS n_fingerprints,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(fps, x -> x % 1000000007)), (a, b) -> a + b) AS BIGINT)
+       |    AS fp_checksum
+       |FROM f ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_text_stats" -> (textStats(_, _)),
     "q_lang_id" -> (langId(_, _)),
-    "q_minhash_neardup" -> (minhashNearDup(_, _)))
+    "q_minhash_neardup" -> (minhashNearDup(_, _)),
+    "q_token_count" -> (tokenCount(_, _)),
+    "q_simhash_neardup" -> (simhashNearDup(_, _)),
+    "q_fingerprint" -> (fingerprint(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
-    "q_minhash_neardup" -> minhashNearDupSql)
+    "q_minhash_neardup" -> minhashNearDupSql,
+    "q_token_count" -> tokenCountSql,
+    "q_simhash_neardup" -> simhashNearDupSql,
+    "q_fingerprint" -> fingerprintSql)
 }
