@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.{EventWindows, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Operator-level behavior of the LLM-pipeline family on tiny inline data
+  * (the oracle gate covers the full testdata; these pin the semantics).
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+
+  private def withDocs[A](rows: (Long, String)*)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    docsOf(rows: _*).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    f(dir)
+  }
+
+  test("dedupExact collapses whitespace/case variants to the smallest id") {
+    withDocs(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> "something else entirely here") { dir =>
+      val out = TextOps.dedupExact(spark, dir).collect()
+      // corpus is unioned with a +10000 re-crawl copy: 2 distinct texts,
+      // the hello-world group has 4 members (ids 1, 2, 10001, 10002)
+      assert(out.length == 2)
+      val byKeep = out.map(r => r.getAs[Long]("keep_doc_id") -> r.getAs[Long]("n_dups")).toMap
+      assert(byKeep == Map(1L -> 4L, 3L -> 2L))
+    }
+  }
+
+  test("textStats counts tokens and flags quality") {
+    withDocs(1L -> ("word " * 25).trim, 2L -> "only three tokens!!!") { dir =>
+      val rows = TextOps.textStats(spark, dir).collect()
+      val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+      assert(r1.getAs[Int]("n_tokens") == 25)
+      assert(r1.getAs[Int]("is_quality") == 1)
+      val r2 = rows.find(_.getAs[Long]("doc_id") == 2L).get
+      assert(r2.getAs[Int]("n_tokens") == 3)
+      assert(r2.getAs[Int]("is_quality") == 0)
+    }
+  }
+
+  test("langId votes stopword sets with deterministic tie-break") {
+    withDocs(
+      1L -> "the cat sat on the mat and the dog is here",
+      2L -> "der hund und die katze ist da",
+      3L -> "xyzzy plugh") { dir =>
+      val out = TextOps.langId(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
+      assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+    }
+  }
+
+  test("minhashNearDup finds heavily-overlapping docs and skips distinct ones") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    withDocs(
+      1L -> base,
+      2L -> (base + " extra"),  // jaccard ~ 38/41 ≈ 0.93
+      3L -> (1 to 40).map(i => s"other$i").mkString(" ")) { dir =>
+      val pairs = TextOps.minhashNearDup(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      assert(pairs.toSeq == Seq((1L, 2L)))
+    }
+  }
+
+  test("simhashNearDup pairs docs with equal token sets, skips distinct ones") {
+    // simhash is over the DISTINCT token set: reordering and repeating
+    // tokens yields the identical signature (hamming 0)
+    val base = (1 to 60).map(i => s"tok$i")
+    withDocs(
+      1L -> base.mkString(" "),
+      2L -> (base.reverse ++ Seq("tok1", "tok2")).mkString(" "),
+      3L -> (1 to 60).map(i => s"zz$i").mkString(" ")) { dir =>
+      val rows = TextOps.simhashNearDup(spark, dir).collect()
+      assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+        == Seq((1L, 2L)))
+      assert(rows.head.getAs[Int]("hamming") == 0)
+    }
+  }
+
+  test("fingerprint is robust to a small edit (most fingerprints shared)") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a.replace("lazy", "hazy")
+    withDocs(1L -> a, 2L -> b, 3L -> a) { dir =>
+      val fp = TextOps.fingerprint(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_fingerprints"), r.getAs[Long]("fp_checksum"))).toMap
+      assert(fp(1L) == fp(3L)) // identical text -> identical fingerprint set
+      assert(fp(1L) != fp(2L)) // edit shifts some fingerprints
+    }
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (20L, Array(1f, 0f, 0f, 0f)),   // same direction as query 0
+      (21L, Array(0f, 1f, 0f, 0f)),   // orthogonal
+      (22L, Array(-1f, 0f, 0f, 0f)))  // opposite
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.cosineTopK(spark, dir)
+      .filter(col("qid") === 0).orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("nid")).toSeq == Seq(20L, 21L, 22L))
+    assert(rows.head.getAs[Double]("cosine") == 1.0)
+    assert(rows.last.getAs[Double]("cosine") == -1.0)
+  }
+
+  test("event windows: tumbling counts per hour, session merges within gap") {
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    val us = 1000L * 1000
+    // ns-precision longs, as the real events table stores them
+    val events = Seq(
+      (1L, 100L, "click", 10L * 60 * us),          // 00:10
+      (2L, 100L, "click", 50L * 60 * us),          // 00:50 same hour+session
+      (3L, 100L, "click", 8L * 3600 * us),         // 08:00 new session
+      (4L, 200L, "view", 10L * 60 * us))
+      .map { case (id, u, t, tsUs) => (id, tsUs * 1000, u, t, 1.0, "{}") }
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val tumbling = EventWindows.tumbling(spark, dir).collect()
+    assert(tumbling.map(_.getAs[Long]("n_events")).sum == 4)
+    assert(tumbling.length == 3) // hour 0 x {click, view}, hour 8 x click
+
+    val sessions = EventWindows.sessions(spark, dir)
+      .filter(col("user_id") === 100).collect()
+    assert(sessions.map(_.getAs[Long]("n_events")).toSeq.sorted == Seq(1L, 2L))
+  }
+}

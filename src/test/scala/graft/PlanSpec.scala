@@ -1,0 +1,63 @@
+package graft
+
+import graft.api.Api
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.functions._
+
+/** Plan-level assertions — the 100 TB posture checks that row counts can't
+  * see: joins must not force-broadcast growing dimensions, filters and
+  * projections must reach the parquet scan.
+  */
+class PlanSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("transfersResolved does not force-broadcast the account dimension") {
+    // with the broadcast threshold off, nothing may broadcast: a forced
+    // broadcast() hint would still produce BroadcastExchange and OOM at scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val transfers = Seq(("T", "tx1", "t1", 1, "T", "a", "T", "b",
+        BigDecimal(1), "CZK", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("tenant", "transaction", "transfer", "status", "credit_tenant",
+          "credit_name", "debit_tenant", "debit_name", "amount", "currency", "value_date")
+      val accounts = Seq(("T", "a", "CZK", "F"), ("T", "b", "CZK", "F"))
+        .toDF("tenant", "name", "currency", "format")
+      val balances = Warehouse.balances(Warehouse.balanceChanges(transfers))
+      val plan = Api.transfersResolved(transfers, accounts, balances)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"account-dim join must respect the broadcast threshold:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val df = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"equality filter must reach the scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"scan must prune to the referenced columns:\n$scan")
+  }
+
+  test("balance query is a partial+final hash aggregate over one scan") {
+    val transfers = Tables.load(spark, dir, "orders").select(
+      lit("T").as("tenant"), lit(1).as("status"),
+      lit("T").as("credit_tenant"), col("o_custkey").cast("string").as("credit_name"),
+      lit("T").as("debit_tenant"), lit("b").as("debit_name"),
+      col("o_totalprice").cast("decimal(18,4)").as("amount"),
+      col("o_orderdate").as("value_date"))
+    val plan = Warehouse.balances(Warehouse.balanceChanges(transfers))
+      .queryExecution.executedPlan.toString
+    // stack-unpivot must not double-scan via self-union
+    assert(!plan.contains("Union"), s"balance unpivot must not self-union:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    // exactly one parquet scan feeds the aggregate
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+}
