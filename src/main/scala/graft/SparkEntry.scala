@@ -32,7 +32,8 @@ object SparkEntry {
       operators.WarehouseQueries.queries ++
       operators.TextOps.queries ++
       operators.Similarity.queries ++
-      operators.EventWindows.queries
+      operators.EventWindows.queries ++
+      multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.WarehouseQueries.oracles ++
       operators.TextOps.oracles ++
       operators.Similarity.oracles ++
-      operators.EventWindows.oracles
+      operators.EventWindows.oracles ++
+      multimodal.Multimodal.oracles
 }

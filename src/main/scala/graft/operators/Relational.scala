@@ -87,7 +87,9 @@ object Relational {
       t(s, dir, "orders")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
-        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        // BIGINT rn: DuckDB row_number() yields BIGINT, Spark INT
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+          col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
 

@@ -58,7 +58,9 @@ object Similarity {
     pairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id").as("nid"), col("cosine"))
+      // BIGINT rank: DuckDB row_number() yields BIGINT, Spark INT
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("nid"), col("cosine"))
       .orderBy("qid", "rank")
   }
 
@@ -149,7 +151,8 @@ object Similarity {
       .withColumn("cosine", col("dot") / (sqrt(col("nq")) * sqrt(col("nn"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= AnnK)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cosine"))
       .orderBy("qid", "rank")
   }
 

@@ -80,15 +80,17 @@ object TextOps {
   def textStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("t", toks(col("text")))
-      .withColumn("n_tokens", size(col("t")))
-      .withColumn("n_chars", length(col("text")))
+      // integer widths: DuckDB len()/length() yield BIGINT, Spark size()/
+      // length() yield INT — cast to BIGINT so the schemas agree exactly
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("avg_token_len",
         length(regexp_replace(norm(col("text")), " ", "")).cast("double") / col("n_tokens"))
       .withColumn("alpha_ratio",
         length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
           length(col("text")))
       .withColumn("n_stopwords",
-        expr(s"size(filter(t, x -> x IN (${inList(StopEn)})))"))
+        expr(s"size(filter(t, x -> x IN (${inList(StopEn)})))").cast("long"))
       .withColumn("is_quality",
         (col("n_tokens") >= 20 && col("alpha_ratio") > lit(0.5)).cast("int"))
       .select("doc_id", "n_tokens", "n_chars", "avg_token_len", "alpha_ratio",
@@ -129,7 +131,7 @@ object TextOps {
     val base = docs(s, dir).withColumn("t", toks(col("text")))
     val scored = LangSets.foldLeft(base) { case (df, (code, words)) =>
       df.withColumn(s"score_$code",
-        expr(s"size(filter(t, x -> x IN (${inList(words)})))"))
+        expr(s"size(filter(t, x -> x IN (${inList(words)})))").cast("long"))
     }
     val best = LangSets.map { case (code, _) => col(s"score_$code") }
       .reduce((a, b) => greatest(a, b))
@@ -255,8 +257,9 @@ object TextOps {
       .withColumn("n", norm(col("text")))
       .select(
         col("doc_id"),
-        size(split(col("n"), " ")).as("n_ws_tokens"),
-        size(regexp_extract_all(col("n"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+        size(split(col("n"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("n"), lit(BpePattern), lit(0))).cast("long")
+          .as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   private val tokenCountSql =
@@ -309,7 +312,7 @@ object TextOps {
     x.join(y, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= SimMaxHamming)
       .orderBy("doc_a", "doc_b")
@@ -330,7 +333,7 @@ object TextOps {
        |sim AS (
        |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY 1)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -358,7 +361,7 @@ object TextOps {
         s"array_distinct(transform(sequence(0, size(hs) - $WinLen), j -> array_min(slice(hs, j + 1, $WinLen))))"))
       .select(
         col("doc_id"),
-        size(col("fps")).as("n_fingerprints"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
         expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc + x % 1000000007)")
           .as("fp_checksum"))
       .orderBy("doc_id")

@@ -39,10 +39,10 @@ class LlmOpsSpec extends SparkSpec {
     withDocs(1L -> ("word " * 25).trim, 2L -> "only three tokens!!!") { dir =>
       val rows = TextOps.textStats(spark, dir).collect()
       val r1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
-      assert(r1.getAs[Int]("n_tokens") == 25)
+      assert(r1.getAs[Long]("n_tokens") == 25)
       assert(r1.getAs[Int]("is_quality") == 1)
       val r2 = rows.find(_.getAs[Long]("doc_id") == 2L).get
-      assert(r2.getAs[Int]("n_tokens") == 3)
+      assert(r2.getAs[Long]("n_tokens") == 3)
       assert(r2.getAs[Int]("is_quality") == 0)
     }
   }
@@ -81,7 +81,7 @@ class LlmOpsSpec extends SparkSpec {
       val rows = TextOps.simhashNearDup(spark, dir).collect()
       assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
         == Seq((1L, 2L)))
-      assert(rows.head.getAs[Int]("hamming") == 0)
+      assert(rows.head.getAs[Long]("hamming") == 0)
     }
   }
 
@@ -91,7 +91,7 @@ class LlmOpsSpec extends SparkSpec {
     withDocs(1L -> a, 2L -> b, 3L -> a) { dir =>
       val fp = TextOps.fingerprint(spark, dir).collect()
         .map(r => r.getAs[Long]("doc_id") ->
-          (r.getAs[Int]("n_fingerprints"), r.getAs[Long]("fp_checksum"))).toMap
+          (r.getAs[Long]("n_fingerprints"), r.getAs[Long]("fp_checksum"))).toMap
       assert(fp(1L) == fp(3L)) // identical text -> identical fingerprint set
       assert(fp(1L) != fp(2L)) // edit shifts some fingerprints
     }
