@@ -1,0 +1,161 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's user-facing query surface re-expressed as a thin HTTP/
+  * JSON edge over the DataFrame builders — five root fields
+  * (GraphQLService.scala:207-292) plus the health probe
+  * (HealthCheckService.scala:8-18, probe = `tenants(limit 1)`).
+  *
+  * Transport is deliberately minimal (JDK HttpServer, GET + query params,
+  * JSON out via Dataset.toJSON): the engine work — filters, pagination,
+  * joins, balance aggregation — happens in the SAME Catalyst plans the
+  * oracle gate checks; the edge only parses arguments and serializes rows.
+  * Sangria's deferred-Fetcher waves (GraphQLService.scala:118-151) have no
+  * analog here because nested fields are joins inside one plan.
+  *
+  * Routes:
+  *   GET /health                             → {"healthy":bool,"graphql":bool}
+  *   GET /tenants?limit=&offset=
+  *   GET /tenant?name=
+  *   GET /accounts?tenant=&currency=&format=&limit=&offset=
+  *   GET /account?tenant=&name=               (includes computed balance)
+  *   GET /transfers?tenant=&currency=&status=&amount_lt|lte|gt|gte=&
+  *       value_date_lt|lte|gt|gte=&limit=&offset=&resolve=true|false
+  *
+  * Each request re-analyzes a small plan (ms-scale) — the analog of the
+  * reference's per-request prepared statements; at scale a plan cache per
+  * query template drops even that.
+  */
+final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
+
+  private def table(name: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/$name")
+
+  private def balances: DataFrame =
+    Warehouse.balances(Warehouse.balanceChanges(table("transfer")))
+
+  /** Accounts with their computed balance (A1) joined in-plan. */
+  private def accountsWithBalance: DataFrame =
+    table("account")
+      .join(balances, Seq("tenant", "name"), "left")
+      .withColumn("balance",
+        coalesce(col("balance"), lit(0).cast("decimal(38,18)")).cast("double"))
+      .select("tenant", "name", "currency", "format", "balance")
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Bound port (useful when constructed with port 0 in tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def json(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def handle(path: String)(f: Map[String, String] => String): Unit =
+    server.createContext(path, (ex: HttpExchange) =>
+      try respond(ex, 200, f(params(ex)))
+      catch {
+        case e: IllegalArgumentException =>
+          respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
+        case e: Throwable =>
+          respond(ex, 500, s"""{"error":${quote(e.toString)}}""")
+      })
+
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def required(p: Map[String, String], k: String): String =
+    p.getOrElse(k, throw new IllegalArgumentException(s"missing arg: $k"))
+
+  /** Status accepts the GraphQL enum word or the numeric code
+    * (GraphQLService.scala:38-59). */
+  private def parseStatus(s: String): Int = s match {
+    case "committed" => 1
+    case "rollbacked" => 2
+    case "promised" => 0
+    case n => n.toInt
+  }
+
+  private def transferArgs(p: Map[String, String]): Api.TransferArgs = {
+    def dec(k: String) = p.get(k).map(BigDecimal(_))
+    def ts(k: String) = p.get(k).map(v =>
+      java.sql.Timestamp.from(java.time.Instant.parse(v)))
+    Api.TransferArgs(
+      currency = p.get("currency"),
+      status = p.get("status").map(parseStatus),
+      amountLt = dec("amount_lt"), amountLte = dec("amount_lte"),
+      amountGt = dec("amount_gt"), amountGte = dec("amount_gte"),
+      valueDateLt = ts("value_date_lt"), valueDateLte = ts("value_date_lte"),
+      valueDateGt = ts("value_date_gt"), valueDateGte = ts("value_date_gte"))
+  }
+
+  def start(): HttpEdge = {
+    handle("/health") { _ =>
+      val ok =
+        try Api.tenants(table("tenant"), limit = 1, offset = 0).count() >= 0
+        catch { case _: Throwable => false }
+      s"""{"healthy":$ok,"graphql":$ok}"""
+    }
+    handle("/tenants") { p =>
+      json(Api.tenants(table("tenant"),
+        p.getOrElse("limit", "100").toLong, p.getOrElse("offset", "0").toLong))
+    }
+    handle("/tenant") { p => json(Api.tenant(table("tenant"), required(p, "name"))) }
+    handle("/accounts") { p =>
+      json(Api.accounts(accountsWithBalance, required(p, "tenant"),
+        currency = p.get("currency"), format = p.get("format"),
+        limit = p.getOrElse("limit", "100").toLong,
+        offset = p.getOrElse("offset", "0").toLong)
+        .join(accountsWithBalance.select("tenant", "name", "balance"),
+          Seq("tenant", "name"), "left"))
+    }
+    handle("/account") { p =>
+      json(Api.account(accountsWithBalance, required(p, "tenant"), required(p, "name")))
+    }
+    handle("/transfers") { p =>
+      val page = Api.transfers(table("transfer"), required(p, "tenant"),
+        transferArgs(p),
+        limit = p.getOrElse("limit", "100").toLong,
+        offset = p.getOrElse("offset", "0").toLong)
+      val out =
+        if (p.get("resolve").contains("true"))
+          Api.transfersResolved(page, table("account"), balances)
+            .withColumn("credit_balance", col("credit_balance").cast("double"))
+            .withColumn("debit_balance", col("debit_balance").cast("double"))
+        else page.withColumn("status_word", Api.statusWord(col("status")))
+      json(out.withColumn("amount", col("amount").cast("double")))
+    }
+    server.setExecutor(null) // serial dispatch ≡ reference's single DB pool
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+}

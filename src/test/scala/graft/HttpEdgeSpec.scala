@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.api.HttpEdge
+import graft.warehouse.Warehouse
+
+/** End-to-end edge tests reproducing the reference's black-box scenarios
+  * (bbtest/features/graphql_api.feature) over real HTTP: journal fixture →
+  * sync → HTTP query → JSON assertions.
+  */
+class HttpEdgeSpec extends SparkSpec {
+
+  private def get(port: Int, pathAndQuery: String): (Int, String) = {
+    val url = java.net.URI.create(s"http://localhost:$port$pathAndQuery").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = new String(is.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  private def fixture(): String = {
+    val root = Files.createTempDirectory("journal")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    put("t_TENANT/account/CREDIT/snapshot/0000000000", "CZK FORMAT_T\n")
+    put("t_TENANT/account/DEBIT/snapshot/0000000000", "CZK FORMAT_T\n")
+    put("t_TENANT/account/IDLE/snapshot/0000000000", "EUR FORMAT_T\n")
+    put("t_TENANT/account/CREDIT/events/0000000000/1_1_TRN", "1\n")
+    put("t_TENANT/account/DEBIT/events/0000000000/1_-1_TRN", "1\n")
+    put("t_TENANT/transaction/TRN",
+      "committed\nTRX TENANT CREDIT TENANT DEBIT 2020-01-01T00:00:00Z 1 CZK\n")
+    root.toString
+  }
+
+  private def withEdge[A](f: Int => A): A = {
+    val wh = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, fixture(), wh)
+    val edge = new HttpEdge(spark, wh, port = 0).start()
+    try f(edge.boundPort) finally edge.stop()
+  }
+
+  test("bbtest scenarios over HTTP: tenants, account balances, transfers") {
+    withEdge { port =>
+      // health probe = tenants(limit 1) through the full stack
+      val (hc, health) = get(port, "/health")
+      assert(hc == 200 && health.contains("\"healthy\":true"))
+
+      // scenario 1: tenant discovery
+      val (_, tenants) = get(port, "/tenants")
+      assert(tenants.contains("\"name\":\"TENANT\""))
+      val (_, one) = get(port, "/tenant?name=TENANT")
+      assert(one == "[{\"name\":\"TENANT\"}]")
+
+      // scenario 2: snapshot-parsed metadata; no transfers -> balance 0
+      val (_, idle) = get(port, "/account?tenant=TENANT&name=IDLE")
+      assert(idle.contains("\"currency\":\"EUR\"") && idle.contains("\"balance\":0.0"))
+
+      // scenario 3: committed transfer -> +1/-1 balances, status word
+      val (_, credit) = get(port, "/account?tenant=TENANT&name=CREDIT")
+      assert(credit.contains("\"balance\":1.0"))
+      val (_, transfers) = get(port, "/transfers?tenant=TENANT&status=committed&resolve=true")
+      assert(transfers.contains("\"transaction\":\"TRN\""))
+      assert(transfers.contains("\"status_word\":\"committed\""))
+      assert(transfers.contains("\"credit_balance\":1.0"))
+      assert(transfers.contains("\"debit_balance\":-1.0"))
+
+      // accounts listing with filter + pagination surface
+      val (_, accounts) = get(port, "/accounts?tenant=TENANT&currency=CZK&limit=10")
+      assert(accounts.contains("CREDIT") && accounts.contains("DEBIT")
+        && !accounts.contains("IDLE"))
+
+      // argument validation -> 400, not a stack trace
+      val (code, err) = get(port, "/transfers?status=committed")
+      assert(code == 400 && err.contains("missing arg: tenant"))
+    }
+  }
+}
