@@ -26,7 +26,16 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Exact-decimal view of a double column (sum order-independence). */
+  /** Exact-decimal view of a double column (sum order-independence).
+    *
+    * Bound: the decimal→double at the output edge is bit-identical across
+    * Spark and DuckDB only while the UNSCALED aggregate stays below 2^53
+    * (~9e11 at scale 4): DuckDB converts int128→double then divides by
+    * 10^scale, which is correctly rounded only in that range, while Spark's
+    * BigDecimal.doubleValue always is. TPC-H sums at the tested scale
+    * factors sit orders of magnitude below the bound; at sf≥100 switch the
+    * edge to a rounded/formatted string compare instead.
+    */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

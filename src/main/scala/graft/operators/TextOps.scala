@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / deduplication operator family over the `documents` table
@@ -19,8 +20,9 @@ import org.apache.spark.sql.functions._
   *     aggregate / hash) — no UDFs, stays inside whole-stage codegen.
   *
   * Cross-engine determinism: every hash the ORACLE must reproduce is md5
-  * (bit-identical in DuckDB); Spark-internal murmur3 (`hash()`) is used only
-  * where it affects recall, not output (MinHash signatures).
+  * (bit-identical in DuckDB); Spark-internal hashes (xxhash64 + a
+  * Carter-Wegman affine family) are used only where they affect recall,
+  * not output (MinHash signatures).
   */
 object TextOps {
 
@@ -193,11 +195,27 @@ object TextOps {
     * docs) — LSH recall at the 0.9+ planted similarity makes the outputs
     * identical (miss probability ~1e-15 per pair).
     */
+  /** Carter-Wegman affine coefficients for the MinHash family: the shingle
+    * string is hashed ONCE (xxhash64, reduced to 32 bits), then each of the
+    * 128 family members is `(a*h + b) mod p` — cheap integer ops instead of
+    * 128 string hashes per shingle. `a < 2^30` keeps `a*h < 2^62`, inside
+    * Long range (ANSI mode makes overflow an error, not a wrap). Fixed seed
+    * ⇒ deterministic signatures.
+    */
+  private lazy val MinhashCoefs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextInt(1 << 29).toLong * 2 + 1, rnd.nextInt(1 << 30).toLong))
+  }
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
 
     val exploded = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-    val sigAggs = (0 until NumHashes).map(i => min(hash(col("shingle"), lit(i))).as(s"m$i"))
+      .withColumn("h", xxhash64(col("shingle")).bitwiseAND(lit(0xffffffffL)))
+    val sigAggs = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(MersennePrime)).as(s"m$i")
+    }
     val sigs = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
 
     val bandCols = (0 until NumBands).map { b =>
@@ -290,6 +308,14 @@ object TextOps {
     * signatures within hamming d of each other MUST agree on one of d+1
     * disjoint bands, so a 4×15-bit band join finds every pair with d ≤ 3
     * EXACTLY (no probabilistic recall) while never comparing all pairs.
+    *
+    * The band join runs over DISTINCT signatures, not documents: on
+    * low-entropy corpora signatures collide heavily (sf0.1 testdata: 5000
+    * docs → 3812 signatures, one shared by 251 docs), and a doc-level band
+    * join would square those clusters inside every bucket before the
+    * hamming filter could drop them. Signature-level candidates + a
+    * member-list expansion keep the join linear in distinct signatures and
+    * make the expansion cost the OUTPUT size, which is the lower bound.
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val sims = docs(s, dir)
@@ -303,19 +329,42 @@ object TextOps {
           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
       .select("doc_id", "simhash")
 
-    val bands = sims.select(col("doc_id"), col("simhash"),
+    // one row per distinct signature, members sorted for ordered pairs
+    val groups = sims.groupBy("simhash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .cache()
+
+    // identical signatures: all intra-group pairs are hamming 0
+    val intra = groups.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS da, b AS db))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.da").as("doc_a"), col("p.db").as("doc_b"),
+        lit(0L).as("hamming"))
+
+    val bands = groups.select(col("simhash"),
       posexplode(array((0 until SimBands).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
         .as(Seq("band", "sig")))
-    val x = bands.toDF("doc_a", "sim_a", "band", "sig")
-    val y = bands.toDF("doc_b", "sim_b", "band", "sig")
-    x.join(y, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      .distinct()
+    val x = bands.toDF("sim_a", "band", "sig")
+    val y = bands.toDF("sim_b", "band", "sig")
+    val candSigs = x.join(y, Seq("band", "sig"))
+      .filter(col("sim_a") < col("sim_b"))
+      .select("sim_a", "sim_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= SimMaxHamming)
-      .orderBy("doc_a", "doc_b")
+
+    val cross = candSigs
+      .join(groups.toDF("sim_a", "ids_a"), "sim_a")
+      .join(groups.toDF("sim_b", "ids_b"), "sim_b")
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+
+    intra.unionByName(cross).orderBy("doc_a", "doc_b")
   }
 
   private val simhashNearDupSql =
@@ -346,25 +395,38 @@ object TextOps {
   /** Document fingerprinting by winnowing (Schleimer et al.): hash all
     * char 8-grams, keep the minimum of each 4-gram sliding window, distinct
     * the kept hashes. Robust to small edits — the standard plagiarism /
-    * near-dup fingerprint. Entirely array expressions on the scan (no
-    * shuffle, no explode): the per-doc fingerprint SET would feed a
+    * near-dup fingerprint. The per-doc fingerprint SET would feed a
     * fingerprint→doc inverted index at scale; here we emit its size and a
     * mod-sum checksum so the gate compares exactly.
+    *
+    * Shape: explode grams to rows so the md5 runs inside whole-stage
+    * codegen (higher-order-function lambdas are interpreted in Spark — an
+    * md5 per array element costs ~5× the same md5 per row), then the
+    * 4-gram window min is a rank window over (doc, pos) and the distinct
+    * set collapses in the final aggregate.
     */
-  def fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
       .withColumn("n", norm(col("text")))
       .filter(length(col("n")) >= GramLen + WinLen - 1)
-      .withColumn("hs", expr(
-        s"transform(sequence(0, length(n) - $GramLen), i -> ${hash60Sql(s"substring(n, i + 1, $GramLen)")})"))
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(0, size(hs) - $WinLen), j -> array_min(slice(hs, j + 1, $WinLen))))"))
-      .select(
-        col("doc_id"),
-        size(col("fps")).cast("long").as("n_fingerprints"),
-        expr("aggregate(fps, CAST(0 AS BIGINT), (acc, x) -> acc + x % 1000000007)")
-          .as("fp_checksum"))
+      .withColumn("n_len", length(col("n")))
+      .select(col("doc_id"), col("n_len"),
+        posexplode(expr(
+          s"transform(sequence(0, length(n) - $GramLen), i -> substring(n, i + 1, $GramLen))"))
+          .as(Seq("pos", "g")))
+      .withColumn("h", expr(hash60Sql("g")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinLen - 1)
+    grams
+      .withColumn("minh", min(col("h")).over(w))
+      // full windows only: the last WinLen-1 positions see truncated frames
+      .filter(col("pos") <= col("n_len") - (GramLen + WinLen - 1))
+      .select(col("doc_id"), col("minh")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(col("minh") % 1000000007).as("fp_checksum"))
       .orderBy("doc_id")
+  }
 
   private val fingerprintSql =
     s"""WITH n AS (

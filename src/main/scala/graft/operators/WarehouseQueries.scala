@@ -36,6 +36,11 @@ object WarehouseQueries {
       // scale 4, NOT the warehouse's (38,18): DuckDB's wide-scale
       // decimal→double goes through int128 and drifts one ULP, which
       // breaks the driver's hash compare; scale-4 converts exactly.
+      // (With ANSI mode on — the Spark 4 default — a value overflowing
+      // DECIMAL(18,4) raises rather than silently nulling.) The WIDE
+      // (38,18) path still gets gate coverage: q_balance/q_resolved_join
+      // route these amounts through Warehouse.balances' DECIMAL(38,18)
+      // accumulator before the double edge cast.
       col("o_totalprice").cast(DecimalType(18, 4)).as("amount"),
       lit("CZK").as("currency"),
       col("o_orderdate").as("value_date"))

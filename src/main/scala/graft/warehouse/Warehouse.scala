@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Warehouse {
 
+  /** Per-pass discovery counters — the reference's statsd
+    * `discovery.tenant/account/transfer` metrics (A2,
+    * PrimaryDataExplorationService.scala:58, 92, 247;
+    * metrics/StatsDClient.scala:25-26). Collected via `Dataset.observe`, so
+    * the counts ride the merge writes instead of costing extra passes.
+    */
+  final case class SyncStats(newTenants: Long, newAccounts: Long, newTransfers: Long)
+
   /** `INSERT … ON CONFLICT DO NOTHING` ≡ rows of `discovered` whose key is
     * absent from `existing` (left_anti), appended by the caller.
     * Ref: SecondaryPersistence.scala:30-58, 96-127.
@@ -101,8 +109,9 @@ object Warehouse {
     * still reads the old files).
     */
   def sync(spark: SparkSession, journalRoot: String, warehouseDir: String,
-           partitionByTenant: Boolean = false): Unit = {
+           partitionByTenant: Boolean = false): SyncStats = {
     import graft.sources.Journal
+    import org.apache.spark.sql.Observation
 
     val hconf = spark.sparkContext.hadoopConfiguration
     def tablePath(name: String) = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
@@ -113,19 +122,24 @@ object Warehouse {
       else empty
     }
 
-    def append(df: DataFrame, name: String, parts: Seq[String]): Unit = {
-      val w = df.write.mode("append")
+    // A2 discovery counters: observe the merge write itself (no extra pass)
+    def append(df: DataFrame, name: String, parts: Seq[String]): Long = {
+      val obs = Observation()
+      val w = df.observe(obs, count(lit(1)).as("n")).write.mode("append")
       (if (partitionByTenant && parts.nonEmpty) w.partitionBy(parts: _*) else w)
         .parquet(s"$warehouseDir/$name")
+      obs.get("n").asInstanceOf[Long]
     }
 
     val tenants = Journal.tenants(spark, journalRoot)
     val accounts = Journal.accounts(spark, journalRoot)
 
-    append(newRows(tenants, readOr("tenant", tenants.limit(0)), Seq("name")),
-      "tenant", Seq.empty)
-    append(newRows(accounts, readOr("account", accounts.limit(0)), Seq("tenant", "name")),
-      "account", Seq("tenant"))
+    val nTenants =
+      append(newRows(tenants, readOr("tenant", tenants.limit(0)), Seq("name")),
+        "tenant", Seq.empty)
+    val nAccounts =
+      append(newRows(accounts, readOr("account", accounts.limit(0)), Seq("tenant", "name")),
+        "account", Seq("tenant"))
 
     val accountTable = readOr("account", accounts.limit(0))
 
@@ -155,8 +169,9 @@ object Warehouse {
         s"$mismatches transfer(s) with status differing from their announcing event")
 
     val discovered = txTransfers.drop("account", "event_status")
-    append(newRows(discovered, readOr("transfer", discovered.limit(0)),
-      Seq("tenant", "transaction", "transfer")), "transfer", Seq("tenant"))
+    val nTransfers =
+      append(newRows(discovered, readOr("transfer", discovered.limit(0)),
+        Seq("tenant", "transaction", "transfer")), "transfer", Seq("tenant"))
 
     // T3: advance per-account watermarks through the keep-latest upsert.
     val marks = events.groupBy(col("tenant"), col("account").as("name"))
@@ -178,5 +193,6 @@ object Warehouse {
       fs.rename(tablePath("account_new"), tablePath("account"))
     }
     events.unpersist()
+    SyncStats(nTenants, nAccounts, nTransfers)
   }
 }

@@ -33,7 +33,10 @@ class SyncSpec extends SparkSpec {
   test("sync advances account watermarks and skips synced events") {
     val root = baseFixture()
     val wh = Files.createTempDirectory("wh").toString
-    Warehouse.sync(spark, root.toString, wh)
+    // A2 discovery counters (reference metrics.feature: tenant=1,
+    // account=2, transfer=1 for a scenario-3-shaped journal)
+    val stats = Warehouse.sync(spark, root.toString, wh)
+    assert(stats == Warehouse.SyncStats(1, 2, 1))
 
     val marks = spark.read.parquet(s"$wh/account")
       .select("name", "last_syn_snapshot", "last_syn_event")
@@ -56,8 +59,8 @@ class SyncSpec extends SparkSpec {
       .select("transfer").orderBy("transfer").collect().map(_.getString(0)).toSeq
     assert(transfers == Seq("TRX", "TRX2"))
 
-    // third pass on an unchanged journal is a no-op
-    Warehouse.sync(spark, root.toString, wh)
+    // third pass on an unchanged journal is a no-op, counters all zero
+    assert(Warehouse.sync(spark, root.toString, wh) == Warehouse.SyncStats(0, 0, 0))
     assert(spark.read.parquet(s"$wh/transfer").count() == 2)
   }
 

@@ -55,20 +55,29 @@ def main(sf_dir: str, out_dir: str) -> int:
         # canonicalization divergence that failed round 1's hash gate.
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
                              ignore_index=True)
-        deci = [c for c in spark_df.columns
-                if spark_df[c].map(lambda v: type(v).__name__).eq("Decimal").any()]
-        if deci:
-            print(f"[WARN] {name}: DECIMAL output columns {deci} — "
-                  f"likely hash-gate mismatch; cast to DOUBLE on both sides")
+
+        def warn_decimals(df, side):
+            deci = [c for c in df.columns
+                    if df[c].map(lambda v: type(v).__name__).eq("Decimal").any()]
+            if deci:
+                print(f"[WARN] {name}: DECIMAL {side} columns {deci} — "
+                      f"likely hash-gate mismatch; cast to DOUBLE on both sides")
+
+        warn_decimals(spark_df, "spark")
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_df)} rows (no oracle)")
             continue
         try:
-            oracle_df = con.sql(oracles[name]).df()
+            # Fetch the oracle through arrow -> pandas, the SAME path the
+            # Spark result takes: duckdb's .df() coerces DECIMAL to float64
+            # and DATE to datetime64, silently hiding canonicalization
+            # divergence that the hash gate would catch.
+            oracle_df = con.sql(oracles[name]).arrow().to_pandas()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        warn_decimals(oracle_df, "oracle")
         a, b = canon(spark_df), canon(oracle_df)
         if list(a.columns) != list(b.columns):
             print(f"[FAIL] {name}: columns {list(a.columns)} != {list(b.columns)}")
