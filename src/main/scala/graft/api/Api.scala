@@ -80,7 +80,12 @@ object Api {
     */
   def transfers(transfer: DataFrame, tenant: String, args: TransferArgs = TransferArgs(),
                 limit: Long = 100, offset: Long = 0,
-                bugCompat: Boolean = false): DataFrame = {
+                bugCompat: Boolean = false): DataFrame =
+    paginate(transfersFiltered(transfer, tenant, args, bugCompat),
+      Seq("transaction", "transfer"), limit, offset)
+
+  private def transfersFiltered(transfer: DataFrame, tenant: String,
+                                args: TransferArgs, bugCompat: Boolean): DataFrame = {
     var df = transfer.filter(col("tenant") === lit(tenant))
     df = optFilter(df, args.currency)(v => col("currency") === lit(v))
     df = optFilter(df, args.status)(v => col("status") === lit(v))
@@ -104,8 +109,28 @@ object Api {
       args.amountLt, args.amountLte, args.amountGt, args.amountGte)
     rng("value_date", strictInverse = false,
       args.valueDateLt, args.valueDateLte, args.valueDateGt, args.valueDateGte)
+    df
+  }
 
-    paginate(df, Seq("transaction", "transfer"), limit, offset)
+  /** Keyset (cursor) continuation of `transfers`: the page strictly after
+    * cursor `(transaction, transfer)` in the total order. Offset pagination
+    * (the reference's drop/take, GraphQLPersistence.scala:327-329) costs
+    * O(offset) per page — at 100 TB a deep page scans everything before it;
+    * the keyset predicate pushes into the scan and every page costs O(page).
+    */
+  def transfersAfter(transfer: DataFrame, tenant: String,
+                     args: TransferArgs = TransferArgs(),
+                     after: Option[(String, String)] = None,
+                     limit: Long = 100,
+                     bugCompat: Boolean = false): DataFrame = {
+    val filtered = transfersFiltered(transfer, tenant, args, bugCompat)
+    val continued = after match {
+      case Some((tx, tr)) =>
+        filtered.filter(col("transaction") > lit(tx) ||
+          (col("transaction") === lit(tx) && col("transfer") > lit(tr)))
+      case None => filtered
+    }
+    continued.orderBy(col("transaction"), col("transfer")).limit(limit.toInt)
   }
 
   /** Status code ↔ GraphQL enum word, applied at the API edge only

@@ -47,16 +47,17 @@ object TextOps {
     * shifted ids) — every group then has a duplicate to collapse, which
     * exercises the survivor choice for real.
     */
-  def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val recrawl = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
-    d.select(col("doc_id"), col("text"))
-      .unionByName(recrawl)
-      .select(col("doc_id"), md5(norm(col("text"))).as("text_hash"))
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      // re-crawl copy via an id-offset explode, NOT a self-union: a union
+      // of the same table scans the parquet twice; the explode reads once
+      .select(explode(array(lit(0L), lit(10000L))).as("off"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") + col("off")).as("doc_id"),
+        md5(norm(col("text"))).as("text_hash"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("text_hash"))
-  }
 
   private val dedupExactSql =
     s"""WITH corpus AS (
