@@ -99,13 +99,35 @@ object EventWindows {
       |SELECT user_id, session_start, session_end, n_events, sum_value
       |FROM g ORDER BY user_id, session_start""".stripMargin
 
+  /** JSON property extraction from the semi-structured `props` column,
+    * aggregated per event type — the scalar-function path for the payload
+    * column (codegen'd get_json_object; no UDF).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  private val jsonExtractSql =
+    """SELECT event_type,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_tumbling" -> (tumbling(_, _)),
     "q_window_sliding" -> (sliding(_, _)),
-    "q_window_session" -> (sessions(_, _)))
+    "q_window_session" -> (sessions(_, _)),
+    "q_json_extract" -> (jsonExtract(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_window_tumbling" -> tumblingSql,
     "q_window_sliding" -> slidingSql,
-    "q_window_session" -> sessionsSql)
+    "q_window_session" -> sessionsSql,
+    "q_json_extract" -> jsonExtractSql)
 }

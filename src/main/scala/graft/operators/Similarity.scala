@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *     TextOps.minhashNearDup for the banded-LSH shape).
   *
   * Determinism contract with the DuckDB oracle: both sides promote float→
-  * double BEFORE multiplying and reduce with a sequential left fold in array
-  * order (Spark `aggregate(...)`, DuckDB `list_reduce(...)`), so the dot
-  * products and norms are bit-identical doubles and the output cosine can be
+  * double BEFORE multiplying and accumulate with a sequential left fold in
+  * array order (Spark: the codegen'd `vec_dot` expression —
+  * graft.functions.DotProduct; DuckDB: `list_reduce`), so the dot products
+  * and norms are bit-identical doubles and the output cosine can be
   * hash-compared exactly.
   */
 object Similarity {
@@ -29,28 +30,28 @@ object Similarity {
   private val K = 10
   private val NumQueries = 10
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    // vec_dot: native codegen'd dot product (graft.functions.DotProduct) —
+    // same left-fold accumulation order as the HOF/list_reduce form, so the
+    // oracle compare stays bit-exact
+    graft.functions.VectorFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-
-  /** Sequential left-fold sum of an array<double> column (bit-deterministic,
-    * matches DuckDB's list_reduce). */
-  private def foldSum(arr: String): String =
-    s"aggregate($arr, 0D, (acc, x) -> acc + x)"
+  }
 
   /** Exact cosine top-k: for each query vector (vec_id < 10), the K nearest
     * corpus vectors by cosine similarity, ties broken by vec_id. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val corpus = emb(s, dir)
-      .withColumn("nn", expr(foldSum("transform(v, x -> x * x)")))
+      .withColumn("nn", expr("vec_dot(v, v)"))
     val queries = corpus
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("nq"))
 
     val pairs = corpus
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr(foldSum("zip_with(qv, v, (x, y) -> x * y)")))
+      .withColumn("dot", expr("vec_dot(qv, v)"))
       .withColumn("cosine", col("dot") / (sqrt(col("nq")) * sqrt(col("nn"))))
 
     val w = Window.partitionBy(col("qid"))
@@ -98,12 +99,12 @@ object Similarity {
     * is inlined as a LITERAL into both the Spark plan and the oracle SQL —
     * the two engines never have to agree on an internal hash function.
     */
-  private lazy val planes: Seq[Seq[Int]] = {
+  private lazy val planes: Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until AnnBands * BandBits).map { j =>
       (0 until Dim).map { i =>
         val h = md.digest(s"${j}_$i".getBytes("UTF-8"))
-        if ((h(0) & 1) == 1) 1 else -1
+        if ((h(0) & 1) == 1) 1.0 else -1.0
       }
     }
   }
@@ -123,14 +124,13 @@ object Similarity {
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val corpus = emb(s, dir)
-      .withColumn("nn", expr(foldSum("transform(v, x -> x * x)")))
+      .withColumn("nn", expr("vec_dot(v, v)"))
       .cache()
 
     val sigs = corpus
       .withColumn("p", typedLit(planes))
       .withColumn("dots", expr(
-        s"transform(sequence(0, ${AnnBands * BandBits - 1}), j -> ${foldSum(
-          s"transform(sequence(0, ${Dim - 1}), i -> v[i] * p[j][i])")})"))
+        s"transform(sequence(0, ${AnnBands * BandBits - 1}), j -> vec_dot(v, p[j]))"))
       .select(col("vec_id"),
         posexplode(expr(
           s"""transform(sequence(0, ${AnnBands - 1}), b ->
@@ -147,7 +147,7 @@ object Similarity {
     val neighbors = corpus.select(col("vec_id").as("nid"), col("v"), col("nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     cands.join(queries, "qid").join(neighbors, "nid")
-      .withColumn("dot", expr(foldSum("zip_with(qv, v, (x, y) -> x * y)")))
+      .withColumn("dot", expr("vec_dot(qv, v)"))
       .withColumn("cosine", col("dot") / (sqrt(col("nq")) * sqrt(col("nn"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= AnnK)
