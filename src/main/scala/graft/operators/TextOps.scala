@@ -415,7 +415,10 @@ object TextOps {
         posexplode(expr(
           s"transform(sequence(0, length(n) - $GramLen), i -> substring(n, i + 1, $GramLen))"))
           .as(Seq("pos", "g")))
-      .withColumn("h", expr(hash60Sql("g")))
+      // hash BEFORE the window so the shuffle carries (doc, pos, h), not
+      // the gram strings
+      .select(col("doc_id"), col("n_len"), col("pos"),
+        expr(hash60Sql("g")).as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinLen - 1)
     grams

@@ -45,6 +45,20 @@ class PlanSpec extends SparkSpec {
       s"scan must prune to the referenced columns:\n$scan")
   }
 
+  test("tenant-partitioned layout prunes partitions for tenant-scoped queries") {
+    val wh = java.nio.file.Files.createTempDirectory("whp").toString
+    Seq(("A", "t1", "x1"), ("B", "t2", "x2"), ("C", "t3", "x3"))
+      .toDF("tenant", "transaction", "transfer")
+      .write.partitionBy("tenant").parquet(s"$wh/transfer")
+    val df = spark.read.parquet(s"$wh/transfer").filter(col("tenant") === "A")
+    val plan = df.queryExecution.executedPlan.toString
+    // the tenant predicate lands in PartitionFilters (file-listing prune),
+    // not DataFilters (post-read filter)
+    assert(plan.contains("PartitionFilters: [isnotnull(tenant"), plan)
+    assert(plan.replaceAll("#\\d+", "").contains("(tenant = A)"), plan)
+    assert(df.count() == 1)
+  }
+
   test("balance query is a partial+final hash aggregate over one scan") {
     val transfers = Tables.load(spark, dir, "orders").select(
       lit("T").as("tenant"), lit(1).as("status"),
