@@ -33,6 +33,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Similarity.queries ++
       operators.EventWindows.queries ++
+      operators.JournalGate.queries ++
       multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.Similarity.oracles ++
       operators.EventWindows.oracles ++
+      operators.JournalGate.oracles ++
       multimodal.Multimodal.oracles
 }
