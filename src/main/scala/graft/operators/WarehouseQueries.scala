@@ -115,6 +115,33 @@ object WarehouseQueries {
         .orderBy("transaction", "transfer")
     }),
 
+    // 2k `accounts(tenant, currency?, …, limit, offset)` root field:
+    // optional equality filter + deterministic pagination through Api.
+    // Ref: GraphQLPersistence.scala:184-224 (P3/L1).
+    "q_accounts_page" -> ((s, dir) => {
+      Api.accounts(accountShape(s, dir), "T",
+        currency = Some("EUR"), limit = 100, offset = 20)
+    }),
+
+    // 2k `tenants(limit, offset)` root field. Ref: GraphQLPersistence.scala:149-165.
+    "q_tenants_page" -> ((s, dir) => {
+      val tenants = transferShape(s, dir).select(col("tenant").as("name")).distinct()
+      Api.tenants(tenants, limit = 10, offset = 0)
+    }),
+
+    // Q1 bugCompat gate: the reference's per-column INVERTED comparators,
+    // hash-matched against an oracle that spells the inversion out.
+    // amountGte→`<=`, amountLt→`>` (strict), valueDateGt→`<=` (non-strict).
+    "q_transfers_bugcompat" -> ((s, dir) => {
+      Api.transfers(transferShape(s, dir), "T",
+          Api.TransferArgs(status = Some(1),
+            amountGte = Some(BigDecimal(150000)), amountLt = Some(BigDecimal(1000)),
+            valueDateGt = Some(java.sql.Timestamp.from(
+              java.time.Instant.parse("1996-01-01T00:00:00Z")))),
+          limit = 60, offset = 0, bugCompat = true)
+        .withColumn("amount", col("amount").cast("double"))
+    }),
+
     // S8 keep-latest upsert: incoming watermark rows beat existing on the
     // key; version column breaks ties deterministically.
     // Ref: SecondaryPersistence.scala:60-94 (ON CONFLICT DO UPDATE).
@@ -134,18 +161,24 @@ object WarehouseQueries {
   )
 
   /** Account dimension derived from the order shape: every party name seen
-    * on either side of a transfer, with constant currency/format. */
+    * on either side of a transfer; currency varies by name length so
+    * currency filters actually filter. */
   private def accountShape(s: SparkSession, dir: String): DataFrame = {
     val t = transferShape(s, dir)
     t.select(col("credit_tenant").as("tenant"), col("credit_name").as("name"))
       .unionByName(t.select(col("debit_tenant").as("tenant"), col("debit_name").as("name")))
       .distinct()
-      .withColumn("currency", lit("CZK"))
+      .withColumn("currency",
+        when(length(col("name")) % 3 === 0, "CZK")
+          .when(length(col("name")) % 3 === 1, "EUR").otherwise("USD"))
       .withColumn("format", lit("FMT"))
   }
 
   private val accountShapeSql =
-    s"""SELECT tenant, name, 'CZK' AS currency, 'FMT' AS format FROM (
+    s"""SELECT tenant, name,
+       |  CASE length(name) % 3 WHEN 0 THEN 'CZK' WHEN 1 THEN 'EUR'
+       |    ELSE 'USD' END AS currency,
+       |  'FMT' AS format FROM (
        |  SELECT DISTINCT credit_tenant AS tenant, credit_name AS name FROM t
        |  UNION
        |  SELECT DISTINCT debit_tenant AS tenant, debit_name AS name FROM t)""".stripMargin
@@ -206,6 +239,26 @@ object WarehouseQueries {
          |LEFT JOIN b cb ON cb.tenant = p.credit_tenant AND cb.name = p.credit_name
          |LEFT JOIN b db ON db.tenant = p.debit_tenant AND db.name = p.debit_name
          |ORDER BY transaction, transfer""".stripMargin,
+    "q_accounts_page" ->
+      s"""WITH t AS ($transferShapeSql),
+         |a AS ($accountShapeSql)
+         |SELECT tenant, name, currency, format FROM a
+         |WHERE tenant = 'T' AND currency = 'EUR'
+         |ORDER BY name LIMIT 100 OFFSET 20""".stripMargin,
+    "q_tenants_page" ->
+      s"""WITH t AS ($transferShapeSql)
+         |SELECT DISTINCT tenant AS name FROM t ORDER BY name LIMIT 10""".stripMargin,
+    "q_transfers_bugcompat" ->
+      s"""WITH t AS ($transferShapeSql)
+         |SELECT tenant, transaction, transfer, status, credit_tenant, credit_name,
+         |  debit_tenant, debit_name, CAST(amount AS DOUBLE) AS amount,
+         |  currency, value_date
+         |FROM t
+         |WHERE status = 1
+         |  AND amount <= 150000   -- reference amountGte inversion
+         |  AND amount > 1000      -- reference amountLt inversion (strict)
+         |  AND value_date <= TIMESTAMP '1996-01-01 00:00:00'  -- valueDateGt, non-strict
+         |ORDER BY transaction, transfer LIMIT 60""".stripMargin,
     "q_upsert_latest" ->
       """WITH existing AS (
         |  SELECT DISTINCT 'T' AS tenant,
