@@ -123,6 +123,13 @@ object WarehouseQueries {
         currency = Some("EUR"), limit = 100, offset = 20)
     }),
 
+    // Q2 bugCompat gate: the reference's accounts currency filter runs
+    // `>=` instead of `===` (GraphQLPersistence.scala:200-204).
+    "q_accounts_bugcompat" -> ((s, dir) => {
+      Api.accounts(accountShape(s, dir), "T",
+        currency = Some("EUR"), limit = 100, offset = 0, bugCompat = true)
+    }),
+
     // 2k `tenants(limit, offset)` root field. Ref: GraphQLPersistence.scala:149-165.
     "q_tenants_page" -> ((s, dir) => {
       val tenants = transferShape(s, dir).select(col("tenant").as("name")).distinct()
@@ -245,6 +252,12 @@ object WarehouseQueries {
          |SELECT tenant, name, currency, format FROM a
          |WHERE tenant = 'T' AND currency = 'EUR'
          |ORDER BY name LIMIT 100 OFFSET 20""".stripMargin,
+    "q_accounts_bugcompat" ->
+      s"""WITH t AS ($transferShapeSql),
+         |a AS ($accountShapeSql)
+         |SELECT tenant, name, currency, format FROM a
+         |WHERE tenant = 'T' AND currency >= 'EUR'
+         |ORDER BY name LIMIT 100""".stripMargin,
     "q_tenants_page" ->
       s"""WITH t AS ($transferShapeSql)
          |SELECT DISTINCT tenant AS name FROM t ORDER BY name LIMIT 10""".stripMargin,

@@ -1,0 +1,86 @@
+package graft
+
+import graft.api.Api
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based algebra checks on the core operators (SURVEY §5):
+  * pagination partitions the ordered result, balances conserve to zero,
+  * merges are idempotent, upsert keeps exactly one row per key.
+  */
+object AlgebraProps extends Properties("graft.algebra") {
+
+  // each trial runs several Spark jobs; 8 trials x 4 properties is plenty
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val genTransfers: Gen[List[(String, String, Int, String, String, BigDecimal)]] =
+    Gen.listOfN(40, for {
+      tx <- Gen.choose(1, 25)
+      transfer <- Gen.choose(1, 3)
+      status <- Gen.oneOf(0, 1, 1, 2)
+      credit <- Gen.oneOf("a", "b", "c", "d")
+      debit <- Gen.oneOf("a", "b", "c", "d")
+      amount <- Gen.choose(1, 10000)
+    } yield (s"tx$tx", s"t$transfer", status, credit, debit, BigDecimal(amount)))
+
+  private def df(rows: List[(String, String, Int, String, String, BigDecimal)]): DataFrame =
+    // key-dedupe in Scala (first occurrence wins) so repeated evaluation of
+    // the plan yields identical rows — dropDuplicates picks arbitrarily
+    rows.distinctBy(r => (r._1, r._2))
+      .toDF("transaction", "transfer", "status", "credit_name", "debit_name", "amount")
+      .withColumn("tenant", lit("T"))
+      .withColumn("credit_tenant", lit("T")).withColumn("debit_tenant", lit("T"))
+      .withColumn("currency", lit("CZK"))
+      .withColumn("value_date", lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+
+  property("pages partition the ordered result") = forAll(genTransfers,
+    Gen.choose(1, 7)) { (rows, pageSize) =>
+    val t = df(rows)
+    val full = Api.transfers(t, "T", limit = 1000, offset = 0)
+      .select("transaction", "transfer").collect().map(_.toSeq).toSeq
+    val paged = (0 to full.size / pageSize).flatMap { p =>
+      Api.transfers(t, "T", limit = pageSize, offset = p.toLong * pageSize)
+        .select("transaction", "transfer").collect().map(_.toSeq)
+    }
+    paged == full
+  }
+
+  property("balances conserve: sum over all accounts is zero") =
+    forAll(genTransfers) { rows =>
+      val balances = Warehouse.balances(Warehouse.balanceChanges(df(rows)))
+        .agg(coalesce(sum("balance"), lit(0)).cast("decimal(38,18)"))
+        .collect()(0).getDecimal(0)
+      balances.compareTo(java.math.BigDecimal.ZERO) == 0
+    }
+
+  property("insert-only merge is idempotent and disjoint from existing") =
+    forAll(genTransfers, genTransfers) { (a, b) =>
+      val keys = Seq("tenant", "transaction", "transfer")
+      val existing = df(a)
+      val incoming = df(b)
+      val fresh = Warehouse.newRows(incoming, existing, keys)
+      val again = Warehouse.newRows(incoming, existing.unionByName(fresh), keys)
+      val overlap = fresh.join(existing, keys, "left_semi").count()
+      overlap == 0 && again.isEmpty
+    }
+
+  property("upsert keeps exactly one row per key, preferring incoming") =
+    forAll(genTransfers, genTransfers) { (a, b) =>
+      val keys = Seq("tenant", "transaction", "transfer")
+      val existing = df(a)
+      val incoming = df(b).withColumn("amount", lit(BigDecimal(-1)))
+      val merged = Warehouse.upsert(incoming, existing, keys, Seq("amount"))
+      val perKey = merged.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).count()
+      val incomingWon = merged.join(incoming, keys, "left_semi")
+        .filter(col("amount") =!= -1).count()
+      perKey == 0 && incomingWon == 0
+    }
+}
