@@ -140,10 +140,21 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
       json(Api.account(accountsWithBalance, required(p, "tenant"), required(p, "name")))
     }
     handle("/transfers") { p =>
-      val page = Api.transfers(table("transfer"), required(p, "tenant"),
-        transferArgs(p),
-        limit = p.getOrElse("limit", "100").toLong,
-        offset = p.getOrElse("offset", "0").toLong)
+      // `after=<transaction>,<transfer>` switches to keyset pagination —
+      // the O(page) path for deep scans (offset stays for parity with the
+      // reference's drop/take)
+      val page = p.get("after") match {
+        case Some(cursor) =>
+          val Array(tx, tr) = cursor.split(",", 2)
+          Api.transfersAfter(table("transfer"), required(p, "tenant"),
+            transferArgs(p), after = Some((tx, tr)),
+            limit = p.getOrElse("limit", "100").toLong)
+        case None =>
+          Api.transfers(table("transfer"), required(p, "tenant"),
+            transferArgs(p),
+            limit = p.getOrElse("limit", "100").toLong,
+            offset = p.getOrElse("offset", "0").toLong)
+      }
       val out =
         if (p.get("resolve").contains("true"))
           Api.transfersResolved(page, table("account"), balances)

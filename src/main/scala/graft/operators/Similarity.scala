@@ -127,17 +127,7 @@ object Similarity {
       .withColumn("nn", expr("vec_dot(v, v)"))
       .cache()
 
-    val sigs = corpus
-      .withColumn("p", typedLit(planes))
-      .withColumn("dots", expr(
-        s"transform(sequence(0, ${AnnBands * BandBits - 1}), j -> vec_dot(v, p[j]))"))
-      .select(col("vec_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${AnnBands - 1}), b ->
-             |  aggregate(sequence(0, ${BandBits - 1}), 0,
-             |    (acc, k) -> acc + IF(dots[b * $BandBits + k] > 0D, shiftleft(1, k), 0)))"""
-            .stripMargin)).as(Seq("band", "sig")))
-
+    val sigs = bandSignatures(corpus)
     val qsigs = sigs.filter(col("vec_id") < NumQueries).toDF("qid", "band", "sig")
     val cands = sigs.join(qsigs, Seq("band", "sig"))
       .filter(col("vec_id") =!= col("qid"))
@@ -198,11 +188,93 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  private val NearDupCosine = 0.45
+
+  /** Embedding-space near-duplicate pairs: corpus×corpus LSH bucket join
+    * (same literal planes as `annLsh` — never all-pairs), exact cosine ≥
+    * threshold on candidates. The operator's contract is explicitly
+    * "pairs the LSH search surfaces", which the oracle replays plane-for-
+    * plane, so the result is exact-compared; recall at a given threshold
+    * is the standard LSH trade-off (raise bands to raise recall).
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    val sigs = bandSignatures(corpus)
+    val a = sigs.toDF("vec_a", "band", "sig")
+    val b = sigs.toDF("vec_b", "band", "sig")
+    val cands = a.join(b, Seq("band", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val va = corpus.select(col("vec_id").as("vec_a"), col("v").as("a"), col("nn").as("na"))
+    val vb = corpus.select(col("vec_id").as("vec_b"), col("v").as("b"), col("nn").as("nb"))
+    cands.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cosine",
+        expr("vec_dot(a, b)") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") >= NearDupCosine)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** (vec_id, band, sig) signature table — shared by annLsh/embedNearDup. */
+  private def bandSignatures(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("p", typedLit(planes))
+      .withColumn("dots", expr(
+        s"transform(sequence(0, ${AnnBands * BandBits - 1}), j -> vec_dot(v, p[j]))"))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${AnnBands - 1}), b ->
+             |  aggregate(sequence(0, ${BandBits - 1}), 0,
+             |    (acc, k) -> acc + IF(dots[b * $BandBits + k] > 0D, shiftleft(1, k), 0)))"""
+            .stripMargin)).as(Seq("band", "sig")))
+
+  private lazy val embedNearDupSql = {
+    val planesLit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |pl AS (SELECT $planesLit AS p),
+       |d AS (
+       |  SELECT vec_id,
+       |    list_transform(range(${AnnBands * BandBits}), j ->
+       |      list_reduce(list_transform(range($Dim), i -> v[i+1] * p[j+1][i+1]),
+       |        (a, b) -> a + b)) AS dots
+       |  FROM n CROSS JOIN pl),
+       |sg AS (
+       |  SELECT vec_id, bb.band,
+       |    list_reduce(list_prepend(0, list_transform(range($BandBits),
+       |      k -> CASE WHEN dots[bb.band * $BandBits + k + 1] > 0
+       |                THEN (1 << k) ELSE 0 END)), (a, c) -> a + c) AS sig
+       |  FROM d CROSS JOIN (SELECT unnest(range($AnnBands)) AS band) bb),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sg a JOIN sg b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> an.v[i+1] * bn.v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(an.nn) * sqrt(bn.nn)) AS cosine
+       |  FROM cand
+       |  JOIN n an ON an.vec_id = cand.vec_a
+       |  JOIN n bn ON bn.vec_id = cand.vec_b)
+       |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= $NearDupCosine
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK(_, _)),
-    "q_ann_lsh" -> (annLsh(_, _)))
+    "q_ann_lsh" -> (annLsh(_, _)),
+    "q_embed_neardup" -> (embedNearDup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
-    "q_ann_lsh" -> annLshSql)
+    "q_ann_lsh" -> annLshSql,
+    "q_embed_neardup" -> embedNearDupSql)
 }

@@ -75,6 +75,10 @@ class HttpEdgeSpec extends SparkSpec {
       assert(accounts.contains("CREDIT") && accounts.contains("DEBIT")
         && !accounts.contains("IDLE"))
 
+      // keyset continuation: the page after TRN/TRX is empty (last row)
+      val (_, keyset) = get(port, "/transfers?tenant=TENANT&after=TRN%2CTRX")
+      assert(keyset == "[]")
+
       // argument validation -> 400, not a stack trace
       val (code, err) = get(port, "/transfers?status=committed")
       assert(code == 400 && err.contains("missing arg: tenant"))
