@@ -117,6 +117,26 @@ object Relational {
         .orderBy(col("o_custkey"))
     }),
 
+    // Rollup (hierarchical subtotals) — beyond the reference's surface;
+    // Spark's built-in Expand + hash agg, one extra shuffle only.
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Exact distinct aggregation (expands to a two-phase agg in Spark).
+    "q_count_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // E2 union (reference Future.reduceLeft(_ ++ _) over per-tenant fetches
     // — GraphQLService.scala:141-150): unionByName of two disjoint slices
     // projected in different column orders (the name-alignment is the op).
@@ -163,6 +183,15 @@ object Relational {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_union" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |WHERE o_orderstatus IN ('F', 'P') ORDER BY o_orderkey""".stripMargin
+        |WHERE o_orderstatus IN ('F', 'P') ORDER BY o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
