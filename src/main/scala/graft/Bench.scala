@@ -26,12 +26,18 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // several operators .cache() intermediate frames; identical plans in
+    // later runs would silently read InMemoryRelation instead of executing,
+    // so drop all cached data between runs to time the real plan
+    def clearCache(): Unit = spark.sharedState.cacheManager.clearCache()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try {
           run(fn(spark, sfDir)) // warmup (untimed)
-          math.min(timed(run(fn(spark, sfDir))), timed(run(fn(spark, sfDir))))
+          Seq.fill(2) { clearCache(); timed(run(fn(spark, sfDir))) }.min
         } catch { case _: Throwable => -1.0 }
+      clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -104,8 +104,17 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
   }
 
   private def transferArgs(p: Map[String, String]): Api.TransferArgs = {
-    def dec(k: String) = p.get(k).map(BigDecimal(_))
-    def ts(k: String) = p.get(k).map(v =>
+    // malformed user input must surface as a 400, not a 500
+    def arg[T](k: String)(parse: String => T): Option[T] =
+      p.get(k).map { v =>
+        try parse(v)
+        catch {
+          case e: Exception =>
+            throw new IllegalArgumentException(s"bad $k: ${e.getMessage}")
+        }
+      }
+    def dec(k: String) = arg(k)(BigDecimal(_))
+    def ts(k: String) = arg(k)(v =>
       java.sql.Timestamp.from(java.time.Instant.parse(v)))
     Api.TransferArgs(
       currency = p.get("currency"),
@@ -129,12 +138,17 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     }
     handle("/tenant") { p => json(Api.tenant(table("tenant"), required(p, "name"))) }
     handle("/accounts") { p =>
-      json(Api.accounts(accountsWithBalance, required(p, "tenant"),
+      // page on the raw account table, join balances ONCE on the page
+      // (feeding the balance join into the filter input would compute the
+      // full aggregation twice per request)
+      json(Api.accounts(table("account"), required(p, "tenant"),
         currency = p.get("currency"), format = p.get("format"),
         limit = p.getOrElse("limit", "100").toLong,
         offset = p.getOrElse("offset", "0").toLong)
-        .join(accountsWithBalance.select("tenant", "name", "balance"),
-          Seq("tenant", "name"), "left"))
+        .join(balances, Seq("tenant", "name"), "left")
+        .withColumn("balance",
+          coalesce(col("balance"), lit(0).cast("decimal(38,18)")).cast("double"))
+        .orderBy("name"))
     }
     handle("/account") { p =>
       json(Api.account(accountsWithBalance, required(p, "tenant"), required(p, "name")))
@@ -145,9 +159,13 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
       // reference's drop/take)
       val page = p.get("after") match {
         case Some(cursor) =>
-          val Array(tx, tr) = cursor.split(",", 2)
+          val cur = cursor.split(",", 2) match {
+            case Array(tx, tr) => (tx, tr)
+            case _ => throw new IllegalArgumentException(
+              "after must be <transaction>,<transfer>")
+          }
           Api.transfersAfter(table("transfer"), required(p, "tenant"),
-            transferArgs(p), after = Some((tx, tr)),
+            transferArgs(p), after = Some(cur),
             limit = p.getOrElse("limit", "100").toLong)
         case None =>
           Api.transfers(table("transfer"), required(p, "tenant"),
@@ -161,7 +179,10 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
             .withColumn("credit_balance", col("credit_balance").cast("double"))
             .withColumn("debit_balance", col("debit_balance").cast("double"))
         else page.withColumn("status_word", Api.statusWord(col("status")))
-      json(out.withColumn("amount", col("amount").cast("double")))
+      // joins do not preserve the page's sort order — reassert it so the
+      // last JSON row is a valid keyset cursor for the next page
+      json(out.withColumn("amount", col("amount").cast("double"))
+        .orderBy("transaction", "transfer"))
     }
     server.setExecutor(null) // serial dispatch ≡ reference's single DB pool
     server.start()

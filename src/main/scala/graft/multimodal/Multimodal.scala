@@ -89,7 +89,7 @@ object Multimodal {
     val m = resized(media(s, dir), maxWidth = 640)
       // BIGINT: DuckDB octet_length yields BIGINT, Spark INT
       .withColumn("n_bytes", octet_length(col("bytes")).cast("long"))
-    frameSample(m.drop("frame_idx"), everyMs = 1000)
+    frameSample(m, everyMs = 1000)
       .join(m.select(col("media_id"), col("n_bytes"),
         col("out_w").cast("long").as("out_w"), col("out_h")), "media_id")
       .select("media_id", "frame_idx", "frame_ts", "mime", "n_bytes", "out_w", "out_h")

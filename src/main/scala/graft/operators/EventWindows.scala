@@ -29,7 +29,14 @@ import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
   */
 object EventWindows {
 
-  /** events with `ts` as microsecond TIMESTAMP_NTZ (see class doc). */
+  /** events with `ts` as microsecond TIMESTAMP_NTZ (see class doc).
+    *
+    * Deliberately leaves `nanosAsLong` set on the SESSION: the parquet
+    * reader consults the conf again at execution planning, so restoring it
+    * after `load()` would make the very plan built here fail at runtime.
+    * Session-wide effect: other ns-timestamp parquet columns read as LONG
+    * instead of erroring — convert them the same way this loader does.
+    */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.load(s, dir, "events")

@@ -47,23 +47,28 @@ object TextOps {
     * shifted ids) — every group then has a duplicate to collapse, which
     * exercises the survivor choice for real.
     */
-  def dedupExact(s: SparkSession, dir: String): DataFrame =
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    // the re-crawl copy's ids must not collide with real ids at ANY corpus
+    // size, so the offset is max(doc_id)+1, not a constant
+    val off = docs(s, dir).agg(max(col("doc_id"))).first().getLong(0) + 1
     docs(s, dir)
       // re-crawl copy via an id-offset explode, NOT a self-union: a union
       // of the same table scans the parquet twice; the explode reads once
-      .select(explode(array(lit(0L), lit(10000L))).as("off"),
+      .select(explode(array(lit(0L), lit(off))).as("off"),
         col("doc_id"), col("text"))
       .select((col("doc_id") + col("off")).as("doc_id"),
         md5(norm(col("text"))).as("text_hash"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("text_hash"))
+  }
 
   private val dedupExactSql =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 10000 AS doc_id, text FROM documents)
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+       |  FROM documents)
        |SELECT md5($normSql) AS text_hash,
        |  min(doc_id) AS keep_doc_id, count(*) AS n_dups
        |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin

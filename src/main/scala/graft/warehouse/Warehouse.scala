@@ -116,6 +116,16 @@ object Warehouse {
     val hconf = spark.sparkContext.hadoopConfiguration
     def tablePath(name: String) = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
 
+    // recover from a crash inside a previous pass's account-table swap:
+    // if only the retired copy survives, promote it back
+    locally {
+      val fs = tablePath("account").getFileSystem(hconf)
+      if (!fs.exists(tablePath("account")) && fs.exists(tablePath("account_old")))
+        fs.rename(tablePath("account_old"), tablePath("account"))
+      fs.delete(tablePath("account_old"), true)
+      fs.delete(tablePath("account_new"), true)
+    }
+
     def readOr(name: String, empty: => DataFrame): DataFrame = {
       val p = tablePath(name)
       if (p.getFileSystem(hconf).exists(p)) spark.read.parquet(p.toString)
@@ -186,11 +196,17 @@ object Warehouse {
       val merged = upsert(updated, accountTable, Seq("tenant", "name"),
         Seq("last_syn_snapshot", "last_syn_event"))
       // write-new-then-swap: the merged plan reads the live account files,
-      // so a direct overwrite would delete its own input mid-plan.
+      // so a direct overwrite would delete its own input mid-plan. The
+      // retire-then-promote rename order means a crash at any point leaves
+      // either `account` or `account_old` intact (recovered at pass start);
+      // a table format (Delta/Iceberg MERGE) is the real answer at scale.
       val fs = tablePath("account").getFileSystem(hconf)
-      merged.write.mode("overwrite").parquet(s"$warehouseDir/account_new")
-      fs.delete(tablePath("account"), true)
+      val w = merged.write.mode("overwrite")
+      (if (partitionByTenant) w.partitionBy("tenant") else w)
+        .parquet(s"$warehouseDir/account_new")
+      fs.rename(tablePath("account"), tablePath("account_old"))
       fs.rename(tablePath("account_new"), tablePath("account"))
+      fs.delete(tablePath("account_old"), true)
     }
     events.unpersist()
     SyncStats(nTenants, nAccounts, nTransfers)

@@ -82,6 +82,10 @@ class HttpEdgeSpec extends SparkSpec {
       // argument validation -> 400, not a stack trace
       val (code, err) = get(port, "/transfers?status=committed")
       assert(code == 400 && err.contains("missing arg: tenant"))
+      val (c2, e2) = get(port, "/transfers?tenant=TENANT&after=TRN")
+      assert(c2 == 400 && e2.contains("after must be"))
+      val (c3, e3) = get(port, "/transfers?tenant=TENANT&value_date_gt=not-a-date")
+      assert(c3 == 400 && e3.contains("bad value_date_gt"))
     }
   }
 }
