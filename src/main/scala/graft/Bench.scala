@@ -36,7 +36,13 @@ object Bench {
         try {
           run(fn(spark, sfDir)) // warmup (untimed)
           Seq.fill(2) { clearCache(); timed(run(fn(spark, sfDir))) }.min
-        } catch { case _: Throwable => -1.0 }
+        } catch {
+          // a silent -1 hides which query failed and why; attribute it
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: $e")
+            e.printStackTrace()
+            -1.0
+        }
       clearCache()
       name -> sec
     }
@@ -45,5 +51,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._2 < 0)) {
+      System.err.println(
+        s"[bench] failed queries: ${results.filter(_._2 < 0).map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

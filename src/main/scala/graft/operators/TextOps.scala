@@ -49,12 +49,14 @@ object TextOps {
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     // the re-crawl copy's ids must not collide with real ids at ANY corpus
-    // size, so the offset is max(doc_id)+1, not a constant
-    val off = docs(s, dir).agg(max(col("doc_id"))).first().getLong(0) + 1
+    // size, so the offset is max(doc_id)+1 — computed IN the plan (broadcast
+    // single-row aggregate), not via a driver-side action at plan build
+    val off = docs(s, dir).agg((max(col("doc_id")) + 1).as("__off"))
     docs(s, dir)
+      .crossJoin(broadcast(off))
       // re-crawl copy via an id-offset explode, NOT a self-union: a union
       // of the same table scans the parquet twice; the explode reads once
-      .select(explode(array(lit(0L), lit(off))).as("off"),
+      .select(explode(array(lit(0L), col("__off"))).as("off"),
         col("doc_id"), col("text"))
       .select((col("doc_id") + col("off")).as("doc_id"),
         md5(norm(col("text"))).as("text_hash"))

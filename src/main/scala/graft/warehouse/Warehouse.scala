@@ -153,12 +153,17 @@ object Warehouse {
 
     val accountTable = readOr("account", accounts.limit(0))
 
-    // P8: watermark filter — events already mirrored are skipped.
+    // P8: watermark filter — events already mirrored are skipped. Event
+    // versions restart per snapshot (ref :157-158), so the version guard
+    // applies ONLY within the watermark snapshot; any newer snapshot's
+    // events are all unseen regardless of their (restarted) version
+    // (ref PrimaryDataExplorationService.scala:171-175).
     val events = Journal.events(spark, journalRoot)
       .join(accountTable.select(col("tenant"), col("name").as("account"),
         col("last_syn_snapshot"), col("last_syn_event")), Seq("tenant", "account"))
-      .filter(col("snapshot_version") >= col("last_syn_snapshot") &&
-        col("version") > col("last_syn_event"))
+      .filter(col("snapshot_version") > col("last_syn_snapshot") ||
+        (col("snapshot_version") === col("last_syn_snapshot") &&
+          col("version") > col("last_syn_event")))
       .cache()
 
     // Transfers of non-pending events' transactions, P6 ownership-filtered:
@@ -184,9 +189,15 @@ object Warehouse {
         Seq("tenant", "transaction", "transfer")), "transfer", Seq("tenant"))
 
     // T3: advance per-account watermarks through the keep-latest upsert.
+    // The new watermark is the lexicographic max of (snapshot, version) —
+    // pairing max(snapshot) with the global max(version) ACROSS snapshots
+    // would fabricate a watermark no event carries and skip real events
+    // after a snapshot rotation (versions restart per snapshot).
     val marks = events.groupBy(col("tenant"), col("account").as("name"))
-      .agg(max(col("snapshot_version")).as("last_syn_snapshot"),
-        max(col("version")).as("last_syn_event"))
+      .agg(max(struct(col("snapshot_version"), col("version"))).as("__m"))
+      .select(col("tenant"), col("name"),
+        col("__m.snapshot_version").as("last_syn_snapshot"),
+        col("__m.version").as("last_syn_event"))
     if (!marks.isEmpty) {
       val updated = accountTable
         .join(marks, Seq("tenant", "name"), "left_semi")

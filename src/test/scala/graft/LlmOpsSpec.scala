@@ -35,6 +35,33 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupExact constructs its plan without running an eager action") {
+    withDocs(1L -> "some text here", 2L -> "other text there") { dir =>
+      // spark.read.parquet itself runs small footer/listing jobs (callsite
+      // Tables.scala); the regression under guard is an eager ACTION inside
+      // the operator, whose job callsite would land in TextOps.scala (the
+      // old `.first()` showed up as `first at TextOps.scala:..`)
+      val callsites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          js.stageInfos.foreach(si => callsites.add(si.name)); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        TextOps.dedupExact(spark, dir) // plan construction only — no action
+        // sentinel action: the listener bus is FIFO, so once the sentinel's
+        // events land, any job dedupExact had launched is already recorded
+        spark.range(1).count()
+        Thread.sleep(500)
+        val eager = callsites.toArray(Array.empty[String])
+          .filter(n => n.contains("TextOps") || n.contains("first at"))
+        assert(eager.isEmpty, s"eager action during plan build: ${eager.toSeq}")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("textStats counts tokens and flags quality") {
     withDocs(1L -> ("word " * 25).trim, 2L -> "only three tokens!!!") { dir =>
       val rows = TextOps.textStats(spark, dir).collect()

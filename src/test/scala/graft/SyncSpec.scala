@@ -64,6 +64,29 @@ class SyncSpec extends SparkSpec {
     assert(spark.read.parquet(s"$wh/transfer").count() == 2)
   }
 
+  test("sync ingests a rotated snapshot's events despite restarted versions") {
+    val root = baseFixture()
+    val wh = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, root.toString, wh) // watermark now (0, 1)
+
+    // snapshot rotates to 1; event versions RESTART at 1 (ref
+    // PrimaryDataExplorationService.scala:157-158) — version 1 is <= the
+    // stored last_syn_event, so a watermark that compares versions across
+    // snapshots would silently drop this event and lose TRX3
+    put(root, "t_T/account/CREDIT/events/0000000001/1_1_TRN3", "1\n")
+    put(root, "t_T/account/DEBIT/events/0000000001/1_-1_TRN3", "1\n")
+    put(root, "t_T/transaction/TRN3",
+      "committed\nTRX3 T CREDIT T DEBIT 2020-02-01T00:00:00Z 5 CZK\n")
+    val stats = Warehouse.sync(spark, root.toString, wh)
+    assert(stats.newTransfers == 1)
+
+    val marks = spark.read.parquet(s"$wh/account")
+      .select("name", "last_syn_snapshot", "last_syn_event")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(marks == Map("CREDIT" -> (1, 1), "DEBIT" -> (1, 1)))
+    assert(Warehouse.sync(spark, root.toString, wh) == Warehouse.SyncStats(0, 0, 0))
+  }
+
   test("sync ignores transfers whose transaction no event announced") {
     val root = baseFixture()
     // orphan transaction file: no event references it -> not ingested
