@@ -1,0 +1,128 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static winnowing kernel, called from both the interpreted and the
+  * generated path of [[WinnowFingerprints]].
+  *
+  * Plain object (no companion class) so Scala emits static forwarders —
+  * the generated Java can call `graft.functions.Winnow.fingerprints(...)`
+  * directly.
+  */
+object Winnow {
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** Distinct winnowing fingerprints (Schleimer et al.) of a string:
+    * 60-bit md5-prefix hash of every `gramLen` char-gram, minimum of each
+    * `winLen` sliding window, distinct, ascending.
+    *
+    * The 60-bit hash is the first 15 hex chars of the md5 digest — exactly
+    * `conv(substring(md5(g),1,15),16,10)` (Spark) and
+    * `CAST('0x'||substring(md5(g),1,15) AS UBIGINT)` (DuckDB), so results
+    * stay oracle-comparable bit-for-bit.
+    */
+  def fingerprints(s: UTF8String, gramLen: Int, winLen: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    val nGrams = nChars - gramLen + 1
+    if (nGrams < winLen) return new GenericArrayData(Array.empty[Long])
+
+    // one pass over the UTF-8 bytes records each char's byte offset, so a
+    // gram's bytes are a slice — no per-gram substring re-scan
+    val offs = new Array[Int](nChars + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      offs(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(c) = bytes.length
+
+    val digest = md5.get()
+    val hs = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      digest.reset()
+      digest.update(bytes, offs(g), offs(g + gramLen) - offs(g))
+      val d = digest.digest()
+      // big-endian first 8 digest bytes >>> 4 == first 15 hex chars as uint
+      hs(g) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      g += 1
+    }
+
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    val nWin = nGrams - winLen + 1
+    while (j < nWin) {
+      var m = hs(j)
+      var k = j + 1
+      while (k < j + winLen) {
+        if (hs(k) < m) m = hs(k)
+        k += 1
+      }
+      set.add(m)
+      j += 1
+    }
+
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var idx = 0
+    while (it.hasNext) {
+      out(idx) = it.next()
+      idx += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Native Catalyst expression computing a document's winnowing fingerprint
+  * set in one codegen'd kernel call.
+  *
+  * The compositional formulation (posexplode every char-gram to a row,
+  * md5 per row, 4-row min window over `partitionBy(doc) orderBy(pos)`,
+  * distinct, re-aggregate) round-trips the whole corpus through an
+  * exchange+sort that exists only because the window operator demands
+  * co-located rows — but every gram derives from ONE input row, so the
+  * computation is row-local by construction. This expression keeps it
+  * row-local: no explode, no shuffle, no window. Ref semantics: winnowing
+  * fingerprints as the document-fingerprint operator family (reference has
+  * no native analog; SURVEY.md §2 X7).
+  */
+case class WinnowFingerprints(child: Expression, gramLen: Int, winLen: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (gramLen >= 1 && winLen >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"winnow_fps gram/window lengths must be >= 1, got ($gramLen, $winLen)")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def nullSafeEval(s: Any): Any =
+    Winnow.fingerprints(s.asInstanceOf[UTF8String], gramLen, winLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Winnow.fingerprints($c, $gramLen, $winLen);")
+}

@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the vector dot product.
   *
@@ -80,21 +80,38 @@ object VectorFunctions {
       s"vec_dot expects 2 arguments, got ${exprs.length}")
   }
 
+  private[functions] val winnowBuilder: Seq[Expression] => Expression = {
+    case Seq(c, g: Literal, w: Literal)
+        if g.dataType == IntegerType && w.dataType == IntegerType =>
+      WinnowFingerprints(c, g.value.asInstanceOf[Int], w.value.asInstanceOf[Int])
+    case _ => throw new IllegalArgumentException(
+      "winnow_fps expects (text, gramLen literal int, winLen literal int)")
+  }
+
   /** Imperative registration for embedded use (tests, Verify/Bench mains):
-    * makes `expr("vec_dot(a, b)")` resolvable on an existing session.
+    * makes `expr("vec_dot(a, b)")` / `expr("winnow_fps(t, 8, 4)")`
+    * resolvable on an existing session.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", winnowBuilder, "built-in")
+  }
 }
 
 /** Cluster-deploy registration hook:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       VectorFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      VectorFunctions.winnowBuilder))
+  }
 }

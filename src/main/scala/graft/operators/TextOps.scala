@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / deduplication operator family over the `documents` table
@@ -407,35 +406,27 @@ object TextOps {
     * fingerprint→doc inverted index at scale; here we emit its size and a
     * mod-sum checksum so the gate compares exactly.
     *
-    * Shape: explode grams to rows so the md5 runs inside whole-stage
-    * codegen (higher-order-function lambdas are interpreted in Spark — an
-    * md5 per array element costs ~5× the same md5 per row), then the
-    * 4-gram window min is a rank window over (doc, pos) and the distinct
-    * set collapses in the final aggregate.
+    * Shape: the whole gram-hash → window-min → distinct computation is
+    * row-local (every gram derives from ONE document row), so it runs in a
+    * single native expression ([[graft.functions.WinnowFingerprints]])
+    * inside whole-stage codegen — scan → project, ZERO shuffles except the
+    * gate's output ORDER BY. The previous compositional form (posexplode +
+    * md5/row + 4-row min window over partitionBy(doc)) forced a corpus-
+    * sized exchange+sort just to co-locate rows that were born co-located;
+    * at 100 TB that exchange was the plan's only scale-killer.
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
+    graft.functions.VectorFunctions.register(s)
+    docs(s, dir)
       .withColumn("n", norm(col("text")))
       .filter(length(col("n")) >= GramLen + WinLen - 1)
-      .withColumn("n_len", length(col("n")))
-      .select(col("doc_id"), col("n_len"),
-        posexplode(expr(
-          s"transform(sequence(0, length(n) - $GramLen), i -> substring(n, i + 1, $GramLen))"))
-          .as(Seq("pos", "g")))
-      // hash BEFORE the window so the shuffle carries (doc, pos, h), not
-      // the gram strings
-      .select(col("doc_id"), col("n_len"), col("pos"),
-        expr(hash60Sql("g")).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, WinLen - 1)
-    grams
-      .withColumn("minh", min(col("h")).over(w))
-      // full windows only: the last WinLen-1 positions see truncated frames
-      .filter(col("pos") <= col("n_len") - (GramLen + WinLen - 1))
-      .select(col("doc_id"), col("minh")).distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fingerprints"),
-        sum(col("minh") % 1000000007).as("fp_checksum"))
+      .withColumn("fps", expr(s"winnow_fps(n, $GramLen, $WinLen)"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        // the fps array is small (≈ distinct window minima of one doc), so
+        // the interpreted HOF fold costs nothing next to the md5 kernel
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x % 1000000007)")
+          .as("fp_checksum"))
       .orderBy("doc_id")
   }
 

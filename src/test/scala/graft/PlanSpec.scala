@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
+  test("fingerprint plan is shuffle-free except the output order") {
+    val tmp = java.nio.file.Files.createTempDirectory("fpdocs").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val plan = graft.operators.TextOps.fingerprint(spark, tmp)
+      .queryExecution.executedPlan.toString
+    // the winnowing kernel is row-local: no window operator, no explode,
+    // no hash exchange — only the gate's ORDER BY may range-exchange
+    assert(!plan.contains("Window"), s"fingerprint must not window:\n$plan")
+    assert(!plan.contains("Generate"), s"fingerprint must not explode:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"fingerprint must not hash-shuffle:\n$plan")
+  }
+
   test("balance query is a partial+final hash aggregate over one scan") {
     val transfers = Tables.load(spark, dir, "orders").select(
       lit("T").as("tenant"), lit(1).as("status"),
