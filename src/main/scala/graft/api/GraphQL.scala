@@ -1,0 +1,308 @@
+package graft.api
+
+import scala.collection.mutable.ListBuffer
+
+/** Minimal GraphQL document parser — the subset the reference's schema can
+  * express (five root query fields, scalar arguments, nested selection
+  * sets, variables): operations, variable definitions, fields with aliases
+  * and arguments, int/float/string/bool/null/enum/variable values.
+  *
+  * The reference parses with Sangria (GraphQLService.scala:295-321,
+  * routers/RootRouter.scala:22-41 maps SyntaxError and QueryAnalysisError
+  * to 400s with source positions). We hand-roll the grammar instead of
+  * pulling a parser dependency: the library surface the tests exercise is
+  * ~40 grammar productions, and owning the positions makes the 400-error
+  * payloads exact.
+  *
+  * Not supported (reference schema never produces them): fragments,
+  * mutations/subscriptions, directives, block strings. Encountering one
+  * raises [[GraphQL.AnalysisError]] — the same 400 a reference user gets
+  * for a query that doesn't validate against the schema.
+  */
+object GraphQL {
+
+  // ---- errors ----------------------------------------------------------
+  /** Unparseable document → 400 {"syntaxError":…,"locations":[…]}
+    * (RootRouter.scala:28-38).
+    */
+  final case class SyntaxError(msg: String, line: Int, column: Int)
+      extends Exception(s"Syntax error at [$line:$column]: $msg")
+
+  /** Parseable but invalid against the schema (unknown field, bad arg,
+    * undefined variable…) → 400 {"errors":[…]} (RootRouter.scala:24-25).
+    */
+  final case class AnalysisError(msg: String, line: Int, column: Int)
+      extends Exception(s"$msg at [$line:$column]")
+
+  // ---- AST -------------------------------------------------------------
+  sealed trait Value
+  final case class VString(s: String) extends Value
+  final case class VInt(i: Long) extends Value
+  final case class VFloat(d: BigDecimal) extends Value
+  final case class VBool(b: Boolean) extends Value
+  case object VNull extends Value
+  final case class VEnum(name: String) extends Value
+  final case class VVar(name: String) extends Value
+
+  final case class Argument(name: String, value: Value, line: Int, column: Int)
+
+  final case class Field(
+      alias: Option[String],
+      name: String,
+      args: List[Argument],
+      selection: List[Field],
+      line: Int,
+      column: Int) {
+    def outputName: String = alias.getOrElse(name)
+  }
+
+  final case class VarDef(name: String, tpe: String, required: Boolean,
+      default: Option[Value], line: Int, column: Int)
+
+  final case class Operation(name: Option[String], varDefs: List[VarDef],
+      selection: List[Field], line: Int, column: Int)
+
+  // ---- lexer -----------------------------------------------------------
+  private final case class Token(kind: Int, text: String, line: Int, column: Int)
+  private final val TName = 0; private final val TInt = 1; private final val TFloat = 2
+  private final val TString = 3; private final val TPunct = 4; private final val TEof = 5
+
+  private def lex(src: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0; var line = 1; var col = 1
+    def err(msg: String) = throw SyntaxError(msg, line, col)
+    def advance(): Char = { val c = src(i); i += 1; if (c == '\n') { line += 1; col = 1 } else col += 1; c }
+    while (i < src.length) {
+      val c = src(i)
+      if (c == '\n' || c == '\r' || c == ' ' || c == '\t' || c == ',') { advance(): Unit }
+      else if (c == '#') { while (i < src.length && src(i) != '\n') advance() }
+      else if (c == '_' || c.isLetter) {
+        val (l0, c0) = (line, col); val sb = new StringBuilder
+        while (i < src.length && (src(i) == '_' || src(i).isLetterOrDigit)) sb += advance()
+        out += Token(TName, sb.toString, l0, c0)
+      } else if (c == '-' || c.isDigit) {
+        val (l0, c0) = (line, col); val sb = new StringBuilder
+        if (c == '-') sb += advance()
+        while (i < src.length && src(i).isDigit) sb += advance()
+        var isFloat = false
+        if (i < src.length && src(i) == '.') {
+          isFloat = true; sb += advance()
+          while (i < src.length && src(i).isDigit) sb += advance()
+        }
+        if (i < src.length && (src(i) == 'e' || src(i) == 'E')) {
+          isFloat = true; sb += advance()
+          if (i < src.length && (src(i) == '+' || src(i) == '-')) sb += advance()
+          while (i < src.length && src(i).isDigit) sb += advance()
+        }
+        out += Token(if (isFloat) TFloat else TInt, sb.toString, l0, c0)
+      } else if (c == '"') {
+        val (l0, c0) = (line, col)
+        advance() // opening quote
+        if (i + 1 < src.length && src(i) == '"' && src(i + 1) == '"')
+          err("block strings are not supported")
+        val sb = new StringBuilder
+        var closed = false
+        while (!closed) {
+          if (i >= src.length) err("unterminated string")
+          val ch = advance()
+          if (ch == '"') closed = true
+          else if (ch == '\n') err("unterminated string")
+          else if (ch == '\\') {
+            if (i >= src.length) err("unterminated string")
+            advance() match {
+              case '"' => sb += '"'; case '\\' => sb += '\\'; case '/' => sb += '/'
+              case 'b' => sb += '\b'; case 'f' => sb += '\f'; case 'n' => sb += '\n'
+              case 'r' => sb += '\r'; case 't' => sb += '\t'
+              case 'u' =>
+                if (i + 4 > src.length) err("bad unicode escape")
+                val hex = src.substring(i, i + 4)
+                val cp = try Integer.parseInt(hex, 16)
+                         catch { case _: NumberFormatException => err("bad unicode escape") }
+                (1 to 4).foreach(_ => advance())
+                sb += cp.toChar
+              case other => err(s"bad escape '\\$other'")
+            }
+          } else sb += ch
+        }
+        out += Token(TString, sb.toString, l0, c0)
+      } else if ("{}():$!=[]@".indexOf(c) >= 0) {
+        out += Token(TPunct, c.toString, line, col); advance(): Unit
+      } else if (c == '.') {
+        // "..." introduces a fragment spread — parse far enough to reject it
+        out += Token(TPunct, "...", line, col)
+        advance(); if (i < src.length && src(i) == '.') advance()
+        if (i < src.length && src(i) == '.') advance()
+      } else err(s"unexpected character '$c'")
+    }
+    out += Token(TEof, "<eof>", line, col)
+    out.result()
+  }
+
+  // ---- parser ----------------------------------------------------------
+  private final class Parser(tokens: Vector[Token]) {
+    private var pos = 0
+    private def peek: Token = tokens(pos)
+    private def next(): Token = { val t = tokens(pos); pos += 1; t }
+    private def syntax(msg: String, t: Token) = throw SyntaxError(msg, t.line, t.column)
+    private def expectPunct(p: String): Token = {
+      val t = next()
+      if (t.kind != TPunct || t.text != p) syntax(s"expected '$p', found '${t.text}'", t)
+      t
+    }
+    private def expectName(): Token = {
+      val t = next()
+      if (t.kind != TName) syntax(s"expected a name, found '${t.text}'", t)
+      t
+    }
+
+    def document(): List[Operation] = {
+      val ops = ListBuffer.empty[Operation]
+      while (peek.kind != TEof) {
+        val t = peek
+        if (t.kind == TPunct && t.text == "{")
+          ops += Operation(None, Nil, selectionSet(), t.line, t.column)
+        else if (t.kind == TName && t.text == "query") {
+          next()
+          val name = if (peek.kind == TName) Some(next().text) else None
+          val vars = if (peek.kind == TPunct && peek.text == "(") varDefs() else Nil
+          ops += Operation(name, vars, selectionSet(), t.line, t.column)
+        } else if (t.kind == TName && (t.text == "mutation" || t.text == "subscription"))
+          throw AnalysisError(s"Schema is not configured for ${t.text}s", t.line, t.column)
+        else if (t.kind == TName && t.text == "fragment")
+          throw AnalysisError("Fragments are not supported", t.line, t.column)
+        else syntax(s"expected an operation, found '${t.text}'", t)
+      }
+      if (ops.isEmpty) syntax("empty document", peek)
+      ops.toList
+    }
+
+    private def varDefs(): List[VarDef] = {
+      expectPunct("(")
+      val defs = ListBuffer.empty[VarDef]
+      while (!(peek.kind == TPunct && peek.text == ")")) {
+        val d = expectPunct("$")
+        val name = expectName().text
+        expectPunct(":")
+        val tpe = expectName().text
+        val required =
+          if (peek.kind == TPunct && peek.text == "!") { next(); true } else false
+        val default =
+          if (peek.kind == TPunct && peek.text == "=") { next(); Some(value()) } else None
+        defs += VarDef(name, tpe, required, default, d.line, d.column)
+      }
+      expectPunct(")")
+      defs.toList
+    }
+
+    private def selectionSet(): List[Field] = {
+      expectPunct("{")
+      val fields = ListBuffer.empty[Field]
+      while (!(peek.kind == TPunct && peek.text == "}")) {
+        val t = peek
+        if (t.kind == TPunct && t.text == "...")
+          throw AnalysisError("Fragments are not supported", t.line, t.column)
+        val first = expectName()
+        val (alias, name) =
+          if (peek.kind == TPunct && peek.text == ":") {
+            next(); (Some(first.text), expectName().text)
+          } else (None, first.text)
+        val args = if (peek.kind == TPunct && peek.text == "(") arguments() else Nil
+        if (peek.kind == TPunct && peek.text == "@")
+          throw AnalysisError("Directives are not supported", peek.line, peek.column)
+        val sel = if (peek.kind == TPunct && peek.text == "{") selectionSet() else Nil
+        fields += Field(alias, name, args, sel, first.line, first.column)
+      }
+      expectPunct("}")
+      if (fields.isEmpty) syntax("empty selection set", peek)
+      fields.toList
+    }
+
+    private def arguments(): List[Argument] = {
+      expectPunct("(")
+      val args = ListBuffer.empty[Argument]
+      while (!(peek.kind == TPunct && peek.text == ")")) {
+        val n = expectName()
+        expectPunct(":")
+        args += Argument(n.text, value(), n.line, n.column)
+      }
+      expectPunct(")")
+      args.toList
+    }
+
+    private def value(): Value = {
+      val t = next()
+      t.kind match {
+        case TInt    => VInt(t.text.toLong)
+        case TFloat  => VFloat(BigDecimal(t.text))
+        case TString => VString(t.text)
+        case TName =>
+          t.text match {
+            case "true" => VBool(true); case "false" => VBool(false)
+            case "null" => VNull; case other => VEnum(other)
+          }
+        case TPunct if t.text == "$" => VVar(expectName().text)
+        case TPunct if t.text == "[" =>
+          while (!(peek.kind == TPunct && peek.text == "]")) value()
+          next()
+          throw AnalysisError("List values are not supported", t.line, t.column)
+        case _ => syntax(s"expected a value, found '${t.text}'", t)
+      }
+    }
+  }
+
+  /** Parse a GraphQL document into its operations.
+    * @throws SyntaxError on grammar violations (with source position)
+    * @throws AnalysisError on constructs outside the supported subset
+    */
+  def parse(doc: String): List[Operation] = new Parser(lex(doc)).document()
+
+  /** Pick the operation to run: by name if given, else the only one —
+    * ambiguity is an analysis error, as in Sangria's Executor.
+    */
+  def operation(ops: List[Operation], operationName: Option[String]): Operation =
+    operationName match {
+      case Some(n) =>
+        ops.find(_.name.contains(n)).getOrElse(
+          throw AnalysisError(s"Unknown operation '$n'", 1, 1))
+      case None =>
+        if (ops.size == 1) ops.head
+        else throw AnalysisError(
+          "Must provide operation name if query contains multiple operations", 1, 1)
+    }
+
+  /** Substitute variable references with request-supplied values (or
+    * declared defaults), enforcing declared-ness both ways.
+    */
+  def resolveVariables(op: Operation, supplied: Map[String, Any]): Operation = {
+    val defs = op.varDefs.map(d => d.name -> d).toMap
+    def toValue(a: Any, d: VarDef): Value = a match {
+      case null => VNull
+      case s: String => VString(s)
+      case i: Int => VInt(i.toLong)
+      case l: Long => VInt(l)
+      case b: Boolean => VBool(b)
+      case d2: BigDecimal => if (d2.isValidLong) VInt(d2.longValue) else VFloat(d2)
+      case d2: java.math.BigDecimal => toValue(BigDecimal(d2), d)
+      case other =>
+        throw AnalysisError(
+          s"Variable '$$${d.name}' has unsupported value type ${other.getClass.getSimpleName}",
+          d.line, d.column)
+    }
+    def resolve(v: Value, line: Int, column: Int): Value = v match {
+      case VVar(n) =>
+        val d = defs.getOrElse(n,
+          throw AnalysisError(s"Variable '$$$n' is not defined", line, column))
+        supplied.get(n).map(toValue(_, d)).orElse(d.default).getOrElse {
+          if (d.required)
+            throw AnalysisError(s"Variable '$$$n' expected value of type '${d.tpe}!'",
+              d.line, d.column)
+          VNull
+        }
+      case other => other
+    }
+    def walk(f: Field): Field = f.copy(
+      args = f.args.map(a => a.copy(value = resolve(a.value, a.line, a.column))),
+      selection = f.selection.map(walk))
+    op.copy(selection = op.selection.map(walk))
+  }
+}

@@ -103,6 +103,81 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     case n => n.toInt
   }
 
+  /** GraphQL endpoint (GraphQLRouter.scala:14-64): POST /graphql with a
+    * JSON body {query, operationName, variables} (array-wrapped bodies
+    * accepted, :38-44) and GET /graphql?query=&operation=. Error mapping
+    * follows RootRouter.scala:22-41 — syntax errors and query-analysis
+    * errors are 400s carrying the source position.
+    */
+  private lazy val graphql = new GraphQLExecutor(
+    () => table("tenant"), () => table("account"), () => table("transfer"),
+    () => balances)
+
+  private def handleGraphql(ex: HttpExchange): Unit =
+    try {
+      val (query, opName, vars) = ex.getRequestMethod match {
+        case "POST" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          parseGraphqlBody(body)
+        case "GET" =>
+          val p = params(ex)
+          (p.getOrElse("query", throw new IllegalArgumentException("missing arg: query")),
+            p.get("operation"), Map.empty[String, Any])
+        case m =>
+          throw new IllegalArgumentException(s"unsupported method $m")
+      }
+      respond(ex, 200, graphql.execute(query, opName, vars))
+    } catch {
+      case GraphQL.SyntaxError(msg, line, col) =>
+        respond(ex, 400,
+          s"""{"syntaxError":${quote(s"Syntax error while parsing GraphQL query. Invalid input, $msg")},""" +
+            s""""locations":[{"line":$line,"column":$col}]}""")
+      case GraphQL.AnalysisError(msg, line, col) =>
+        respond(ex, 400,
+          s"""{"errors":[{"message":${quote(msg)},"locations":[{"line":$line,"column":$col}]}]}""")
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":${quote(e.toString)}}""")
+    }
+
+  /** {query, operationName, variables} out of the POST body; a JSON array
+    * body contributes its first element (GraphQLRouter.scala:38-44).
+    */
+  private def parseGraphqlBody(body: String): (String, Option[String], Map[String, Any]) = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root =
+      try new ObjectMapper().readTree(body)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"request body is not JSON: ${e.getMessage}") }
+    val obj = if (root != null && root.isArray && root.size > 0) root.get(0) else root
+    if (obj == null || !obj.isObject)
+      throw new IllegalArgumentException("request body must be a JSON object")
+    val query = Option(obj.get("query")).filter(_.isTextual).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException("missing field: query"))
+    val opName = Option(obj.get("operationName")).filter(_.isTextual).map(_.asText)
+    val vars: Map[String, Any] = Option(obj.get("variables")).filter(_.isObject) match {
+      case None => Map.empty
+      case Some(v) =>
+        val it = v.fields()
+        val b = Map.newBuilder[String, Any]
+        while (it.hasNext) {
+          val e = it.next()
+          val value: Any = e.getValue match {
+            case n: JsonNode if n.isNull => null
+            case n: JsonNode if n.isTextual => n.asText
+            case n: JsonNode if n.isIntegralNumber => n.asLong
+            case n: JsonNode if n.isNumber => BigDecimal(n.decimalValue)
+            case n: JsonNode if n.isBoolean => n.asBoolean
+            case n: JsonNode => n.toString
+          }
+          b += e.getKey -> value
+        }
+        b.result()
+    }
+    (query, opName, vars)
+  }
+
   private def transferArgs(p: Map[String, String]): Api.TransferArgs = {
     // malformed user input must surface as a 400, not a 500
     def arg[T](k: String)(parse: String => T): Option[T] =
@@ -184,6 +259,7 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
       json(out.withColumn("amount", col("amount").cast("double"))
         .orderBy("transaction", "transfer"))
     }
+    server.createContext("/graphql", (ex: HttpExchange) => handleGraphql(ex))
     server.setExecutor(null) // serial dispatch ≡ reference's single DB pool
     server.start()
     this

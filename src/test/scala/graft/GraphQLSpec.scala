@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.api.{GraphQL, GraphQLExecutor, HttpEdge}
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.DataFrame
+
+/** GraphQL endpoint tests: the reference's three black-box scenarios
+  * (bbtest/features/graphql_api.feature:3-142) executed verbatim as
+  * GraphQL documents, plus parser/validation 400s
+  * (routers/RootRouter.scala:22-41) and the selection-set guarantee that
+  * `balance` only aggregates when requested.
+  */
+class GraphQLSpec extends SparkSpec {
+
+  // journal fixture ≡ the bbtest Given steps (snapshot + events + tx)
+  private def fixture(): String = {
+    val root = Files.createTempDirectory("journal")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    put("t_TENANT/account/CREDIT/snapshot/0000000000", "CZK FORMAT_T\n")
+    put("t_TENANT/account/DEBIT/snapshot/0000000000", "CZK FORMAT_T\n")
+    put("t_TENANT/account/IDLE/snapshot/0000000000", "EUR FORMAT_T\n")
+    put("t_TENANT/account/CREDIT/events/0000000000/1_1_TRN", "1\n")
+    put("t_TENANT/account/DEBIT/events/0000000000/1_-1_TRN", "1\n")
+    put("t_TENANT/transaction/TRN",
+      "committed\nTRX TENANT CREDIT TENANT DEBIT 2020-01-01T00:00:00Z 1 CZK\n")
+    root.toString
+  }
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, fixture(), dir)
+    dir
+  }
+
+  private def table(name: String): DataFrame = spark.read.parquet(s"$wh/$name")
+
+  private lazy val exec = new GraphQLExecutor(
+    () => table("tenant"), () => table("account"), () => table("transfer"),
+    () => Warehouse.balances(Warehouse.balanceChanges(table("transfer"))))
+
+  test("bbtest scenario 1: tenants query") {
+    val out = exec.execute(
+      """query {
+        |  tenants(limit: 1000, offset: 0) {
+        |    name
+        |  }
+        |}""".stripMargin)
+    assert(out == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
+  }
+
+  test("bbtest scenario 2: accounts query with balance") {
+    val out = exec.execute(
+      """query {
+        |  accounts(tenant: "TENANT", limit: 1000, offset: 0) {
+        |    name,
+        |    currency,
+        |    balance
+        |  }
+        |}""".stripMargin)
+    // name order; committed 1 CZK transfer ⇒ +1 / -1; idle account ⇒ 0,
+    // and the zero renders as the JSON integer 0 (bbtest is type-strict)
+    assert(out == """{"data":{"accounts":[""" +
+      """{"name":"CREDIT","currency":"CZK","balance":1},""" +
+      """{"name":"DEBIT","currency":"CZK","balance":-1},""" +
+      """{"name":"IDLE","currency":"EUR","balance":0}]}}""")
+  }
+
+  test("bbtest scenario 3: combined accounts + transfers document") {
+    val out = exec.execute(
+      """query {
+        |  accounts(tenant: "TENANT", limit: 1000, offset: 0) {
+        |    name,
+        |    currency,
+        |    balance
+        |  }
+        |  transfers(tenant: "TENANT", limit: 1000, offset: 0) {
+        |    transaction,
+        |    status
+        |    transfer
+        |  }
+        |}""".stripMargin)
+    assert(out.contains(""""accounts":[{"name":"CREDIT","currency":"CZK","balance":1}"""))
+    assert(out.contains(
+      """"transfers":[{"transaction":"TRN","status":"committed","transfer":"TRX"}]"""))
+  }
+
+  test("balance is only computed when the selection asks for it") {
+    val without = exec.plans(
+      """{ accounts(tenant: "TENANT", limit: 10, offset: 0) { name currency } }""")
+      .head.df.queryExecution.optimizedPlan.toString
+    val withBal = exec.plans(
+      """{ accounts(tenant: "TENANT", limit: 10, offset: 0) { name balance } }""")
+      .head.df.queryExecution.optimizedPlan.toString
+    assert(!without.contains("Aggregate") && !without.contains("transfer"),
+      s"balance-free selection must not touch the transfer table:\n$without")
+    assert(withBal.contains("Aggregate"),
+      s"balance selection must aggregate balance changes:\n$withBal")
+  }
+
+  test("nested selection sets: transfer → credit/debit accounts with balances") {
+    val out = exec.execute(
+      """query {
+        |  transfers(tenant: "TENANT", limit: 10, offset: 0) {
+        |    transaction
+        |    amount
+        |    valueDate
+        |    tenant { name }
+        |    credit { name balance tenant { name } }
+        |    debit { name balance }
+        |  }
+        |}""".stripMargin)
+    assert(out.contains(""""transaction":"TRN""""))
+    assert(out.contains(""""amount":1"""))
+    assert(out.contains(""""valueDate":"2020-01-01T00:00:00""""))
+    assert(out.contains(""""credit":{"name":"CREDIT","balance":1,"tenant":{"name":"TENANT"}}"""))
+    assert(out.contains(""""debit":{"name":"DEBIT","balance":-1}"""))
+  }
+
+  test("status filter coerces enum words; point lookups; aliases; variables") {
+    val committed = exec.execute(
+      """query ($t: String!) {
+        |  moved: transfers(tenant: $t, status: "committed", limit: 10, offset: 0) {
+        |    transfer
+        |  }
+        |}""".stripMargin, None, Map("t" -> "TENANT"))
+    assert(committed == """{"data":{"moved":[{"transfer":"TRX"}]}}""")
+
+    val none = exec.execute(
+      """{ transfers(tenant: "TENANT", status: "rollbacked", limit: 10, offset: 0) { transfer } }""")
+    assert(none == """{"data":{"transfers":[]}}""")
+
+    assert(exec.execute("""{ tenant(name: "TENANT") { name } }""") ==
+      """{"data":{"tenant":{"name":"TENANT"}}}""")
+    assert(exec.execute("""{ tenant(name: "NOPE") { name } }""") ==
+      """{"data":{"tenant":null}}""")
+    assert(exec.execute("""{ account(tenant: "TENANT", name: "IDLE") { currency } }""") ==
+      """{"data":{"account":{"currency":"EUR"}}}""")
+  }
+
+  test("operationName selects among multiple operations") {
+    val doc =
+      """query A { tenants(limit: 1, offset: 0) { name } }
+        |query B { tenant(name: "TENANT") { name } }""".stripMargin
+    assert(exec.execute(doc, Some("B")) == """{"data":{"tenant":{"name":"TENANT"}}}""")
+    intercept[GraphQL.AnalysisError](exec.execute(doc, None))
+  }
+
+  test("syntax and analysis errors carry source positions") {
+    val syn = intercept[GraphQL.SyntaxError](exec.execute("query { tenants(limit: }"))
+    assert(syn.line == 1 && syn.column == 24)
+    val unknownRoot = intercept[GraphQL.AnalysisError](exec.execute("{ nope { x } }"))
+    assert(unknownRoot.msg.contains("'nope'") && unknownRoot.line == 1)
+    val unknownField = intercept[GraphQL.AnalysisError](
+      exec.execute("""{ tenants(limit: 1, offset: 0) { name, nope } }"""))
+    assert(unknownField.msg.contains("'nope'"))
+    val missingArg = intercept[GraphQL.AnalysisError](
+      exec.execute("""{ tenants(limit: 1) { name } }"""))
+    assert(missingArg.msg.contains("offset"))
+    val badStatus = intercept[GraphQL.AnalysisError](
+      exec.execute("""{ transfers(tenant: "T", status: "nope", limit: 1, offset: 0) { transfer } }"""))
+    assert(badStatus.msg.contains("Status"))
+    intercept[GraphQL.AnalysisError](exec.execute("mutation { x }"))
+    intercept[GraphQL.AnalysisError](
+      exec.execute("""{ tenants(limit: 1, offset: 0) { ...frag } }"""))
+  }
+
+  test("graphql over HTTP: POST (bbtest body shape), GET, and 400 mapping") {
+    val edge = new HttpEdge(spark, wh, port = 0).start()
+    try {
+      val port = edge.boundPort
+      def post(body: String): (Int, String) = {
+        val url = java.net.URI.create(s"http://localhost:$port/graphql").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        conn.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val out = new String(is.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        (code, out)
+      }
+      // bbtest posts {"query":…,"variables":null,"operationName":null}
+      val q = """query { tenants(limit: 1000, offset: 0) { name } }"""
+      val (c1, b1) = post(
+        s"""{"query":${ujson(q)},"variables":null,"operationName":null}""")
+      assert(c1 == 200 && b1 == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
+
+      // GET form (GraphQLRouter.scala:57-63)
+      val enc = java.net.URLEncoder.encode("{ tenant(name: \"TENANT\") { name } }", "UTF-8")
+      val url = java.net.URI.create(s"http://localhost:$port/graphql?query=$enc").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(new String(conn.getInputStream.readAllBytes(), "UTF-8") ==
+        """{"data":{"tenant":{"name":"TENANT"}}}""")
+
+      // syntax error → 400 {"syntaxError":…,"locations":[…]} (RootRouter.scala:28-38)
+      val (c2, b2) = post("""{"query":"query { tenants(limit: }"}""")
+      assert(c2 == 400 && b2.contains("syntaxError") && b2.contains("\"line\":1"))
+
+      // analysis error → 400 {"errors":[…]} (RootRouter.scala:24-25)
+      val (c3, b3) = post("""{"query":"{ nope { x } }"}""")
+      assert(c3 == 400 && b3.contains("\"errors\"") && b3.contains("nope"))
+
+      // non-JSON body → 400
+      val (c4, _) = post("not json")
+      assert(c4 == 400)
+    } finally edge.stop()
+  }
+
+  private def ujson(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}
