@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.EventWindows.queries ++
       operators.JournalGate.queries ++
+      operators.SyncGate.queries ++
       multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.EventWindows.oracles ++
       operators.JournalGate.oracles ++
+      operators.SyncGate.oracles ++
       multimodal.Multimodal.oracles
 }

@@ -27,11 +27,11 @@ object JournalGate {
   /** Bounded deterministic slice: orders with key below this. */
   private val KeyBound = 1200
 
-  private def fixtureRoot(kind: String, dir: String): Path =
+  private[operators] def fixtureRoot(kind: String, dir: String): Path =
     Paths.get("/tmp", s"graft_journal_${kind}_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_"))
 
-  private def writeOnce(root: Path)(write: Path => Unit): Path = {
+  private[operators] def writeOnce(root: Path)(write: Path => Unit): Path = {
     if (!Files.exists(root)) {
       val tmp = Paths.get(root.toString + ".building")
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
@@ -44,7 +44,7 @@ object JournalGate {
     root
   }
 
-  private def put(root: Path, rel: String, content: String): Unit = {
+  private[operators] def put(root: Path, rel: String, content: String): Unit = {
     val p = root.resolve(rel)
     Files.createDirectories(p.getParent)
     Files.writeString(p, content)

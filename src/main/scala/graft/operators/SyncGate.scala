@@ -1,0 +1,160 @@
+package graft.operators
+
+import java.nio.file.Path
+
+import graft.Tables
+import graft.warehouse.Warehouse
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle gate for the FULL incremental sync pipeline (P6 ownership filter,
+  * P7 status assertion, P8 watermark skip, T3 watermark advance, T6
+  * idempotence) — the loop the reference runs in
+  * PrimaryDataExplorationService.scala:116-264.
+  *
+  * Shape: a deterministic journal fixture derived from the parquet
+  * testdata is synced in THREE passes — pass 1 over the initial journal,
+  * pass 2 after new events/transactions arrive (including snapshot
+  * rotations, whose event versions restart, and below-watermark "late"
+  * re-deliveries that must be skipped), pass 3 over the unchanged journal
+  * (must be a no-op). The gated frame is the final warehouse state:
+  * per-account watermarks plus how many transfers each account was
+  * credited — and the DuckDB oracle recomputes both straight from the
+  * parquet slice, so every filter in the pipeline is hash-checked.
+  *
+  * The sync passes execute when the query is CONSTRUCTED — this gate
+  * materializes a pipeline, not a single plan (the other queries stay
+  * lazy). The resulting warehouse is content-keyed and cached on disk, so
+  * repeat constructions (bench warmup/timing runs) only re-read parquet.
+  *
+  * Fixture map (orders slice, k = o_orderkey < 600, ack = o_custkey % 50):
+  *   - accounts: customers ck < 50 → `c<ck>`, snapshot-0 header
+  *   - event for k: account c<ack>, status F→1/P→2/else 0 (in the
+  *     FILENAME), version 1+k%5 (pass 1, k<300) or 11+k%5 (pass 2) so
+  *     versions stay monotonic within a snapshot; rotated accounts
+  *     (ack%3=0) take pass-2 events under snapshot 1
+  *   - transaction x<k>: status WORD + one transfer crediting c<ack> —
+  *     except k%11=0, which credits a non-party account so the P6
+  *     ownership filter must drop it (the event still advances the
+  *     watermark)
+  *   - late canary (pass 2, k<300 ∧ k%13=0): event version 1 announcing a
+  *     NEW transaction xL<k>. Version 1 is ≤ the account's pass-1
+  *     watermark by construction (the same order produced a pass-1 event
+  *     on the same account), so the watermark filter must skip it — if the
+  *     skip logic breaks, yL transfers appear and the hash mismatches.
+  */
+object SyncGate {
+
+  private val AcctBound = 50L
+  private val KeyBound = 600L
+  private val PassSplit = 300L
+
+  private def statusInt(word: String): Int =
+    word match { case "F" => 1; case "P" => 2; case _ => 0 }
+  private def statusWord(i: Int): String =
+    i match { case 1 => "committed"; case 2 => "rollbacked"; case _ => "promised" }
+
+  /** One journal file set; `pass2` adds the second wave. */
+  private def writeJournal(s: SparkSession, dir: String, tmp: Path, pass2: Boolean): Unit = {
+    import JournalGate.put
+    Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < AcctBound)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+      .collect().foreach { r: Row =>
+        val ccy = r.getString(1).substring(0, 3).toUpperCase
+        put(tmp, s"t_T/account/c${r.getLong(0)}/snapshot/0000000000",
+          s"$ccy F${r.getInt(2)}_T\n")
+      }
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < KeyBound)
+      .select("o_orderkey", "o_orderstatus", "o_custkey")
+      .collect()
+    orders.foreach { r: Row =>
+      val k = r.getLong(0); val st = statusInt(r.getString(1)); val ack = r.getLong(2) % 50
+      val inPass2 = k >= PassSplit
+      if (!inPass2 || pass2) {
+        val snap = if (inPass2 && ack % 3 == 0) "0000000001" else "0000000000"
+        val v = if (inPass2) 11 + k % 5 else 1 + k % 5
+        put(tmp, s"t_T/account/c$ack/events/$snap/${st}_1_x$k", s"$v\n")
+        val credit = if (k % 11 == 0) s"c${ack + 1000}" else s"c$ack"
+        put(tmp, s"t_T/transaction/x$k",
+          s"${statusWord(st)}\ny$k T $credit T b${k % 7} 2020-01-01T00:00:00Z 1.00 CZK\n")
+      }
+      if (pass2 && !inPass2 && k % 13 == 0) {
+        put(tmp, s"t_T/account/c$ack/events/0000000000/${st}_1_xL$k", "1\n")
+        put(tmp, s"t_T/transaction/xL$k",
+          s"${statusWord(st)}\nyL$k T c$ack T b${k % 7} 2020-01-01T00:00:00Z 1.00 CZK\n")
+      }
+    }
+  }
+
+  /** The gated pipeline: 3 sync passes into a content-keyed warehouse,
+    * then the final state as one deterministic frame.
+    */
+  def syncState(s: SparkSession, dir: String): DataFrame = {
+    import JournalGate.{fixtureRoot, writeOnce}
+    val j1 = writeOnce(fixtureRoot("sync_p1", dir))(writeJournal(s, dir, _, pass2 = false))
+    val j2 = writeOnce(fixtureRoot("sync_p2", dir))(writeJournal(s, dir, _, pass2 = true))
+    val wh = writeOnce(fixtureRoot("sync_wh", dir)) { tmp =>
+      Warehouse.sync(s, j1.toString, tmp.toString)
+      Warehouse.sync(s, j2.toString, tmp.toString)
+      // unchanged journal — T6: must discover nothing and move no watermark
+      val third = Warehouse.sync(s, j2.toString, tmp.toString)
+      require(third == Warehouse.SyncStats(0, 0, 0),
+        s"re-sync of an unchanged journal discovered rows: $third")
+    }
+    val account = s.read.parquet(s"$wh/account")
+    val credits = s.read.parquet(s"$wh/transfer")
+      .groupBy(col("credit_name").as("name"))
+      .agg(count(lit(1)).as("n_transfers"))
+    account.join(credits, Seq("name"), "left")
+      .withColumn("n_transfers", coalesce(col("n_transfers"), lit(0L)))
+      .select("tenant", "name", "currency", "format",
+        "last_syn_snapshot", "last_syn_event", "n_transfers")
+      .orderBy(expr("CAST(substring(name, 2, 10) AS LONG)"))
+  }
+
+  private val syncStateSql =
+    s"""WITH acct AS (
+       |  SELECT 'T' AS tenant, 'c' || CAST(c_custkey AS VARCHAR) AS name,
+       |         upper(substring(c_mktsegment, 1, 3)) AS currency,
+       |         'F' || CAST(c_nationkey AS VARCHAR) AS format,
+       |         c_custkey AS ck
+       |  FROM customer WHERE c_custkey < $AcctBound
+       |),
+       |-- every journal event that must end up processed; the late canaries
+       |-- (version 1 re-deliveries) are absent because the watermark filter
+       |-- provably skips them: their order also wrote a pass-1 event on the
+       |-- same account, so the watermark is already >= (0,1) when they land
+       |ev AS (
+       |  SELECT o_orderkey AS k, o_custkey % 50 AS ack,
+       |         CASE WHEN o_orderkey >= $PassSplit AND (o_custkey % 50) % 3 = 0
+       |              THEN 1 ELSE 0 END AS snap,
+       |         CASE WHEN o_orderkey >= $PassSplit
+       |              THEN 11 + o_orderkey % 5 ELSE 1 + o_orderkey % 5 END AS v,
+       |         CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'P' THEN 2 ELSE 0 END AS status
+       |  FROM orders WHERE o_orderkey < $KeyBound
+       |),
+       |-- T3: final watermark = lexicographic max (snapshot, version)
+       |wm AS (SELECT ack, max(snap * 100 + v) AS m FROM ev GROUP BY ack),
+       |-- transfers survive when announced (status <> 0) and the announcing
+       |-- account is a party (P6 drops the k%11=0 foreign-credit rows)
+       |xfer AS (
+       |  SELECT ack, count(*) AS n_transfers FROM ev
+       |  WHERE status <> 0 AND k % 11 <> 0 GROUP BY ack
+       |)
+       |SELECT a.tenant, a.name, a.currency, a.format,
+       |  CAST(COALESCE(w.m // 100, 0) AS INT) AS last_syn_snapshot,
+       |  CAST(COALESCE(w.m % 100, 0) AS INT) AS last_syn_event,
+       |  CAST(COALESCE(x.n_transfers, 0) AS BIGINT) AS n_transfers
+       |FROM acct a
+       |LEFT JOIN wm w ON w.ack = a.ck
+       |LEFT JOIN xfer x ON x.ack = a.ck
+       |ORDER BY a.ck""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sync_state" -> (syncState(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_sync_state" -> syncStateSql)
+}

@@ -123,6 +123,22 @@ object WarehouseQueries {
         currency = Some("EUR"), limit = 100, offset = 20)
     }),
 
+    // 2k `accounts(tenant, format?, …)` format equality filter (P3,
+    // GraphQLPersistence.scala:193-196). accountShape's format is constant,
+    // so the gate derives a varying one to make the filter select a strict
+    // subset.
+    "q_accounts_format" -> ((s, dir) => {
+      val shaped = accountShape(s, dir)
+        .withColumn("format", concat(lit("F"), (length(col("name")) % 4).cast("string")))
+      Api.accounts(shaped, "T", format = Some("F2"), limit = 200, offset = 0)
+    }),
+
+    // 2k `tenant(name)` point lookup. Ref: GraphQLPersistence.scala:167-182.
+    "q_tenant_lookup" -> ((s, dir) => {
+      val tenants = transferShape(s, dir).select(col("tenant").as("name")).distinct()
+      Api.tenant(tenants, "T")
+    }),
+
     // Q2 bugCompat gate: the reference's accounts currency filter runs
     // `>=` instead of `===` (GraphQLPersistence.scala:200-204).
     "q_accounts_bugcompat" -> ((s, dir) => {
@@ -252,6 +268,17 @@ object WarehouseQueries {
          |SELECT tenant, name, currency, format FROM a
          |WHERE tenant = 'T' AND currency = 'EUR'
          |ORDER BY name LIMIT 100 OFFSET 20""".stripMargin,
+    "q_accounts_format" ->
+      s"""WITH t AS ($transferShapeSql),
+         |a AS ($accountShapeSql)
+         |SELECT tenant, name, currency,
+         |  'F' || CAST(length(name) % 4 AS VARCHAR) AS format
+         |FROM a
+         |WHERE tenant = 'T' AND 'F' || CAST(length(name) % 4 AS VARCHAR) = 'F2'
+         |ORDER BY name LIMIT 200""".stripMargin,
+    "q_tenant_lookup" ->
+      s"""WITH t AS ($transferShapeSql)
+         |SELECT DISTINCT tenant AS name FROM t WHERE tenant = 'T' LIMIT 1""".stripMargin,
     "q_accounts_bugcompat" ->
       s"""WITH t AS ($transferShapeSql),
          |a AS ($accountShapeSql)

@@ -44,7 +44,13 @@ object Journal {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("value", StringType), StructField("path", StringType))))
     } else {
-      spark.read.option("wholetext", "true").text(glob)
+      // Read the RESOLVED paths, not the glob: a single glob path routes
+      // through Spark's streaming-sink metadata probe, which logs a benign
+      // FileNotFoundException with a full stack trace at WARN on every
+      // cold read (multi-path reads skip the probe). The listing cost is
+      // identical — Spark expands the glob to these same paths internally.
+      spark.read.option("wholetext", "true")
+        .text(matches.map(_.getPath.toString).toIndexedSeq: _*)
         .withColumn("path", input_file_name())
     }
   }
