@@ -57,8 +57,8 @@ object JournalGate {
     * written from the orders slice, parsed back by the distributed
     * wholetext plan.
     */
-  def journalTransfers(s: SparkSession, dir: String): DataFrame = {
-    val root = writeOnce(fixtureRoot("tx", dir)) { tmp =>
+  private def txFixture(s: SparkSession, dir: String): Path =
+    writeOnce(fixtureRoot("tx", dir)) { tmp =>
       Tables.load(s, dir, "orders")
         .filter(col("o_orderkey") < KeyBound)
         .select("o_orderkey", "o_orderstatus", "o_custkey", "o_orderdate", "o_totalprice")
@@ -74,6 +74,9 @@ object JournalGate {
               s"${day}T00:00:00Z $amount CZK\n")
         }
     }
+
+  def journalTransfers(s: SparkSession, dir: String): DataFrame = {
+    val root = txFixture(s, dir)
     Journal.transfers(s, root.toString)
       .withColumn("amount", col("amount").cast("double"))
       .withColumn("value_date", col("value_date").cast(TimestampNTZType))
@@ -143,13 +146,32 @@ object JournalGate {
        |  CAST(o_orderkey % 5 + 1 AS INT) AS version
        |FROM orders WHERE o_orderkey < $KeyBound ORDER BY o_orderkey""".stripMargin
 
+  /** The compaction path under the same oracle as q_journal_transfers:
+    * fixture → `Journal.compact` manifest → `transfersFromManifest`. The
+    * hash must equal the direct tiny-file parse, and the bench delta
+    * vs q_journal_transfers shows what compaction buys (one parquet scan
+    * instead of per-file listing + tasks).
+    */
+  def journalManifest(s: SparkSession, dir: String): DataFrame = {
+    val root = txFixture(s, dir)
+    val m = writeOnce(fixtureRoot("txmanifest", dir)) { tmp =>
+      Journal.compact(s, root.toString, tmp.toString)
+    }
+    Journal.transfersFromManifest(s, m.toString)
+      .withColumn("amount", col("amount").cast("double"))
+      .withColumn("value_date", col("value_date").cast(TimestampNTZType))
+      .orderBy(col("transaction").cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_journal_transfers" -> (journalTransfers(_, _)),
     "q_journal_accounts" -> (journalAccounts(_, _)),
-    "q_journal_events" -> (journalEvents(_, _)))
+    "q_journal_events" -> (journalEvents(_, _)),
+    "q_journal_manifest" -> (journalManifest(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_journal_transfers" -> journalTransfersSql,
     "q_journal_accounts" -> journalAccountsSql,
-    "q_journal_events" -> journalEventsSql)
+    "q_journal_events" -> journalEventsSql,
+    "q_journal_manifest" -> journalTransfersSql)
 }

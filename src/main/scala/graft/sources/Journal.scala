@@ -84,8 +84,13 @@ object Journal {
     * `input_file_name()`-derived filter could not be pushed into file
     * listing and would scan unbounded snapshot history.
     */
-  def accounts(spark: SparkSession, root: String): DataFrame = {
-    val snaps = safeWholetext(spark, s"$root/t_*/account/*/snapshot/0000000000")
+  def accounts(spark: SparkSession, root: String): DataFrame =
+    parseAccounts(safeWholetext(spark, s"$root/t_*/account/*/snapshot/0000000000"))
+
+  /** Snapshot-header parse on a raw (value, path) frame — shared by the
+    * glob reader above and the compacted-manifest reader.
+    */
+  def parseAccounts(snaps: DataFrame): DataFrame = {
     val header = substring_index(col("value"), "\n", 1)
     snaps
       .withColumn("tenant", regexp_extract(col("path"), "t_([^/]+)/account/", 1))
@@ -104,8 +109,13 @@ object Journal {
     * reference); event version is the file's first line.
     * Ref: PrimaryPersistence.scala:124-164 (S4).
     */
-  def events(spark: SparkSession, root: String): DataFrame = {
-    val ev = safeWholetext(spark, s"$root/t_*/account/*/events/*/*")
+  def events(spark: SparkSession, root: String): DataFrame =
+    parseEvents(safeWholetext(spark, s"$root/t_*/account/*/events/*/*"))
+
+  /** Event filename/content parse on a raw (value, path) frame — shared by
+    * the glob reader above and the compacted-manifest reader.
+    */
+  def parseEvents(ev: DataFrame): DataFrame = {
     val fname = regexp_extract(col("path"), "/events/[0-9]+/([^/]+)$", 1)
     ev
       .withColumn("tenant", regexp_extract(col("path"), "t_([^/]+)/account/", 1))
@@ -166,4 +176,52 @@ object Journal {
       f.getItem(7).as("currency"),
       f.getItem(5).cast(TimestampType).as("value_date"))
   }
+
+  // ---- compacted manifest ----------------------------------------------
+  //
+  // The journal's one-file-per-event layout means a sync pass over a large
+  // history lists (and schedules one task per) millions of tiny files —
+  // at 100 TB the listing alone dominates (the reference has the same
+  // problem one directory at a time, PrimaryDataExplorationService
+  // .scala:38-96). `compact` rewrites a journal subtree into a parquet
+  // MANIFEST of raw (value, relative path) rows partitioned by entity
+  // kind, so history reads become one columnar scan with partition
+  // pruning; the parse on top is the SAME shared parse the live readers
+  // use, which makes manifest/direct equivalence structural. The intended
+  // split at scale: compact once per epoch, read history from the
+  // manifest, glob only the small post-epoch tail.
+
+  /** Rewrite the journal subtree under `root` into a parquet manifest.
+    * Raw contents are preserved verbatim; paths are stored relative to
+    * `root` (`t_…/…`) so the manifest is relocatable.
+    */
+  def compact(spark: SparkSession, root: String, manifestDir: String): Unit = {
+    def raw(glob: String, kind: String): DataFrame =
+      safeWholetext(spark, glob)
+        .withColumn("path", regexp_extract(col("path"), "(t_[^/]+/.*)$", 1))
+        .withColumn("kind", lit(kind))
+    raw(s"$root/t_*/account/*/snapshot/0000000000", "snapshot")
+      .unionByName(raw(s"$root/t_*/account/*/events/*/*", "event"))
+      .unionByName(raw(s"$root/t_*/transaction/*", "transaction"))
+      .write.mode("overwrite").partitionBy("kind").parquet(manifestDir)
+  }
+
+  /** One entity kind's raw rows — partition-pruned parquet scan. */
+  private def manifest(spark: SparkSession, dir: String, kind: String): DataFrame =
+    spark.read.parquet(dir).filter(col("kind") === kind).select("value", "path")
+
+  def tenantsFromManifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(regexp_extract(col("path"), "^t_([^/]+)/", 1).as("name"))
+      .distinct()
+
+  def accountsFromManifest(spark: SparkSession, dir: String): DataFrame =
+    parseAccounts(manifest(spark, dir, "snapshot")
+      .filter(col("path").endsWith("/snapshot/0000000000")))
+
+  def eventsFromManifest(spark: SparkSession, dir: String): DataFrame =
+    parseEvents(manifest(spark, dir, "event"))
+
+  def transfersFromManifest(spark: SparkSession, dir: String): DataFrame =
+    parseTransfers(manifest(spark, dir, "transaction"))
 }

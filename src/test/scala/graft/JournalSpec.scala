@@ -150,4 +150,23 @@ class JournalSpec extends SparkSpec {
     assert(n(Api.TransferArgs(valueDateLte = Some(ts))) == 1) // >= keeps
     assert(n(Api.TransferArgs(valueDateLt = Some(ts))) == 1)  // >= keeps (non-strict)
   }
+  test("compacted manifest is equivalent to the direct tiny-file parse") {
+    val root = writeFixture()
+    val m = Files.createTempDirectory("manifest").toString
+    Journal.compact(spark, root.toString, m)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+
+    assert(rows(Journal.accountsFromManifest(spark, m)) ==
+      rows(Journal.accounts(spark, root.toString)))
+    assert(rows(Journal.eventsFromManifest(spark, m)) ==
+      rows(Journal.events(spark, root.toString)))
+    assert(rows(Journal.transfersFromManifest(spark, m)) ==
+      rows(Journal.transfers(spark, root.toString)))
+    // tenant discovery from the manifest sees only tenants with files
+    // (the bare t_EMPTY dir has nothing to compact)
+    assert(Journal.tenantsFromManifest(spark, m)
+      .collect().map(_.getString(0)).toSeq == Seq("TENANT"))
+  }
 }
