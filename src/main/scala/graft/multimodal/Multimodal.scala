@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the decode / feature-extract /
   * resize / frame-sample operators a training-data pipeline runs on them.
   *
-  * The real decode step is STUBBED (no image/audio codecs in this
-  * environment — see `decodeFeatures`); everything around it — the media
+  * Image/video decode is STUBBED (no native codecs in this environment —
+  * see `decodeFeatures`); WAV/PCM audio decode is REAL (`decodeWav` /
+  * `wavFeatures` — RIFF needs no codec). Everything around it — the media
   * schema, the columnar metadata ops, the per-partition batch shape of the
   * decoder, the fixed-dim float feature output — is real, tested Spark
   * plumbing that a codec-backed implementation would drop into.
@@ -80,6 +81,112 @@ object Multimodal {
         }
       }
       .toDF("media_id", "feature")
+  }
+
+  // ---- real audio decode (WAV/PCM) -------------------------------------
+  //
+  // Unlike image/video, RIFF/WAVE PCM needs no native codec — the decode
+  // below is REAL: chunk walk, fmt parse, 8/16/24/32-bit int + 32-bit
+  // float samples, multi-channel mix-down. It drops into the exact
+  // mapPartitions batch shape the stub documents, proving the plumbing.
+
+  /** Decoded audio: mono samples in [-1, 1]. */
+  final case class WavAudio(sampleRate: Int, channels: Int, samples: Array[Float])
+
+  /** RIFF/WAVE PCM decoder (pure JVM). Supports PCM (format 1) at
+    * 8/16/24/32 bits and IEEE float (format 3) at 32 bits; multi-channel
+    * input is averaged to mono. Truncated data chunks decode the bytes
+    * present (streaming-friendly).
+    */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12, "too short for a RIFF header")
+    require(bb.getInt(0) == 0x46464952, "not a RIFF container") // "RIFF"
+    require(bb.getInt(8) == 0x45564157, "not a WAVE file") // "WAVE"
+    var pos = 12
+    var format = 0; var channels = 0; var rate = 0; var bits = 0
+    var fmtSeen = false
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length) {
+      val id = bb.getInt(pos); val sz = bb.getInt(pos + 4)
+      id match {
+        case 0x20746d66 => // "fmt "
+          require(sz >= 16 && pos + 8 + 16 <= bytes.length, "truncated fmt chunk")
+          format = bb.getShort(pos + 8) & 0xffff
+          channels = bb.getShort(pos + 10) & 0xffff
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22) & 0xffff
+          fmtSeen = true
+        case 0x61746164 => // "data"
+          dataOff = pos + 8
+          dataLen = math.min(sz, bytes.length - dataOff)
+        case _ => () // LIST/INFO/fact/… chunks are skipped
+      }
+      pos += 8 + sz + (sz & 1) // chunks are 16-bit aligned
+    }
+    require(fmtSeen, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    require(channels > 0, "zero channels")
+    val bytesPerSample = bits / 8
+    require((format == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+      (format == 3 && bits == 32), s"unsupported format=$format bits=$bits")
+    val frameSize = bytesPerSample * channels
+    val frames = dataLen / frameSize
+    val mono = new Array[Float](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0f
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + f * frameSize + c * bytesPerSample
+        acc += (if (format == 3) bb.getFloat(o)
+        else bits match {
+          case 8 => ((bytes(o) & 0xff) - 128) / 128f
+          case 16 => bb.getShort(o) / 32768f
+          case 24 =>
+            val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) << 16)
+            v / 8388608f
+          case 32 => bb.getInt(o) / 2147483648f
+        })
+        c += 1
+      }
+      mono(f) = acc / channels
+      f += 1
+    }
+    WavAudio(rate, channels, mono)
+  }
+
+  /** Real audio feature extraction: decode each WAV blob and emit the RMS
+    * energy of `dim` equal time windows — a fixed-dim `array<float>` that
+    * feeds the similarity operators exactly like the stubbed features.
+    * Same distributed shape as `decodeFeatures`: one partition of blobs
+    * per task, no driver involvement.
+    */
+  def wavFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("mime") === "audio/wav").select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, blob) =>
+          val wav = decodeWav(blob)
+          val n = wav.samples.length
+          val sumSq = new Array[Double](dim)
+          val cnt = new Array[Int](dim)
+          var i = 0
+          while (i < n) {
+            val w = (i.toLong * dim / n).toInt
+            val x = wav.samples(i)
+            sumSq(w) += x.toDouble * x
+            cnt(w) += 1
+            i += 1
+          }
+          val feat = Array.tabulate(dim)(w =>
+            if (cnt(w) == 0) 0f else math.sqrt(sumSq(w) / cnt(w)).toFloat)
+          (id, wav.sampleRate, n, feat)
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "feature")
   }
 
   /** Gated metadata query: per-frame rows with byte sizes and resize math
