@@ -57,8 +57,14 @@ final class GraphQLExecutor(
     * [[GraphQL.SyntaxError]]/[[GraphQL.AnalysisError]] to 400s).
     */
   def execute(doc: String, operationName: Option[String] = None,
-      variables: Map[String, Any] = Map.empty): String = {
-    val parts = plans(doc, operationName, variables).map { p =>
+      variables: Map[String, Any] = Map.empty): String =
+    renderResponse(plans(doc, operationName, variables))
+
+  /** Execute pre-compiled root plans (see [[plans]]) — lets an edge cache
+    * the compiled plans per request shape and re-render per request.
+    */
+  def renderResponse(compiled: List[RootPlan]): String = {
+    val parts = compiled.map { p =>
       val rows = p.df.collect()
       val body =
         if (p.list) rows.iterator.map(render(_, p.nodes)).mkString("[", ",", "]")

@@ -88,4 +88,45 @@ class HttpEdgeSpec extends SparkSpec {
       assert(c3 == 400 && e3.contains("bad value_date_gt"))
     }
   }
+  test("concurrent requests over the pooled edge; plan cache reuses shapes") {
+    val wh = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, fixture(), wh)
+    val edge = new HttpEdge(spark, wh, port = 0).start()
+    try {
+      val port = edge.boundPort
+      val paths = Seq(
+        "/tenants", "/tenant?name=TENANT",
+        "/account?tenant=TENANT&name=CREDIT",
+        "/accounts?tenant=TENANT&currency=CZK",
+        "/transfers?tenant=TENANT&status=committed",
+        "/health")
+      import java.util.concurrent.Executors
+      val exec = Executors.newFixedThreadPool(12)
+      try {
+        val futures = (1 to 48).map { i =>
+          val path = paths(i % paths.size)
+          exec.submit(new java.util.concurrent.Callable[(String, Int, String)] {
+            def call() = { val (c, b) = get(port, path); (path, c, b) }
+          })
+        }
+        val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        results.foreach { case (path, code, body) =>
+          assert(code == 200, s"$path -> $code: $body")
+        }
+        // identical requests must return identical bodies under concurrency
+        results.groupBy(_._1).foreach { case (_, rs) =>
+          assert(rs.map(_._3).distinct.size == 1)
+        }
+        val byPath = results.groupBy(_._1).map { case (k, v) => k -> v.head._3 }
+        assert(byPath("/tenant?name=TENANT") == "[{\"name\":\"TENANT\"}]")
+        assert(byPath("/account?tenant=TENANT&name=CREDIT").contains("\"balance\":1.0"))
+        // 5 distinct cacheable shapes ran 8x each -> exactly 5 cached plans
+        // (+1 for the shared balances plan); /health is uncached
+        assert(edge.cachedPlans == 6, s"cachedPlans=${edge.cachedPlans}")
+        edge.refresh()
+        assert(edge.cachedPlans == 0)
+        assert(get(port, "/tenants")._2.contains("TENANT")) // rebuilds fine
+      } finally exec.shutdown()
+    } finally edge.stop()
+  }
 }
