@@ -109,7 +109,9 @@ object Warehouse {
     * still reads the old files).
     */
   def sync(spark: SparkSession, journalRoot: String, warehouseDir: String,
-           partitionByTenant: Boolean = false): SyncStats = {
+           partitionByTenant: Boolean = false,
+           metrics: graft.metrics.MetricsEmitter = graft.metrics.MetricsEmitter.Disabled
+          ): SyncStats = {
     import graft.sources.Journal
     import org.apache.spark.sql.Observation
 
@@ -220,6 +222,15 @@ object Warehouse {
       fs.delete(tablePath("account_old"), true)
     }
     events.unpersist()
+    // A2 transport: the observed counters leave the process in the
+    // reference's statsd aspect names (PrimaryDataExplorationService
+    // .scala:58, 92, 247 + memory gauge, asserted by
+    // bbtest/features/metrics.feature:31-37)
+    metrics.count("discovery.tenant", nTenants)
+    metrics.count("discovery.account", nAccounts)
+    metrics.count("discovery.transfer", nTransfers)
+    val rt = Runtime.getRuntime
+    metrics.gauge("memory.bytes", rt.totalMemory() - rt.freeMemory())
     SyncStats(nTenants, nAccounts, nTransfers)
   }
 }
