@@ -88,4 +88,27 @@ class PlanSpec extends SparkSpec {
     // exactly one parquet scan feeds the aggregate
     assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
   }
+  test("manifest readers partition-prune on entity kind") {
+    val root = java.nio.file.Files.createTempDirectory("j")
+    def put(rel: String, content: String): Unit = {
+      val f = root.resolve(rel)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, content): Unit
+    }
+    put("t_T/account/A/snapshot/0000000000", "CZK F_T\n")
+    put("t_T/account/A/events/0000000000/1_1_X", "1\n")
+    put("t_T/transaction/X", "committed\ny T A T B 2020-01-01T00:00:00Z 1 CZK\n")
+    val m = java.nio.file.Files.createTempDirectory("manifest").toString
+    graft.sources.Journal.compact(spark, root.toString, m)
+
+    val plan = graft.sources.Journal.transfersFromManifest(spark, m)
+      .queryExecution.executedPlan.toString
+    // the kind filter must prune manifest partitions at the scan, not
+    // filter rows after reading all three entity kinds
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("kind")),
+      s"kind must appear in PartitionFilters:\n$plan")
+    assert(!plan.contains("Filter (kind"),
+      s"kind must not survive as a post-scan row filter:\n$plan")
+  }
 }
