@@ -123,6 +123,34 @@ object WarehouseQueries {
         currency = Some("EUR"), limit = 100, offset = 20)
     }),
 
+    // The GraphQL executor end-to-end under the oracle: a document with
+    // filters, pagination, and a nested credit{balance} selection compiles
+    // to ONE Catalyst plan whose result hash-matches DuckDB. This gates the
+    // parser, argument coercion, selection-driven joins, and the balance
+    // aggregate together (graft.api.GraphQLExecutor).
+    "q_graphql_transfers" -> ((s, dir) => {
+      val exec = new graft.api.GraphQLExecutor(
+        () => transferShape(s, dir).select(col("tenant").as("name")).distinct(),
+        () => accountShape(s, dir),
+        () => transferShape(s, dir),
+        () => Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir))))
+      val doc =
+        """query Gate {
+          |  transfers(tenant: "T", status: "committed", amount_gte: 1000,
+          |            limit: 40, offset: 5) {
+          |    transaction transfer amount
+          |    credit { name balance }
+          |    debit { name }
+          |  }
+          |}""".stripMargin
+      exec.plans(doc).head.df
+        .select(col("transaction"), col("transfer"),
+          col("amount").cast("double").as("amount"),
+          col("credit_name"), col("credit_balance").cast("double").as("credit_balance"),
+          col("debit_name"))
+        .orderBy("transaction", "transfer")
+    }),
+
     // 2k `accounts(tenant, format?, …)` format equality filter (P3,
     // GraphQLPersistence.scala:193-196). accountShape's format is constant,
     // so the gate derives a varying one to make the filter select a strict
@@ -268,6 +296,26 @@ object WarehouseQueries {
          |SELECT tenant, name, currency, format FROM a
          |WHERE tenant = 'T' AND currency = 'EUR'
          |ORDER BY name LIMIT 100 OFFSET 20""".stripMargin,
+    "q_graphql_transfers" ->
+      s"""WITH t AS ($transferShapeSql),
+         |a AS ($accountShapeSql),
+         |ch AS (
+         |  SELECT tenant, credit_name AS name, amount FROM t WHERE status = 1
+         |  UNION ALL
+         |  SELECT tenant, debit_name AS name, -amount FROM t WHERE status = 1),
+         |b AS (
+         |  SELECT tenant, name, sum(amount) AS balance FROM ch GROUP BY 1, 2),
+         |page AS (
+         |  SELECT * FROM t
+         |  WHERE tenant = 'T' AND status = 1 AND amount >= 1000
+         |  ORDER BY transaction, transfer LIMIT 40 OFFSET 5)
+         |SELECT p.transaction, p.transfer, CAST(p.amount AS DOUBLE) AS amount,
+         |  p.credit_name,
+         |  CAST(COALESCE(cb.balance, 0) AS DOUBLE) AS credit_balance,
+         |  p.debit_name
+         |FROM page p
+         |LEFT JOIN b cb ON cb.tenant = p.credit_tenant AND cb.name = p.credit_name
+         |ORDER BY p.transaction, p.transfer""".stripMargin,
     "q_accounts_format" ->
       s"""WITH t AS ($transferShapeSql),
          |a AS ($accountShapeSql)
