@@ -99,8 +99,19 @@ final class GraphQLExecutor(
     case "account" =>
       val a = new Args(f, Set("tenant", "name"))
       val (needBal, nodes) = accountNodes(requireSel(f), identity)
-      val df = Api.account(accountSource(needBal), a.str("tenant"), a.str("name"))
-      RootPlan(f.outputName, df, nodes, list = false)
+      val t = a.str("tenant"); val n = a.str("name")
+      // point lookup: balance via Warehouse.balanceOf, whose explicit
+      // credit/debit disjunction reaches the transfer SCAN — the generic
+      // aggregate would leave the key filter above the stack() unpivot and
+      // read every transfer for one account's balance
+      val src =
+        if (!needBal) accountSource(needBalance = false)
+        else accountSource(needBalance = false)
+          .join(graft.warehouse.Warehouse.balanceOf(transferTable(), t, n),
+            Seq("tenant", "name"), "left")
+          .withColumn("balance",
+            coalesce(col("balance"), lit(0).cast(DecimalType(38, 18))))
+      RootPlan(f.outputName, Api.account(src, t, n), nodes, list = false)
 
     case "accounts" =>
       val a = new Args(f, Set("tenant", "currency", "format", "limit", "offset"))

@@ -86,6 +86,21 @@ object Warehouse {
       .groupBy(col("tenant"), col("name"))
       .agg(sum(col("amount")).cast(DecimalType(38, 18)).as("balance"))
 
+  /** Point-lookup balance for ONE account. The generic path (`balances ∘
+    * balanceChanges` then filter) leaves the (tenant, name) predicate
+    * ABOVE the `stack` unpivot — Catalyst cannot infer the credit/debit
+    * disjunction through the generator, so a single account's balance
+    * scans every transfer row. Spelling the disjunction out pushes it into
+    * the parquet scan (row-group skipping on credit_/debit_name stats):
+    * the aggregate then reads only the account's own transfers.
+    */
+  def balanceOf(transfers: DataFrame, tenant: String, name: String): DataFrame =
+    balances(balanceChanges(
+      transfers.filter(
+        (col("credit_tenant") === lit(tenant) && col("credit_name") === lit(name)) ||
+          (col("debit_tenant") === lit(tenant) && col("debit_name") === lit(name))))
+      .filter(col("tenant") === lit(tenant) && col("name") === lit(name)))
+
   /** One incremental ETL pass: journal → warehouse tables, idempotently
     * merged into `warehouseDir` (parquet dirs tenant/account/transfer).
     * Re-running on an unchanged journal is a no-op (T6 effectively-once).

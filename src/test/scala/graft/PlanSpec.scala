@@ -111,4 +111,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Filter (kind"),
       s"kind must not survive as a post-scan row filter:\n$plan")
   }
+  test("point-lookup balance pushes the credit/debit disjunction into the scan") {
+    val transfers = Seq(("T", "tx1", "t1", 1, "T", "a", "T", "b",
+      BigDecimal(1), "CZK", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("tenant", "transaction", "transfer", "status", "credit_tenant",
+        "credit_name", "debit_tenant", "debit_name", "amount", "currency", "value_date")
+    val plan = Warehouse.balanceOf(transfers, "T", "a")
+      .queryExecution.optimizedPlan.toString
+    // the account-key disjunction must sit BELOW the stack() unpivot —
+    // Catalyst cannot infer it through the generator, so without the
+    // explicit prefilter a single balance reads every transfer
+    val genIdx = plan.indexOf("Generate stack")
+    val orIdx = plan.indexOf("credit_name")
+    assert(genIdx >= 0 && orIdx > genIdx,
+      s"credit/debit prefilter must appear below the unpivot:\n$plan")
+  }
 }
