@@ -119,10 +119,19 @@ final class GraphQLExecutor(
       val page = Api.accounts(accountTable(), a.str("tenant"),
         currency = a.strOpt("currency"), format = a.strOpt("format"),
         limit = a.nat("limit"), offset = a.nat("offset"))
-      // balance joins against the PAGE (bounded by limit), and the join
-      // re-sorts — reassert the pagination order
+      // balance joins against the PAGE (bounded by limit) and the
+      // aggregate is SCOPED to the page's accounts (semi join below the
+      // agg — Warehouse.balancesFor); the join re-sorts, so reassert the
+      // pagination order
       val df =
-        if (needBal) withBalance(page).orderBy("name") else page
+        if (needBal)
+          page.join(
+            graft.warehouse.Warehouse.balancesFor(transferTable(), page),
+            Seq("tenant", "name"), "left")
+            .withColumn("balance",
+              coalesce(col("balance"), lit(0).cast(DecimalType(38, 18))))
+            .orderBy("name")
+        else page
       RootPlan(f.outputName, df, nodes, list = true)
 
     case "transfers" =>

@@ -101,6 +101,20 @@ object Warehouse {
           (col("debit_tenant") === lit(tenant) && col("debit_name") === lit(name))))
       .filter(col("tenant") === lit(tenant) && col("name") === lit(name)))
 
+  /** Balances restricted to the accounts of `keys` (any frame carrying
+    * tenant, name — typically a paginated account page). The semi join
+    * sits BELOW the aggregate, so a bounded page aggregates only its own
+    * accounts' balance changes instead of every account ever seen; AQE
+    * broadcasts the page side when it is small. (The per-name scan
+    * disjunction of [[balanceOf]] doesn't generalize to N names — parquet
+    * pushdown can't express it through the unpivot — so scoping the
+    * aggregate is the page-shaped equivalent.)
+    */
+  def balancesFor(transfers: DataFrame, keys: DataFrame): DataFrame =
+    balances(balanceChanges(transfers)
+      .join(keys.select(col("tenant"), col("name")).distinct(),
+        Seq("tenant", "name"), "left_semi"))
+
   /** One incremental ETL pass: journal → warehouse tables, idempotently
     * merged into `warehouseDir` (parquet dirs tenant/account/transfer).
     * Re-running on an unchanged journal is a no-op (T6 effectively-once).

@@ -120,9 +120,10 @@ class HttpEdgeSpec extends SparkSpec {
         val byPath = results.groupBy(_._1).map { case (k, v) => k -> v.head._3 }
         assert(byPath("/tenant?name=TENANT") == "[{\"name\":\"TENANT\"}]")
         assert(byPath("/account?tenant=TENANT&name=CREDIT").contains("\"balance\":1.0"))
-        // 5 distinct cacheable shapes ran 8x each -> exactly 5 cached plans
-        // (+1 for the shared balances plan); /health is uncached
-        assert(edge.cachedPlans == 6, s"cachedPlans=${edge.cachedPlans}")
+        // 5 distinct cacheable shapes ran 8x each -> exactly 5 cached
+        // plans; /health is uncached, and these routes use page-scoped
+        // balances rather than the shared aggregate entry
+        assert(edge.cachedPlans == 5, s"cachedPlans=${edge.cachedPlans}")
         edge.refresh()
         assert(edge.cachedPlans == 0)
         assert(get(port, "/tenants")._2.contains("TENANT")) // rebuilds fine

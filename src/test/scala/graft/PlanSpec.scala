@@ -126,4 +126,17 @@ class PlanSpec extends SparkSpec {
     assert(genIdx >= 0 && orIdx > genIdx,
       s"credit/debit prefilter must appear below the unpivot:\n$plan")
   }
+  test("page-scoped balances put the semi join below the aggregate") {
+    val transfers = Seq(("T", "tx1", "t1", 1, "T", "a", "T", "b",
+      BigDecimal(1), "CZK", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("tenant", "transaction", "transfer", "status", "credit_tenant",
+        "credit_name", "debit_tenant", "debit_name", "amount", "currency", "value_date")
+    val page = Seq(("T", "a"), ("T", "b")).toDF("tenant", "name")
+    val plan = Warehouse.balancesFor(transfers, page)
+      .queryExecution.optimizedPlan.toString
+    val aggIdx = plan.indexOf("Aggregate")
+    val semiIdx = plan.indexOf("Join LeftSemi")
+    assert(aggIdx >= 0 && semiIdx > aggIdx,
+      s"semi join must restrict the aggregate's input, not its output:\n$plan")
+  }
 }
