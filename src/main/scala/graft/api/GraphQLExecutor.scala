@@ -29,15 +29,17 @@ import org.apache.spark.sql.types.DecimalType
   * solve disappears — a page is one distributed plan regardless of nesting.
   *
   * At 100 TB: point lookups (`account`, `tenant`) push literal predicates
-  * into the scan, and Catalyst's constraint propagation pushes the same
-  * (tenant, name) keys through the balance join below the aggregate, so a
-  * single account's balance never aggregates the whole transfer table.
+  * into the scan, and every balance join is SCOPED — a point lookup uses
+  * [[graft.warehouse.Warehouse.balanceOf]] (the credit/debit disjunction
+  * reaches the transfer scan), pages and nested credit/debit resolution
+  * use [[graft.warehouse.Warehouse.balancesFor]] (semi join below the
+  * aggregate on the page's keys) — so no request ever aggregates every
+  * account's balance to answer a bounded page.
   */
 final class GraphQLExecutor(
     tenantTable: () => DataFrame,
     accountTable: () => DataFrame,
-    transferTable: () => DataFrame,
-    balancesTable: () => DataFrame) {
+    transferTable: () => DataFrame) {
 
   /** One compiled root field: the plan, its JSON shape, list vs object. */
   final case class RootPlan(outputName: String, df: DataFrame,
@@ -105,8 +107,8 @@ final class GraphQLExecutor(
       // aggregate would leave the key filter above the stack() unpivot and
       // read every transfer for one account's balance
       val src =
-        if (!needBal) accountSource(needBalance = false)
-        else accountSource(needBalance = false)
+        if (!needBal) accountBase
+        else accountBase
           .join(graft.warehouse.Warehouse.balanceOf(transferTable(), t, n),
             Seq("tenant", "name"), "left")
           .withColumn("balance",
@@ -162,7 +164,22 @@ final class GraphQLExecutor(
           case side @ ("credit" | "debit") =>
             val (needBal, children) =
               accountNodes(requireSel(c), n => s"${side}_$n")
-            val dim = accountSource(needBal)
+            // nested balances are scoped to the PAGE's credit/debit keys
+            // (semi join below the aggregate, Warehouse.balancesFor) —
+            // the full aggregate would compute every account's balance to
+            // resolve a bounded page
+            val dim =
+              if (!needBal) accountBase
+              else {
+                val keys = page.select(
+                  col(s"${side}_tenant").as("tenant"),
+                  col(s"${side}_name").as("name"))
+                accountBase
+                  .join(graft.warehouse.Warehouse.balancesFor(transferTable(), keys),
+                    Seq("tenant", "name"), "left")
+                  .withColumn("balance",
+                    coalesce(col("balance"), lit(0).cast(DecimalType(38, 18))))
+              }
             val renamed = dim.toDF(dim.columns.map(n => s"${side}_$n"): _*)
               .withColumn(s"${side}_present", lit(true))
             df = df.join(renamed, Seq(s"${side}_tenant", s"${side}_name"), "left")
@@ -184,16 +201,11 @@ final class GraphQLExecutor(
 
   // ---- type shapes -----------------------------------------------------
 
-  /** Account columns, with the balance aggregate joined ONLY on demand. */
-  private def accountSource(needBalance: Boolean): DataFrame = {
-    val base = accountTable().select("tenant", "name", "currency", "format")
-    if (needBalance) withBalance(base) else base
-  }
-
-  private def withBalance(df: DataFrame): DataFrame =
-    df.join(balancesTable(), Seq("tenant", "name"), "left")
-      .withColumn("balance",
-        coalesce(col("balance"), lit(0).cast(DecimalType(38, 18))))
+  /** Core account columns; balance joins are built per root field so each
+    * stays scoped (balanceOf for point lookups, balancesFor for pages).
+    */
+  private def accountBase: DataFrame =
+    accountTable().select("tenant", "name", "currency", "format")
 
   /** account selection → (balance needed?, render nodes); `colOf` maps
     * logical account columns to their physical names (prefixed for the

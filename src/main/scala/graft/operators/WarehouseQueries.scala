@@ -132,8 +132,7 @@ object WarehouseQueries {
       val exec = new graft.api.GraphQLExecutor(
         () => transferShape(s, dir).select(col("tenant").as("name")).distinct(),
         () => accountShape(s, dir),
-        () => transferShape(s, dir),
-        () => Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir))))
+        () => transferShape(s, dir))
       val doc =
         """query Gate {
           |  transfers(tenant: "T", status: "committed", amount_gte: 1000,

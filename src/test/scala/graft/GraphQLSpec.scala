@@ -41,8 +41,7 @@ class GraphQLSpec extends SparkSpec {
   private def table(name: String): DataFrame = spark.read.parquet(s"$wh/$name")
 
   private lazy val exec = new GraphQLExecutor(
-    () => table("tenant"), () => table("account"), () => table("transfer"),
-    () => Warehouse.balances(Warehouse.balanceChanges(table("transfer"))))
+    () => table("tenant"), () => table("account"), () => table("transfer"))
 
   test("bbtest scenario 1: tenants query") {
     val out = exec.execute(
