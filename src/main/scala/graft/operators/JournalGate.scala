@@ -103,7 +103,7 @@ object JournalGate {
         .select("c_custkey", "c_mktsegment", "c_nationkey")
         .collect().foreach { r: Row =>
           val ccy = r.getString(1).substring(0, 3).toUpperCase
-          put(tmp, s"t_T/account/c${r.getLong(0)}/snapshot/0000000000",
+          put(tmp, s"t_T/account/c${r.getLong(0)}/snapshot/${Journal.versionSegment(0)}",
             s"$ccy F${r.getInt(2)}_T\n")
         }
     }
@@ -130,7 +130,7 @@ object JournalGate {
           val k = r.getLong(0)
           val status = r.getString(1) match { case "F" => 1; case "P" => 2; case _ => 0 }
           put(tmp,
-            s"t_T/account/c${r.getLong(2)}/events/0000000000/${status}_1_x$k",
+            s"t_T/account/c${r.getLong(2)}/events/${Journal.versionSegment(0)}/${status}_1_x$k",
             s"${k % 5 + 1}\n")
         }
     }

@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Path
 
 import graft.Tables
+import graft.sources.Journal
 import graft.warehouse.Warehouse
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,7 +63,7 @@ object SyncGate {
       .select("c_custkey", "c_mktsegment", "c_nationkey")
       .collect().foreach { r: Row =>
         val ccy = r.getString(1).substring(0, 3).toUpperCase
-        put(tmp, s"t_T/account/c${r.getLong(0)}/snapshot/0000000000",
+        put(tmp, s"t_T/account/c${r.getLong(0)}/snapshot/${Journal.versionSegment(0)}",
           s"$ccy F${r.getInt(2)}_T\n")
       }
     val orders = Tables.load(s, dir, "orders")
@@ -73,7 +74,7 @@ object SyncGate {
       val k = r.getLong(0); val st = statusInt(r.getString(1)); val ack = r.getLong(2) % 50
       val inPass2 = k >= PassSplit
       if (!inPass2 || pass2) {
-        val snap = if (inPass2 && ack % 3 == 0) "0000000001" else "0000000000"
+        val snap = Journal.versionSegment(if (inPass2 && ack % 3 == 0) 1 else 0)
         val v = if (inPass2) 11 + k % 5 else 1 + k % 5
         put(tmp, s"t_T/account/c$ack/events/$snap/${st}_1_x$k", s"$v\n")
         val credit = if (k % 11 == 0) s"c${ack + 1000}" else s"c$ack"
@@ -81,7 +82,7 @@ object SyncGate {
           s"${statusWord(st)}\ny$k T $credit T b${k % 7} 2020-01-01T00:00:00Z 1.00 CZK\n")
       }
       if (pass2 && !inPass2 && k % 13 == 0) {
-        put(tmp, s"t_T/account/c$ack/events/0000000000/${st}_1_xL$k", "1\n")
+        put(tmp, s"t_T/account/c$ack/events/${Journal.versionSegment(0)}/${st}_1_xL$k", "1\n")
         put(tmp, s"t_T/transaction/xL$k",
           s"${statusWord(st)}\nyL$k T c$ack T b${k % 7} 2020-01-01T00:00:00Z 1.00 CZK\n")
       }

@@ -29,6 +29,17 @@ import org.apache.spark.sql.types._
   */
 object Journal {
 
+  /** The journal's `%010d` version segment (F7) — the WRITE-side format
+    * for snapshot filenames and event snapshot directories (reference
+    * PrimaryPersistence.scala:54-96 lists by this shape; the read side
+    * parses it back via the regexes below). Shared by the fixture writers
+    * and anything that produces journal trees.
+    */
+  def versionSegment(version: Int): String = {
+    require(version >= 0, s"journal versions are non-negative, got $version")
+    f"$version%010d"
+  }
+
   /** Glob-read tolerant of "no matches" (fresh/partial journals): Spark
     * throws on a glob with zero matches, so probe with Hadoop's globStatus
     * first and fall back to an empty DataFrame of the right shape.

@@ -169,4 +169,10 @@ class JournalSpec extends SparkSpec {
     assert(Journal.tenantsFromManifest(spark, m)
       .collect().map(_.getString(0)).toSeq == Seq("TENANT"))
   }
+  test("versionSegment writes the %010d journal segment the readers parse") {
+    assert(Journal.versionSegment(0) == "0000000000")
+    assert(Journal.versionSegment(42) == "0000000042")
+    assert(Journal.versionSegment(1234567890) == "1234567890")
+    intercept[IllegalArgumentException](Journal.versionSegment(-1))
+  }
 }
