@@ -83,16 +83,21 @@ object GraphQL {
       } else if (c == '-' || c.isDigit) {
         val (l0, c0) = (line, col); val sb = new StringBuilder
         if (c == '-') sb += advance()
-        while (i < src.length && src(i).isDigit) sb += advance()
+        val intDigits = { var n = 0; while (i < src.length && src(i).isDigit) { sb += advance(); n += 1 }; n }
+        if (intDigits == 0) err("expected a digit after '-'")
         var isFloat = false
         if (i < src.length && src(i) == '.') {
           isFloat = true; sb += advance()
-          while (i < src.length && src(i).isDigit) sb += advance()
+          var n = 0
+          while (i < src.length && src(i).isDigit) { sb += advance(); n += 1 }
+          if (n == 0) err("expected a digit after '.'")
         }
         if (i < src.length && (src(i) == 'e' || src(i) == 'E')) {
           isFloat = true; sb += advance()
           if (i < src.length && (src(i) == '+' || src(i) == '-')) sb += advance()
-          while (i < src.length && src(i).isDigit) sb += advance()
+          var n = 0
+          while (i < src.length && src(i).isDigit) { sb += advance(); n += 1 }
+          if (n == 0) err("expected a digit in the exponent")
         }
         out += Token(if (isFloat) TFloat else TInt, sb.toString, l0, c0)
       } else if (c == '"') {
@@ -232,8 +237,14 @@ object GraphQL {
     private def value(): Value = {
       val t = next()
       t.kind match {
-        case TInt    => VInt(t.text.toLong)
-        case TFloat  => VFloat(BigDecimal(t.text))
+        case TInt =>
+          try VInt(t.text.toLong)
+          catch { case _: NumberFormatException =>
+            syntax(s"integer literal out of range: '${t.text}'", t) }
+        case TFloat =>
+          try VFloat(BigDecimal(t.text))
+          catch { case _: NumberFormatException =>
+            syntax(s"malformed number literal: '${t.text}'", t) }
         case TString => VString(t.text)
         case TName =>
           t.text match {

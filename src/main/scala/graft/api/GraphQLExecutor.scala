@@ -283,9 +283,12 @@ final class GraphQLExecutor(
     def strOpt(name: String): Option[String] = m.get(name).map { a =>
       a.value match { case VString(s) => s; case _ => bad(a, "String") }
     }
-    /** NaturalNumber: non-negative integer (GraphQLService.scala:19-37). */
+    /** NaturalNumber: non-negative integer (GraphQLService.scala:19-37).
+      * Capped at Int.MaxValue — pagination flows into Dataset.limit/offset
+      * (Int), and an unchecked Long would truncate into a negative limit.
+      */
     def nat(name: String): Long = req(name).value match {
-      case VInt(i) if i >= 0 => i
+      case VInt(i) if i >= 0 && i <= Int.MaxValue => i
       case _ => bad(req(name), "NaturalNumber!")
     }
     /** Status words only, as the reference coerces (StringValue match,
@@ -362,9 +365,7 @@ final class GraphQLExecutor(
     */
   private val fmtDecimal: Any => String = {
     case null => "null"
-    case d: java.math.BigDecimal =>
-      val p = d.stripTrailingZeros.toPlainString
-      if (p == "-0") "0" else p
+    case d: java.math.BigDecimal => fmtDecimalJava(d)
     case d: BigDecimal => fmtDecimalJava(d.bigDecimal)
     case n: Number => n.toString
     case other => jstr(other.toString)

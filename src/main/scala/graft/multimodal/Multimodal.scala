@@ -103,26 +103,31 @@ object Multimodal {
     require(bytes.length >= 12, "too short for a RIFF header")
     require(bb.getInt(0) == 0x46464952, "not a RIFF container") // "RIFF"
     require(bb.getInt(8) == 0x45564157, "not a WAVE file") // "WAVE"
-    var pos = 12
+    // the walk uses Long arithmetic and rejects negative sizes: a corrupt
+    // chunk header must fail the require contract, not loop forever or
+    // overflow into an IndexOutOfBounds inside a Spark task
+    var pos = 12L
     var format = 0; var channels = 0; var rate = 0; var bits = 0
     var fmtSeen = false
     var dataOff = -1; var dataLen = 0
     while (pos + 8 <= bytes.length) {
-      val id = bb.getInt(pos); val sz = bb.getInt(pos + 4)
+      val p = pos.toInt
+      val id = bb.getInt(p); val sz = bb.getInt(p + 4)
+      require(sz >= 0, s"negative chunk size $sz at offset $pos")
       id match {
         case 0x20746d66 => // "fmt "
-          require(sz >= 16 && pos + 8 + 16 <= bytes.length, "truncated fmt chunk")
-          format = bb.getShort(pos + 8) & 0xffff
-          channels = bb.getShort(pos + 10) & 0xffff
-          rate = bb.getInt(pos + 12)
-          bits = bb.getShort(pos + 22) & 0xffff
+          require(sz >= 16 && p + 8 + 16 <= bytes.length, "truncated fmt chunk")
+          format = bb.getShort(p + 8) & 0xffff
+          channels = bb.getShort(p + 10) & 0xffff
+          rate = bb.getInt(p + 12)
+          bits = bb.getShort(p + 22) & 0xffff
           fmtSeen = true
         case 0x61746164 => // "data"
-          dataOff = pos + 8
+          dataOff = p + 8
           dataLen = math.min(sz, bytes.length - dataOff)
         case _ => () // LIST/INFO/fact/… chunks are skipped
       }
-      pos += 8 + sz + (sz & 1) // chunks are 16-bit aligned
+      pos += 8L + sz + (sz & 1) // chunks are 16-bit aligned
     }
     require(fmtSeen, "missing fmt chunk")
     require(dataOff >= 0, "missing data chunk")

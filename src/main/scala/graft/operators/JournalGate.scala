@@ -44,6 +44,25 @@ object JournalGate {
     root
   }
 
+  /** Like writeOnce, but rebuilt on each JVM's FIRST use: for directories
+    * holding the OUTPUT of code under test (compacted manifests, synced
+    * warehouses). A cross-run cache would silently re-hash stale output
+    * after the code changes; a per-call rebuild would make bench re-time
+    * the build instead of the gated read path. Once per JVM gives every
+    * verify/bench run fresh output while warmup/timed runs share it.
+    */
+  private val builtThisJvm = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  private[operators] def buildPerJvm(root: Path)(write: Path => Unit): Path =
+    builtThisJvm.computeIfAbsent(root.toString, { _ =>
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+      val tmp = Paths.get(root.toString + ".building")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      write(tmp)
+      if (!tmp.toFile.renameTo(root.toFile))
+        throw new IllegalStateException(s"could not promote $tmp to $root")
+      root
+    })
+
   private[operators] def put(root: Path, rel: String, content: String): Unit = {
     val p = root.resolve(rel)
     Files.createDirectories(p.getParent)
@@ -154,7 +173,7 @@ object JournalGate {
     */
   def journalManifest(s: SparkSession, dir: String): DataFrame = {
     val root = txFixture(s, dir)
-    val m = writeOnce(fixtureRoot("txmanifest", dir)) { tmp =>
+    val m = buildPerJvm(fixtureRoot("txmanifest", dir)) { tmp =>
       Journal.compact(s, root.toString, tmp.toString)
     }
     Journal.transfersFromManifest(s, m.toString)

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   *
   * The sync passes execute when the query is CONSTRUCTED — this gate
   * materializes a pipeline, not a single plan (the other queries stay
-  * lazy). The resulting warehouse is content-keyed and cached on disk, so
-  * repeat constructions (bench warmup/timing runs) only re-read parquet.
+  * lazy). The resulting warehouse is rebuilt once per JVM (fresh output
+  * for every verify/bench run, while a run's warmup/timed constructions
+  * share it and only re-read parquet).
   *
   * Fixture map (orders slice, k = o_orderkey < 600, ack = o_custkey % 50):
   *   - accounts: customers ck < 50 → `c<ck>`, snapshot-0 header
@@ -93,10 +94,10 @@ object SyncGate {
     * then the final state as one deterministic frame.
     */
   def syncState(s: SparkSession, dir: String): DataFrame = {
-    import JournalGate.{fixtureRoot, writeOnce}
+    import JournalGate.{buildPerJvm, fixtureRoot, writeOnce}
     val j1 = writeOnce(fixtureRoot("sync_p1", dir))(writeJournal(s, dir, _, pass2 = false))
     val j2 = writeOnce(fixtureRoot("sync_p2", dir))(writeJournal(s, dir, _, pass2 = true))
-    val wh = writeOnce(fixtureRoot("sync_wh", dir)) { tmp =>
+    val wh = buildPerJvm(fixtureRoot("sync_wh", dir)) { tmp =>
       Warehouse.sync(s, j1.toString, tmp.toString)
       Warehouse.sync(s, j2.toString, tmp.toString)
       // unchanged journal — T6: must discover nothing and move no watermark

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -207,9 +207,27 @@ object Journal {
     * `root` (`t_…/…`) so the manifest is relocatable.
     */
   def compact(spark: SparkSession, root: String, manifestDir: String): Unit = {
+    // Exact relativization: strip the resolved root prefix, not a regex
+    // guess (a `t_` inside the ROOT's own path — /data/t_prod/journal —
+    // would otherwise capture too much and corrupt tenant extraction).
+    // input_file_name yields a URI; drop scheme+authority and compare
+    // against the root's raw URI path so the stored text stays in the
+    // same encoding the live readers' regexes see. A matched file outside
+    // the root is a hard error, not a silently mangled path.
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootRaw = fs.makeQualified(rootPath).toUri.getRawPath
+    val prefix = if (rootRaw.endsWith("/")) rootRaw else rootRaw + "/"
+    def relativize(c: Column): Column = {
+      val abs = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", "")
+      when(abs.startsWith(prefix),
+        abs.substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+        .otherwise(raise_error(
+          concat(lit(s"journal file outside compact root $prefix: "), abs)))
+    }
     def raw(glob: String, kind: String): DataFrame =
       safeWholetext(spark, glob)
-        .withColumn("path", regexp_extract(col("path"), "(t_[^/]+/.*)$", 1))
+        .withColumn("path", relativize(col("path")))
         .withColumn("kind", lit(kind))
     raw(s"$root/t_*/account/*/snapshot/0000000000", "snapshot")
       .unionByName(raw(s"$root/t_*/account/*/events/*/*", "event"))

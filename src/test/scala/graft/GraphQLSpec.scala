@@ -164,6 +164,17 @@ class GraphQLSpec extends SparkSpec {
     val badStatus = intercept[GraphQL.AnalysisError](
       exec.execute("""{ transfers(tenant: "T", status: "nope", limit: 1, offset: 0) { transfer } }"""))
     assert(badStatus.msg.contains("Status"))
+    // numeric-literal robustness: positioned errors, not raw NFEs
+    intercept[GraphQL.SyntaxError](
+      exec.execute("{ tenants(limit: -, offset: 0) { name } }"))
+    intercept[GraphQL.SyntaxError](
+      exec.execute("{ tenants(limit: 99999999999999999999999, offset: 0) { name } }"))
+    intercept[GraphQL.SyntaxError](
+      exec.execute("{ transfers(tenant: \"T\", amount_gte: 1e, limit: 1, offset: 0) { transfer } }"))
+    // NaturalNumber caps at Int.MaxValue (pagination is Int-typed)
+    val tooBig = intercept[GraphQL.AnalysisError](
+      exec.execute("{ tenants(limit: 2147483648, offset: 0) { name } }"))
+    assert(tooBig.msg.contains("NaturalNumber"))
     intercept[GraphQL.AnalysisError](exec.execute("mutation { x }"))
     intercept[GraphQL.AnalysisError](
       exec.execute("""{ tenants(limit: 1, offset: 0) { ...frag } }"""))

@@ -151,7 +151,11 @@ class JournalSpec extends SparkSpec {
     assert(n(Api.TransferArgs(valueDateLt = Some(ts))) == 1)  // >= keeps (non-strict)
   }
   test("compacted manifest is equivalent to the direct tiny-file parse") {
-    val root = writeFixture()
+    // the parent dir name deliberately contains "t_": relativization must
+    // strip the exact root prefix, not grab the first t_ in the path
+    val base = Files.createTempDirectory("graft_t_bait")
+    val root = base.resolve("journal")
+    Files.move(writeFixture(), root)
     val m = Files.createTempDirectory("manifest").toString
     Journal.compact(spark, root.toString, m)
 

@@ -99,5 +99,11 @@ class MultimodalSpec extends SparkSpec {
     val other = Seq((2L, Array[Byte](1, 2, 3), "image/png")).toDF("media_id", "bytes", "mime")
     assert(Multimodal.wavFeatures(other).count() == 0)
     intercept[IllegalArgumentException](Multimodal.decodeWav(Array.fill[Byte](64)(7)))
+
+    // a negative chunk size must fail the contract, not loop forever
+    val evil = wavBytes(8000, Array(Array.fill(4)(0.1f)))
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -8) // corrupt the fmt chunk size
+    intercept[IllegalArgumentException](Multimodal.decodeWav(evil))
   }
 }
