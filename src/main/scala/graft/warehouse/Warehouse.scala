@@ -139,10 +139,21 @@ object Warehouse {
     */
   def sync(spark: SparkSession, journalRoot: String, warehouseDir: String,
            partitionByTenant: Boolean = false,
-           metrics: graft.metrics.MetricsEmitter = graft.metrics.MetricsEmitter.Disabled
-          ): SyncStats = {
+           metrics: graft.metrics.MetricsEmitter = graft.metrics.MetricsEmitter.Disabled,
+           manifestDir: Option[String] = None): SyncStats = {
     import graft.sources.Journal
     import org.apache.spark.sql.Observation
+
+    // Hybrid source (the at-scale operating mode): compacted history from
+    // the parquet manifest (Journal.compact) UNION the live tiny-file tail
+    // under journalRoot. distinct() absorbs the overlap window — a file
+    // that is both compacted and still on disk contributes one row — so
+    // compaction and deletion of the originals need not be atomic.
+    def entity(live: DataFrame, fromManifest: String => DataFrame): DataFrame =
+      manifestDir match {
+        case Some(m) => live.unionByName(fromManifest(m)).distinct()
+        case None => live
+      }
 
     val hconf = spark.sparkContext.hadoopConfiguration
     def tablePath(name: String) = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
@@ -172,8 +183,10 @@ object Warehouse {
       obs.get("n").asInstanceOf[Long]
     }
 
-    val tenants = Journal.tenants(spark, journalRoot)
-    val accounts = Journal.accounts(spark, journalRoot)
+    val tenants = entity(Journal.tenants(spark, journalRoot),
+      Journal.tenantsFromManifest(spark, _))
+    val accounts = entity(Journal.accounts(spark, journalRoot),
+      Journal.accountsFromManifest(spark, _))
 
     val nTenants =
       append(newRows(tenants, readOr("tenant", tenants.limit(0)), Seq("name")),
@@ -189,7 +202,8 @@ object Warehouse {
     // applies ONLY within the watermark snapshot; any newer snapshot's
     // events are all unseen regardless of their (restarted) version
     // (ref PrimaryDataExplorationService.scala:171-175).
-    val events = Journal.events(spark, journalRoot)
+    val events = entity(Journal.events(spark, journalRoot),
+      Journal.eventsFromManifest(spark, _))
       .join(accountTable.select(col("tenant"), col("name").as("account"),
         col("last_syn_snapshot"), col("last_syn_event")), Seq("tenant", "account"))
       .filter(col("snapshot_version") > col("last_syn_snapshot") ||
@@ -202,7 +216,8 @@ object Warehouse {
     val announced = events.filter(col("status") =!= 0)
       .select(col("tenant"), col("account"), col("transaction"),
         col("status").as("event_status"))
-    val txTransfers = Journal.transfers(spark, journalRoot)
+    val txTransfers = entity(Journal.transfers(spark, journalRoot),
+      Journal.transfersFromManifest(spark, _))
       .join(announced, Seq("tenant", "transaction"))
       .filter(col("credit_name") === col("account") ||
         col("debit_name") === col("account"))

@@ -128,4 +128,42 @@ class SyncSpec extends SparkSpec {
       assert(transfers == Seq("TRX", "TRX2"))
     } finally q.stop()
   }
+  test("hybrid sync: manifest history + live tail equals full-tree sync") {
+    // full journal: base + one extra account/event/transaction (the tail)
+    val full = baseFixture()
+    put(full, "t_T/account/LATE/snapshot/0000000000", "EUR FORMAT_T\n")
+    put(full, "t_T/account/LATE/events/0000000000/1_1_TRN9", "1\n")
+    put(full, "t_T/transaction/TRN9",
+      "committed\nTRX9 T LATE T DEBIT 2021-01-01T00:00:00Z 2 CZK\n")
+
+    // reference result: one sync over the whole tree
+    val whFull = Files.createTempDirectory("whfull").toString
+    Warehouse.sync(spark, full.toString, whFull)
+
+    // hybrid: compact the BASE history, keep only the tail as live files
+    // (plus one overlapping file present in both, to prove the dedupe)
+    val m = Files.createTempDirectory("manifest").toString
+    val base = baseFixture()
+    graft.sources.Journal.compact(spark, base.toString, m)
+    val tail = Files.createTempDirectory("tail")
+    put(tail, "t_T/account/LATE/snapshot/0000000000", "EUR FORMAT_T\n")
+    put(tail, "t_T/account/LATE/events/0000000000/1_1_TRN9", "1\n")
+    put(tail, "t_T/transaction/TRN9",
+      "committed\nTRX9 T LATE T DEBIT 2021-01-01T00:00:00Z 2 CZK\n")
+    put(tail, "t_T/transaction/TRN",
+      "committed\nTRX T CREDIT T DEBIT 2020-01-01T00:00:00Z 1 CZK\n") // overlap
+    val whHybrid = Files.createTempDirectory("whhybrid").toString
+    val stats = Warehouse.sync(spark, tail.toString, whHybrid,
+      manifestDir = Some(m))
+    assert(stats == Warehouse.SyncStats(1, 3, 2))
+
+    def dump(wh: String, t: String): Set[String] =
+      spark.read.parquet(s"$wh/$t").collect().map(_.toString).toSet
+    for (t <- Seq("tenant", "account", "transfer"))
+      assert(dump(whHybrid, t) == dump(whFull, t), s"table $t diverged")
+
+    // idempotent hybrid re-sync discovers nothing
+    assert(Warehouse.sync(spark, tail.toString, whHybrid, manifestDir = Some(m))
+      == Warehouse.SyncStats(0, 0, 0))
+  }
 }
