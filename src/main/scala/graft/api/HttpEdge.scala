@@ -322,6 +322,15 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     }
     handle("/transfers") { p => json(cached(cacheKey("/transfers", p))(transfersDf(p))) }
     server.createContext("/graphql", (ex: HttpExchange) => handleGraphql(ex))
+    // the reference serves a GraphiQL UI next to the endpoint
+    // (GraphQLRouter.scala:66-73); self-contained equivalent, no CDN assets
+    server.createContext("/graphiql", (ex: HttpExchange) => {
+      val bytes = HttpEdge.GraphiqlHtml.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
     // a small pool instead of serial dispatch: plans are read-only and
     // SparkSession actions are thread-safe; concurrent requests become
     // concurrent Spark jobs (FIFO-scheduled). Pool ≈ the reference's DB
@@ -374,4 +383,37 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     server.stop(0)
     pool.shutdown()
   }
+}
+
+object HttpEdge {
+  /** Minimal self-contained query console (the reference ships GraphiQL,
+    * GraphQLRouter.scala:66-73; this needs no bundled JS assets).
+    */
+  private[api] val GraphiqlHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft graphql</title><style>
+      |body{font-family:monospace;margin:1rem;display:flex;gap:1rem;height:90vh}
+      |textarea,pre{flex:1;padding:.5rem;border:1px solid #888;overflow:auto}
+      |button{position:fixed;top:.3rem;right:1rem}
+      |</style></head><body>
+      |<textarea id="q">query {
+      |  tenants(limit: 10, offset: 0) { name }
+      |}</textarea>
+      |<pre id="out">ctrl-enter or Run</pre>
+      |<button onclick="run()">Run</button>
+      |<script>
+      |async function run(){
+      |  const r = await fetch('/graphql', {method:'POST',
+      |    headers:{'Content-Type':'application/json'},
+      |    body: JSON.stringify({query: document.getElementById('q').value,
+      |                          variables: null, operationName: null})});
+      |  const t = await r.text();
+      |  let out = t;
+      |  try { out = JSON.stringify(JSON.parse(t), null, 2) } catch (e) {}
+      |  document.getElementById('out').textContent = r.status + '\n' + out;
+      |}
+      |document.getElementById('q').addEventListener('keydown', e => {
+      |  if (e.ctrlKey && e.key === 'Enter') run();
+      |});
+      |</script></body></html>""".stripMargin
 }

@@ -222,6 +222,13 @@ class GraphQLSpec extends SparkSpec {
       // non-JSON body → 400
       val (c4, _) = post("not json")
       assert(c4 == 400)
+
+      // the GraphiQL console is served next to the endpoint
+      val ui = java.net.URI.create(s"http://localhost:$port/graphiql").toURL
+      val uiConn = ui.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(uiConn.getResponseCode == 200)
+      val uiBody = new String(uiConn.getInputStream.readAllBytes(), "UTF-8")
+      assert(uiBody.contains("<!doctype html") && uiBody.contains("/graphql"))
     } finally edge.stop()
   }
 
