@@ -46,21 +46,40 @@ object GraphQL {
 
   final case class Argument(name: String, value: Value, line: Int, column: Int)
 
+  /** One entry of a selection set: a field, a named-fragment spread, or an
+    * inline fragment. Fragments exist only between parse and
+    * [[resolveFragments]] — the executor sees pure [[Field]] trees.
+    */
+  sealed trait Sel
+
   final case class Field(
       alias: Option[String],
       name: String,
       args: List[Argument],
-      selection: List[Field],
+      selection: List[Sel],
       line: Int,
-      column: Int) {
+      column: Int) extends Sel {
     def outputName: String = alias.getOrElse(name)
+    /** Post-[[resolveFragments]] children (all spreads spliced away). */
+    def fields: List[Field] = selection.collect { case f: Field => f }
   }
+
+  final case class Spread(name: String, line: Int, column: Int) extends Sel
+  final case class Inline(typeCond: String, selection: List[Sel],
+      line: Int, column: Int) extends Sel
+
+  final case class FragmentDef(name: String, typeCond: String,
+      selection: List[Sel], line: Int, column: Int)
 
   final case class VarDef(name: String, tpe: String, required: Boolean,
       default: Option[Value], line: Int, column: Int)
 
   final case class Operation(name: Option[String], varDefs: List[VarDef],
-      selection: List[Field], line: Int, column: Int)
+      selection: List[Sel], line: Int, column: Int)
+
+  /** A parsed document: executable operations + fragment definitions. */
+  final case class Document(operations: List[Operation],
+      fragments: Map[String, FragmentDef])
 
   // ---- lexer -----------------------------------------------------------
   private final case class Token(kind: Int, text: String, line: Int, column: Int)
@@ -160,8 +179,9 @@ object GraphQL {
       t
     }
 
-    def document(): List[Operation] = {
+    def document(): Document = {
       val ops = ListBuffer.empty[Operation]
+      val frags = scala.collection.mutable.LinkedHashMap.empty[String, FragmentDef]
       while (peek.kind != TEof) {
         val t = peek
         if (t.kind == TPunct && t.text == "{")
@@ -173,12 +193,20 @@ object GraphQL {
           ops += Operation(name, vars, selectionSet(), t.line, t.column)
         } else if (t.kind == TName && (t.text == "mutation" || t.text == "subscription"))
           throw AnalysisError(s"Schema is not configured for ${t.text}s", t.line, t.column)
-        else if (t.kind == TName && t.text == "fragment")
-          throw AnalysisError("Fragments are not supported", t.line, t.column)
-        else syntax(s"expected an operation, found '${t.text}'", t)
+        else if (t.kind == TName && t.text == "fragment") {
+          next()
+          val n = expectName()
+          if (n.text == "on") syntax("fragment name must not be 'on'", n)
+          val on = expectName()
+          if (on.text != "on") syntax(s"expected 'on', found '${on.text}'", on)
+          val cond = expectName().text
+          if (frags.contains(n.text))
+            throw AnalysisError(s"Fragment '${n.text}' is defined twice", n.line, n.column)
+          frags += n.text -> FragmentDef(n.text, cond, selectionSet(), n.line, n.column)
+        } else syntax(s"expected an operation or fragment, found '${t.text}'", t)
       }
-      if (ops.isEmpty) syntax("empty document", peek)
-      ops.toList
+      if (ops.isEmpty) syntax("document defines no operation", peek)
+      Document(ops.toList, frags.toMap)
     }
 
     private def varDefs(): List[VarDef] = {
@@ -199,27 +227,36 @@ object GraphQL {
       defs.toList
     }
 
-    private def selectionSet(): List[Field] = {
+    private def selectionSet(): List[Sel] = {
       expectPunct("{")
-      val fields = ListBuffer.empty[Field]
+      val sels = ListBuffer.empty[Sel]
       while (!(peek.kind == TPunct && peek.text == "}")) {
         val t = peek
-        if (t.kind == TPunct && t.text == "...")
-          throw AnalysisError("Fragments are not supported", t.line, t.column)
-        val first = expectName()
-        val (alias, name) =
-          if (peek.kind == TPunct && peek.text == ":") {
-            next(); (Some(first.text), expectName().text)
-          } else (None, first.text)
-        val args = if (peek.kind == TPunct && peek.text == "(") arguments() else Nil
-        if (peek.kind == TPunct && peek.text == "@")
-          throw AnalysisError("Directives are not supported", peek.line, peek.column)
-        val sel = if (peek.kind == TPunct && peek.text == "{") selectionSet() else Nil
-        fields += Field(alias, name, args, sel, first.line, first.column)
+        if (t.kind == TPunct && t.text == "...") {
+          next()
+          if (peek.kind == TName && peek.text == "on") {
+            next()
+            val cond = expectName().text
+            sels += Inline(cond, selectionSet(), t.line, t.column)
+          } else if (peek.kind == TName)
+            sels += Spread(next().text, t.line, t.column)
+          else syntax("expected a fragment name or 'on' after '...'", peek)
+        } else {
+          val first = expectName()
+          val (alias, name) =
+            if (peek.kind == TPunct && peek.text == ":") {
+              next(); (Some(first.text), expectName().text)
+            } else (None, first.text)
+          val args = if (peek.kind == TPunct && peek.text == "(") arguments() else Nil
+          if (peek.kind == TPunct && peek.text == "@")
+            throw AnalysisError("Directives are not supported", peek.line, peek.column)
+          val sel = if (peek.kind == TPunct && peek.text == "{") selectionSet() else Nil
+          sels += Field(alias, name, args, sel, first.line, first.column)
+        }
       }
       expectPunct("}")
-      if (fields.isEmpty) syntax("empty selection set", peek)
-      fields.toList
+      if (sels.isEmpty) syntax("empty selection set", peek)
+      sels.toList
     }
 
     private def arguments(): List[Argument] = {
@@ -261,11 +298,64 @@ object GraphQL {
     }
   }
 
-  /** Parse a GraphQL document into its operations.
+  /** Parse a GraphQL document into operations + fragment definitions.
     * @throws SyntaxError on grammar violations (with source position)
     * @throws AnalysisError on constructs outside the supported subset
     */
-  def parse(doc: String): List[Operation] = new Parser(lex(doc)).document()
+  def parse(doc: String): Document = new Parser(lex(doc)).document()
+
+  /** The schema's object-type graph — enough to type-check fragment
+    * spreads: (enclosing type, field) → nested object type (absent for
+    * scalar leaves). Mirrors GraphQLService.scala:126-292.
+    */
+  private val fieldTypes: Map[(String, String), String] = Map(
+    ("Query", "tenant") -> "tenant",
+    ("Query", "tenants") -> "tenant",
+    ("Query", "account") -> "account",
+    ("Query", "accounts") -> "account",
+    ("Query", "transfers") -> "transfer",
+    ("account", "tenant") -> "tenant",
+    ("transfer", "tenant") -> "tenant",
+    ("transfer", "credit") -> "account",
+    ("transfer", "debit") -> "account")
+
+  /** Splice fragment spreads and inline fragments into plain field lists,
+    * type-checking each against its enclosing type (the schema has no
+    * interfaces/unions, so a fragment can only be spread where its type
+    * condition matches exactly — Sangria rejects the rest the same way).
+    * Unknown fragments, mismatched conditions, and spread cycles are
+    * analysis errors.
+    */
+  def resolveFragments(op: Operation, fragments: Map[String, FragmentDef]): Operation = {
+    def splice(sels: List[Sel], tpe: String, visiting: Set[String]): List[Field] =
+      sels.flatMap {
+        case f: Field =>
+          val childType = fieldTypes.get((tpe, f.name))
+          // unknown fields keep their (empty-typed) children; the executor
+          // reports them with its own positioned field error
+          val resolved = childType match {
+            case Some(ct) => splice(f.selection, ct, visiting)
+            case None => f.selection.collect { case c: Field => c }
+          }
+          List(f.copy(selection = resolved))
+        case Inline(cond, sel, line, column) =>
+          if (cond != tpe)
+            throw AnalysisError(
+              s"Fragment on type '$cond' cannot be spread in type '$tpe'", line, column)
+          splice(sel, tpe, visiting)
+        case Spread(name, line, column) =>
+          val frag = fragments.getOrElse(name,
+            throw AnalysisError(s"Unknown fragment '$name'", line, column))
+          if (visiting(name))
+            throw AnalysisError(s"Fragment cycle through '$name'", line, column)
+          if (frag.typeCond != tpe)
+            throw AnalysisError(
+              s"Fragment '$name' on type '${frag.typeCond}' cannot be spread in type '$tpe'",
+              line, column)
+          splice(frag.selection, tpe, visiting + name)
+      }
+    op.copy(selection = splice(op.selection, "Query", Set.empty))
+  }
 
   /** Pick the operation to run: by name if given, else the only one —
     * ambiguity is an analysis error, as in Sangria's Executor.
@@ -311,9 +401,13 @@ object GraphQL {
         }
       case other => other
     }
-    def walk(f: Field): Field = f.copy(
-      args = f.args.map(a => a.copy(value = resolve(a.value, a.line, a.column))),
-      selection = f.selection.map(walk))
+    def walk(s: Sel): Sel = s match {
+      case f: Field => f.copy(
+        args = f.args.map(a => a.copy(value = resolve(a.value, a.line, a.column))),
+        selection = f.selection.map(walk))
+      case i: Inline => i.copy(selection = i.selection.map(walk))
+      case sp: Spread => sp
+    }
     op.copy(selection = op.selection.map(walk))
   }
 }

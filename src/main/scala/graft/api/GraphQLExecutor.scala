@@ -81,8 +81,12 @@ final class GraphQLExecutor(
     */
   def plans(doc: String, operationName: Option[String] = None,
       variables: Map[String, Any] = Map.empty): List[RootPlan] = {
-    val op = resolveVariables(operation(parse(doc), operationName), variables)
-    op.selection.map(rootPlan)
+    val document = parse(doc)
+    val op = resolveVariables(
+      resolveFragments(operation(document.operations, operationName),
+        document.fragments),
+      variables)
+    op.selection.collect { case f: Field => f }.map(rootPlan)
   }
 
   // ---- root fields -----------------------------------------------------
@@ -249,11 +253,12 @@ final class GraphQLExecutor(
   }
 
   private def requireSel(f: Field): List[Field] = {
-    if (f.selection.isEmpty)
+    val fields = f.fields
+    if (fields.isEmpty)
       throw AnalysisError(
         s"Field '${f.name}' of an object type must have a selection of subfields",
         f.line, f.column)
-    f.selection
+    fields
   }
 
   // ---- argument coercion (GraphQLService.scala:19-113) -----------------

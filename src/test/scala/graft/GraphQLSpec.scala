@@ -176,8 +176,56 @@ class GraphQLSpec extends SparkSpec {
       exec.execute("{ tenants(limit: 2147483648, offset: 0) { name } }"))
     assert(tooBig.msg.contains("NaturalNumber"))
     intercept[GraphQL.AnalysisError](exec.execute("mutation { x }"))
-    intercept[GraphQL.AnalysisError](
+  }
+
+  test("fragments: named spreads, inline fragments, and their error cases") {
+    // named fragment reused at two nesting sites of the same type
+    val named = exec.execute(
+      """query {
+        |  transfers(tenant: "TENANT", limit: 10, offset: 0) {
+        |    transaction
+        |    credit { ...acct }
+        |    debit { ...acct }
+        |  }
+        |}
+        |fragment acct on account { name currency balance }""".stripMargin)
+    assert(named.contains(""""credit":{"name":"CREDIT","currency":"CZK","balance":1}"""))
+    assert(named.contains(""""debit":{"name":"DEBIT","currency":"CZK","balance":-1}"""))
+
+    // inline fragment + fragment-in-fragment at the root
+    val inline = exec.execute(
+      """query {
+        |  accounts(tenant: "TENANT", limit: 10, offset: 0) {
+        |    ... on account { name ...ccy }
+        |  }
+        |}
+        |fragment ccy on account { currency }""".stripMargin)
+    assert(inline.contains(""""accounts":[{"name":"CREDIT","currency":"CZK"}"""))
+
+    // fragments must not re-trigger the balance aggregate when unused
+    val plan = exec.plans(
+      """query { accounts(tenant: "TENANT", limit: 1, offset: 0) { ...noBal } }
+        |fragment noBal on account { name }""".stripMargin)
+      .head.df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate"))
+
+    val unknown = intercept[GraphQL.AnalysisError](
       exec.execute("""{ tenants(limit: 1, offset: 0) { ...frag } }"""))
+    assert(unknown.msg.contains("Unknown fragment"))
+    val mismatch = intercept[GraphQL.AnalysisError](exec.execute(
+      """query { tenants(limit: 1, offset: 0) { ...acct } }
+        |fragment acct on account { name }""".stripMargin))
+    assert(mismatch.msg.contains("cannot be spread"))
+    val cycle = intercept[GraphQL.AnalysisError](exec.execute(
+      """query { tenants(limit: 1, offset: 0) { ...a } }
+        |fragment a on tenant { ...b }
+        |fragment b on tenant { ...a }""".stripMargin))
+    assert(cycle.msg.contains("cycle"))
+    val dup = intercept[GraphQL.AnalysisError](exec.execute(
+      """query { tenants(limit: 1, offset: 0) { name } }
+        |fragment a on tenant { name }
+        |fragment a on tenant { name }""".stripMargin))
+    assert(dup.msg.contains("defined twice"))
   }
 
   test("graphql over HTTP: POST (bbtest body shape), GET, and 400 mapping") {
