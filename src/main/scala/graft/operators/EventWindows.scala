@@ -106,6 +106,36 @@ object EventWindows {
       |SELECT user_id, session_start, session_end, n_events, sum_value
       |FROM g ORDER BY user_id, session_start""".stripMargin
 
+  /** T2 under the oracle: the STREAMING tumbling aggregation run as a real
+    * Structured Streaming query — file source → watermark → windowed agg →
+    * memory sink — with `Trigger.AvailableNow`. Bounded input drains in
+    * one run, and complete-mode output equals the batch window, so the
+    * SAME DuckDB oracle that gates `tumbling` gates the streaming engine
+    * path (state store, watermark tracking, sink commit). Executes the
+    * stream at construction, like the sync-pipeline gate.
+    */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger()
+  def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(s, dir, "events").schema
+    // the testdata table is a single parquet FILE; the streaming source
+    // needs a directory, so stream the parent filtered to that file
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sink = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.EventStream.tumblingCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .withColumn("window_start", col("window_start").cast(TimestampNTZType))
+      .orderBy("window_start", "event_type")
+  }
+
   /** JSON property extraction from the semi-structured `props` column,
     * aggregated per event type — the scalar-function path for the payload
     * column (codegen'd get_json_object; no UDF).
@@ -130,11 +160,13 @@ object EventWindows {
     "q_window_tumbling" -> (tumbling(_, _)),
     "q_window_sliding" -> (sliding(_, _)),
     "q_window_session" -> (sessions(_, _)),
+    "q_stream_tumbling" -> (streamTumbling(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_window_tumbling" -> tumblingSql,
     "q_window_sliding" -> slidingSql,
     "q_window_session" -> sessionsSql,
+    "q_stream_tumbling" -> tumblingSql,
     "q_json_extract" -> jsonExtractSql)
 }
