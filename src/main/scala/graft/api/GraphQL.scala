@@ -14,7 +14,10 @@ import scala.collection.mutable.ListBuffer
   * ~40 grammar productions, and owning the positions makes the 400-error
   * payloads exact.
   *
-  * Not supported (reference schema never produces them): fragments,
+  * Supported beyond the bbtest surface: named fragment spreads and inline
+  * fragments ([[GraphQL.resolveFragments]] splices them with type
+  * checking, duplicate-field merging, and unused-fragment validation).
+  * Not supported (reference schema never produces them):
   * mutations/subscriptions, directives, block strings. Encountering one
   * raises [[GraphQL.AnalysisError]] — the same 400 a reference user gets
   * for a query that doesn't validate against the schema.
@@ -152,10 +155,11 @@ object GraphQL {
       } else if ("{}():$!=[]@".indexOf(c) >= 0) {
         out += Token(TPunct, c.toString, line, col); advance(): Unit
       } else if (c == '.') {
-        // "..." introduces a fragment spread — parse far enough to reject it
-        out += Token(TPunct, "...", line, col)
-        advance(); if (i < src.length && src(i) == '.') advance()
-        if (i < src.length && src(i) == '.') advance()
+        val (l0, c0) = (line, col)
+        var dots = 0
+        while (i < src.length && src(i) == '.' && dots < 3) { advance(); dots += 1 }
+        if (dots != 3) throw SyntaxError(s"expected '...', found ${"." * dots}", l0, c0)
+        out += Token(TPunct, "...", l0, c0)
       } else err(s"unexpected character '$c'")
     }
     out += Token(TEof, "<eof>", line, col)
@@ -323,19 +327,32 @@ object GraphQL {
     * type-checking each against its enclosing type (the schema has no
     * interfaces/unions, so a fragment can only be spread where its type
     * condition matches exactly — Sangria rejects the rest the same way).
-    * Unknown fragments, mismatched conditions, and spread cycles are
-    * analysis errors.
+    * Selections sharing an output name are MERGED (CollectFields): their
+    * child selections combine into one field; same-name-different-field or
+    * conflicting-argument overlaps are errors, as are unknown fragments,
+    * mismatched conditions, spread cycles, spreads under scalar fields,
+    * and fragments the document never uses.
     */
-  def resolveFragments(op: Operation, fragments: Map[String, FragmentDef]): Operation = {
+  def resolveFragments(doc: Document, op: Operation): Operation = {
+    val fragments = doc.fragments
+    val used = scala.collection.mutable.Set.empty[String]
+
     def splice(sels: List[Sel], tpe: String, visiting: Set[String]): List[Field] =
       sels.flatMap {
         case f: Field =>
-          val childType = fieldTypes.get((tpe, f.name))
-          // unknown fields keep their (empty-typed) children; the executor
-          // reports them with its own positioned field error
-          val resolved = childType match {
+          val resolved = fieldTypes.get((tpe, f.name)) match {
             case Some(ct) => splice(f.selection, ct, visiting)
-            case None => f.selection.collect { case c: Field => c }
+            case None =>
+              // scalar leaf or unknown field: fragments cannot apply here —
+              // dropping them silently would skip unknown-fragment checks
+              f.selection.collectFirst {
+                case Spread(_, l, c) => (l, c)
+                case Inline(_, _, l, c) => (l, c)
+              }.foreach { case (l, c) =>
+                throw AnalysisError(
+                  s"Fragments cannot be applied inside field '${f.name}'", l, c)
+              }
+              f.selection.collect { case c: Field => c }
           }
           List(f.copy(selection = resolved))
         case Inline(cond, sel, line, column) =>
@@ -352,9 +369,56 @@ object GraphQL {
             throw AnalysisError(
               s"Fragment '$name' on type '${frag.typeCond}' cannot be spread in type '$tpe'",
               line, column)
+          used += name
           splice(frag.selection, tpe, visiting + name)
       }
-    op.copy(selection = splice(op.selection, "Query", Set.empty))
+
+    /** CollectFields: same output name ⇒ one field, children combined. */
+    def merge(fields: List[Field]): List[Field] = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Field]
+      fields.foreach { f =>
+        out.get(f.outputName) match {
+          case None => out += f.outputName -> f
+          case Some(prev) =>
+            if (prev.name != f.name)
+              throw AnalysisError(
+                s"Fields '${prev.name}' and '${f.name}' conflict under output name '${f.outputName}'",
+                f.line, f.column)
+            if (prev.args.map(a => a.name -> a.value) != f.args.map(a => a.name -> a.value))
+              throw AnalysisError(
+                s"Conflicting arguments for field '${f.outputName}'", f.line, f.column)
+            out += f.outputName -> prev.copy(selection = prev.selection ++ f.selection)
+        }
+      }
+      out.values.toList.map(f => f.copy(selection = merge(f.fields)))
+    }
+
+    val resolved = op.copy(selection = merge(splice(op.selection, "Query", Set.empty)))
+
+    // document-wide checks: every fragment body must be well-formed even if
+    // this operation didn't reach it, and a fragment no operation in the
+    // document references is an error (NoUnusedFragments) — referenced-by-
+    // another-operation is fine, so usage is computed over ALL operations
+    def spreadNames(sels: List[Sel]): Set[String] = sels.flatMap {
+      case f: Field => spreadNames(f.selection)
+      case Inline(_, s, _, _) => spreadNames(s)
+      case Spread(n, _, _) => Set(n)
+    }.toSet
+    var reachable = doc.operations.flatMap(o => spreadNames(o.selection)).toSet
+    var grew = true
+    while (grew) {
+      val next = reachable ++ reachable.flatMap(n =>
+        fragments.get(n).map(f => spreadNames(f.selection)).getOrElse(Set.empty))
+      grew = next.size != reachable.size
+      reachable = next
+    }
+    fragments.values.foreach { frag =>
+      if (!used(frag.name)) splice(frag.selection, frag.typeCond, Set(frag.name)): Unit
+      if (!reachable(frag.name))
+        throw AnalysisError(
+          s"Fragment '${frag.name}' is never used", frag.line, frag.column)
+    }
+    resolved
   }
 
   /** Pick the operation to run: by name if given, else the only one —

@@ -83,8 +83,7 @@ final class GraphQLExecutor(
       variables: Map[String, Any] = Map.empty): List[RootPlan] = {
     val document = parse(doc)
     val op = resolveVariables(
-      resolveFragments(operation(document.operations, operationName),
-        document.fragments),
+      resolveFragments(document, operation(document.operations, operationName)),
       variables)
     op.selection.collect { case f: Field => f }.map(rootPlan)
   }

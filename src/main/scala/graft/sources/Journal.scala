@@ -202,38 +202,49 @@ object Journal {
   // split at scale: compact once per epoch, read history from the
   // manifest, glob only the small post-epoch tail.
 
-  /** Rewrite the journal subtree under `root` into a parquet manifest.
-    * Raw contents are preserved verbatim; paths are stored relative to
-    * `root` (`t_…/…`) so the manifest is relocatable.
+  /** Exact relativization of `input_file_name` URIs against `root`: strip
+    * the resolved root prefix, not a regex guess (a `t_` inside the ROOT's
+    * own path — /data/t_prod/journal — would otherwise capture too much
+    * and corrupt tenant extraction). input_file_name yields a URI; drop
+    * scheme+authority and compare against the root's raw URI path so the
+    * text stays in the same encoding the readers' regexes see. A matched
+    * file outside the root is a hard error, not a silently mangled path.
     */
-  def compact(spark: SparkSession, root: String, manifestDir: String): Unit = {
-    // Exact relativization: strip the resolved root prefix, not a regex
-    // guess (a `t_` inside the ROOT's own path — /data/t_prod/journal —
-    // would otherwise capture too much and corrupt tenant extraction).
-    // input_file_name yields a URI; drop scheme+authority and compare
-    // against the root's raw URI path so the stored text stays in the
-    // same encoding the live readers' regexes see. A matched file outside
-    // the root is a hard error, not a silently mangled path.
+  private def relativizer(spark: SparkSession, root: String): Column => Column = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootRaw = fs.makeQualified(rootPath).toUri.getRawPath
     val prefix = if (rootRaw.endsWith("/")) rootRaw else rootRaw + "/"
-    def relativize(c: Column): Column = {
+    (c: Column) => {
       val abs = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", "")
       when(abs.startsWith(prefix),
         abs.substr(lit(prefix.length + 1), lit(Int.MaxValue)))
         .otherwise(raise_error(
-          concat(lit(s"journal file outside compact root $prefix: "), abs)))
+          concat(lit(s"journal file outside root $prefix: "), abs)))
     }
-    def raw(glob: String, kind: String): DataFrame =
-      safeWholetext(spark, glob)
-        .withColumn("path", relativize(col("path")))
-        .withColumn("kind", lit(kind))
-    raw(s"$root/t_*/account/*/snapshot/0000000000", "snapshot")
-      .unionByName(raw(s"$root/t_*/account/*/events/*/*", "event"))
-      .unionByName(raw(s"$root/t_*/transaction/*", "transaction"))
-      .write.mode("overwrite").partitionBy("kind").parquet(manifestDir)
   }
+
+  private val kindGlobs = Map(
+    "snapshot" -> "t_*/account/*/snapshot/0000000000",
+    "event" -> "t_*/account/*/events/*/*",
+    "transaction" -> "t_*/transaction/*")
+
+  /** One entity kind's live raw (value, relative path) rows. */
+  private def rawLive(spark: SparkSession, root: String, kind: String): DataFrame = {
+    val rel = relativizer(spark, root)
+    safeWholetext(spark, s"$root/${kindGlobs(kind)}")
+      .withColumn("path", rel(col("path")))
+  }
+
+  /** Rewrite the journal subtree under `root` into a parquet manifest.
+    * Raw contents are preserved verbatim; paths are stored relative to
+    * `root` (`t_…/…`) so the manifest is relocatable.
+    */
+  def compact(spark: SparkSession, root: String, manifestDir: String): Unit =
+    kindGlobs.keys.toSeq.sorted
+      .map(k => rawLive(spark, root, k).withColumn("kind", lit(k)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("kind").parquet(manifestDir)
 
   /** One entity kind's raw rows — partition-pruned parquet scan. */
   private def manifest(spark: SparkSession, dir: String, kind: String): DataFrame =
@@ -253,4 +264,30 @@ object Journal {
 
   def transfersFromManifest(spark: SparkSession, dir: String): DataFrame =
     parseTransfers(manifest(spark, dir, "transaction"))
+
+  // ---- hybrid: manifest history ∪ live tail ----------------------------
+  //
+  // Deduplicated BY FILE (relative path): journal files are append-created
+  // and immutable, so a path present in both the manifest and the live
+  // tree contributes exactly once, while genuinely duplicate RECORDS
+  // inside one file are preserved — a whole-row distinct would collapse
+  // them and diverge from a plain full-tree read.
+
+  private def hybridRaw(spark: SparkSession, root: String, manifestDir: String,
+      kind: String): DataFrame =
+    rawLive(spark, root, kind)
+      .unionByName(manifest(spark, manifestDir, kind))
+      .dropDuplicates("path")
+
+  def tenantsHybrid(spark: SparkSession, root: String, manifestDir: String): DataFrame =
+    tenants(spark, root).unionByName(tenantsFromManifest(spark, manifestDir)).distinct()
+
+  def accountsHybrid(spark: SparkSession, root: String, manifestDir: String): DataFrame =
+    parseAccounts(hybridRaw(spark, root, manifestDir, "snapshot"))
+
+  def eventsHybrid(spark: SparkSession, root: String, manifestDir: String): DataFrame =
+    parseEvents(hybridRaw(spark, root, manifestDir, "event"))
+
+  def transfersHybrid(spark: SparkSession, root: String, manifestDir: String): DataFrame =
+    parseTransfers(hybridRaw(spark, root, manifestDir, "transaction"))
 }

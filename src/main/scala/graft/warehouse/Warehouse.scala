@@ -145,13 +145,14 @@ object Warehouse {
     import org.apache.spark.sql.Observation
 
     // Hybrid source (the at-scale operating mode): compacted history from
-    // the parquet manifest (Journal.compact) UNION the live tiny-file tail
-    // under journalRoot. distinct() absorbs the overlap window — a file
-    // that is both compacted and still on disk contributes one row — so
-    // compaction and deletion of the originals need not be atomic.
-    def entity(live: DataFrame, fromManifest: String => DataFrame): DataFrame =
+    // the parquet manifest (Journal.compact) plus the live tiny-file tail
+    // under journalRoot, deduplicated per FILE (Journal.*Hybrid) — a file
+    // that is both compacted and still on disk contributes once, so
+    // compaction and deletion of the originals need not be atomic, while
+    // duplicate records inside one file survive exactly as in a full read.
+    def entity(live: => DataFrame, hybrid: String => DataFrame): DataFrame =
       manifestDir match {
-        case Some(m) => live.unionByName(fromManifest(m)).distinct()
+        case Some(m) => hybrid(m)
         case None => live
       }
 
@@ -184,9 +185,9 @@ object Warehouse {
     }
 
     val tenants = entity(Journal.tenants(spark, journalRoot),
-      Journal.tenantsFromManifest(spark, _))
+      Journal.tenantsHybrid(spark, journalRoot, _))
     val accounts = entity(Journal.accounts(spark, journalRoot),
-      Journal.accountsFromManifest(spark, _))
+      Journal.accountsHybrid(spark, journalRoot, _))
 
     val nTenants =
       append(newRows(tenants, readOr("tenant", tenants.limit(0)), Seq("name")),
@@ -203,7 +204,7 @@ object Warehouse {
     // events are all unseen regardless of their (restarted) version
     // (ref PrimaryDataExplorationService.scala:171-175).
     val events = entity(Journal.events(spark, journalRoot),
-      Journal.eventsFromManifest(spark, _))
+      Journal.eventsHybrid(spark, journalRoot, _))
       .join(accountTable.select(col("tenant"), col("name").as("account"),
         col("last_syn_snapshot"), col("last_syn_event")), Seq("tenant", "account"))
       .filter(col("snapshot_version") > col("last_syn_snapshot") ||
@@ -217,7 +218,7 @@ object Warehouse {
       .select(col("tenant"), col("account"), col("transaction"),
         col("status").as("event_status"))
     val txTransfers = entity(Journal.transfers(spark, journalRoot),
-      Journal.transfersFromManifest(spark, _))
+      Journal.transfersHybrid(spark, journalRoot, _))
       .join(announced, Seq("tenant", "transaction"))
       .filter(col("credit_name") === col("account") ||
         col("debit_name") === col("account"))

@@ -226,6 +226,46 @@ class GraphQLSpec extends SparkSpec {
         |fragment a on tenant { name }
         |fragment a on tenant { name }""".stripMargin))
     assert(dup.msg.contains("defined twice"))
+
+    // overlapping spreads MERGE into one field (CollectFields), not
+    // duplicate JSON keys
+    val merged = exec.execute(
+      """query {
+        |  transfers(tenant: "TENANT", limit: 10, offset: 0) { ...a ...b }
+        |}
+        |fragment a on transfer { credit { name } }
+        |fragment b on transfer { credit { currency } }""".stripMargin)
+    assert(merged.contains(""""credit":{"name":"CREDIT","currency":"CZK"}"""))
+    assert(merged.indexOf("\"credit\":") == merged.lastIndexOf("\"credit\":"))
+
+    // spreads cannot apply inside scalar fields
+    val scalar = intercept[GraphQL.AnalysisError](exec.execute(
+      """query { tenants(limit: 1, offset: 0) { name { ...a } } }
+        |fragment a on tenant { name }""".stripMargin))
+    assert(scalar.msg.contains("cannot be applied"))
+
+    // one or two dots is a syntax error, not a spread
+    intercept[GraphQL.SyntaxError](exec.execute(
+      """query { tenants(limit: 1, offset: 0) { .a } }
+        |fragment a on tenant { name }""".stripMargin))
+
+    // a fragment no operation references is an error...
+    val unused = intercept[GraphQL.AnalysisError](exec.execute(
+      """query { tenants(limit: 1, offset: 0) { name } }
+        |fragment lone on tenant { name }""".stripMargin))
+    assert(unused.msg.contains("never used"))
+    // ...but one referenced by ANOTHER operation in the document is fine
+    val other = exec.execute(
+      """query A { tenants(limit: 1, offset: 0) { name } }
+        |query B { tenant(name: "TENANT") { ...t } }
+        |fragment t on tenant { name }""".stripMargin, Some("A"))
+    assert(other == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
+    // unreached fragments still get validated
+    val badBody = intercept[GraphQL.AnalysisError](exec.execute(
+      """query A { tenants(limit: 1, offset: 0) { name } }
+        |query B { tenant(name: "TENANT") { ...t } }
+        |fragment t on tenant { ...missing }""".stripMargin, Some("A")))
+    assert(badBody.msg.contains("Unknown fragment"))
   }
 
   test("graphql over HTTP: POST (bbtest body shape), GET, and 400 mapping") {

@@ -179,4 +179,23 @@ class JournalSpec extends SparkSpec {
     assert(Journal.versionSegment(1234567890) == "1234567890")
     intercept[IllegalArgumentException](Journal.versionSegment(-1))
   }
+  test("hybrid read preserves in-file duplicate records while deduping by file") {
+    val root = Files.createTempDirectory("jdup")
+    def put(rel: String, content: String): Unit = {
+      val f = root.resolve(rel)
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, content): Unit
+    }
+    // a transaction file whose body repeats an identical transfer line
+    put("t_T/transaction/DUP",
+      "committed\nX T A T B 2020-01-01T00:00:00Z 1 CZK\nX T A T B 2020-01-01T00:00:00Z 1 CZK\n")
+    val m = Files.createTempDirectory("mdup").toString
+    Journal.compact(spark, root.toString, m)
+
+    // the file exists in BOTH the manifest and the live tree (overlap):
+    // per-file dedupe keeps one copy of the FILE, both records survive —
+    // exactly what a plain full-tree read returns
+    assert(Journal.transfers(spark, root.toString).count() == 2)
+    assert(Journal.transfersHybrid(spark, root.toString, m).count() == 2)
+  }
 }
