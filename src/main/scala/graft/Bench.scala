@@ -31,11 +31,29 @@ object Bench {
     // so drop all cached data between runs to time the real plan
     def clearCache(): Unit = spark.sharedState.cacheManager.clearCache()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Spark frees shuffle files / broadcasts via ContextCleaner, which only
+    // acts when the JVM garbage-collects the driver-side references. Over a
+    // 43-query suite the backlog grows until random queries absorb the
+    // cleanup + GC pauses (observed: a 1.6 s query reading 17 s mid-suite).
+    // Forcing a GC at each query boundary keeps that cost OUT of timed runs.
+    def settle(): Unit = {
+      clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+
+    // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try {
           run(fn(spark, sfDir)) // warmup (untimed)
-          Seq.fill(2) { clearCache(); timed(run(fn(spark, sfDir))) }.min
+          Seq.fill(2) { settle(); timed(run(fn(spark, sfDir))) }.min
         } catch {
           // a silent -1 hides which query failed and why; attribute it
           case e: Throwable =>
@@ -43,7 +61,7 @@ object Bench {
             e.printStackTrace()
             -1.0
         }
-      clearCache()
+      settle()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
