@@ -268,13 +268,122 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // --------------------------------------------------- IVF-bucketed ANN
+
+  private val NCells = 16
+  private val NProbe = 4
+
+  /** Inverted-file (IVF) ANN — the second 100 TB scale path, orthogonal to
+    * LSH: partition the corpus into `NCells` Voronoi cells around centroid
+    * vectors, and answer each query by exact re-ranking ONLY the `NProbe`
+    * cells nearest the query (a 4/16 = 25% corpus scan here; at real scale
+    * thousands of cells make that a sub-1% scan).
+    *
+    * Centroids are the vectors with `vec_id < NCells` — a deterministic
+    * sample standing in for an offline k-means (training the codebook is a
+    * separate batch job at scale; the serving-side plumbing being tested —
+    * broadcast codebook, map-side cell assignment, cell-bucket join,
+    * candidate re-rank — is identical either way). Assignment and probe
+    * ranking order by `(cosine DESC, cid)` on bit-identical doubles, so
+    * the oracle replays the same cells and the result compares exactly.
+    *
+    * Plan shape: the codebook side of both rank windows is NCells rows —
+    * the corpus×codebook step is a broadcast nested-loop over a tiny
+    * build side followed by a per-vector rank; the only wide shuffle keys
+    * on `cell`, whose fan-in is bounded by cell occupancy (at scale:
+    * corpus pre-bucketed BY cell on disk makes the probe a partition-
+    * pruned scan instead).
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    val cents = corpus.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("nc"))
+
+    def nearestCells(side: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("ccos").desc, col("cid"))
+      side.join(broadcast(cents))
+        .withColumn("ccos",
+          expr("vec_dot(v, cv)") / (sqrt(col("nn")) * sqrt(col("nc"))))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idCol), col("cid").as("cell"))
+    }
+
+    val assigned = nearestCells(corpus, "vec_id", 1)
+    val probes = nearestCells(
+      corpus.filter(col("vec_id") < NumQueries).withColumnRenamed("vec_id", "qid"),
+      "qid", NProbe)
+
+    val cands = probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid")).distinct()
+
+    val queries = corpus.select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("nq"))
+    val neighbors = corpus.select(col("vec_id").as("nid"), col("v"), col("nn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    cands.join(queries, "qid").join(neighbors, "nid")
+      .withColumn("cosine",
+        expr("vec_dot(qv, v)") / (sqrt(col("nq")) * sqrt(col("nn"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= AnnK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  private val annIvfSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv, nn AS nc FROM n WHERE vec_id < $NCells),
+       |scored_cells AS (
+       |  SELECT n.vec_id, c.cid,
+       |    list_reduce(list_transform(range($Dim), i -> n.v[i+1] * c.cv[i+1]),
+       |      (a, b) -> a + b) / (sqrt(n.nn) * sqrt(c.nc)) AS ccos
+       |  FROM n CROSS JOIN c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM scored_cells),
+       |assigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM ranked_cells
+       |  WHERE crank <= $NProbe AND vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.vec_id != p.qid),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> qn.v[i+1] * cn.v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(qn.nn) * sqrt(cn.nn)) AS cosine
+       |  FROM cand
+       |  JOIN n qn ON qn.vec_id = cand.qid
+       |  JOIN n cn ON cn.vec_id = cand.nid),
+       |r AS (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> (cosineTopK(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
+    "q_ann_ivf" -> (annIvf(_, _)),
     "q_embed_neardup" -> (embedNearDup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_embed_neardup" -> embedNearDupSql)
 }

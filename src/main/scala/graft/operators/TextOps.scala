@@ -266,6 +266,73 @@ object TextOps {
        |FROM pairs WHERE CAST(inter AS DOUBLE)/un >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- exact n-gram Jaccard join
+
+  /** EXACT n-gram Jaccard near-dup pairs (sim ≥ 0.8) without ever going
+    * all-pairs: a PPJoin-style prefix-filtered set-similarity join.
+    *
+    * Under any one GLOBAL total order over shingles, two sets with
+    * Jaccard ≥ t must share an element inside each set's first
+    * `|s| − ⌈t·|s|⌉ + 1` elements (if they disagreed on all of both
+    * prefixes, too few shingles could overlap to reach t). So: sort each
+    * set once, explode only the PREFIX into an inverted index, self-join
+    * on the shingle, and verify exact Jaccard on the candidates. Work
+    * scales with prefix-token bucket occupancy — the standard exact
+    * answer at corpus scale, complementing the approximate MinHash path
+    * (which trades exactness for even smaller candidate sets).
+    *
+    * Same output contract as minhashNearDup, so the same all-pairs oracle
+    * gates it — but here equality is guaranteed by construction, not by
+    * LSH recall odds.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Cache the raw sets FIRST: the shingle-building expression is a chain
+    // of interpreted higher-order lambdas (transform/array_distinct — no
+    // codegen), and Catalyst's filter pushdown clones it into the pushed
+    // predicate, so every uncached reuse pays it several times per row.
+    // One materialization here; every branch below reads columnar cache.
+    val raw = shingles(s, dir).cache()
+
+    // Global order = ascending DOCUMENT FREQUENCY (ties by shingle text):
+    // the prefix of each set then holds its RAREST shingles, so inverted-
+    // index buckets stay near-singleton even on low-entropy corpora. A
+    // plain lexicographic order is equally CORRECT but puts corpus-wide
+    // boilerplate shingles into prefixes and inflates the bucket join.
+    val ex = raw.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(df, shingle))), x -> x.shingle)")
+        .as("s"))
+
+    val prefLen = (size(col("s"))
+      - ceil(lit(JaccardThreshold) * size(col("s"))).cast("int") + 1)
+    val pref = ordered
+      .select(col("doc_id"), explode(slice(col("s"), lit(1), prefLen)).as("shingle"))
+
+    val candidates = pref.toDF("doc_a", "shingle")
+      .join(pref.toDF("doc_b", "shingle"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    // verification reads the RAW (unsorted) sets — intersection size does
+    // not depend on element order, and raw is the cached frame
+    val sa = raw.toDF("doc_a", "sa")
+    val sb = raw.toDF("doc_b", "sb")
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val union = size(col("sa")) + size(col("sb")) - inter
+    candidates
+      .join(sa, "doc_a").join(sb, "doc_b")
+      // length-ratio bound: jaccard >= t forces |small| >= t*|large| —
+      // drops most candidates BEFORE the O(|a|+|b|) set intersection
+      .filter(least(size(col("sa")), size(col("sb"))).cast("double")
+        >= lit(JaccardThreshold) * greatest(size(col("sa")), size(col("sb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / union).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // --------------------------------------------------------------- tokens
 
   /** BPE-ish pre-tokenization pattern: letter runs, single digits, single
@@ -457,6 +524,7 @@ object TextOps {
     "q_text_stats" -> (textStats(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_minhash_neardup" -> (minhashNearDup(_, _)),
+    "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_simhash_neardup" -> (simhashNearDup(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)))
@@ -466,6 +534,7 @@ object TextOps {
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
     "q_minhash_neardup" -> minhashNearDupSql,
+    "q_ngram_jaccard" -> minhashNearDupSql,
     "q_token_count" -> tokenCountSql,
     "q_simhash_neardup" -> simhashNearDupSql,
     "q_fingerprint" -> fingerprintSql)

@@ -97,6 +97,45 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard finds the same pairs exactly, with the true similarity") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    withDocs(
+      1L -> base,
+      2L -> (base + " extra"),  // shares all 38 of doc 1's shingles; union 39
+      3L -> base,               // identical to 1 -> jaccard 1.0
+      4L -> (1 to 40).map(i => s"other$i").mkString(" ")) { dir =>
+      val rows = TextOps.ngramJaccard(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      assert(rows.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+      assert(rows((1L, 3L)) == 1.0)
+      assert(math.abs(rows((1L, 2L)) - 38.0 / 39.0) < 1e-12)
+    }
+  }
+
+  test("ngramJaccard prefix filter is exact: agrees with all-pairs brute force") {
+    // overlapping chains doc i = tokens [3i, 3i+40): neighbors share ~37/43
+    val docs = (0 until 8).map { i =>
+      (i + 1).toLong -> (3 * i until 3 * i + 40).map(t => s"w$t").mkString(" ")
+    }
+    withDocs(docs: _*) { dir =>
+      val got = TextOps.ngramJaccard(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      // brute-force oracle on the same shingle definition
+      def sh(text: String): Set[String] = {
+        val t = text.split(" ")
+        (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+      }
+      val expect = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        j = sh(ta).intersect(sh(tb)).size.toDouble /
+          sh(ta).union(sh(tb)).size
+        if j >= 0.8
+      } yield (a, b)).toSet
+      assert(got == expect)
+    }
+  }
+
   test("simhashNearDup pairs docs with equal token sets, skips distinct ones") {
     // simhash is over the DISTINCT token set: reordering and repeating
     // tokens yields the identical signature (hamming 0)
@@ -138,6 +177,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("nid")).toSeq == Seq(20L, 21L, 22L))
     assert(rows.head.getAs[Double]("cosine") == 1.0)
     assert(rows.last.getAs[Double]("cosine") == -1.0)
+  }
+
+  test("annIvf surfaces an identical vector via its probed cell") {
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    // ids 0..15 double as the IVF codebook; 17 duplicates query 0's vector
+    // and must be found through cell probing (it is in centroid 0's cell)
+    val vecs = (0 to 15).map { i =>
+      (i.toLong, Array(math.cos(i / 3.0).toFloat, math.sin(i / 3.0).toFloat,
+        (i % 4).toFloat / 4, 1f))
+    } :+ (17L, Array(math.cos(0.0).toFloat, math.sin(0.0).toFloat, 0f, 1f))
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.annIvf(spark, dir)
+      .filter(col("qid") === 0).orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("nid") == 17L)
+    // sqrt(nn)*sqrt(nn) != nn exactly for irrational components
+    assert(rows.head.getAs[Double]("cosine") > 1.0 - 1e-12)
   }
 
   test("event windows: tumbling counts per hour, session merges within gap") {
