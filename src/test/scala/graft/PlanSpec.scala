@@ -73,6 +73,31 @@ class PlanSpec extends SparkSpec {
       s"fingerprint must not hash-shuffle:\n$plan")
   }
 
+  test("annIvf broadcasts the codebook, never a cartesian product") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfemb").toString
+    (0 to 20).map(i => (i.toLong, Array(i.toFloat, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val plan = graft.operators.Similarity.annIvf(spark, tmp)
+      .queryExecution.executedPlan.toString
+    // corpus x codebook must be the tiny side broadcast; a cartesian or
+    // sort-merge over the full corpus square would not survive scale
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"codebook side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF must never plan a cartesian product:\n$plan")
+  }
+
+  test("ngramJaccard joins only on shingle buckets — no cartesian, no all-pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("njdocs").toString
+    Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val plan = graft.operators.TextOps.ngramJaccard(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join on the shingle key:\n$plan")
+  }
+
   test("balance query is a partial+final hash aggregate over one scan") {
     val transfers = Tables.load(spark, dir, "orders").select(
       lit("T").as("tenant"), lit(1).as("status"),
