@@ -16,11 +16,14 @@ import scala.collection.mutable.ListBuffer
   *
   * Supported beyond the bbtest surface: named fragment spreads and inline
   * fragments ([[GraphQL.resolveFragments]] splices them with type
-  * checking, duplicate-field merging, and unused-fragment validation).
+  * checking, duplicate-field merging, and unused-fragment validation),
+  * and the spec's executable directives `@skip(if:)` / `@include(if:)`
+  * (literal or variable condition, evaluated during field collection).
   * Not supported (reference schema never produces them):
-  * mutations/subscriptions, directives, block strings. Encountering one
-  * raises [[GraphQL.AnalysisError]] — the same 400 a reference user gets
-  * for a query that doesn't validate against the schema.
+  * mutations/subscriptions, non-executable directives, block strings.
+  * Encountering one raises [[GraphQL.AnalysisError]] — the same 400 a
+  * reference user gets for a query that doesn't validate against the
+  * schema.
   */
 object GraphQL {
 
@@ -49,6 +52,15 @@ object GraphQL {
 
   final case class Argument(name: String, value: Value, line: Int, column: Int)
 
+  /** An executable directive (`@skip(if:)` / `@include(if:)`) attached to a
+    * field, fragment spread, or inline fragment — the only directive
+    * positions the spec allows for these two, and the only directives the
+    * reference's Sangria executes. Evaluated during field collection
+    * ([[resolveFragments]]); any other directive name is rejected at parse.
+    */
+  final case class Directive(name: String, args: List[Argument],
+      line: Int, column: Int)
+
   /** One entry of a selection set: a field, a named-fragment spread, or an
     * inline fragment. Fragments exist only between parse and
     * [[resolveFragments]] — the executor sees pure [[Field]] trees.
@@ -61,15 +73,24 @@ object GraphQL {
       args: List[Argument],
       selection: List[Sel],
       line: Int,
-      column: Int) extends Sel {
+      column: Int,
+      directives: List[Directive] = Nil,
+      hadSelection: Boolean = false) extends Sel {
     def outputName: String = alias.getOrElse(name)
     /** Post-[[resolveFragments]] children (all spreads spliced away). */
     def fields: List[Field] = selection.collect { case f: Field => f }
+    /** True when the SOURCE had a `{…}` on this field. The parser rejects a
+      * literally empty set, so `fields.isEmpty && hadSelection` can only
+      * mean every subfield was `@skip`'d — a valid empty object per spec,
+      * distinct from the static error of selecting an object type bare.
+      */
+    def selectionEmptiedByDirectives: Boolean = fields.isEmpty && hadSelection
   }
 
-  final case class Spread(name: String, line: Int, column: Int) extends Sel
+  final case class Spread(name: String, line: Int, column: Int,
+      directives: List[Directive] = Nil) extends Sel
   final case class Inline(typeCond: String, selection: List[Sel],
-      line: Int, column: Int) extends Sel
+      line: Int, column: Int, directives: List[Directive] = Nil) extends Sel
 
   final case class FragmentDef(name: String, typeCond: String,
       selection: List[Sel], line: Int, column: Int)
@@ -231,6 +252,29 @@ object GraphQL {
       defs.toList
     }
 
+    /** `@skip(if:)` / `@include(if:)` runs — the executable directives of
+      * the spec (and of the reference's Sangria). Anything else is outside
+      * the schema's capability and rejected like any other unsupported
+      * construct; the argument shape is validated here so execution only
+      * ever sees well-formed directives.
+      */
+    private def directives(): List[Directive] = {
+      val out = ListBuffer.empty[Directive]
+      while (peek.kind == TPunct && peek.text == "@") {
+        val at = next()
+        val n = expectName()
+        val args = if (peek.kind == TPunct && peek.text == "(") arguments() else Nil
+        if (n.text != "skip" && n.text != "include")
+          throw AnalysisError(s"Unknown directive '@${n.text}'", at.line, at.column)
+        if (args.map(_.name) != List("if"))
+          throw AnalysisError(
+            s"Directive '@${n.text}' requires exactly one argument 'if'",
+            at.line, at.column)
+        out += Directive(n.text, args, at.line, at.column)
+      }
+      out.toList
+    }
+
     private def selectionSet(): List[Sel] = {
       expectPunct("{")
       val sels = ListBuffer.empty[Sel]
@@ -241,10 +285,12 @@ object GraphQL {
           if (peek.kind == TName && peek.text == "on") {
             next()
             val cond = expectName().text
-            sels += Inline(cond, selectionSet(), t.line, t.column)
-          } else if (peek.kind == TName)
-            sels += Spread(next().text, t.line, t.column)
-          else syntax("expected a fragment name or 'on' after '...'", peek)
+            val dirs = directives()
+            sels += Inline(cond, selectionSet(), t.line, t.column, dirs)
+          } else if (peek.kind == TName) {
+            val name = next().text
+            sels += Spread(name, t.line, t.column, directives())
+          } else syntax("expected a fragment name or 'on' after '...'", peek)
         } else {
           val first = expectName()
           val (alias, name) =
@@ -252,10 +298,11 @@ object GraphQL {
               next(); (Some(first.text), expectName().text)
             } else (None, first.text)
           val args = if (peek.kind == TPunct && peek.text == "(") arguments() else Nil
-          if (peek.kind == TPunct && peek.text == "@")
-            throw AnalysisError("Directives are not supported", peek.line, peek.column)
-          val sel = if (peek.kind == TPunct && peek.text == "{") selectionSet() else Nil
-          sels += Field(alias, name, args, sel, first.line, first.column)
+          val dirs = directives()
+          val hadBraces = peek.kind == TPunct && peek.text == "{"
+          val sel = if (hadBraces) selectionSet() else Nil
+          sels += Field(alias, name, args, sel, first.line, first.column, dirs,
+            hadSelection = hadBraces)
         }
       }
       expectPunct("}")
@@ -333,12 +380,14 @@ object GraphQL {
     * mismatched conditions, spread cycles, spreads under scalar fields,
     * and fragments the document never uses.
     */
-  def resolveFragments(doc: Document, op: Operation): Operation = {
+  def resolveFragments(doc: Document, op: Operation,
+      keep: List[Directive] => Boolean = _ => true): Operation = {
     val fragments = doc.fragments
     val used = scala.collection.mutable.Set.empty[String]
 
     def splice(sels: List[Sel], tpe: String, visiting: Set[String]): List[Field] =
       sels.flatMap {
+        case f: Field if !keep(f.directives) => Nil
         case f: Field =>
           val resolved = fieldTypes.get((tpe, f.name)) match {
             case Some(ct) => splice(f.selection, ct, visiting)
@@ -346,21 +395,25 @@ object GraphQL {
               // scalar leaf or unknown field: fragments cannot apply here —
               // dropping them silently would skip unknown-fragment checks
               f.selection.collectFirst {
-                case Spread(_, l, c) => (l, c)
-                case Inline(_, _, l, c) => (l, c)
+                case Spread(_, l, c, _) => (l, c)
+                case Inline(_, _, l, c, _) => (l, c)
               }.foreach { case (l, c) =>
                 throw AnalysisError(
                   s"Fragments cannot be applied inside field '${f.name}'", l, c)
               }
-              f.selection.collect { case c: Field => c }
+              f.selection.collect {
+                case c: Field if keep(c.directives) => c.copy(directives = Nil)
+              }
           }
-          List(f.copy(selection = resolved))
-        case Inline(cond, sel, line, column) =>
+          List(f.copy(selection = resolved, directives = Nil))
+        case Inline(cond, sel, line, column, dirs) =>
+          // the type condition is STATIC validation — it must hold even for
+          // an excluded fragment, exactly as in the reference's validator
           if (cond != tpe)
             throw AnalysisError(
               s"Fragment on type '$cond' cannot be spread in type '$tpe'", line, column)
-          splice(sel, tpe, visiting)
-        case Spread(name, line, column) =>
+          if (keep(dirs)) splice(sel, tpe, visiting) else Nil
+        case Spread(name, line, column, dirs) =>
           val frag = fragments.getOrElse(name,
             throw AnalysisError(s"Unknown fragment '$name'", line, column))
           if (visiting(name))
@@ -369,8 +422,10 @@ object GraphQL {
             throw AnalysisError(
               s"Fragment '$name' on type '${frag.typeCond}' cannot be spread in type '$tpe'",
               line, column)
+          // a @skip'd spread still REFERENCES its fragment: NoUnusedFragments
+          // is static validation, untouched by executable directives
           used += name
-          splice(frag.selection, tpe, visiting + name)
+          if (keep(dirs)) splice(frag.selection, tpe, visiting + name) else Nil
       }
 
     /** CollectFields: same output name ⇒ one field, children combined. */
@@ -401,8 +456,8 @@ object GraphQL {
     // another-operation is fine, so usage is computed over ALL operations
     def spreadNames(sels: List[Sel]): Set[String] = sels.flatMap {
       case f: Field => spreadNames(f.selection)
-      case Inline(_, s, _, _) => spreadNames(s)
-      case Spread(n, _, _) => Set(n)
+      case Inline(_, s, _, _, _) => spreadNames(s)
+      case Spread(n, _, _, _) => Set(n)
     }.toSet
     var reachable = doc.operations.flatMap(o => spreadNames(o.selection)).toSet
     var grew = true
@@ -438,6 +493,43 @@ object GraphQL {
   /** Substitute variable references with request-supplied values (or
     * declared defaults), enforcing declared-ness both ways.
     */
+  /** Build the `@skip`/`@include` evaluator for one execution: each
+    * directive's `if` argument is coerced against the operation's variable
+    * definitions and the supplied values — the same resolution rules as
+    * [[resolveVariables]], restricted to Boolean. A selection is kept only
+    * if every `@include` is true and every `@skip` is false.
+    */
+  def directiveFilter(op: Operation,
+      supplied: Map[String, Any]): List[Directive] => Boolean = {
+    val defs = op.varDefs.map(d => d.name -> d).toMap
+    def boolOf(d: Directive): Boolean = {
+      val a = d.args.head
+      def bad(what: String): Nothing =
+        throw AnalysisError(
+          s"'@${d.name}(if:)' expects a Boolean, got $what", a.line, a.column)
+      a.value match {
+        case VBool(b) => b
+        case VVar(n) =>
+          val vd = defs.getOrElse(n,
+            throw AnalysisError(s"Variable '$$$n' is not defined", a.line, a.column))
+          supplied.get(n) match {
+            case Some(b: Boolean) => b
+            case Some(other) => bad(other.getClass.getSimpleName)
+            case None => vd.default match {
+              case Some(VBool(b)) => b
+              case Some(other) => bad(other.getClass.getSimpleName.stripPrefix("V"))
+              case None =>
+                throw AnalysisError(
+                  s"Variable '$$$n' expected value of type 'Boolean!'",
+                  vd.line, vd.column)
+            }
+          }
+        case other => bad(other.getClass.getSimpleName.stripPrefix("V"))
+      }
+    }
+    dirs => dirs.forall(d => if (d.name == "skip") !boolOf(d) else boolOf(d))
+  }
+
   def resolveVariables(op: Operation, supplied: Map[String, Any]): Operation = {
     val defs = op.varDefs.map(d => d.name -> d).toMap
     def toValue(a: Any, d: VarDef): Value = a match {

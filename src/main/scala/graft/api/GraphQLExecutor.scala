@@ -82,8 +82,12 @@ final class GraphQLExecutor(
   def plans(doc: String, operationName: Option[String] = None,
       variables: Map[String, Any] = Map.empty): List[RootPlan] = {
     val document = parse(doc)
+    val picked = operation(document.operations, operationName)
+    // @skip/@include run during field collection (inside resolveFragments):
+    // an excluded spread still counts as a fragment REFERENCE, and an
+    // excluded field never reaches plan compilation
     val op = resolveVariables(
-      resolveFragments(document, operation(document.operations, operationName)),
+      resolveFragments(document, picked, directiveFilter(picked, variables)),
       variables)
     op.selection.collect { case f: Field => f }.map(rootPlan)
   }
@@ -253,7 +257,10 @@ final class GraphQLExecutor(
 
   private def requireSel(f: Field): List[Field] = {
     val fields = f.fields
-    if (fields.isEmpty)
+    // a selection set the directives emptied is a valid empty object ({}
+    // per row); only a field that never HAD a selection set is the static
+    // object-type-needs-subfields error
+    if (fields.isEmpty && !f.selectionEmptiedByDirectives)
       throw AnalysisError(
         s"Field '${f.name}' of an object type must have a selection of subfields",
         f.line, f.column)

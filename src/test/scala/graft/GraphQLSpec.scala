@@ -268,6 +268,63 @@ class GraphQLSpec extends SparkSpec {
     assert(badBody.msg.contains("Unknown fragment"))
   }
 
+  test("@skip/@include: literals, variables, defaults, and spread exclusion") {
+    // literal skip drops the field from the result entirely
+    assert(exec.execute(
+      """query { tenants(limit: 10, offset: 0) { name @skip(if: true) } }""")
+      == """{"data":{"tenants":[{}]}}""")
+    // include via variable; false drops the whole root field
+    assert(exec.execute(
+      """query($v: Boolean!) {
+        |  tenants(limit: 10, offset: 0) @include(if: $v) { name }
+        |}""".stripMargin, variables = Map("v" -> false))
+      == """{"data":{}}""")
+    assert(exec.execute(
+      """query($v: Boolean!) {
+        |  tenants(limit: 10, offset: 0) @include(if: $v) { name }
+        |}""".stripMargin, variables = Map("v" -> true))
+      == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
+    // variable default feeds the condition when no value is supplied
+    assert(exec.execute(
+      """query($v: Boolean = true) {
+        |  tenants(limit: 10, offset: 0) { name @skip(if: $v) }
+        |}""".stripMargin)
+      == """{"data":{"tenants":[{}]}}""")
+    // a @skip'd spread is excluded from execution but still counts as the
+    // fragment's reference — NOT an unused-fragment error
+    assert(exec.execute(
+      """query { tenants(limit: 10, offset: 0) { ...f @skip(if: true) } }
+        |fragment f on tenant { name }""".stripMargin)
+      == """{"data":{"tenants":[{}]}}""")
+    // both directives on one selection: all must agree to keep it
+    assert(exec.execute(
+      """query { tenants(limit: 10, offset: 0) {
+        |  name @include(if: true) @skip(if: false) } }""".stripMargin)
+      == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
+  }
+
+  test("@directive error cases: unknown name, bad argument, non-boolean") {
+    def analysisError(q: String, vars: Map[String, Any] = Map.empty): String =
+      intercept[GraphQL.AnalysisError](exec.execute(q, variables = vars)).getMessage
+    assert(analysisError(
+      "query { tenants(limit: 10, offset: 0) @deprecated { name } }")
+      .contains("Unknown directive '@deprecated'"))
+    assert(analysisError(
+      "query { tenants(limit: 10, offset: 0) @skip { name } }")
+      .contains("requires exactly one argument 'if'"))
+    assert(analysisError(
+      "query { tenants(limit: 10, offset: 0) @skip(unless: true) { name } }")
+      .contains("requires exactly one argument 'if'"))
+    assert(analysisError(
+      """query { tenants(limit: 10, offset: 0) @skip(if: "yes") { name } }""")
+      .contains("expects a Boolean"))
+    assert(analysisError(
+      """query($v: Boolean!) {
+        |  tenants(limit: 10, offset: 0) @skip(if: $v) { name }
+        |}""".stripMargin)
+      .contains("expected value of type 'Boolean!'"))
+  }
+
   test("graphql over HTTP: POST (bbtest body shape), GET, and 400 mapping") {
     val edge = new HttpEdge(spark, wh, port = 0).start()
     try {
