@@ -136,6 +136,93 @@ object EventWindows {
       .orderBy("window_start", "event_type")
   }
 
+  /** Prepared input directory for the streaming SESSION gate: the real
+    * events as ONE parquet file, then a sentinel file 7 h past the last
+    * real event (> gap 6 h + watermark 10 min), with modification times
+    * forcing oldest-first file order. One real file matters: the file
+    * source feeds files in mtime order and `maxFilesPerTrigger=1` batches
+    * per FILE, so a real event processed after a later-timestamped part
+    * had advanced the watermark would be dropped as late — correct
+    * streaming semantics, wrong fixture. Per-JVM build (gate-output rule).
+    */
+  private def sessionStreamInput(s: SparkSession, dir: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot("sessstream", dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val staging = tmp.resolve(s"_staging_$name")
+        df.coalesce(1).write.parquet(staging.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(staging).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+        java.nio.file.Files.move(part, tmp.resolve(name))
+        org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
+        java.nio.file.Files.setLastModifiedTime(tmp.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      // TimestampType (instant) for the stream: watermarks/session merge on
+      // the event-time column; session TZ is UTC so the NTZ cast at the
+      // OUTPUT edge is still the wall-clock identity
+      val real = events(s, dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      val maxTs = real.agg(max(col("ts"))).collect().head.getTimestamp(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("user_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 7L * 3600 * 1000)).as("ts"),
+        lit(0.0).as("value"))
+      val t0 = System.currentTimeMillis() - 120000
+      writeOne(real, "00_real.parquet", t0)
+      writeOne(sentinel, "01_sentinel.parquet", t0 + 60000)
+    }
+
+  /** The streaming SESSION windows under the oracle: file source →
+    * watermark → `session_window` state merge → APPEND-mode memory sink.
+    * Session windows reject complete/update output, and append only emits
+    * a session once the watermark passes its end — so the fixture feeds a
+    * sentinel event (own user, one batch later) whose watermark closes
+    * every real session, and the gate filters the sentinel's (never-
+    * emitted) session out. Exercises exactly what complete-mode tumbling
+    * cannot: watermark-driven finalization and state eviction.
+    */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val input = sessionStreamInput(s, dir)
+    val sch = s.read.parquet(s"$input/00_real.parquet").schema
+    val stream = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input.toString)
+    val sink = s"q_stream_session_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.EventStream.sessionCounts(stream, "6 hours", "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .filter(col("user_id") =!= -1L)
+      .withColumn("session_start", col("session_start").cast(TimestampNTZType))
+      .withColumn("session_end", col("session_end").cast(TimestampNTZType))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val streamSessionSql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts >= lag(ts) OVER w + INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, sid, min(ts) AS session_start,
+      |    max(ts) + INTERVAL 6 HOUR AS session_end,
+      |    count(*) AS n_events
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM g ORDER BY user_id, session_start""".stripMargin
+
   /** JSON property extraction from the semi-structured `props` column,
     * aggregated per event type — the scalar-function path for the payload
     * column (codegen'd get_json_object; no UDF).
@@ -161,6 +248,7 @@ object EventWindows {
     "q_window_sliding" -> (sliding(_, _)),
     "q_window_session" -> (sessions(_, _)),
     "q_stream_tumbling" -> (streamTumbling(_, _)),
+    "q_stream_session" -> (streamSession(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -168,5 +256,6 @@ object EventWindows {
     "q_window_sliding" -> slidingSql,
     "q_window_session" -> sessionsSql,
     "q_stream_tumbling" -> tumblingSql,
+    "q_stream_session" -> streamSessionSql,
     "q_json_extract" -> jsonExtractSql)
 }
