@@ -46,7 +46,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        // a typo'd name silently timing nothing would read as an instantly
+        // green run — fail it loudly instead
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[bench] unknown SPARK_GRAFT_ONLY queries: ${unknown.toSeq.sorted.mkString(", ")}")
+          sys.exit(2)
+        }
+        SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -89,7 +89,9 @@ object GraphQL {
 
   final case class Spread(name: String, line: Int, column: Int,
       directives: List[Directive] = Nil) extends Sel
-  final case class Inline(typeCond: String, selection: List[Sel],
+  /** `typeCond` None = bare inline fragment (`... @dir { … }` / `... { … }`):
+    * applies to the enclosing type, per spec. */
+  final case class Inline(typeCond: Option[String], selection: List[Sel],
       line: Int, column: Int, directives: List[Directive] = Nil) extends Sel
 
   final case class FragmentDef(name: String, typeCond: String,
@@ -270,6 +272,11 @@ object GraphQL {
           throw AnalysisError(
             s"Directive '@${n.text}' requires exactly one argument 'if'",
             at.line, at.column)
+        // DirectivesAreUniquePerLocation: @skip/@include are non-repeatable
+        if (out.exists(_.name == n.text))
+          throw AnalysisError(
+            s"The directive '@${n.text}' can only be used once at this location",
+            at.line, at.column)
         out += Directive(n.text, args, at.line, at.column)
       }
       out.toList
@@ -286,11 +293,15 @@ object GraphQL {
             next()
             val cond = expectName().text
             val dirs = directives()
-            sels += Inline(cond, selectionSet(), t.line, t.column, dirs)
+            sels += Inline(Some(cond), selectionSet(), t.line, t.column, dirs)
           } else if (peek.kind == TName) {
             val name = next().text
             sels += Spread(name, t.line, t.column, directives())
-          } else syntax("expected a fragment name or 'on' after '...'", peek)
+          } else if (peek.kind == TPunct && (peek.text == "@" || peek.text == "{")) {
+            // bare inline fragment: no type condition — the enclosing type
+            val dirs = directives()
+            sels += Inline(None, selectionSet(), t.line, t.column, dirs)
+          } else syntax("expected a fragment name, 'on', '@', or '{' after '...'", peek)
         } else {
           val first = expectName()
           val (alias, name) =
@@ -385,12 +396,13 @@ object GraphQL {
     val fragments = doc.fragments
     val used = scala.collection.mutable.Set.empty[String]
 
-    def splice(sels: List[Sel], tpe: String, visiting: Set[String]): List[Field] =
+    def splice(sels: List[Sel], tpe: String, visiting: Set[String],
+        keepF: List[Directive] => Boolean = keep): List[Field] =
       sels.flatMap {
-        case f: Field if !keep(f.directives) => Nil
+        case f: Field if !keepF(f.directives) => Nil
         case f: Field =>
           val resolved = fieldTypes.get((tpe, f.name)) match {
-            case Some(ct) => splice(f.selection, ct, visiting)
+            case Some(ct) => splice(f.selection, ct, visiting, keepF)
             case None =>
               // scalar leaf or unknown field: fragments cannot apply here —
               // dropping them silently would skip unknown-fragment checks
@@ -402,17 +414,19 @@ object GraphQL {
                   s"Fragments cannot be applied inside field '${f.name}'", l, c)
               }
               f.selection.collect {
-                case c: Field if keep(c.directives) => c.copy(directives = Nil)
+                case c: Field if keepF(c.directives) => c.copy(directives = Nil)
               }
           }
           List(f.copy(selection = resolved, directives = Nil))
         case Inline(cond, sel, line, column, dirs) =>
           // the type condition is STATIC validation — it must hold even for
           // an excluded fragment, exactly as in the reference's validator
-          if (cond != tpe)
-            throw AnalysisError(
-              s"Fragment on type '$cond' cannot be spread in type '$tpe'", line, column)
-          if (keep(dirs)) splice(sel, tpe, visiting) else Nil
+          cond.foreach { c =>
+            if (c != tpe)
+              throw AnalysisError(
+                s"Fragment on type '$c' cannot be spread in type '$tpe'", line, column)
+          }
+          if (keepF(dirs)) splice(sel, tpe, visiting, keepF) else Nil
         case Spread(name, line, column, dirs) =>
           val frag = fragments.getOrElse(name,
             throw AnalysisError(s"Unknown fragment '$name'", line, column))
@@ -425,7 +439,7 @@ object GraphQL {
           // a @skip'd spread still REFERENCES its fragment: NoUnusedFragments
           // is static validation, untouched by executable directives
           used += name
-          if (keep(dirs)) splice(frag.selection, tpe, visiting + name) else Nil
+          if (keepF(dirs)) splice(frag.selection, tpe, visiting + name, keepF) else Nil
       }
 
     /** CollectFields: same output name ⇒ one field, children combined. */
@@ -468,7 +482,11 @@ object GraphQL {
       reachable = next
     }
     fragments.values.foreach { frag =>
-      if (!used(frag.name)) splice(frag.selection, frag.typeCond, Set(frag.name)): Unit
+      // validation-only splice: directive conditions may reference OTHER
+      // operations' variables, and static checks must not depend on the
+      // executing operation's values — keep everything
+      if (!used(frag.name))
+        splice(frag.selection, frag.typeCond, Set(frag.name), _ => true): Unit
       if (!reachable(frag.name))
         throw AnalysisError(
           s"Fragment '${frag.name}' is never used", frag.line, frag.column)
@@ -514,6 +532,9 @@ object GraphQL {
             throw AnalysisError(s"Variable '$$$n' is not defined", a.line, a.column))
           supplied.get(n) match {
             case Some(b: Boolean) => b
+            // JSON null arrives as Scala null (HttpEdge.parseGraphqlBody) —
+            // same 400 as resolveVariables gives VNull, never an NPE/500
+            case Some(null) => bad("null")
             case Some(other) => bad(other.getClass.getSimpleName)
             case None => vd.default match {
               case Some(VBool(b)) => b

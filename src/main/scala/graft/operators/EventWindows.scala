@@ -152,9 +152,12 @@ object EventWindows {
         val staging = tmp.resolve(s"_staging_$name")
         df.coalesce(1).write.parquet(staging.toString)
         import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(staging).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+        val listing = java.nio.file.Files.list(staging)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+          finally listing.close()
         java.nio.file.Files.move(part, tmp.resolve(name))
         org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
         java.nio.file.Files.setLastModifiedTime(tmp.resolve(name),

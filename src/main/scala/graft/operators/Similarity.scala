@@ -133,14 +133,22 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid")).distinct()
 
+    rerankTopK(cands, corpus, AnnK)
+  }
+
+  /** Exact-cosine re-rank of (qid, nid) candidate pairs: top-`k` per query
+    * by (cosine DESC, nid) — the shared tail of every ANN path (LSH, IVF).
+    * BIGINT rank: DuckDB row_number() yields BIGINT, Spark INT.
+    */
+  private def rerankTopK(cands: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val queries = corpus.select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("nq"))
     val neighbors = corpus.select(col("vec_id").as("nid"), col("v"), col("nn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     cands.join(queries, "qid").join(neighbors, "nid")
-      .withColumn("dot", expr("vec_dot(qv, v)"))
-      .withColumn("cosine", col("dot") / (sqrt(col("nq")) * sqrt(col("nn"))))
+      .withColumn("cosine",
+        expr("vec_dot(qv, v)") / (sqrt(col("nq")) * sqrt(col("nn"))))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= AnnK)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("nid"), col("cosine"))
       .orderBy("qid", "rank")
@@ -321,17 +329,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid")).distinct()
 
-    val queries = corpus.select(col("vec_id").as("qid"), col("v").as("qv"), col("nn").as("nq"))
-    val neighbors = corpus.select(col("vec_id").as("nid"), col("v"), col("nn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    cands.join(queries, "qid").join(neighbors, "nid")
-      .withColumn("cosine",
-        expr("vec_dot(qv, v)") / (sqrt(col("nq")) * sqrt(col("nn"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= AnnK)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("nid"), col("cosine"))
-      .orderBy("qid", "rank")
+    rerankTopK(cands, corpus, AnnK)
   }
 
   private val annIvfSql =

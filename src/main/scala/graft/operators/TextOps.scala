@@ -237,12 +237,24 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    val sa = sh.toDF("doc_a", "sa")
-    val sb = sh.toDF("doc_b", "sb")
+    jaccardVerify(candidates, sh)
+  }
+
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs against
+    * their distinct shingle sets — the shared tail of the approximate
+    * (MinHash) and exact (prefix-filter) near-dup joins. The length-ratio
+    * bound (jaccard >= t forces |small| >= t*|large|) drops most
+    * candidates BEFORE the O(|a|+|b|) set intersection.
+    */
+  private def jaccardVerify(candidates: DataFrame, sets: DataFrame): DataFrame = {
+    val sa = sets.toDF("doc_a", "sa")
+    val sb = sets.toDF("doc_b", "sb")
     val inter = size(array_intersect(col("sa"), col("sb")))
     val union = size(col("sa")) + size(col("sb")) - inter
     candidates
       .join(sa, "doc_a").join(sb, "doc_b")
+      .filter(least(size(col("sa")), size(col("sb"))).cast("double")
+        >= lit(JaccardThreshold) * greatest(size(col("sa")), size(col("sb"))))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / union).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -317,20 +329,7 @@ object TextOps {
 
     // verification reads the RAW (unsorted) sets — intersection size does
     // not depend on element order, and raw is the cached frame
-    val sa = raw.toDF("doc_a", "sa")
-    val sb = raw.toDF("doc_b", "sb")
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val union = size(col("sa")) + size(col("sb")) - inter
-    candidates
-      .join(sa, "doc_a").join(sb, "doc_b")
-      // length-ratio bound: jaccard >= t forces |small| >= t*|large| —
-      // drops most candidates BEFORE the O(|a|+|b|) set intersection
-      .filter(least(size(col("sa")), size(col("sb"))).cast("double")
-        >= lit(JaccardThreshold) * greatest(size(col("sa")), size(col("sb"))))
-      .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") / union).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy("doc_a", "doc_b")
+    jaccardVerify(candidates, raw)
   }
 
   // --------------------------------------------------------------- tokens

@@ -67,8 +67,11 @@ object Journal {
         StructType(Seq(StructField("value", StringType), StructField("path", StringType))))
     } else {
       import spark.implicits._
+      // FileInputFormat.setInputPaths treats ',' as a path separator —
+      // escape it so a journal root containing a comma stays one path
+      val escaped = org.apache.hadoop.util.StringUtils.escapeString(glob)
       spark.sparkContext
-        .wholeTextFiles(glob, spark.sparkContext.defaultParallelism)
+        .wholeTextFiles(escaped, spark.sparkContext.defaultParallelism)
         .toDF("path", "value")
         .select("value", "path")
     }
@@ -210,19 +213,22 @@ object Journal {
   // split at scale: compact once per epoch, read history from the
   // manifest, glob only the small post-epoch tail.
 
-  /** Exact relativization of `input_file_name` URIs against `root`: strip
-    * the resolved root prefix, not a regex guess (a `t_` inside the ROOT's
-    * own path — /data/t_prod/journal — would otherwise capture too much
-    * and corrupt tenant extraction). input_file_name yields a URI; drop
-    * scheme+authority and compare against the root's raw URI path so the
-    * text stays in the same encoding the readers' regexes see. A matched
-    * file outside the root is a hard error, not a silently mangled path.
+  /** Exact relativization of journal file paths against `root`: strip the
+    * resolved root prefix, not a regex guess (a `t_` inside the ROOT's own
+    * path — /data/t_prod/journal — would otherwise capture too much and
+    * corrupt tenant extraction). The `path` column carries wholeTextFiles
+    * keys — Hadoop `Path.toString`, DECODED — so the prefix must come from
+    * the qualified path's decoded form (`toUri.getPath`), NOT `getRawPath`:
+    * an encoded prefix (`/my%20data/...`) would never match a decoded path
+    * (`/my data/...`) and every file would misreport as outside the root.
+    * A matched file outside the root is a hard error, not a silently
+    * mangled path.
     */
   private def relativizer(spark: SparkSession, root: String): Column => Column = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rootRaw = fs.makeQualified(rootPath).toUri.getRawPath
-    val prefix = if (rootRaw.endsWith("/")) rootRaw else rootRaw + "/"
+    val rootDecoded = fs.makeQualified(rootPath).toUri.getPath
+    val prefix = if (rootDecoded.endsWith("/")) rootDecoded else rootDecoded + "/"
     (c: Column) => {
       val abs = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", "")
       when(abs.startsWith(prefix),

@@ -303,6 +303,32 @@ class GraphQLSpec extends SparkSpec {
       == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
   }
 
+  test("@directive spec edges: other ops' fragments, null vars, bare inlines, repeats") {
+    // a fragment used only by ANOTHER operation may reference that op's
+    // variables in its directives; executing THIS op must not resolve them
+    assert(exec.execute(
+      """query A($v: Boolean!) { tenants(limit: 1, offset: 0) { ...g } }
+        |query B { tenants(limit: 1, offset: 0) { name } }
+        |fragment g on tenant { name @skip(if: $v) }""".stripMargin,
+      operationName = Some("B"))
+      == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
+    // JSON null variable → positioned 400, not an NPE/500
+    assert(intercept[GraphQL.AnalysisError](exec.execute(
+      """query($v: Boolean!) { tenants(limit: 1, offset: 0) @skip(if: $v) { name } }""",
+      variables = Map("v" -> null))).getMessage.contains("expects a Boolean"))
+    // bare inline fragment (no type condition) is a valid directive position
+    assert(exec.execute(
+      """query { tenants(limit: 1, offset: 0) { ... @include(if: false) { name } } }""")
+      == """{"data":{"tenants":[{}]}}""")
+    assert(exec.execute(
+      """query { tenants(limit: 1, offset: 0) { ... { name } } }""")
+      == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
+    // DirectivesAreUniquePerLocation: repeating @skip is a 400
+    assert(intercept[GraphQL.AnalysisError](exec.execute(
+      """query { tenants(limit: 1, offset: 0) { name @skip(if: false) @skip(if: true) } }"""))
+      .getMessage.contains("can only be used once"))
+  }
+
   test("@directive error cases: unknown name, bad argument, non-boolean") {
     def analysisError(q: String, vars: Map[String, Any] = Map.empty): String =
       intercept[GraphQL.AnalysisError](exec.execute(q, variables = vars)).getMessage
