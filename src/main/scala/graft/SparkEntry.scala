@@ -33,6 +33,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Similarity.queries ++
       operators.EventWindows.queries ++
+      operators.AsofJoin.queries ++
       operators.JournalGate.queries ++
       operators.SyncGate.queries ++
       multimodal.Multimodal.queries
@@ -46,6 +47,7 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.Similarity.oracles ++
       operators.EventWindows.oracles ++
+      operators.AsofJoin.oracles ++
       operators.JournalGate.oracles ++
       operators.SyncGate.oracles ++
       multimodal.Multimodal.oracles

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** Semantics of the generic backward as-of join on tiny inline frames
+  * (the oracle gate checks it against DuckDB's native ASOF JOIN at scale).
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asofBackward: latest at-or-before match, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, 5L, "l_at_5"),    // tie with right ts=5 -> inclusive match
+      (1L, 7L, "l_at_7"),    // between rights 5 and 9 -> matches 5
+      (1L, 3L, "l_at_3"),    // before any right -> null
+      (2L, 10L, "l_user2"))  // other key: only its own rights visible
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, 5L, 100L),
+      (1L, 9L, 101L),
+      (2L, 2L, 200L))
+      .toDF("user_id", "ts", "val")
+
+    val out = AsofJoin.asofBackward(left, right, Seq("user_id"), "ts", Seq("val"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[java.lang.Long]("val")), Option(r.getAs[java.lang.Long]("ts_right"))))
+      .toMap
+    assert(out("l_at_5") == (Some(100L), Some(5L)))
+    assert(out("l_at_7") == (Some(100L), Some(5L)))
+    assert(out("l_at_3") == (None, None))
+    assert(out("l_user2") == (Some(200L), Some(2L)))
+  }
+
+  test("asofBackward keeps every left row and all its columns") {
+    val left = Seq((1L, 1L, "a", 3.5)).toDF("user_id", "ts", "x", "y")
+    val right = Seq((9L, 1L, 7L)).toDF("user_id", "ts", "val") // key never matches
+    val out = AsofJoin.asofBackward(left, right, Seq("user_id"), "ts", Seq("val"))
+    assert(out.columns.toSeq == Seq("user_id", "ts", "x", "y", "val", "ts_right"))
+    val row = out.collect().head
+    assert(row.getAs[String]("x") == "a" && row.getAs[Double]("y") == 3.5)
+    assert(row.isNullAt(row.fieldIndex("val")))
+  }
+}
