@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
 
 /** Relational operator inventory over the TPC-H-ish testdata.
   *
@@ -128,6 +128,54 @@ object Relational {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // Exact percentiles (quantile_cont semantics: linear interpolation at
+    // rank p*(n-1)) — beyond the reference's surface. Exact percentile is
+    // a per-group sort; at 100 TB swap in approx_percentile (t-digest,
+    // mergeable partial aggs) — the query shape is unchanged.
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"),
+          element_at(col("qs"), 4).as("p95"),
+          col("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pivot (long -> wide conditional aggregation): Spark's .pivot() with
+    // an EXPLICIT value list — without it Spark runs a driver-side distinct
+    // scan to discover columns, which is a hidden extra job at scale.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .withColumnsRenamed(Map("F" -> "sum_f", "O" -> "sum_o", "P" -> "sum_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Analytic window functions (lag / rank / running sum) — per-customer
+    // order history. One hash-partitioned sort per window spec; all three
+    // share the same (o_custkey, o_orderdate, o_orderkey) ordering so
+    // Catalyst plans ONE Window operator, one shuffle.
+    "q_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(TimestampNTZType).as("o_orderdate"),
+          rank().over(w).cast("long").as("rnk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
     // Exact distinct aggregation (expands to a two-phase agg in Spark).
     "q_count_distinct" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -189,6 +237,29 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_analytics" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  rank() OVER w AS rnk,
+        |  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
         |  COUNT(*) AS n_orders
