@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * forward with a `last(..., ignoreNulls)` running window per key — ONE
   * shuffle+sort keyed by the join key, no range-join explosion, no
   * per-key driver loop. At 100 TB both sides shuffle once on the key and
-  * each partition does a linear timestamp-ordered sweep; skewed keys
-  * split fine because the window frame is running (AQE can split by key
-  * ranges). A sort-merge range join would re-scan right rows per left
-  * row; a windowed self-join (`ts BETWEEN x AND y`) explodes on dense
-  * right sides. This shape is linear in input.
+  * each partition does a linear timestamp-ordered sweep. A HOT key still
+  * serializes through one task — window partitions cannot be split by
+  * AQE — so the skew remedy is a composite (key, time-bucket) partition
+  * with each bucket seeded by the previous bucket's last right row (two
+  * passes), not salting. A sort-merge range join would re-scan right
+  * rows per left row; a windowed self-join (`ts BETWEEN x AND y`)
+  * explodes on dense right sides. This shape is linear in input.
   *
   * Ties: a right row AT the left row's timestamp matches (inclusive
   * semantics, DuckDB `ASOF JOIN ... ON l.ts >= r.ts`) — encoded by
@@ -40,36 +42,56 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val tsRight = s"${tsCol}_right"
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(!keys.contains(tsCol), s"'$tsCol' cannot be both key and timestamp")
+    require(!valueCols.contains(tsCol),
+      s"'$tsCol' is returned as '$tsRight'; do not list it in valueCols")
+    val collisions = valueCols.intersect(leftCols)
+    require(collisions.isEmpty,
+      s"value columns ${collisions.mkString(", ")} collide with left columns — alias them first")
+    val reserved = (leftCols ++ valueCols).intersect(Seq("__side", "__m", "__match", "__ts"))
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} collide with reserved as-of names")
+    require(!leftCols.contains(tsRight),
+      s"left already has a '$tsRight' column — the match timestamp output would collide")
+
+    // a right row with a NULL key or NULL timestamp can never match (SQL
+    // equality semantics / ASOF ordering) — drop up front, which also makes
+    // null-key LEFT rows correctly match nothing despite window partitions
+    // grouping nulls together
+    val matchableRight = right.filter(
+      (keys.map(col(_).isNotNull) :+ col(tsCol).isNotNull).reduce(_ && _))
+
+    // The match is carried as ONE struct (timestamp + all value columns):
+    // the struct is non-null exactly when a right row exists, so a single
+    // last(ignoreNulls) sweep keeps values and match-timestamp from the
+    // SAME right row — per-column sweeps would skip a matched row whose
+    // value happens to be null and resurrect an older row's value.
+    val mType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__ts", right.schema(tsCol).dataType) +:
+        valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     // side 0 = right, 1 = left: at equal ts the right row sorts FIRST and
     // is therefore visible to the left row — inclusive match
-    val taggedRight = right.select(
-      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side")) ++
-        valueCols.map(col) ++
+    val taggedRight = matchableRight.select(
+      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side") :+
+        struct(col(tsCol).as("__ts") +: valueCols.map(col): _*).as("__m")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol)
-          .map(c => lit(null).as(c)): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      (keys.map(col) :+ col(tsCol) :+ lit(1).as("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      (keys.map(col) :+ col(tsCol) :+ lit(1).as("__side") :+
+        lit(null).cast(mType).as("__m")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.map(c => c -> s"__asof_$c")
-    val matchTs = s"__asof_$tsCol"
-
-    val swept = carried.foldLeft(
-      taggedRight.unionByName(taggedLeft)
-        .withColumn(matchTs,
-          last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))) {
-      case (df, (c, out)) =>
-        df.withColumn(out, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    swept
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__match", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        carried.map { case (c, out) => col(out).as(c) } :+
-        col(matchTs).as(s"${tsCol}_right"): _*)
+        valueCols.map(c => col(s"__match.$c").as(c)) :+
+        col("__match.__ts").as(tsRight): _*)
   }
 
   // ---- oracle gate ------------------------------------------------------

@@ -33,6 +33,41 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("l_user2") == (Some(200L), Some(2L)))
   }
 
+  test("asofBackward: a matched right row with a NULL value wins over older values") {
+    // the ts=9 row IS the match for a left row at ts=10 even though its
+    // value is null — per-column carry would resurrect ts=5's value
+    val left = Seq((1L, 10L)).toDF("user_id", "ts")
+    val right = Seq((1L, 5L, Some(100L)), (1L, 9L, None: Option[Long]))
+      .toDF("user_id", "ts", "val")
+    val row = AsofJoin.asofBackward(left, right, Seq("user_id"), "ts", Seq("val"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("val")))
+    assert(row.getAs[Long]("ts_right") == 9L)
+  }
+
+  test("asofBackward: NULL keys and NULL timestamps never match") {
+    val left = Seq((Some(1L), 10L, "k1"), (None: Option[Long], 10L, "knull"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (None: Option[Long], Some(5L), 7L),   // null key: unmatchable
+      (Some(1L), None: Option[Long], 8L),   // null ts: unmatchable
+      (Some(1L), Some(4L), 9L))
+      .toDF("user_id", "ts", "val")
+    val out = AsofJoin.asofBackward(left, right, Seq("user_id"), "ts", Seq("val"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Long]("val"))).toMap
+    assert(out("k1") == Some(9L))   // only the non-null right row matches
+    assert(out("knull").isEmpty)    // null-key left row matches nothing
+  }
+
+  test("asofBackward rejects colliding column names up front") {
+    val left = Seq((1L, 1L, 2L)).toDF("user_id", "ts", "val")
+    val right = Seq((1L, 1L, 3L)).toDF("user_id", "ts", "val")
+    val e = intercept[IllegalArgumentException](
+      AsofJoin.asofBackward(left, right, Seq("user_id"), "ts", Seq("val")))
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("asofBackward keeps every left row and all its columns") {
     val left = Seq((1L, 1L, "a", 3.5)).toDF("user_id", "ts", "x", "y")
     val right = Seq((9L, 1L, 7L)).toDF("user_id", "ts", "val") // key never matches
