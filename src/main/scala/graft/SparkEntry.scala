@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.EventWindows.queries ++
       operators.AsofJoin.queries ++
+      operators.RangeJoin.queries ++
       operators.JournalGate.queries ++
       operators.SyncGate.queries ++
       multimodal.Multimodal.queries
@@ -48,6 +49,7 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.EventWindows.oracles ++
       operators.AsofJoin.oracles ++
+      operators.RangeJoin.oracles ++
       operators.JournalGate.oracles ++
       operators.SyncGate.oracles ++
       multimodal.Multimodal.oracles

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trailing-window range join — "for each left row, the right rows of the
+  * same key with `ts` in `[left.ts - window, left.ts)`" — the
+  * feature-engineering join ("events in the trailing hour") that naive
+  * SQL plans as a nested-loop range join.
+  *
+  * Scale shape: both sides are bucketed by `floor(ts / window)`; a right
+  * row in the trailing window of a left row can only live in the left
+  * row's bucket or the one before it, so each left row probes exactly TWO
+  * buckets via an ordinary equi-join on (keys, bucket), and the exact
+  * range predicate filters inside the bucket pair. Work scales with
+  * bucket occupancy (×2 replication of the left side), never |L|×|R|;
+  * the join stays a hash join on narrow keys. This is the standard
+  * bounded-expansion rewrite of a band/range join.
+  */
+object RangeJoin {
+
+  /** Per-left-row aggregates over the trailing window.
+    *
+    * @param left     probe rows: keys + `tsCol` + an `idCol` unique per row
+    * @param right    event rows: keys + `tsCol` + columns used by `aggs`
+    * @param keys     equi-join key columns
+    * @param tsCol    event-time column (TIMESTAMP) on both sides
+    * @param windowUs trailing window length in MICROSECONDS; the interval
+    *                 is `[left.ts - window, left.ts)` — half-open, so a
+    *                 right row AT the left timestamp is excluded
+    * @param aggs     aggregates over the matched right rows (count, sum …);
+    *                 evaluated per left row, zero-matched rows included
+    */
+  def trailingWindow(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, idCol: String, windowUs: Long,
+      aggs: Seq[Column]): DataFrame = {
+    require(windowUs > 0, "window must be positive")
+    // all time arithmetic on microsecond LONGS: no interval/NTZ pitfalls,
+    // and the bucket and range predicates stay integer comparisons
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+
+    // each left row probes its own bucket and the previous one — the only
+    // two buckets a trailing-window right row can occupy
+    val probes = left
+      .withColumn("__ts_us", us(col(tsCol)))
+      .withColumn("__b", explode(array(
+        floor(col("__ts_us") / windowUs) - 1, floor(col("__ts_us") / windowUs))))
+    val events = right
+      .select((keys.map(col) :+ us(col(tsCol)).as("__rts_us")) ++
+        right.columns.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+      .withColumn("__b", floor(col("__rts_us") / windowUs))
+
+    val joinCond = (keys.map(k => probes(k) === events(k)) :+
+      (probes("__b") === events("__b")) :+
+      (events("__rts_us") >= probes("__ts_us") - windowUs) :+
+      (events("__rts_us") < probes("__ts_us"))).reduce(_ && _)
+
+    // join the FULL events frame: the condition holds attribute references
+    // into it, and dropping key columns first would make them re-resolve
+    // by name against the probe side (degenerating the key equality)
+    probes
+      .join(events, joinCond, "left")
+      .groupBy((idCol +: keys).map(probes(_)) :+ probes(tsCol): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- oracle gate ------------------------------------------------------
+
+  /** The gate: per click, how many views (and their decimal-exact value
+    * sum) the same user produced in the trailing hour. DuckDB replays the
+    * plain inequality join — the semantics, not the bucket rewrite.
+    */
+  def trailingViews(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventWindows.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"), col("value"))
+    trailingWindow(clicks, views, Seq("user_id"), "ts", "click_id",
+      3600L * 1000 * 1000,
+      Seq(count(col("view_id")).as("n_views"),
+        coalesce(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_view_value")))
+      .select(col("click_id"), col("user_id"), col("ts").as("click_ts"),
+        col("n_views"), col("sum_view_value"))
+      .orderBy("click_id")
+  }
+
+  private val trailingViewsSql =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, event_id AS click_id FROM events
+      |  WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, ts, event_id AS view_id, value FROM events
+      |  WHERE event_type = 'view')
+      |SELECT c.click_id, c.user_id, c.ts AS click_ts,
+      |  count(v.view_id) AS n_views,
+      |  CAST(coalesce(sum(CAST(v.value AS DECIMAL(18,6))), 0) AS DOUBLE) AS sum_view_value
+      |FROM clicks c LEFT JOIN views v
+      |  ON c.user_id = v.user_id
+      |  AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts < c.ts
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (trailingViews(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_range_join" -> trailingViewsSql)
+}
