@@ -171,6 +171,70 @@ object TextOps {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** Characteristic character-TRIGRAM profiles per language — the n-gram
+    * language-ID heuristic (trigram-frequency profiling à la Cavnar &
+    * Trenkle, reduced to a fixed profile-hit count so both engines compute
+    * it exactly). Trigrams include spaces — word boundaries carry most of
+    * the signal ("th" starting a word vs inside one). Same deterministic
+    * argmax/tie-break contract as the stopword variant.
+    */
+  private val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "ng ", "and", "nd ", " an",
+      "ion", " of", "of ", " to", "to ", "ed ", " in", "is "),
+    "de" -> Seq("er ", "en ", "der", " de", "ie ", "die", " di", "und",
+      "nd ", " un", "ein", "ich", "ch ", "sch", "das", " da"),
+    "fr" -> Seq("es ", "le ", " le", " de", "de ", "ent", "nt ", "la ",
+      " la", "ion", "que", " qu", "ue ", "les", "et ", " et"),
+    "es" -> Seq("de ", " de", "os ", "la ", " la", "el ", " el", "que",
+      " qu", "ue ", "ión", "los", " lo", "as ", " y ", "ado"))
+
+  /** N-gram language ID: count occurrences of each language's profile
+    * trigrams over the document's character trigram stream (spaces
+    * included), argmax with the fixed en > de > fr > es tie-break. Pure
+    * map like the stopword variant; the trigram extraction is the same
+    * in-array expression shape as the fingerprint grams.
+    */
+  def langNgram(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("n", norm(col("text")))
+      .withColumn("g", expr(
+        "transform(sequence(1, greatest(length(n) - 2, 0)), i -> substring(n, i, 3))"))
+    val scored = TrigramProfiles.foldLeft(base) { case (df, (code, grams)) =>
+      df.withColumn(s"tg_$code",
+        expr(s"size(filter(g, x -> x IN (${inList(grams)})))").cast("long"))
+    }
+    val best = TrigramProfiles.map { case (code, _) => col(s"tg_$code") }
+      .reduce((a, b) => greatest(a, b))
+    val guess = TrigramProfiles.foldRight(lit("und"): Column) { case ((code, _), acc) =>
+      when(col(s"tg_$code") === best && best > 0, lit(code)).otherwise(acc)
+    }
+    scored
+      .withColumn("lang_guess", guess)
+      .select(col("doc_id") +: col("lang_guess") +:
+        TrigramProfiles.map { case (code, _) => col(s"tg_$code") }: _*)
+      .orderBy("doc_id")
+  }
+
+  private val langNgramSql = {
+    val scores = TrigramProfiles.map { case (code, grams) =>
+      s"len(list_filter(g, x -> x IN (${inList(grams)}))) AS tg_$code"
+    }.mkString(",\n  ")
+    val best = "greatest(" + TrigramProfiles.map { case (c, _) => s"tg_$c" }.mkString(", ") + ")"
+    val chain = TrigramProfiles.map { case (c, _) =>
+      s"WHEN tg_$c = $best AND $best > 0 THEN '$c'"
+    }.mkString(" ")
+    s"""WITH n AS (SELECT doc_id, $normSql AS n FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(greatest(length(n) - 2, 0)),
+       |      i -> substring(n, i + 1, 3)) AS g
+       |  FROM n),
+       |sc AS (SELECT doc_id, $scores FROM g)
+       |SELECT doc_id, CASE $chain ELSE 'und' END AS lang_guess,
+       |  ${TrigramProfiles.map { case (c, _) => s"tg_$c" }.mkString(", ")}
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------ MinHash near-dup
 
   private val NumHashes = 128
@@ -522,6 +586,7 @@ object TextOps {
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_text_stats" -> (textStats(_, _)),
     "q_lang_id" -> (langId(_, _)),
+    "q_lang_ngram" -> (langNgram(_, _)),
     "q_minhash_neardup" -> (minhashNearDup(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
@@ -532,6 +597,7 @@ object TextOps {
     "q_dedup_exact" -> dedupExactSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
+    "q_lang_ngram" -> langNgramSql,
     "q_minhash_neardup" -> minhashNearDupSql,
     "q_ngram_jaccard" -> minhashNearDupSql,
     "q_token_count" -> tokenCountSql,

@@ -97,6 +97,19 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("langNgram classifies real sentences by trigram profile") {
+    withDocs(
+      1L -> "the quick brown fox is jumping over the lazy dog in the garden",
+      2L -> "der schnelle braune fuchs springt über den faulen hund und das ist schön",
+      3L -> "le renard brun et rapide saute par dessus le chien paresseux que nous aimons",
+      4L -> "el rápido zorro marrón salta sobre el perro perezoso que está en la casa",
+      5L -> "zzz qqq xxx") { dir =>
+      val out = TextOps.langNgram(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
+      assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+    }
+  }
+
   test("ngramJaccard finds the same pairs exactly, with the true similarity") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     withDocs(
