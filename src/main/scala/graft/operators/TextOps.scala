@@ -195,14 +195,34 @@ object TextOps {
     * in-array expression shape as the fingerprint grams.
     */
   def langNgram(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .withColumn("n", norm(col("text")))
-      .withColumn("g", expr(
-        "transform(sequence(1, greatest(length(n) - 2, 0)), i -> substring(n, i, 3))"))
-    val scored = TrigramProfiles.foldLeft(base) { case (df, (code, grams)) =>
-      df.withColumn(s"tg_$code",
-        expr(s"size(filter(g, x -> x IN (${inList(grams)})))").cast("long"))
+    import s.implicits._
+    // profile as a broadcast DIMENSION, not per-language IN-filters: the
+    // filter form runs 4 interpreted lambdas over every trigram of every
+    // document (~7M closure calls at sf0.1, measured 4.4s); explode + one
+    // broadcast hash join + conditional sums stays codegen'd end-to-end
+    // AND scales to hundreds of languages x thousands of profile grams
+    // (the dimension grows, the per-gram work does not)
+    val profile = TrigramProfiles
+      .flatMap { case (code, grams) => grams.map(g => (g, code)) }
+      .toDF("gram", "lang")
+    val base = docs(s, dir).withColumn("n", norm(col("text")))
+    // one in-array trigram build per document, exploded once: measured
+    // FASTER than exploding positions and substring-ing post-Generate
+    // (which drags the full text through every generated row)
+    val grams = base.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, greatest(length(n) - 2, 0)), i -> substring(n, i, 3))"))
+      .as("gram"))
+    val hitAggs = TrigramProfiles.map { case (code, _) =>
+      sum(when(col("lang") === code, 1L).otherwise(0L)).as(s"tg_$code")
     }
+    val hits = grams.join(broadcast(profile), "gram")
+      .groupBy("doc_id")
+      .agg(hitAggs.head, hitAggs.tail: _*)
+    val scored = base.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id") +: TrigramProfiles.map { case (code, _) =>
+        coalesce(col(s"tg_$code"), lit(0L)).as(s"tg_$code")
+      }: _*)
     val best = TrigramProfiles.map { case (code, _) => col(s"tg_$code") }
       .reduce((a, b) => greatest(a, b))
     val guess = TrigramProfiles.foldRight(lit("und"): Column) { case ((code, _), acc) =>
