@@ -35,6 +35,10 @@ object RangeJoin {
       tsCol: String, idCol: String, windowUs: Long,
       aggs: Seq[Column]): DataFrame = {
     require(windowUs > 0, "window must be positive")
+    val reserved = Seq("__ts_us", "__rts_us", "__b")
+    val clash = (left.columns ++ right.columns).intersect(reserved)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with reserved range-join names")
     // all time arithmetic on microsecond LONGS: no interval/NTZ pitfalls,
     // and the bucket and range predicates stay integer comparisons
     val us = (c: Column) => unix_micros(c.cast("timestamp"))

@@ -98,6 +98,28 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must stay an equi-join on the shingle key:\n$plan")
   }
 
+  test("as-of and range joins never degrade to nested-loop plans") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 5L)).toDF("user_id", "ts", "click_id")
+    val right = Seq((1L, 5L, 7L, 0.5)).toDF("user_id", "ts", "view_id", "value")
+    val asof = graft.operators.AsofJoin
+      .asofBackward(left, right.select("user_id", "ts", "view_id"),
+        Seq("user_id"), "ts", Seq("view_id"))
+      .queryExecution.executedPlan.toString
+    // the as-of sweep is a union + ONE window — it must never plan a join
+    assert(!asof.contains("Join"), s"as-of must be join-free:\n$asof")
+    assert(asof.contains("Window"), s"as-of needs its running window:\n$asof")
+
+    val range = graft.operators.RangeJoin
+      .trailingWindow(left, right, Seq("user_id"), "ts", "click_id",
+        3600L * 1000 * 1000, Seq(count(col("view_id")).as("n")))
+      .queryExecution.executedPlan.toString
+    // the bucket trick exists to keep this an equi-join: a nested-loop or
+    // cartesian fallback would be the |L|x|R| comparison it avoids
+    assert(!range.contains("CartesianProduct") && !range.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join on (keys, bucket):\n$range")
+  }
+
   test("balance query is a partial+final hash aggregate over one scan") {
     val transfers = Tables.load(spark, dir, "orders").select(
       lit("T").as("tenant"), lit(1).as("status"),
