@@ -28,8 +28,11 @@ object RangeJoin {
     * @param windowUs trailing window length in MICROSECONDS; the interval
     *                 is `[left.ts - window, left.ts)` — half-open, so a
     *                 right row AT the left timestamp is excluded
-    * @param aggs     aggregates over the matched right rows (count, sum …);
-    *                 evaluated per left row, zero-matched rows included
+    * @param aggs     aggregates over the MATCHED right rows only (count,
+    *                 sum, collect_list …). Left rows with zero matches are
+    *                 kept with NULL aggregate values — `coalesce` at the
+    *                 call site for zero defaults (count(*) is safe: it
+    *                 counts matched rows, never probe artifacts)
     */
   def trailingWindow(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, idCol: String, windowUs: Long,
@@ -39,8 +42,18 @@ object RangeJoin {
     val clash = (left.columns ++ right.columns).intersect(reserved)
     require(clash.isEmpty,
       s"columns ${clash.mkString(", ")} collide with reserved range-join names")
-    // all time arithmetic on microsecond LONGS: no interval/NTZ pitfalls,
-    // and the bucket and range predicates stay integer comparisons
+    // NTZ timestamps convert to instants through the SESSION time zone; in
+    // a DST-observing zone that conversion is non-linear and a window-mate
+    // can land outside the probed bucket pair (silently missing rows). The
+    // engine pins UTC everywhere — make a violation loud, not wrong.
+    if (Seq(left.schema(tsCol).dataType, right.schema(tsCol).dataType)
+        .contains(org.apache.spark.sql.types.TimestampNTZType)) {
+      val tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"trailingWindow on TIMESTAMP_NTZ needs spark.sql.session.timeZone=UTC, found $tz")
+    }
+    // all time arithmetic on microsecond LONGS: the bucket and range
+    // predicates stay integer comparisons
     val us = (c: Column) => unix_micros(c.cast("timestamp"))
 
     // each left row probes its own bucket and the previous one — the only
@@ -59,13 +72,20 @@ object RangeJoin {
       (events("__rts_us") >= probes("__ts_us") - windowUs) :+
       (events("__rts_us") < probes("__ts_us"))).reduce(_ && _)
 
-    // join the FULL events frame: the condition holds attribute references
+    // INNER join + aggregate + join back: aggregating over the left join
+    // directly would feed aggs the x2 exploded probe copies and their
+    // null-extended no-match rows — count(*) would count artifacts. The
+    // inner join keeps only matched right rows (each matches exactly one
+    // probe copy, so no double count), and unmatched left rows re-enter
+    // with NULL aggregates through the final left join on the unique id.
+    // Join the FULL events frame: the condition holds attribute references
     // into it, and dropping key columns first would make them re-resolve
-    // by name against the probe side (degenerating the key equality)
-    probes
-      .join(events, joinCond, "left")
-      .groupBy((idCol +: keys).map(probes(_)) :+ probes(tsCol): _*)
+    // by name against the probe side (degenerating the key equality).
+    val matched = probes
+      .join(events, joinCond)
+      .groupBy(probes(idCol))
       .agg(aggs.head, aggs.tail: _*)
+    left.join(matched, Seq(idCol), "left")
   }
 
   // ---- oracle gate ------------------------------------------------------
@@ -83,11 +103,13 @@ object RangeJoin {
     trailingWindow(clicks, views, Seq("user_id"), "ts", "click_id",
       3600L * 1000 * 1000,
       Seq(count(col("view_id")).as("n_views"),
-        coalesce(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))),
-          lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("sum_view_value")))
+      // zero-match clicks carry NULL aggregates (matched-rows contract) —
+      // default them to the oracle's LEFT-JOIN zeros here
       .select(col("click_id"), col("user_id"), col("ts").as("click_ts"),
-        col("n_views"), col("sum_view_value"))
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
       .orderBy("click_id")
   }
 

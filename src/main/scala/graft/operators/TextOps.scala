@@ -81,6 +81,24 @@ object TextOps {
   private def inList(vals: Seq[String]): String =
     vals.map(v => s"'$v'").mkString(", ")
 
+  /** Deterministic argmax over (code, score) pairs: ties resolve to the
+    * FIRST listed code; 'und' when the best score is 0. One definition for
+    * both language-ID variants so the tie-break contract cannot drift.
+    */
+  private def argmaxGuess(scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((code, c), acc) =>
+      when(c === best && best > 0, lit(code)).otherwise(acc)
+    }
+  }
+
+  /** The oracle-side rendering of [[argmaxGuess]] over named score columns. */
+  private def argmaxGuessSql(scores: Seq[(String, String)]): String = {
+    val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+    "CASE " + scores.map { case (c, sc) => s"WHEN $sc = $best AND $best > 0 THEN '$c'" }
+      .mkString(" ") + " ELSE 'und' END"
+  }
+
   /** Per-document quality statistics: token/char counts, mean token length,
     * alphabetic ratio, stopword count, and a boolean quality gate — the
     * usual pre-training corpus filters, all as codegen'd expressions on the
@@ -142,12 +160,8 @@ object TextOps {
       df.withColumn(s"score_$code",
         expr(s"size(filter(t, x -> x IN (${inList(words)})))").cast("long"))
     }
-    val best = LangSets.map { case (code, _) => col(s"score_$code") }
-      .reduce((a, b) => greatest(a, b))
-    val guess = LangSets.foldRight(lit("und"): Column) { case ((code, _), acc) =>
-      when(col(s"score_$code") === best && best > 0, lit(code)).otherwise(acc)
-    }
-    // foldRight builds en-first WHEN chain => ties resolve en > de > fr > es
+    val guess = argmaxGuess(LangSets.map { case (code, _) =>
+      code -> col(s"score_$code") })
     scored
       .withColumn("lang_guess", guess)
       .select(col("doc_id") +: col("lang_guess") +:
@@ -159,14 +173,11 @@ object TextOps {
     val scores = LangSets.map { case (code, words) =>
       s"len(list_filter(toks, x -> x IN (${inList(words)}))) AS score_$code"
     }.mkString(",\n  ")
-    val best = "greatest(" + LangSets.map { case (c, _) => s"score_$c" }.mkString(", ") + ")"
-    val chain = LangSets.map { case (c, _) =>
-      s"WHEN score_$c = $best AND $best > 0 THEN '$c'"
-    }.mkString(" ")
+    val guess = argmaxGuessSql(LangSets.map { case (c, _) => c -> s"score_$c" })
     s"""WITH t AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
        |sc AS (SELECT doc_id, $scores FROM t)
-       |SELECT doc_id, CASE $chain ELSE 'und' END AS lang_guess,
+       |SELECT doc_id, $guess AS lang_guess,
        |  ${LangSets.map { case (c, _) => s"score_$c" }.mkString(", ")}
        |FROM sc ORDER BY doc_id""".stripMargin
   }
@@ -190,9 +201,11 @@ object TextOps {
 
   /** N-gram language ID: count occurrences of each language's profile
     * trigrams over the document's character trigram stream (spaces
-    * included), argmax with the fixed en > de > fr > es tie-break. Pure
-    * map like the stopword variant; the trigram extraction is the same
-    * in-array expression shape as the fingerprint grams.
+    * included), argmax with the fixed en > de > fr > es tie-break.
+    * Unlike the stopword variant this is NOT a pure map: the profile is a
+    * broadcast dimension and the hit counts come back through one hash
+    * aggregate on doc_id (plus the re-join for zero-hit docs) — the shape
+    * that scales with profile size.
     */
   def langNgram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -208,9 +221,14 @@ object TextOps {
     val base = docs(s, dir).withColumn("n", norm(col("text")))
     // one in-array trigram build per document, exploded once: measured
     // FASTER than exploding positions and substring-ing post-Generate
-    // (which drags the full text through every generated row)
+    // (which drags the full text through every generated row). Texts under
+    // 3 chars: sequence(1, greatest(len-2, 0)) = sequence(1, 0) DESCENDS to
+    // [1, 0] rather than emptying, minting sub-3-char garbage grams that
+    // DuckDB's range() never produces — the length filter keeps only true
+    // trigrams in both engines.
     val grams = base.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, greatest(length(n) - 2, 0)), i -> substring(n, i, 3))"))
+      "filter(transform(sequence(1, greatest(length(n) - 2, 1)), " +
+        "i -> substring(n, i, 3)), x -> length(x) = 3)"))
       .as("gram"))
     val hitAggs = TrigramProfiles.map { case (code, _) =>
       sum(when(col("lang") === code, 1L).otherwise(0L)).as(s"tg_$code")
@@ -223,11 +241,8 @@ object TextOps {
       .select(col("doc_id") +: TrigramProfiles.map { case (code, _) =>
         coalesce(col(s"tg_$code"), lit(0L)).as(s"tg_$code")
       }: _*)
-    val best = TrigramProfiles.map { case (code, _) => col(s"tg_$code") }
-      .reduce((a, b) => greatest(a, b))
-    val guess = TrigramProfiles.foldRight(lit("und"): Column) { case ((code, _), acc) =>
-      when(col(s"tg_$code") === best && best > 0, lit(code)).otherwise(acc)
-    }
+    val guess = argmaxGuess(TrigramProfiles.map { case (code, _) =>
+      code -> col(s"tg_$code") })
     scored
       .withColumn("lang_guess", guess)
       .select(col("doc_id") +: col("lang_guess") +:
@@ -239,10 +254,7 @@ object TextOps {
     val scores = TrigramProfiles.map { case (code, grams) =>
       s"len(list_filter(g, x -> x IN (${inList(grams)}))) AS tg_$code"
     }.mkString(",\n  ")
-    val best = "greatest(" + TrigramProfiles.map { case (c, _) => s"tg_$c" }.mkString(", ") + ")"
-    val chain = TrigramProfiles.map { case (c, _) =>
-      s"WHEN tg_$c = $best AND $best > 0 THEN '$c'"
-    }.mkString(" ")
+    val guess = argmaxGuessSql(TrigramProfiles.map { case (c, _) => c -> s"tg_$c" })
     s"""WITH n AS (SELECT doc_id, $normSql AS n FROM documents),
        |g AS (
        |  SELECT doc_id,
@@ -250,7 +262,7 @@ object TextOps {
        |      i -> substring(n, i + 1, 3)) AS g
        |  FROM n),
        |sc AS (SELECT doc_id, $scores FROM g)
-       |SELECT doc_id, CASE $chain ELSE 'und' END AS lang_guess,
+       |SELECT doc_id, $guess AS lang_guess,
        |  ${TrigramProfiles.map { case (c, _) => s"tg_$c" }.mkString(", ")}
        |FROM sc ORDER BY doc_id""".stripMargin
   }

@@ -26,11 +26,15 @@ class RangeJoinSpec extends SparkSpec {
       (1L, ts(29), 104L))  // just before window -> excluded
       .toDF("user_id", "ts", "view_id")
     val out = RangeJoin.trailingWindow(left, right, Seq("user_id"), "ts", "click_id",
-      HourUs, Seq(count(col("view_id")).as("n"),
+      HourUs, Seq(
+        // count(*) is safe under the matched-rows contract: it must see
+        // only genuine matches, never probe copies or null-extended rows
+        count(lit(1)).as("n"),
         sort_array(collect_list(col("view_id"))).as("ids")))
       .collect().map(r => r.getAs[Long]("click_id") ->
-        (r.getAs[Long]("n"), r.getAs[Seq[Long]]("ids"))).toMap
-    assert(out(10L) == (3L, Seq(100L, 101L, 102L)))
-    assert(out(20L) == (0L, Seq()))
+        (Option(r.getAs[java.lang.Long]("n")), Option(r.getAs[Seq[Long]]("ids")))).toMap
+    assert(out(10L) == (Some(3L), Some(Seq(100L, 101L, 102L))))
+    // zero-match left rows are kept, with NULL aggregates
+    assert(out(20L) == (None, None))
   }
 }
