@@ -110,6 +110,17 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("langNgram: sub-3-char texts contribute no grams (sequence(1,0) descends)") {
+    // "de" would otherwise mint bogus 2-char grams via Spark's descending
+    // sequence(1, 0) = [1, 0]; the oracle's range() is empty for them
+    withDocs(1L -> "de", 2L -> "a", 3L -> "") { dir =>
+      val out = TextOps.langNgram(spark, dir).collect()
+      assert(out.length == 3)
+      assert(out.forall(_.getAs[String]("lang_guess") == "und"))
+      assert(out.forall(r => (1 to 4).forall(i => r.getLong(i + 1) == 0L)))
+    }
+  }
+
   test("ngramJaccard finds the same pairs exactly, with the true similarity") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     withDocs(
