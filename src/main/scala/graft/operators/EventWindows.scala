@@ -44,7 +44,7 @@ object EventWindows {
   }
 
   private def decSum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 6))).cast("double")
+    graft.DecimalEdge.dbl(sum(c.cast(DecimalType(18, 6))), 6)
 
   /** Tumbling 1-hour windows × event_type: count + exact sum. */
   def tumbling(s: SparkSession, dir: String): DataFrame =

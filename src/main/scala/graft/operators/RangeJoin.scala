@@ -103,8 +103,9 @@ object RangeJoin {
     trailingWindow(clicks, views, Seq("user_id"), "ts", "click_id",
       3600L * 1000 * 1000,
       Seq(count(col("view_id")).as("n_views"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double").as("sum_view_value")))
+        graft.DecimalEdge.dbl(
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))), 6)
+          .as("sum_view_value")))
       // zero-match clicks carry NULL aggregates (matched-rows contract) —
       // default them to the oracle's LEFT-JOIN zeros here
       .select(col("click_id"), col("user_id"), col("ts").as("click_ts"),

@@ -34,9 +34,14 @@ object Relational {
     * 10^scale, which is correctly rounded only in that range, while Spark's
     * BigDecimal.doubleValue always is. TPC-H sums at the tested scale
     * factors sit orders of magnitude below the bound; at sf≥100 switch the
-    * edge to a rounded/formatted string compare instead.
+    * edge to a rounded/formatted string compare instead. The bound is
+    * ENFORCED in-plan by [[graft.DecimalEdge.dbl]] at every sum edge below —
+    * crossing it raises loudly rather than silently drifting the hash.
     */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Guarded decimal(…,4)→double output edge — see [[graft.DecimalEdge]]. */
+  private def dbl4(c: Column): Column = graft.DecimalEdge.dbl(c, 4)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3 hash aggregation with partial (map-side) combine.
@@ -48,8 +53,8 @@ object Relational {
           // DECIMAL inside the agg (order-independent), DOUBLE at the edge:
           // a decimal→double cast of the same exact value is bit-identical
           // on Spark and DuckDB, so the driver's hash compare agrees.
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+          dbl4(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl4(sum(dec(col("l_extendedprice")))).as("sum_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -73,7 +78,7 @@ object Relational {
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).as("n_cust"),
-          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+          dbl4(sum(dec(col("c_acctbal")))).as("sum_bal"))
         .orderBy(col("n_name"))
     }),
 
@@ -123,7 +128,7 @@ object Relational {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          dbl4(sum(dec(col("o_totalprice")))).as("sum_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
@@ -146,6 +151,40 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Approximate percentiles — the 100 TB path for q_percentiles above.
+    // approx_percentile is a mergeable Greenwald-Khanna sketch: bounded
+    // memory per group with partial+final agg, where exact `percentile`
+    // (a TypedImperativeAggregate) buffers every value of a group on one
+    // executor. The sketch value is engine-specific, so the gate verifies
+    // the GK rank GUARANTEE in-plan instead of the value: each approximate
+    // value v is broadcast back over the corpus and rank-counted; the
+    // emitted verdict is `ok = rank(v) within p*n ± (2n/accuracy + 2)`
+    // (2x for sketch-merge error accumulation, +2 for rank discreteness).
+    // The oracle expects every verdict true — an out-of-band value flips
+    // the hash and fails the gate. Plan: two scans, one tiny broadcast,
+    // no per-group buffering anywhere.
+    "q_percentiles_approx" -> ((s, dir) => {
+      val acc = 1000 // GK relative rank error <= n/acc per partial
+      val ps  = Seq(0.25, 0.5, 0.75, 0.95)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val probes = li.groupBy(col("l_returnflag"))
+        .agg(expr(s"approx_percentile(l_extendedprice, array(${ps.map(_.toString + "D").mkString(",")}), $acc)").as("qs"))
+        .select(col("l_returnflag").as("g"), posexplode(col("qs")))
+        .select(col("g"),
+          element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+          col("col").as("v"))
+      li.join(broadcast(probes), li("l_returnflag") === probes("g"))
+        .groupBy(col("g"), col("p"), col("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)).as("c_lt"),
+          sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("c_le"))
+        .select(col("g"), col("p"), col("n"),
+          (col("c_lt") <= col("p") * col("n") + col("n") * 2.0 / acc + lit(2.0) &&
+            col("c_le") >= col("p") * col("n") - col("n") * 2.0 / acc - lit(2.0)).as("ok"))
+        .orderBy("g", "p")
+    }),
+
     // Pivot (long -> wide conditional aggregation): Spark's .pivot() with
     // an EXPLICIT value list — without it Spark runs a driver-side distinct
     // scan to discover columns, which is a hidden extra job at scale.
@@ -153,7 +192,7 @@ object Relational {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .agg(dbl4(sum(dec(col("o_totalprice")))))
         .withColumnsRenamed(Map("F" -> "sum_f", "O" -> "sum_o", "P" -> "sum_p"))
         .orderBy("o_orderpriority")
     }),
@@ -171,8 +210,8 @@ object Relational {
           col("o_orderdate").cast(TimestampNTZType).as("o_orderdate"),
           rank().over(w).cast("long").as("rnk"),
           lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
-          sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double").as("running_total"))
+          dbl4(sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .as("running_total"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
@@ -245,6 +284,10 @@ object Relational {
         |  quantile_cont(l_extendedprice, 0.95) AS p95,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percentiles_approx" ->
+      """SELECT l_returnflag AS g, CAST(p AS DOUBLE) AS p, count(*) AS n, true AS ok
+        |FROM lineitem CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p) ps
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_f,

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.DecimalType
 object EventStream {
 
   private def decSum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 6))).cast("double")
+    graft.DecimalEdge.dbl(sum(c.cast(DecimalType(18, 6))), 6)
 
   /** Tumbling window × event_type counts with late-data tolerance
     * `watermark`. Input needs (ts TIMESTAMP, event_type STRING, value
