@@ -35,6 +35,7 @@ object SparkEntry {
       operators.EventWindows.queries ++
       operators.AsofJoin.queries ++
       operators.RangeJoin.queries ++
+      operators.Skew.queries ++
       operators.JournalGate.queries ++
       operators.SyncGate.queries ++
       multimodal.Multimodal.queries
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.EventWindows.oracles ++
       operators.AsofJoin.oracles ++
       operators.RangeJoin.oracles ++
+      operators.Skew.oracles ++
       operators.JournalGate.oracles ++
       operators.SyncGate.oracles ++
       multimodal.Multimodal.oracles

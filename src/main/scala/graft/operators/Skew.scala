@@ -25,6 +25,8 @@ object Skew {
 
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  shards: Int, joinType: String = "inner"): DataFrame = {
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin")
     require(shards > 0, "shards must be positive")
     // right-preserving joins would see each right row `shards` times
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
@@ -37,4 +39,39 @@ object Skew {
       explode(sequence(lit(0), lit(shards - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Oracle gate: salted join ≡ plain join (the operator's whole contract).
+    *
+    * The fixture manufactures skew IN-PLAN from lineitem — ~75% of rows
+    * collapse onto hot key 0, the tail spreads over p_partkey%1000 — and
+    * joins a part-derived dimension through saltedJoin. The oracle is the
+    * plain SQL join; any salting bug (lost row, double-met pair, salt
+    * leaking into the key space) flips rows and fails the hash.
+    */
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+    "q_skew_join" -> ((s, dir) => {
+      val li = graft.Tables.load(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 4 < 3, lit(0L))
+          .otherwise(col("l_partkey") % 1000).as("k"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dim = graft.Tables.load(s, dir, "part")
+        .groupBy((col("p_partkey") % 1000).as("k"))
+        .agg(min(col("p_name")).as("dim_name"))
+      saltedJoin(li, dim, Seq("k"), shards = 8)
+        .orderBy("k", "l_orderkey", "l_linenumber")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """WITH lt AS (
+        |  SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0 ELSE l_partkey % 1000 END AS k,
+        |    l_orderkey, l_linenumber, l_quantity FROM lineitem),
+        |dim AS (
+        |  SELECT p_partkey % 1000 AS k, min(p_name) AS dim_name
+        |  FROM part GROUP BY 1)
+        |SELECT l.k, l.l_orderkey, l.l_linenumber, l.l_quantity, d.dim_name
+        |FROM lt l JOIN dim d USING (k)
+        |ORDER BY l.k, l.l_orderkey, l.l_linenumber""".stripMargin
+  )
 }

@@ -120,6 +120,27 @@ class PlanSpec extends SparkSpec {
       s"range join must stay an equi-join on (keys, bucket):\n$range")
   }
 
+  test("saltedJoin spreads the key over salt shards without broadcasting the big side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = Seq(("hot", 1L), ("hot", 2L)).toDF("k", "v")
+      val right = Seq(("hot", "d")).toDF("k", "d")
+      val plan = graft.operators.Skew.saltedJoin(left, right, Seq("k"), shards = 8)
+        .queryExecution.executedPlan.toString
+      // the replication explode must survive into the physical plan…
+      assert(plan.contains("Generate explode"),
+        s"salt replication must explode the right side:\n$plan")
+      // …and the shuffle key must include the salt, or hot keys still
+      // serialize through one reducer
+      val exch = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(exch.nonEmpty && exch.forall(_.contains("__salt")),
+        s"join exchanges must partition on (keys, __salt):\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"under a disabled threshold nothing may force-broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("balance query is a partial+final hash aggregate over one scan") {
     val transfers = Tables.load(spark, dir, "orders").select(
       lit("T").as("tenant"), lit(1).as("status"),
