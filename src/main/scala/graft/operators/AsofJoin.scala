@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * per-key driver loop. At 100 TB both sides shuffle once on the key and
   * each partition does a linear timestamp-ordered sweep. A HOT key still
   * serializes through one task — window partitions cannot be split by
-  * AQE — so the skew remedy is a composite (key, time-bucket) partition
-  * with each bucket seeded by the previous bucket's last right row (two
-  * passes), not salting. A sort-merge range join would re-scan right
+  * AQE — so [[asofBackwardBucketed]] ships the skew remedy: a composite
+  * (key, time-bucket) partition with each bucket seeded by the latest
+  * earlier-bucket right row (two passes, the second at bucket granularity),
+  * not salting. A sort-merge range join would re-scan right
   * rows per left row; a windowed self-join (`ts BETWEEN x AND y`)
   * explodes on dense right sides. This shape is linear in input.
   *
@@ -39,8 +40,12 @@ object AsofJoin {
     * @param valueCols right columns carried onto each left row (null when
     *                  no right row at or before the left row exists)
     */
-  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, valueCols: Seq[String]): DataFrame = {
+  /** Shared validation + side-tagging for both as-of variants. */
+  private case class Tagged(taggedRight: DataFrame, taggedLeft: DataFrame,
+      mType: org.apache.spark.sql.types.StructType, leftCols: Seq[String], tsRight: String)
+
+  private def validateAndTag(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String]): Tagged = {
     val leftCols = left.columns.toSeq
     val tsRight = s"${tsCol}_right"
     require(keys.nonEmpty, "as-of join needs at least one key column")
@@ -50,7 +55,8 @@ object AsofJoin {
     val collisions = valueCols.intersect(leftCols)
     require(collisions.isEmpty,
       s"value columns ${collisions.mkString(", ")} collide with left columns — alias them first")
-    val reserved = (leftCols ++ valueCols).intersect(Seq("__side", "__m", "__match", "__ts"))
+    val reserved = (leftCols ++ valueCols)
+      .intersect(Seq("__side", "__m", "__match", "__ts", "__tl", "__b", "__eb", "__s", "__last", "__carry"))
     require(reserved.isEmpty,
       s"columns ${reserved.mkString(", ")} collide with reserved as-of names")
     require(!leftCols.contains(tsRight),
@@ -82,16 +88,109 @@ object AsofJoin {
       (keys.map(col) :+ col(tsCol) :+ lit(1).as("__side") :+
         lit(null).cast(mType).as("__m")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+    Tagged(taggedRight, taggedLeft, mType, leftCols, tsRight)
+  }
 
-    val w = Window.partitionBy(keys.map(col): _*)
+  /** The sweep shared by both variants: last-right-row-forward over the
+    * given window partition, then peel the left rows back out.
+    */
+  private def sweep(unioned: DataFrame, partCols: Seq[Column], tsCol: String,
+      valueCols: Seq[String], tg: Tagged): DataFrame = {
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedRight.unionByName(taggedLeft)
+    unioned
       .withColumn("__match", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
+      .select(tg.leftCols.map(col) ++
         valueCols.map(c => col(s"__match.$c").as(c)) :+
-        col("__match.__ts").as(tsRight): _*)
+        col("__match.__ts").as(tg.tsRight): _*)
+  }
+
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val tg = validateAndTag(left, right, keys, tsCol, valueCols)
+    sweep(tg.taggedRight.unionByName(tg.taggedLeft), keys.map(col), tsCol, valueCols, tg)
+  }
+
+  /** Skew-safe backward as-of join — the 100 TB remedy for hot keys.
+    *
+    * [[asofBackward]] partitions its window by key alone, so one hot key
+    * serializes through one task. This variant partitions by the composite
+    * (keys…, time-bucket of width `bucketUs`) — a hot key spreads over as
+    * many tasks as it spans buckets — and restores cross-bucket matches in
+    * a second, BUCKET-GRANULARITY pass: per (key, bucket) the last right
+    * row is aggregated (one struct per occupied bucket, data-size
+    * independent), a running sweep over that tiny frame computes each left
+    * bucket's carry-in (the latest right row of any STRICTLY EARLIER
+    * bucket), and the carry is injected into the bucket's partition as a
+    * synthetic right row. Its timestamp comes from an earlier bucket, so
+    * it naturally sorts before every native row of the bucket and the
+    * in-bucket sweep is unchanged. Identical results to [[asofBackward]]
+    * by construction; pick `bucketUs` so a hot key's densest bucket fits a
+    * task (total work stays linear — the extra pass touches one row per
+    * occupied (key, bucket), not per input row).
+    *
+    * @param bucketUs bucket width in MICROSECONDS of the timestamp column
+    *                 (timestamps are bucketed on their epoch-micros value)
+    */
+  def asofBackwardBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String], bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucket width must be positive")
+    val tg = validateAndTag(left, right, keys, tsCol, valueCols)
+    if (Seq(left.schema(tsCol).dataType, right.schema(tsCol).dataType)
+        .contains(org.apache.spark.sql.types.TimestampNTZType)) {
+      val tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"asofBackwardBucketed on TIMESTAMP_NTZ needs spark.sql.session.timeZone=UTC, found $tz")
+    }
+    // exact floor-division bucketing in LONG arithmetic: (t - pmod(t, w))
+    // is the exact floor multiple, and integral `div` of an exact multiple
+    // has no rounding — correct over the whole long range, unlike
+    // floor(t / w) whose double division loses integer precision past 2^52
+    def withBucket(df: DataFrame): DataFrame = df
+      .withColumn("__tl", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__b", expr(s"(__tl - pmod(__tl, ${bucketUs}L)) div ${bucketUs}L"))
+      .drop("__tl")
+
+    val rightB = withBucket(tg.taggedRight)
+    val leftB  = withBucket(tg.taggedLeft)
+
+    // pass 1 (bucket granularity): last right row per occupied (key, bucket)
+    // — struct max orders on its leading __ts field, so max(__m) IS the
+    // latest right row of the bucket
+    val lastPerBucket = rightB.groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(max(col("__m")).as("__last"))
+    val leftBuckets = leftB.select(keys.map(col) :+ col("__b"): _*).distinct()
+    // each right bucket's seed becomes visible from the NEXT bucket on
+    // (__eb = __b + 1): a left bucket at __eb = __b then sees exactly the
+    // right buckets strictly before it
+    val markers = lastPerBucket
+      .select((keys.map(col) :+ (col("__b") + 1).as("__eb") :+
+        lit(0).as("__s") :+ col("__last")): _*)
+      .unionByName(leftBuckets.select(
+        (keys.map(col) :+ col("__b").as("__eb") :+ lit(1).as("__s") :+
+          lit(null).cast(lastPerBucket.schema("__last").dataType).as("__last")): _*))
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__eb"), col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = markers
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
+      .filter(col("__s") === 1 && col("__carry").isNotNull)
+      .select(keys.map(col) :+ col("__eb").as("__b") :+ col("__carry"): _*)
+
+    // inject the carry as a synthetic right row of its target bucket; its
+    // (earlier-bucket) timestamp sorts it before every native bucket row
+    val seedRows = seeds.select(
+      (keys.map(col) :+ col("__carry.__ts").as(tsCol) :+ lit(0).as("__side") :+
+        col("__carry").as("__m")) ++
+        tg.leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__b"): _*)
+
+    // pass 2: the standard sweep, partitioned by the COMPOSITE key
+    sweep(rightB.unionByName(leftB).unionByName(seedRows),
+      keys.map(col) :+ col("__b"), tsCol, valueCols, tg)
   }
 
   // ---- oracle gate ------------------------------------------------------
@@ -127,9 +226,29 @@ object AsofJoin {
       |  ON c.user_id = v.user_id AND c.ts >= v.ts
       |ORDER BY c.click_id""".stripMargin
 
+  /** Same semantics through the skew-safe variant (1-hour buckets) — the
+    * oracle is byte-identical to q_asof_join's, so the two-pass rewrite is
+    * held to exactly the single-window formulation's results.
+    */
+  def asofClicksBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventWindows.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    asofBackwardBucketed(clicks, views, Seq("user_id"), "ts", Seq("view_id"),
+      bucketUs = 3600L * 1000 * 1000)
+      .select(col("user_id"), col("click_id"), col("ts").as("click_ts"),
+        col("view_id"), col("ts_right").as("view_ts"))
+      .orderBy("click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> (asofClicks(_, _)))
+    "q_asof_join" -> (asofClicks(_, _)),
+    "q_asof_join_bucketed" -> (asofClicksBucketed(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_asof_join" -> asofClicksSql)
+    "q_asof_join" -> asofClicksSql,
+    "q_asof_join_bucketed" -> asofClicksSql)
 }

@@ -38,10 +38,19 @@ object RangeJoin {
       tsCol: String, idCol: String, windowUs: Long,
       aggs: Seq[Column]): DataFrame = {
     require(windowUs > 0, "window must be positive")
-    val reserved = Seq("__ts_us", "__rts_us", "__b")
+    val reserved = Seq("__ts_us", "__rts_us", "__b", "__b0")
     val clash = (left.columns ++ right.columns).intersect(reserved)
     require(clash.isEmpty,
       s"columns ${clash.mkString(", ")} collide with reserved range-join names")
+    // the final left join re-keys on idCol: a duplicated id would fan out
+    // and merge DISTINCT probe rows' aggregates. Uniqueness can't be
+    // asserted cheaply distributed, but an idCol that also lives on the
+    // right is certain trouble (the inner-join output would carry both)
+    require(left.columns.contains(idCol),
+      s"idCol '$idCol' must be a left column (and UNIQUE per left row — " +
+        "a duplicated id merges distinct probe rows' aggregates)")
+    require(!right.columns.contains(idCol),
+      s"idCol '$idCol' must not also exist on the right side")
     // NTZ timestamps convert to instants through the SESSION time zone; in
     // a DST-observing zone that conversion is non-linear and a window-mate
     // can land outside the probed bucket pair (silently missing rows). The
@@ -53,19 +62,26 @@ object RangeJoin {
         s"trailingWindow on TIMESTAMP_NTZ needs spark.sql.session.timeZone=UTC, found $tz")
     }
     // all time arithmetic on microsecond LONGS: the bucket and range
-    // predicates stay integer comparisons
+    // predicates stay integer comparisons. Buckets use exact long
+    // floor-division — (t - pmod(t, w)) is the exact floor multiple and
+    // integral `div` of an exact multiple never rounds — where the naive
+    // floor(t / w) runs a DOUBLE division that loses integer precision
+    // past 2^52 and could misbucket boundary rows
     val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    def bucketOf(tsUs: String): Column =
+      expr(s"($tsUs - pmod($tsUs, ${windowUs}L)) div ${windowUs}L")
 
     // each left row probes its own bucket and the previous one — the only
     // two buckets a trailing-window right row can occupy
     val probes = left
       .withColumn("__ts_us", us(col(tsCol)))
-      .withColumn("__b", explode(array(
-        floor(col("__ts_us") / windowUs) - 1, floor(col("__ts_us") / windowUs))))
+      .withColumn("__b0", bucketOf("__ts_us"))
+      .withColumn("__b", explode(array(col("__b0") - 1, col("__b0"))))
+      .drop("__b0")
     val events = right
       .select((keys.map(col) :+ us(col(tsCol)).as("__rts_us")) ++
         right.columns.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
-      .withColumn("__b", floor(col("__rts_us") / windowUs))
+      .withColumn("__b", bucketOf("__rts_us"))
 
     val joinCond = (keys.map(k => probes(k) === events(k)) :+
       (probes("__b") === events("__b")) :+

@@ -68,6 +68,44 @@ class AsofJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("asofBackwardBucketed equals asofBackward on a hot-key fixture") {
+    // one key carries 90% of the rows; bucket width 10 (in post-cast µs:
+    // long ts t buckets on t*1_000_000) splits it across many buckets.
+    // Rights sit at every 3rd tick so matches routinely cross bucket
+    // boundaries — the carry-seeding path is exercised, not just in-bucket.
+    val rnd = new scala.util.Random(42)
+    val left = ((1 to 900).map(i => (1L, (rnd.nextInt(300) + 1).toLong, i.toLong)) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, (rnd.nextInt(300) + 1).toLong, (900 + i).toLong)))
+      .toDF("user_id", "ts", "click_id")
+    val right = (0 to 100).flatMap(i => Seq((1L, i * 3L, i * 10L), ((i % 7 + 2).toLong, i * 3L, i * 10L + 1)))
+      .toDF("user_id", "ts", "view_id")
+      .groupBy("user_id", "ts").agg(max("view_id").as("view_id"))
+
+    val plain = AsofJoin.asofBackward(left, right, Seq("user_id"), "ts", Seq("view_id"))
+    val bucketed = AsofJoin.asofBackwardBucketed(left, right, Seq("user_id"), "ts",
+      Seq("view_id"), bucketUs = 10L * 1000 * 1000)
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+    assert(bucketed.count() == 1000)
+
+    // the sweep's shuffle must partition on the COMPOSITE (key, bucket) —
+    // that is the whole point: a hot key spreads over its buckets
+    val plan = bucketed.queryExecution.executedPlan.toString
+    val sweepExchanges = plan.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id") && l.contains("__b"))
+    assert(sweepExchanges.nonEmpty,
+      s"bucketed as-of must hash-partition on (keys, __b):\n$plan")
+  }
+
+  test("asofBackwardBucketed: left rows before any right row still get null") {
+    val left = Seq((1L, 2L, "early"), (1L, 50L, "late")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 30L, 7L)).toDF("user_id", "ts", "val")
+    val out = AsofJoin.asofBackwardBucketed(left, right, Seq("user_id"), "ts",
+      Seq("val"), bucketUs = 5L * 1000 * 1000)
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[java.lang.Long]("val"))).toMap
+    assert(out("early").isEmpty)      // no earlier right row anywhere
+    assert(out("late") == Some(7L))   // match carried across buckets
+  }
+
   test("asofBackward keeps every left row and all its columns") {
     val left = Seq((1L, 1L, "a", 3.5)).toDF("user_id", "ts", "x", "y")
     val right = Seq((9L, 1L, 7L)).toDF("user_id", "ts", "val") // key never matches
