@@ -308,7 +308,13 @@ object Similarity {
       .cache()
     val cents = corpus.filter(col("vec_id") < NCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("nc"))
+    ivfServe(corpus, cents)
+  }
 
+  /** Shared IVF serving path: assign every corpus vector to its nearest
+    * cell, probe the NProbe nearest cells per query, exact re-rank.
+    */
+  private def ivfServe(corpus: DataFrame, cents: DataFrame): DataFrame = {
     def nearestCells(side: DataFrame, idCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("ccos").desc, col("cid"))
@@ -330,6 +336,149 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid")).distinct()
 
     rerankTopK(cands, corpus, AnnK)
+  }
+
+  // ---------------------------------------------- trained IVF codebook
+
+  private val KmeansIters = 3
+
+  /** Per-run trained-codebook cache: the serving query stores what it
+    * trained; the oracle-SQL builder reads it back as literals. Query and
+    * oracle therefore always describe the SAME codebook instance, so any
+    * run-to-run ULP drift in the training sums (double summation is
+    * partition-order dependent) cannot desynchronize the compare.
+    */
+  @volatile private var lastTrained: Option[Seq[Seq[Double]]] = None
+
+  /** Deterministic Lloyd's k-means codebook over the corpus — the real
+    * training job the vec_id<NCells stand-in was standing in for.
+    *
+    * Shape per iteration (the part that must survive 100 TB):
+    *   - centroids live on the DRIVER as k×dim doubles and BROADCAST out;
+    *   - assignment is map-side (vec_dot against the broadcast codebook,
+    *     argmax by (cosine DESC, cid) — the same rule serving uses);
+    *   - the mean update is ONE explode + hash aggregate over (cell, dim)
+    *     — 64·|corpus| narrow rows, partial aggs map-side — and collects
+    *     exactly k×dim cell sums, never data.
+    * Fixed-point init (the first NCells vectors by vec_id) and a fixed
+    * iteration count keep the job reproducible from the code alone; empty
+    * cells keep their previous centroid.
+    */
+  def trainCodebook(s: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val corpus = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)")).cache()
+    var cents: Array[Seq[Double]] = corpus.filter(col("vec_id") < NCells)
+      .orderBy("vec_id").select("v").collect()
+      .map(_.getSeq[Double](0))
+    for (_ <- 1 to KmeansIters) {
+      val cdf = centroidFrame(s, cents.toSeq)
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = corpus.join(broadcast(cdf))
+        .withColumn("ccos",
+          expr("vec_dot(v, cv)") / (sqrt(col("nn")) * sqrt(col("nc"))))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("v"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cents.clone()
+      sums.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rows) =>
+        val mean = Array.ofDim[Double](cents(cell.toInt).length)
+        rows.foreach(r => mean(r.getAs[Int]("i")) =
+          r.getAs[Double]("sx") / r.getAs[Long]("cnt"))
+        next(cell.toInt) = mean.toSeq
+      }
+      cents = next
+    }
+    cents.toSeq
+  }
+
+  /** Literal (cid, cv, nc) frame for a driver-held codebook. */
+  private def centroidFrame(s: SparkSession, cents: Seq[Seq[Double]]): DataFrame = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("cid", "cv")
+      .withColumn("nc", expr("vec_dot(cv, cv)"))
+  }
+
+  /** IVF ANN over the TRAINED codebook — same serving plan as [[annIvf]],
+    * with the k-means centroids broadcast as literals. The oracle replays
+    * the identical centroids (captured from this run's training, exactly
+    * like the LSH literal planes), so the approximate result is still
+    * exact-compared.
+    */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    val cb = trainCodebook(s, dir)
+    lastTrained = Some(cb)
+    ivfServe(corpus, centroidFrame(s, cb))
+  }
+
+  /** DuckDB literal for a double that parses as DOUBLE, not DECIMAL: keep
+    * Java's shortest round-trip digits and force an exponent (scientific
+    * literals are doubles in DuckDB; a long plain decimal would go through
+    * DECIMAL and can drift an ULP on the way back out).
+    */
+  private def dlit(x: Double): String = {
+    val s0 = x.toString
+    if (s0.contains("E") || s0.contains("e")) s0 else s0 + "E0"
+  }
+
+  private def annIvfTrainedSql: String = {
+    val cb = lastTrained.getOrElse(
+      // not trained in this JVM (query errored before the dump): fall back
+      // to the stand-in init so the emitted SQL still parses; the gate is
+      // already red in that case
+      Seq.tabulate(NCells, Dim)((_, _) => 0.0))
+    val values = cb.zipWithIndex
+      .map { case (v, i) => s"($i, ${v.map(dlit).mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |c AS (
+       |  SELECT cid, cv,
+       |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS nc
+       |  FROM (VALUES
+       |    $values) t(cid, cv)),
+       |scored_cells AS (
+       |  SELECT n.vec_id, c.cid,
+       |    list_reduce(list_transform(range($Dim), i -> n.v[i+1] * c.cv[i+1]),
+       |      (a, b) -> a + b) / (sqrt(n.nn) * sqrt(c.nc)) AS ccos
+       |  FROM n CROSS JOIN c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM scored_cells),
+       |assigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM ranked_cells
+       |  WHERE crank <= $NProbe AND vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.vec_id != p.qid),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> qn.v[i+1] * cn.v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(qn.nn) * sqrt(cn.nn)) AS cosine
+       |  FROM cand
+       |  JOIN n qn ON qn.vec_id = cand.qid
+       |  JOIN n cn ON cn.vec_id = cand.nid),
+       |r AS (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
+       |ORDER BY qid, rank""".stripMargin
   }
 
   private val annIvfSql =
@@ -377,11 +526,16 @@ object Similarity {
     "q_cosine_topk" -> (cosineTopK(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
+    "q_ann_ivf_trained" -> (annIvfTrained(_, _)),
     "q_embed_neardup" -> (embedNearDup(_, _)))
 
-  val oracles: Map[String, String] = Map(
+  /** def, not val: q_ann_ivf_trained's oracle embeds the centroids trained
+    * while the queries ran (Verify dumps oracle SQL after running them).
+    */
+  def oracles: Map[String, String] = Map(
     "q_cosine_topk" -> cosineTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_embed_neardup" -> embedNearDupSql)
 }

@@ -203,6 +203,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("cosine") == -1.0)
   }
 
+  test("trained IVF codebook: planted-label recall >= the stand-in's") {
+    // sf0.01 embeddings carry 10 planted label clusters; a neighbor is
+    // "true" when it shares its query's label. k-means from the stand-in
+    // init must not make that recall worse (and in practice improves it).
+    val dir = "/root/testdata/sf0.01"
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    def labelRecall(df: org.apache.spark.sql.DataFrame): Double =
+      df.join(labels.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+        .join(labels.select(col("vec_id").as("nid"), col("label").as("nl")), "nid")
+        .agg(avg(when(col("ql") === col("nl"), 1.0).otherwise(0.0)))
+        .collect().head.getDouble(0)
+    val standIn = labelRecall(Similarity.annIvf(spark, dir))
+    val trained = labelRecall(Similarity.annIvfTrained(spark, dir))
+    assert(trained >= standIn,
+      s"trained codebook recall $trained fell below stand-in $standIn")
+  }
+
   test("annIvf surfaces an identical vector via its probed cell") {
     val dir = java.nio.file.Files.createTempDirectory("emb").toString
     // ids 0..15 double as the IVF codebook; 17 duplicates query 0's vector
