@@ -6,8 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Methodology: the sink is `queryExecution.toRdd.count()` — it executes the
   * FULL physical plan (a plain `.count()` lets Catalyst prune projections to
   * a row count, under-measuring wide queries). Each query gets one untimed
-  * warmup run (JIT + code-gen + file-footer caching), then the min of two
-  * timed runs is reported so a stray GC pause doesn't read as a regression.
+  * warmup run (JIT + code-gen + file-footer caching), then the MEDIAN of
+  * `SPARK_GRAFT_BENCH_REPS` timed runs (default 3) is reported: the median
+  * absorbs a stray GC/compilation pause in either direction, where a min
+  * hides systematic jitter and a single sample made round-over-round
+  * comparisons coin-flips on the streaming/near-dup queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,11 +61,17 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try {
           run(fn(spark, sfDir)) // warmup (untimed)
-          Seq.fill(2) { settle(); timed(run(fn(spark, sfDir))) }.min
+          median(Seq.fill(reps) { settle(); timed(run(fn(spark, sfDir))) })
         } catch {
           // a silent -1 hides which query failed and why; attribute it
           case e: Throwable =>

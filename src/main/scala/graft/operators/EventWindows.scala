@@ -114,7 +114,14 @@ object EventWindows {
     * path (state store, watermark tracking, sink commit). Executes the
     * stream at construction, like the sync-pipeline gate.
     */
-  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger()
+  // ONE memory-sink view per streaming gate, reused across runs: the
+  // memory writer registers its sink with createOrReplaceTempView, so a
+  // re-run REPLACES the previous run's sink and its buffered rows become
+  // collectable — a per-run name would pin every run's rows in the driver
+  // for the JVM's lifetime (bench: warmup + repeated timed runs). The
+  // DataFrame a caller got earlier stays valid: it resolved the view at
+  // table() time. Runs of the same gate must not overlap (they don't:
+  // Verify/Bench/specs run queries sequentially).
   def streamTumbling(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -124,7 +131,7 @@ object EventWindows {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val sink = s"q_stream_tumbling_${streamRuns.incrementAndGet()}"
+    val sink = "q_stream_tumbling_sink"
     val q = graft.streaming.EventStream.tumblingCounts(stream, "1 hour")
       .writeStream.format("memory").queryName(sink)
       .outputMode("complete")
@@ -194,7 +201,7 @@ object EventWindows {
     val stream = s.readStream.schema(sch)
       .option("maxFilesPerTrigger", "1")
       .parquet(input.toString)
-    val sink = s"q_stream_session_${streamRuns.incrementAndGet()}"
+    val sink = "q_stream_session_sink"
     val q = graft.streaming.EventStream.sessionCounts(stream, "6 hours", "10 minutes")
       .writeStream.format("memory").queryName(sink)
       .outputMode("append")

@@ -415,8 +415,14 @@ object TextOps {
 
     val prefLen = (size(col("s"))
       - ceil(lit(JaccardThreshold) * size(col("s"))).cast("int") + 1)
+    // Cache the PREFIX index too: the self-join below reads it from BOTH
+    // sides, and without the cache each side re-executes the whole
+    // dfreq-aggregate + per-doc re-sort chain (two corpus shuffles) —
+    // exchange reuse is not guaranteed across the differently-aliased
+    // branches. One fill, two columnar reads.
     val pref = ordered
       .select(col("doc_id"), explode(slice(col("s"), lit(1), prefLen)).as("shingle"))
+      .cache()
 
     val candidates = pref.toDF("doc_a", "shingle")
       .join(pref.toDF("doc_b", "shingle"), "shingle")

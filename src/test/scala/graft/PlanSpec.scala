@@ -96,6 +96,11 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"candidate generation must stay an equi-join on the shingle key:\n$plan")
+    // both sides of the prefix self-join and both verify branches must read
+    // CACHED frames — an uncached branch re-executes the dfreq + re-sort
+    // shuffles (4 scans: pref ×2, raw shingle sets ×2)
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 4,
+      s"prefix index and shingle sets must come from cache on every branch:\n$plan")
   }
 
   test("as-of and range joins never degrade to nested-loop plans") {
