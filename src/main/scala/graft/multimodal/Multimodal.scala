@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the decode / feature-extract /
   * resize / frame-sample operators a training-data pipeline runs on them.
   *
-  * Image/video decode is STUBBED (no native codecs in this environment —
-  * see `decodeFeatures`); WAV/PCM audio decode is REAL (`decodeWav` /
-  * `wavFeatures` — RIFF needs no codec). Everything around it — the media
+  * Two modalities decode for REAL — WAV/PCM audio (`decodeWav` /
+  * `wavFeatures`; RIFF needs no codec) and PPM/BMP raster images
+  * (`decodePpm` / `decodeBmp` / `imageFeatures`; both are codec-free
+  * formats). Only codec-bound formats (JPEG/PNG/H.264) remain STUBBED
+  * (`decodeFeatures` — no native codecs in this environment). Everything
+  * around the stub — the media
   * schema, the columnar metadata ops, the per-partition batch shape of the
   * decoder, the fixed-dim float feature output — is real, tested Spark
   * plumbing that a codec-backed implementation would drop into.
@@ -192,6 +195,159 @@ object Multimodal {
         }
       }
       .toDF("media_id", "sample_rate", "n_samples", "feature")
+  }
+
+  // ---- real image decode (PPM / BMP) -----------------------------------
+  //
+  // Codec-free raster formats make a SECOND real modality: binary PPM (P6)
+  // is a text header + raw RGB, and uncompressed 24-bit BMP is a fixed
+  // little-endian header + padded BGR rows. Both decode in pure JVM code,
+  // in the same mapPartitions batch shape as the WAV path. The stub now
+  // covers only genuinely codec-bound formats (JPEG/PNG/H.264).
+
+  /** Decoded raster: interleaved RGB, row-major, top-down. */
+  final case class RgbImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Container sniff: P6 PPM or BMP by magic bytes. */
+  def decodeImage(bytes: Array[Byte]): RgbImage = {
+    require(bytes.length >= 2, "too short for an image header")
+    if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else throw new IllegalArgumentException(
+      "unsupported image container (binary PPM and uncompressed 24-bit BMP decode here; codec formats stay stubbed)")
+  }
+
+  /** Binary PPM (P6): `P6 <w> <h> <maxval>` in ASCII (with `#` comments),
+    * one whitespace byte, then raw interleaved RGB. 8-bit depth only.
+    */
+  def decodePpm(bytes: Array[Byte]): RgbImage = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < bytes.length &&
+        (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') // comment runs to end of line
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      var v = 0
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) {
+        val d = bytes(pos) - '0'
+        require(d >= 0 && d <= 9, s"non-numeric PPM header byte at offset $pos")
+        require(v <= (Int.MaxValue - d) / 10, "PPM header value overflows Int")
+        v = v * 10 + d
+        pos += 1
+      }
+      require(pos > start, "truncated PPM header")
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
+    require(maxv == 255, s"only 8-bit PPM supported, maxval=$maxv")
+    pos += 1 // exactly one whitespace byte separates header from pixels
+    val need = w.toLong * h * 3
+    require(need <= Int.MaxValue && bytes.length - pos >= need,
+      "truncated PPM pixel data")
+    RgbImage(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
+  }
+
+  /** Uncompressed 24-bit BMP: 14-byte file header + BITMAPINFOHEADER,
+    * 4-byte-padded BGR rows, bottom-up unless height is negative. Rows are
+    * flipped and channels swapped so the output matches the PPM contract.
+    */
+  def decodeBmp(bytes: Array[Byte]): RgbImage = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOff = bb.getInt(10)
+    require(bb.getInt(14) >= 40, "BITMAPCOREHEADER not supported")
+    val w = bb.getInt(18); val hRaw = bb.getInt(22)
+    val bits = bb.getShort(28) & 0xffff
+    val compression = bb.getInt(30)
+    require(w > 0 && hRaw != 0, s"bad BMP dimensions ${w}x$hRaw")
+    require(bits == 24 && compression == 0,
+      s"only uncompressed 24-bit BMP supported, bits=$bits compression=$compression")
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    require(dataOff >= 54 && dataOff.toLong + rowSize.toLong * h <= bytes.length,
+      "truncated BMP pixel data")
+    require(w.toLong * h * 3 <= Int.MaxValue, "BMP dimensions overflow")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val so = dataOff + srcRow * rowSize + x * 3
+        val d = (y * w + x) * 3
+        out(d) = bytes(so + 2)     // BMP stores BGR
+        out(d + 1) = bytes(so + 1)
+        out(d + 2) = bytes(so)
+        x += 1
+      }
+      y += 1
+    }
+    RgbImage(w, h, out)
+  }
+
+  /** Real image feature extraction: decode each PPM/BMP blob and emit
+    * per-channel mean + variance (6 floats) followed by a `grid`×`grid`
+    * per-channel downsampled mean grid (3·grid² floats) — a fixed-dim
+    * `array<float>` for the similarity operators. Accumulation is a
+    * sequential double fold per image, so features are bit-deterministic.
+    * Same distributed shape as the WAV path: one partition of blobs per
+    * task, no driver involvement.
+    */
+  def imageFeatures(media: DataFrame, grid: Int = 2): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("mime").startsWith("image/"))
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, blob) =>
+          val img = decodeImage(blob)
+          val n = img.width * img.height
+          val sum = new Array[Double](3); val sumSq = new Array[Double](3)
+          val cellSum = Array.ofDim[Double](grid * grid, 3)
+          val cellCnt = new Array[Int](grid * grid)
+          var i = 0
+          while (i < n) {
+            val y = i / img.width; val x = i % img.width
+            val cell = (y.toLong * grid / img.height).toInt * grid +
+              (x.toLong * grid / img.width).toInt
+            cellCnt(cell) += 1
+            var c = 0
+            while (c < 3) {
+              val v = (img.pixels(i * 3 + c) & 0xff) / 255.0
+              sum(c) += v; sumSq(c) += v * v; cellSum(cell)(c) += v
+              c += 1
+            }
+            i += 1
+          }
+          val feat = new Array[Float](6 + 3 * grid * grid)
+          var c = 0
+          while (c < 3) {
+            val mean = sum(c) / n
+            feat(c) = mean.toFloat
+            feat(3 + c) = (sumSq(c) / n - mean * mean).toFloat
+            c += 1
+          }
+          var g = 0
+          while (g < grid * grid) {
+            var ch = 0
+            while (ch < 3) {
+              feat(6 + g * 3 + ch) =
+                (if (cellCnt(g) == 0) 0.0 else cellSum(g)(ch) / cellCnt(g)).toFloat
+              ch += 1
+            }
+            g += 1
+          }
+          (id, img.width, img.height, feat)
+        }
+      }
+      .toDF("media_id", "width", "height", "feature")
   }
 
   /** Gated metadata query: per-frame rows with byte sizes and resize math

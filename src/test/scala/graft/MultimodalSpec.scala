@@ -69,6 +69,97 @@ class MultimodalSpec extends SparkSpec {
     bb.array()
   }
 
+  /** P6 PPM bytes for the given top-down RGB pixel array. */
+  private def ppmBytes(w: Int, h: Int, rgb: Array[Byte],
+      comment: Option[String] = None): Array[Byte] = {
+    val header = comment match {
+      case Some(c) => s"P6\n# $c\n$w $h\n255\n"
+      case None => s"P6\n$w $h\n255\n"
+    }
+    header.getBytes("US-ASCII") ++ rgb
+  }
+
+  /** Uncompressed 24-bit BMP bytes (bottom-up unless topDown) for the
+    * given TOP-DOWN RGB pixels — rows are emitted reversed and BGR-swapped
+    * with 4-byte padding, exactly what a real writer produces.
+    */
+  private def bmpBytes(w: Int, h: Int, rgb: Array[Byte], topDown: Boolean = false): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * h)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      val srcY = if (topDown) row else h - 1 - row
+      for (x <- 0 until w) {
+        val o = (srcY * w + x) * 3
+        bb.put(rgb(o + 2)).put(rgb(o + 1)).put(rgb(o)) // BGR on disk
+      }
+      for (_ <- w * 3 until rowSize) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  test("real PPM decode: header comments, dimensions, bit-exact pixels") {
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val img = Multimodal.decodePpm(ppmBytes(2, 2, rgb, comment = Some("synth")))
+    assert(img.width == 2 && img.height == 2)
+    assert(img.pixels.sameElements(rgb))
+    // magic sniffing routes to the right decoder
+    assert(Multimodal.decodeImage(ppmBytes(2, 2, rgb)).pixels.sameElements(rgb))
+    // truncated pixel data and 16-bit depth must reject, not mis-decode
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm(ppmBytes(4, 4, rgb)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePpm("P6\n2 2\n65535\n".getBytes("US-ASCII") ++ rgb))
+  }
+
+  test("real BMP decode: bottom-up flip, BGR swap, row padding, top-down variant") {
+    // 3x2 top-down RGB: width 3 forces 3 pad bytes per row (9 -> 12)
+    val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 7 + 1).toByte)
+    val up = Multimodal.decodeBmp(bmpBytes(3, 2, rgb))
+    assert(up.width == 3 && up.height == 2)
+    assert(up.pixels.sameElements(rgb), "bottom-up rows must flip back to top-down RGB")
+    val down = Multimodal.decodeImage(bmpBytes(3, 2, rgb, topDown = true))
+    assert(down.pixels.sameElements(rgb), "negative height means rows are already top-down")
+    // data offset past the buffer must reject
+    val evil = bmpBytes(3, 2, rgb)
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, evil.length)
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(evil))
+  }
+
+  test("image features: channel means/variances and grid cells, distributed") {
+    import spark.implicits._
+    // 2x2 image, one pure color per pixel quadrant
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,  // row 0: red, green
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte) // row 1: blue, white
+    val media = Seq(
+      (1L, ppmBytes(2, 2, rgb), "image/ppm"),
+      (2L, bmpBytes(2, 2, rgb), "image/bmp"),
+      (3L, Array[Byte](1, 2, 3), "video/mp4")) // non-image: filtered out
+      .toDF("media_id", "bytes", "mime")
+    val rows = Multimodal.imageFeatures(media, grid = 2).orderBy("media_id").collect()
+    assert(rows.length == 2, "only image/* rows decode")
+    val Seq(ppmRow, bmpRow) = rows.toSeq
+    val f = ppmRow.getSeq[Float](ppmRow.fieldIndex("feature"))
+    assert(f.length == 6 + 12)
+    // each channel is 255 in exactly 2 of 4 pixels -> mean 0.5, var 0.25
+    (0 to 2).foreach(c => assert(math.abs(f(c) - 0.5f) < 1e-6, s"mean ch$c ${f(c)}"))
+    (3 to 5).foreach(c => assert(math.abs(f(c) - 0.25f) < 1e-6, s"var ch$c ${f(c)}"))
+    // grid 2x2 on a 2x2 image = the pixels themselves (normalized)
+    assert(f.slice(6, 9) == Seq(1f, 0f, 0f))   // top-left: red
+    assert(f.slice(9, 12) == Seq(0f, 1f, 0f))  // top-right: green
+    assert(f.slice(12, 15) == Seq(0f, 0f, 1f)) // bottom-left: blue
+    assert(f.slice(15, 18) == Seq(1f, 1f, 1f)) // bottom-right: white
+    // the SAME pixels through the BMP path give bit-identical features
+    assert(bmpRow.getSeq[Float](bmpRow.fieldIndex("feature")) == f)
+  }
+
   test("real WAV decode: sine RMS, stereo mix-down, distributed features") {
     // 0.5 s of a 440 Hz sine at amplitude 0.5, 8 kHz mono
     val sine = Array.tabulate(4000)(i =>
