@@ -56,17 +56,23 @@ object SyncGate {
   private def statusWord(i: Int): String =
     i match { case 1 => "committed"; case 2 => "rollbacked"; case _ => "promised" }
 
-  /** One journal file set; `pass2` adds the second wave. */
-  private def writeJournal(s: SparkSession, dir: String, tmp: Path, pass2: Boolean): Unit = {
+  /** One journal file set; `pass2` adds the second wave; `tailOnly` keeps
+    * ONLY the second wave (what remains on disk after the first wave has
+    * been compacted into a parquet manifest and its tiny files deleted).
+    */
+  private def writeJournal(s: SparkSession, dir: String, tmp: Path, pass2: Boolean,
+      tailOnly: Boolean = false): Unit = {
     import JournalGate.put
-    Tables.load(s, dir, "customer")
-      .filter(col("c_custkey") < AcctBound)
-      .select("c_custkey", "c_mktsegment", "c_nationkey")
-      .collect().foreach { r: Row =>
-        val ccy = r.getString(1).substring(0, 3).toUpperCase
-        put(tmp, s"t_T/account/c${r.getLong(0)}/snapshot/${Journal.versionSegment(0)}",
-          s"$ccy F${r.getInt(2)}_T\n")
-      }
+    java.nio.file.Files.createDirectories(tmp)
+    if (!tailOnly)
+      Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < AcctBound)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .collect().foreach { r: Row =>
+          val ccy = r.getString(1).substring(0, 3).toUpperCase
+          put(tmp, s"t_T/account/c${r.getLong(0)}/snapshot/${Journal.versionSegment(0)}",
+            s"$ccy F${r.getInt(2)}_T\n")
+        }
     val orders = Tables.load(s, dir, "orders")
       .filter(col("o_orderkey") < KeyBound)
       .select("o_orderkey", "o_orderstatus", "o_custkey")
@@ -74,7 +80,7 @@ object SyncGate {
     orders.foreach { r: Row =>
       val k = r.getLong(0); val st = statusInt(r.getString(1)); val ack = r.getLong(2) % 50
       val inPass2 = k >= PassSplit
-      if (!inPass2 || pass2) {
+      if ((!inPass2 && !tailOnly) || (inPass2 && pass2)) {
         val snap = Journal.versionSegment(if (inPass2 && ack % 3 == 0) 1 else 0)
         val v = if (inPass2) 11 + k % 5 else 1 + k % 5
         put(tmp, s"t_T/account/c$ack/events/$snap/${st}_1_x$k", s"$v\n")
@@ -154,9 +160,49 @@ object SyncGate {
        |LEFT JOIN xfer x ON x.ack = a.ck
        |ORDER BY a.ck""".stripMargin
 
+  /** The 100 TB HYBRID sync gated end-to-end: the first wave's tiny files
+    * are gone — compacted into a parquet manifest — and every pass reads
+    * manifest ∪ live tail. The manifest is LOAD-BEARING, not decorative:
+    * pass 1 syncs over an EMPTY journal tree, so all first-wave accounts,
+    * events, and transactions exist only if the compacted history really
+    * substitutes for the tree (a broken manifest union erases 50 accounts
+    * from the hash). Pass 2 adds the live tail (second wave + late
+    * canaries — skipped against watermarks the MANIFEST events set); pass
+    * 3 must discover nothing. Final state is identical to the 3-pass
+    * full-tree pipeline, so the same oracle gates both.
+    */
+  def syncStateHybrid(s: SparkSession, dir: String): DataFrame = {
+    import JournalGate.{buildPerJvm, fixtureRoot, writeOnce}
+    val j1 = writeOnce(fixtureRoot("sync_p1", dir))(writeJournal(s, dir, _, pass2 = false))
+    val tail = writeOnce(fixtureRoot("sync_tail", dir))(
+      writeJournal(s, dir, _, pass2 = true, tailOnly = true))
+    val empty = writeOnce(fixtureRoot("sync_empty", dir))(
+      java.nio.file.Files.createDirectories(_): Unit)
+    val wh = buildPerJvm(fixtureRoot("sync_whh", dir)) { tmp =>
+      val m = tmp.resolve("manifest").toString
+      Journal.compact(s, j1.toString, m)
+      Warehouse.sync(s, empty.toString, tmp.toString, manifestDir = Some(m))
+      Warehouse.sync(s, tail.toString, tmp.toString, manifestDir = Some(m))
+      val third = Warehouse.sync(s, tail.toString, tmp.toString, manifestDir = Some(m))
+      require(third == Warehouse.SyncStats(0, 0, 0),
+        s"hybrid re-sync of an unchanged journal discovered rows: $third")
+    }
+    val account = s.read.parquet(s"$wh/account")
+    val credits = s.read.parquet(s"$wh/transfer")
+      .groupBy(col("credit_name").as("name"))
+      .agg(count(lit(1)).as("n_transfers"))
+    account.join(credits, Seq("name"), "left")
+      .withColumn("n_transfers", coalesce(col("n_transfers"), lit(0L)))
+      .select("tenant", "name", "currency", "format",
+        "last_syn_snapshot", "last_syn_event", "n_transfers")
+      .orderBy(expr("CAST(substring(name, 2, 10) AS LONG)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sync_state" -> (syncState(_, _)))
+    "q_sync_state" -> (syncState(_, _)),
+    "q_sync_hybrid" -> (syncStateHybrid(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_sync_state" -> syncStateSql)
+    "q_sync_state" -> syncStateSql,
+    "q_sync_hybrid" -> syncStateSql)
 }
