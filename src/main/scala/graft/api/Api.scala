@@ -38,6 +38,17 @@ object Api {
   def tenants(tenant: DataFrame, limit: Long, offset: Long): DataFrame =
     paginate(tenant.select(col("name")), Seq("name"), limit, offset)
 
+  /** Keyset continuation of `tenants`: the page strictly after cursor
+    * `name`. Same O(page) rationale as [[transfersAfter]] — the cursor
+    * predicate pushes into the scan; a deep offset page scans everything
+    * before it.
+    */
+  def tenantsAfter(tenant: DataFrame, after: Option[String], limit: Long): DataFrame = {
+    val base = tenant.select(col("name"))
+    val continued = after.map(n => base.filter(col("name") > lit(n))).getOrElse(base)
+    continued.orderBy(col("name")).limit(limit.toInt)
+  }
+
   /** `tenant(name)` point lookup — GraphQLPersistence.scala:167-182. */
   def tenant(tenantDf: DataFrame, name: String): DataFrame =
     tenantDf.filter(col("name") === lit(name)).limit(1)
@@ -48,13 +59,32 @@ object Api {
   def accounts(account: DataFrame, tenant: String,
                currency: Option[String] = None, format: Option[String] = None,
                limit: Long = 100, offset: Long = 0,
-               bugCompat: Boolean = false): DataFrame = {
+               bugCompat: Boolean = false): DataFrame =
+    paginate(accountsFiltered(account, tenant, currency, format, bugCompat),
+      Seq("name"), limit, offset)
+
+  private def accountsFiltered(account: DataFrame, tenant: String,
+                               currency: Option[String], format: Option[String],
+                               bugCompat: Boolean): DataFrame = {
     var df = account.filter(col("tenant") === lit(tenant))
     df = optFilter(df, format)(v => col("format") === lit(v))
     df = optFilter(df, currency) { v =>
       if (bugCompat) col("currency") >= lit(v) else col("currency") === lit(v) // Q2
     }
-    paginate(df.select("tenant", "name", "currency", "format"), Seq("name"), limit, offset)
+    df.select("tenant", "name", "currency", "format")
+  }
+
+  /** Keyset continuation of `accounts`: the page strictly after cursor
+    * `name` (unique per tenant). Same O(page) rationale as
+    * [[transfersAfter]].
+    */
+  def accountsAfter(account: DataFrame, tenant: String,
+                    currency: Option[String] = None, format: Option[String] = None,
+                    after: Option[String] = None, limit: Long = 100,
+                    bugCompat: Boolean = false): DataFrame = {
+    val filtered = accountsFiltered(account, tenant, currency, format, bugCompat)
+    val continued = after.map(n => filtered.filter(col("name") > lit(n))).getOrElse(filtered)
+    continued.orderBy(col("name")).limit(limit.toInt)
   }
 
   /** `account(tenant, name)` point lookup — GraphQLPersistence.scala:226-242. */

@@ -96,8 +96,15 @@ final class GraphQLExecutor(
 
   private def rootPlan(f: Field): RootPlan = f.name match {
     case "tenants" =>
-      val a = new Args(f, Set("limit", "offset"))
-      val df = Api.tenants(tenantTable(), a.nat("limit"), a.nat("offset"))
+      val a = new Args(f, Set("limit", "offset", "after"))
+      // `after` switches to keyset pagination; offset loses its meaning
+      // under a cursor, so a nonzero one is a caller error, not a silent no-op
+      val df = a.strOpt("after") match {
+        case cur @ Some(_) =>
+          a.requireZeroOffset()
+          Api.tenantsAfter(tenantTable(), cur, a.nat("limit"))
+        case None => Api.tenants(tenantTable(), a.nat("limit"), a.nat("offset"))
+      }
       RootPlan(f.outputName, df, tenantNodes(requireSel(f), "name"), list = true)
 
     case "tenant" =>
@@ -123,11 +130,18 @@ final class GraphQLExecutor(
       RootPlan(f.outputName, Api.account(src, t, n), nodes, list = false)
 
     case "accounts" =>
-      val a = new Args(f, Set("tenant", "currency", "format", "limit", "offset"))
+      val a = new Args(f, Set("tenant", "currency", "format", "limit", "offset", "after"))
       val (needBal, nodes) = accountNodes(requireSel(f), identity)
-      val page = Api.accounts(accountTable(), a.str("tenant"),
-        currency = a.strOpt("currency"), format = a.strOpt("format"),
-        limit = a.nat("limit"), offset = a.nat("offset"))
+      val page = a.strOpt("after") match {
+        case cur @ Some(_) =>
+          a.requireZeroOffset()
+          Api.accountsAfter(accountTable(), a.str("tenant"),
+            currency = a.strOpt("currency"), format = a.strOpt("format"),
+            after = cur, limit = a.nat("limit"))
+        case None => Api.accounts(accountTable(), a.str("tenant"),
+          currency = a.strOpt("currency"), format = a.strOpt("format"),
+          limit = a.nat("limit"), offset = a.nat("offset"))
+      }
       // balance joins against the PAGE (bounded by limit) and the
       // aggregate is SCOPED to the page's accounts (semi join below the
       // agg — Warehouse.balancesFor); the join re-sorts, so reassert the
@@ -291,6 +305,15 @@ final class GraphQLExecutor(
       case VString(s) => s
       case _ => bad(req(name), "String!")
     }
+    /** Cursor pagination: a nonzero `offset` next to `after` is a caller
+      * error (the cursor already fixes the page start), surfaced at the
+      * field position like every other argument error.
+      */
+    def requireZeroOffset(): Unit =
+      if (nat("offset") != 0)
+        throw AnalysisError(
+          s"'offset' must be 0 when 'after' is set on field '${field.name}'",
+          field.line, field.column)
     def strOpt(name: String): Option[String] = m.get(name).map { a =>
       a.value match { case VString(s) => s; case _ => bad(a, "String") }
     }

@@ -282,8 +282,13 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
       s"""{"healthy":$ok,"graphql":$ok}"""
     }
     handle("/tenants") { p =>
-      json(cached(cacheKey("/tenants", p))(Api.tenants(table("tenant"),
-        p.getOrElse("limit", "100").toLong, p.getOrElse("offset", "0").toLong)))
+      // `after=<name>` switches to keyset pagination (O(page) deep scans)
+      json(cached(cacheKey("/tenants", p))(p.get("after") match {
+        case a @ Some(_) => Api.tenantsAfter(table("tenant"), a,
+          p.getOrElse("limit", "100").toLong)
+        case None => Api.tenants(table("tenant"),
+          p.getOrElse("limit", "100").toLong, p.getOrElse("offset", "0").toLong)
+      }))
     }
     handle("/tenant") { p =>
       json(cached(cacheKey("/tenant", p))(Api.tenant(table("tenant"), required(p, "name"))))
@@ -293,10 +298,16 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
       // (feeding the balance join into the filter input would compute the
       // full aggregation twice per request)
       json(cached(cacheKey("/accounts", p))({
-        val page = Api.accounts(table("account"), required(p, "tenant"),
-          currency = p.get("currency"), format = p.get("format"),
-          limit = p.getOrElse("limit", "100").toLong,
-          offset = p.getOrElse("offset", "0").toLong)
+        // `after=<name>` switches to keyset pagination, like /transfers
+        val page = p.get("after") match {
+          case a @ Some(_) => Api.accountsAfter(table("account"), required(p, "tenant"),
+            currency = p.get("currency"), format = p.get("format"),
+            after = a, limit = p.getOrElse("limit", "100").toLong)
+          case None => Api.accounts(table("account"), required(p, "tenant"),
+            currency = p.get("currency"), format = p.get("format"),
+            limit = p.getOrElse("limit", "100").toLong,
+            offset = p.getOrElse("offset", "0").toLong)
+        }
         // balancesFor scopes the aggregate to the page's accounts
         page.join(Warehouse.balancesFor(table("transfer"), page),
           Seq("tenant", "name"), "left")

@@ -36,4 +36,40 @@ class ApiSpec extends SparkSpec {
     assert(byKeyset == byOffset)
     assert(byKeyset.size == 23 && byKeyset.distinct.size == 23)
   }
+
+  test("accounts/tenants keyset pages chain to the offset sequence") {
+    val accounts = (1 to 17).map(i => ("T", f"a$i%03d", "CZK", "F1"))
+      .toDF("tenant", "name", "currency", "format")
+
+    val byOffset = (0 until 17 by 4).flatMap { off =>
+      Api.accounts(accounts, "T", limit = 4, offset = off)
+        .collect().map(_.getAs[String]("name"))
+    }
+    var cursor: Option[String] = None
+    val byKeyset = Iterator.continually {
+      val page = Api.accountsAfter(accounts, "T", after = cursor, limit = 4)
+        .collect().map(_.getAs[String]("name"))
+      cursor = page.lastOption
+      page
+    }.takeWhile(_.nonEmpty).flatten.toSeq
+    assert(byKeyset == byOffset)
+    assert(byKeyset.size == 17 && byKeyset.distinct.size == 17)
+
+    // the currency/format filters compose with the cursor
+    val filtered = Api.accountsAfter(
+      accounts.withColumn("currency", when(col("name") < "a009", "EUR").otherwise("CZK")),
+      "T", currency = Some("EUR"), after = Some("a003"), limit = 100)
+      .collect().map(_.getAs[String]("name")).toSeq
+    assert(filtered == (4 to 8).map(i => f"a$i%03d"))
+
+    val tenantsDf = (1 to 9).map(i => Tuple1(s"t$i")).toDF("name")
+    var tc: Option[String] = None
+    val tKeyset = Iterator.continually {
+      val page = Api.tenantsAfter(tenantsDf, tc, limit = 2)
+        .collect().map(_.getString(0))
+      tc = page.lastOption
+      page
+    }.takeWhile(_.nonEmpty).flatten.toSeq
+    assert(tKeyset == (1 to 9).map(i => s"t$i"))
+  }
 }

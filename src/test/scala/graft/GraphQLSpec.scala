@@ -53,6 +53,26 @@ class GraphQLSpec extends SparkSpec {
     assert(out == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
   }
 
+  test("accounts cursor pagination: after skips to the next page; offset must be 0") {
+    val out = exec.execute(
+      """query {
+        |  accounts(tenant: "TENANT", limit: 2, offset: 0, after: "CREDIT") {
+        |    name
+        |  }
+        |}""".stripMargin)
+    assert(out == """{"data":{"accounts":[{"name":"DEBIT"},{"name":"IDLE"}]}}""")
+
+    val err = intercept[GraphQL.AnalysisError](exec.execute(
+      """query {
+        |  accounts(tenant: "TENANT", limit: 2, offset: 1, after: "CREDIT") { name }
+        |}""".stripMargin))
+    assert(err.getMessage.contains("'offset' must be 0 when 'after' is set"))
+
+    val t = exec.execute(
+      """query { tenants(limit: 10, offset: 0, after: "A") { name } }""")
+    assert(t == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
+  }
+
   test("bbtest scenario 2: accounts query with balance") {
     val out = exec.execute(
       """query {

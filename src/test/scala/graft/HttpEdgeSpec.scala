@@ -79,6 +79,13 @@ class HttpEdgeSpec extends SparkSpec {
       val (_, keyset) = get(port, "/transfers?tenant=TENANT&after=TRN%2CTRX")
       assert(keyset == "[]")
 
+      // accounts/tenants keyset: strictly-after page, filters compose
+      val (_, accAfter) = get(port, "/accounts?tenant=TENANT&after=CREDIT&limit=10")
+      assert(!accAfter.contains("CREDIT")
+        && accAfter.contains("DEBIT") && accAfter.contains("IDLE"))
+      val (_, tenAfter) = get(port, "/tenants?after=TENANT")
+      assert(tenAfter == "[]")
+
       // argument validation -> 400, not a stack trace
       val (code, err) = get(port, "/transfers?status=committed")
       assert(code == 400 && err.contains("missing arg: tenant"))
