@@ -404,18 +404,24 @@ object GraphQL {
           val resolved = fieldTypes.get((tpe, f.name)) match {
             case Some(ct) => splice(f.selection, ct, visiting, keepF)
             case None =>
-              // scalar leaf or unknown field: fragments cannot apply here —
-              // dropping them silently would skip unknown-fragment checks
-              f.selection.collectFirst {
-                case Spread(_, l, c, _) => (l, c)
-                case Inline(_, _, l, c, _) => (l, c)
-              }.foreach { case (l, c) =>
-                throw AnalysisError(
-                  s"Fragments cannot be applied inside field '${f.name}'", l, c)
-              }
-              f.selection.collect {
-                case c: Field if keepF(c.directives) => c.copy(directives = Nil)
-              }
+              // scalar leaf or unknown field: fragments cannot apply here
+              // (at ANY depth — there is no type to check them against),
+              // and directives must still be evaluated and stripped all
+              // the way down, or un-applied Directive nodes would reach
+              // the executor under a field it has yet to reject
+              def stripTypeless(sels: List[Sel], under: String): List[Field] =
+                sels.flatMap {
+                  case c: Field if !keepF(c.directives) => Nil
+                  case c: Field => List(c.copy(directives = Nil,
+                    selection = stripTypeless(c.selection, c.name)))
+                  case Spread(_, l, cl, _) =>
+                    throw AnalysisError(
+                      s"Fragments cannot be applied inside field '$under'", l, cl)
+                  case Inline(_, _, l, cl, _) =>
+                    throw AnalysisError(
+                      s"Fragments cannot be applied inside field '$under'", l, cl)
+                }
+              stripTypeless(f.selection, f.name)
           }
           List(f.copy(selection = resolved, directives = Nil))
         case Inline(cond, sel, line, column, dirs) =>

@@ -73,6 +73,32 @@ class GraphQLSpec extends SparkSpec {
     assert(t == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
   }
 
+  test("directives under an unknown field are evaluated and stripped at every depth") {
+    // the executor's invariant is that it NEVER sees Directive nodes; a
+    // grandchild directive under an unknown field used to slip through
+    val doc = GraphQL.parse(
+      """query {
+        |  nope { child { grand @skip(if: true) } kept @include(if: true) }
+        |}""".stripMargin)
+    val op = doc.operations.head
+    val resolved = GraphQL.resolveFragments(doc, op,
+      GraphQL.directiveFilter(op, Map.empty))
+    def noDirectives(f: GraphQL.Field): Unit = {
+      assert(f.directives.isEmpty, s"directive survived on '${f.name}'")
+      f.selection.foreach {
+        case c: GraphQL.Field => noDirectives(c)
+        case other => fail(s"non-field selection survived: $other")
+      }
+    }
+    resolved.selection.foreach { case f: GraphQL.Field => noDirectives(f) }
+    // and the @skip'd grandchild is gone while its sibling stays
+    val nope = resolved.selection.collectFirst {
+      case f: GraphQL.Field if f.name == "nope" => f }.get
+    val child = nope.fields.find(_.name == "child").get
+    assert(child.fields.isEmpty, "skipped grandchild must be removed")
+    assert(nope.fields.exists(_.name == "kept"))
+  }
+
   test("bbtest scenario 2: accounts query with balance") {
     val out = exec.execute(
       """query {
