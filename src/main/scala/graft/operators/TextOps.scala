@@ -620,7 +620,150 @@ object TextOps {
 
   // ------------------------------------------------------------- registry
 
+  // ------------------------------------------- corpus curation operators
+
+  /** Portable 60-bit content hash (playbook trick): the md5 prefix parses
+    * identically in Spark (`conv(..., 16, 10)`) and DuckDB
+    * (`CAST('0x'||... AS UBIGINT)`), so hash-derived assignments are
+    * exact-comparable across engines — unlike xxhash64/murmur, which are
+    * engine-internal.
+    */
+  private def h60(keySql: String): Column =
+    expr(s"CAST(conv(substring(md5(CAST($keySql AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+  private def h60Sql(keySql: String): String =
+    s"CAST(CAST('0x' || substring(md5(CAST($keySql AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
+
+  /** Deterministic train/val/test split (80/10/10) keyed on the document
+    * id's md5 — the assignment every training pipeline needs to be STABLE
+    * across reruns and engines (a random() split is neither). Pure map on
+    * the scan; no shuffle but the gate's output order.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), pmod(h60("doc_id"), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy("doc_id")
+
+  private val hashSplitSql =
+    s"""SELECT doc_id, ${h60Sql("doc_id")} % 100 AS bucket,
+       |  CASE WHEN ${h60Sql("doc_id")} % 100 < 80 THEN 'train'
+       |       WHEN ${h60Sql("doc_id")} % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Context-window sequence packing (concatenate-and-chunk): documents are
+    * hash-sharded, ordered deterministically within each shard, and laid
+    * out back-to-back; a document starts in pack `floor(start/budget)` at
+    * offset `start mod budget`. This is the layout step of LLM pretraining
+    * batch prep. One shuffle (the per-shard window sort); shard count is
+    * the parallelism knob at 100 TB — packs never cross shards, so shards
+    * scale out embarrassingly. Integer-only arithmetic end to end.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        pmod(h60("doc_id"), lit(8L)).as("shard"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // start_tok is non-negative, so truncating `div` IS floor division
+      .withColumn("pack_id", expr(s"start_tok div $budget"))
+      .withColumn("pack_offset", col("start_tok") - col("pack_id") * budget)
+      .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  private val packSequencesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+       |    ${h60Sql("doc_id")} % 8 AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |  start_tok // 2048 AS pack_id, start_tok % 2048 AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Corpus vocabulary: top-100 tokens by term frequency (ties by token),
+    * with document frequency — the tokenizer-training / corpus-statistics
+    * aggregate. One explode into a two-phase hash agg (partial map-side);
+    * the top-k is a driver-free sort-limit (TakeOrderedAndProject).
+    */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(100)
+
+  private val vocabTopKSql =
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       |  FROM documents)
+       |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM ex WHERE len(tok) > 0
+       |GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin
+
+  /** Characteristic key terms per document: top-3 tokens by in-document
+    * frequency among tokens that are NOT corpus boilerplate (document
+    * frequency ≤ half the corpus) — TF-IDF's selection effect with
+    * integer-only arithmetic (a float log would be ULP-hazardous across
+    * engines and changes no ranking here). Shapes: per-doc tf agg, a
+    * broadcast-sized df dimension, rank window per doc.
+    */
+  def docKeyterms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.agg(count(lit(1)).as("__n"))
+    val ex = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = ex.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 <= col("__n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "tok", "tf", "df")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val docKeytermsSql =
+    s"""WITH ex AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM ex
+       |  WHERE len(tok) > 0 GROUP BY 1, 2),
+       |df AS (
+       |  SELECT tok, count(DISTINCT doc_id) AS df FROM ex
+       |  WHERE len(tok) > 0 GROUP BY 1),
+       |r AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, tf.tok) AS rank
+       |  FROM tf JOIN df USING (tok)
+       |  WHERE df.df * 2 <= (SELECT count(*) FROM documents))
+       |SELECT doc_id, rank, tok, tf, df FROM r WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_split" -> (hashSplit(_, _)),
+    "q_pack_sequences" -> (packSequences(_, _)),
+    "q_vocab_topk" -> (vocabTopK(_, _)),
+    "q_doc_keyterms" -> (docKeyterms(_, _)),
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_text_stats" -> (textStats(_, _)),
     "q_lang_id" -> (langId(_, _)),
@@ -632,6 +775,10 @@ object TextOps {
     "q_fingerprint" -> (fingerprint(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_hash_split" -> hashSplitSql,
+    "q_pack_sequences" -> packSequencesSql,
+    "q_vocab_topk" -> vocabTopKSql,
+    "q_doc_keyterms" -> docKeytermsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,

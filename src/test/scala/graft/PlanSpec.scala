@@ -146,6 +146,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("vocab top-k plans a sort-limit, not a global vocabulary sort") {
+    val tmp = java.nio.file.Files.createTempDirectory("vocdocs").toString
+    Seq((1L, "a b c a"), (2L, "b c d")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val plan = graft.operators.TextOps.vocabTopK(spark, tmp)
+      .queryExecution.executedPlan.toString
+    // limit+order must fuse into TakeOrderedAndProject (per-partition heap
+    // + driver merge of k rows) — a full Sort of the vocabulary would
+    // shuffle every distinct token just to keep 100
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a sort-limit:\n$plan")
+  }
+
   test("balance query is a partial+final hash aggregate over one scan") {
     val transfers = Tables.load(spark, dir, "orders").select(
       lit("T").as("tenant"), lit(1).as("status"),
