@@ -522,7 +522,76 @@ object Similarity {
        |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
        |ORDER BY qid, rank""".stripMargin
 
+  // ------------------------------------- embedding curation operators
+
+  /** Stratified deterministic sample: k vectors per label, chosen by the
+    * portable md5-prefix hash order (TextOps.h60) — a reproducible,
+    * engine-portable stratified draw where `sampleBy`'s RNG is neither.
+    * Shapes: pure-map hash, one rank window per label (each stratum's
+    * window is its own partition — no global sort).
+    */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("label")).orderBy(col("h"), col("vec_id"))
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), TextOps.h60("vec_id").as("h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("label", "rank", "vec_id", "h")
+      .orderBy("label", "rank")
+  }
+
+  private def stratifiedSampleSql(k: Int = 10): String =
+    s"""WITH h AS (
+       |  SELECT vec_id, label, ${TextOps.h60Sql("vec_id")} AS h
+       |  FROM embeddings),
+       |r AS (
+       |  SELECT label, vec_id, h,
+       |    row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rank
+       |  FROM h)
+       |SELECT label, rank, vec_id, h FROM r WHERE rank <= $k
+       |ORDER BY label, rank""".stripMargin
+
+  /** Min-max int8-style quantization summary per embedding: the compression
+    * step of large-scale vector serving. `floor((x-min)/(max-min)*255)` is
+    * identical double arithmetic on both engines (floor sidesteps the
+    * round-half ULP hazard), so the quantized checksum exact-compares; a
+    * constant vector quantizes to zeros instead of NaN. Pure map — the
+    * per-vector fold is sequential and bit-deterministic.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("vmin", expr("array_min(v)"))
+      .withColumn("vmax", expr("array_max(v)"))
+      .withColumn("q_sum", expr(
+        """aggregate(
+          |  transform(v, x -> IF(vmax = vmin, 0L,
+          |    floor((x - vmin) / (vmax - vmin) * 255D))),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .select(col("vec_id"), col("vmin"), col("vmax"), col("q_sum"),
+        size(col("v")).cast("long").as("n_dims"))
+      .orderBy("vec_id")
+
+  private val embedQuantizeSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e)
+      |SELECT vec_id, vmin, vmax,
+      |  CAST(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(v,
+      |      x -> CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+      |                ELSE CAST(floor((x - vmin) / (vmax - vmin) * 255) AS BIGINT)
+      |           END)),
+      |    (a, x) -> a + x) AS BIGINT) AS q_sum,
+      |  CAST(len(v) AS BIGINT) AS n_dims
+      |FROM m ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> (stratifiedSample(_, _)),
+    "q_embed_quantize" -> (embedQuantize(_, _)),
     "q_cosine_topk" -> (cosineTopK(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
@@ -533,6 +602,8 @@ object Similarity {
     * while the queries ran (Verify dumps oracle SQL after running them).
     */
   def oracles: Map[String, String] = Map(
+    "q_stratified_sample" -> stratifiedSampleSql(),
+    "q_embed_quantize" -> embedQuantizeSql,
     "q_cosine_topk" -> cosineTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,

@@ -628,9 +628,9 @@ object TextOps {
     * exact-comparable across engines — unlike xxhash64/murmur, which are
     * engine-internal.
     */
-  private def h60(keySql: String): Column =
+  private[operators] def h60(keySql: String): Column =
     expr(s"CAST(conv(substring(md5(CAST($keySql AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-  private def h60Sql(keySql: String): String =
+  private[operators] def h60Sql(keySql: String): String =
     s"CAST(CAST('0x' || substring(md5(CAST($keySql AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
 
   /** Deterministic train/val/test split (80/10/10) keyed on the document
