@@ -142,6 +142,13 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
   private def required(p: Map[String, String], k: String): String =
     p.getOrElse(k, throw new IllegalArgumentException(s"missing arg: $k"))
 
+  /** Cursor pagination contract, same as the GraphQL edge: a nonzero
+    * offset next to `after` is a 400, never a silently-ignored parameter.
+    */
+  private def noOffsetWithAfter(p: Map[String, String]): Unit =
+    if (p.get("offset").exists(_ != "0"))
+      throw new IllegalArgumentException("offset must be 0 (or absent) when after is set")
+
   /** Status accepts the GraphQL enum word or the numeric code
     * (GraphQLService.scala:38-59). */
   private def parseStatus(s: String): Int = s match {
@@ -284,8 +291,10 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     handle("/tenants") { p =>
       // `after=<name>` switches to keyset pagination (O(page) deep scans)
       json(cached(cacheKey("/tenants", p))(p.get("after") match {
-        case a @ Some(_) => Api.tenantsAfter(table("tenant"), a,
-          p.getOrElse("limit", "100").toLong)
+        case a @ Some(_) =>
+          noOffsetWithAfter(p)
+          Api.tenantsAfter(table("tenant"), a,
+            p.getOrElse("limit", "100").toLong)
         case None => Api.tenants(table("tenant"),
           p.getOrElse("limit", "100").toLong, p.getOrElse("offset", "0").toLong)
       }))
@@ -300,9 +309,11 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
       json(cached(cacheKey("/accounts", p))({
         // `after=<name>` switches to keyset pagination, like /transfers
         val page = p.get("after") match {
-          case a @ Some(_) => Api.accountsAfter(table("account"), required(p, "tenant"),
-            currency = p.get("currency"), format = p.get("format"),
-            after = a, limit = p.getOrElse("limit", "100").toLong)
+          case a @ Some(_) =>
+            noOffsetWithAfter(p)
+            Api.accountsAfter(table("account"), required(p, "tenant"),
+              currency = p.get("currency"), format = p.get("format"),
+              after = a, limit = p.getOrElse("limit", "100").toLong)
           case None => Api.accounts(table("account"), required(p, "tenant"),
             currency = p.get("currency"), format = p.get("format"),
             limit = p.getOrElse("limit", "100").toLong,
@@ -357,6 +368,7 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     // reference's drop/take)
     val page = p.get("after") match {
         case Some(cursor) =>
+          noOffsetWithAfter(p)
           val cur = cursor.split(",", 2) match {
             case Array(tx, tr) => (tx, tr)
             case _ => throw new IllegalArgumentException(

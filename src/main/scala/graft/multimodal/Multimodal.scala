@@ -302,7 +302,11 @@ object Multimodal {
   def imageFeatures(media: DataFrame, grid: Int = 2): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    media.filter(col("mime").startsWith("image/"))
+    // filter to exactly the formats this decoder handles (as wavFeatures
+    // filters 'audio/wav'): a blanket image/* would route codec-stubbed
+    // rows (image/png in a mixed corpus) into decodeImage and crash the
+    // job on the first JPEG/PNG payload instead of skipping it
+    media.filter(col("mime").isin("image/ppm", "image/bmp"))
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>

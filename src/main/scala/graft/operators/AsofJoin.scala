@@ -42,7 +42,7 @@ object AsofJoin {
     */
   /** Shared validation + side-tagging for both as-of variants. */
   private case class Tagged(taggedRight: DataFrame, taggedLeft: DataFrame,
-      mType: org.apache.spark.sql.types.StructType, leftCols: Seq[String], tsRight: String)
+      leftCols: Seq[String], tsRight: String)
 
   private def validateAndTag(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String]): Tagged = {
@@ -88,7 +88,7 @@ object AsofJoin {
       (keys.map(col) :+ col(tsCol) :+ lit(1).as("__side") :+
         lit(null).cast(mType).as("__m")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
-    Tagged(taggedRight, taggedLeft, mType, leftCols, tsRight)
+    Tagged(taggedRight, taggedLeft, leftCols, tsRight)
   }
 
   /** The sweep shared by both variants: last-right-row-forward over the

@@ -622,16 +622,16 @@ object TextOps {
 
   // ------------------------------------------- corpus curation operators
 
-  /** Portable 60-bit content hash (playbook trick): the md5 prefix parses
-    * identically in Spark (`conv(..., 16, 10)`) and DuckDB
-    * (`CAST('0x'||... AS UBIGINT)`), so hash-derived assignments are
-    * exact-comparable across engines — unlike xxhash64/murmur, which are
-    * engine-internal.
+  /** Portable 60-bit KEY hash: [[hash60Sql]]/[[duckHash60]] (the one hash
+    * family both engines compute bit-identically) applied to a key column
+    * rendered as a string — the foundation of every hash-derived
+    * assignment (splits, shards, sample order) that must be reproducible
+    * across engines, which xxhash64/murmur are not.
     */
   private[operators] def h60(keySql: String): Column =
-    expr(s"CAST(conv(substring(md5(CAST($keySql AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    expr(hash60Sql(s"CAST($keySql AS STRING)"))
   private[operators] def h60Sql(keySql: String): String =
-    s"CAST(CAST('0x' || substring(md5(CAST($keySql AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
+    duckHash60(s"CAST($keySql AS VARCHAR)")
 
   /** Deterministic train/val/test split (80/10/10) keyed on the document
     * id's md5 — the assignment every training pipeline needs to be STABLE
@@ -661,19 +661,23 @@ object TextOps {
     * the parallelism knob at 100 TB — packs never cross shards, so shards
     * scale out embarrassingly. Integer-only arithmetic end to end.
     */
+  // the paired layout constants — interpolated into BOTH the Spark plan
+  // and the oracle SQL, so tuning one cannot desynchronize the gate
+  private val PackBudget = 2048L
+  private val PackShards = 8L
+
   def packSequences(s: SparkSession, dir: String): DataFrame = {
-    val budget = 2048L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs(s, dir)
       .select(col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_tokens"),
-        pmod(h60("doc_id"), lit(8L)).as("shard"))
+        pmod(h60("doc_id"), lit(PackShards)).as("shard"))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // start_tok is non-negative, so truncating `div` IS floor division
-      .withColumn("pack_id", expr(s"start_tok div $budget"))
-      .withColumn("pack_offset", col("start_tok") - col("pack_id") * budget)
+      .withColumn("pack_id", expr(s"start_tok div $PackBudget"))
+      .withColumn("pack_offset", col("start_tok") - col("pack_id") * PackBudget)
       .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
       .orderBy("doc_id")
   }
@@ -682,7 +686,7 @@ object TextOps {
     s"""WITH t AS (
        |  SELECT doc_id,
        |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
-       |    ${h60Sql("doc_id")} % 8 AS shard
+       |    ${h60Sql("doc_id")} % $PackShards AS shard
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, shard, n_tokens,
@@ -690,7 +694,7 @@ object TextOps {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
        |  FROM t)
        |SELECT doc_id, shard, n_tokens,
-       |  start_tok // 2048 AS pack_id, start_tok % 2048 AS pack_offset
+       |  start_tok // $PackBudget AS pack_id, start_tok % $PackBudget AS pack_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
   /** Corpus vocabulary: top-100 tokens by term frequency (ties by token),
@@ -725,16 +729,20 @@ object TextOps {
   def docKeyterms(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val nDocs = d.agg(count(lit(1)).as("__n"))
-    val ex = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    // tf already holds one row per (doc_id, tok), so document frequency is
+    // a COUNT window over it — not a second corpus explode + countDistinct
+    // (the Jaccard-prefix re-execution trap, avoided by construction here:
+    // one corpus pass feeds everything downstream)
+    val tf = d.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val tf = ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = ex.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("tok"))
-    tf.join(df, "tok")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 2 <= col("__n"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "tok", "tf", "df")
       .orderBy("doc_id", "rank")
@@ -747,15 +755,18 @@ object TextOps {
        |tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM ex
        |  WHERE len(tok) > 0 GROUP BY 1, 2),
-       |df AS (
-       |  SELECT tok, count(DISTINCT doc_id) AS df FROM ex
-       |  WHERE len(tok) > 0 GROUP BY 1),
+       |-- the boilerplate filter runs BEFORE ranking (as in the Spark plan):
+       |-- ranks are positions among a document's NON-boilerplate tokens
+       |f AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, tok, tf, count(*) OVER (PARTITION BY tok) AS df
+       |    FROM tf)
+       |  WHERE df * 2 <= (SELECT count(*) FROM documents)),
        |r AS (
-       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
-       |    row_number() OVER (PARTITION BY tf.doc_id
-       |      ORDER BY tf.tf DESC, tf.tok) AS rank
-       |  FROM tf JOIN df USING (tok)
-       |  WHERE df.df * 2 <= (SELECT count(*) FROM documents))
+       |  SELECT doc_id, tok, tf, df,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tf DESC, tok) AS rank
+       |  FROM f)
        |SELECT doc_id, rank, tok, tf, df FROM r WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 

@@ -86,6 +86,15 @@ class HttpEdgeSpec extends SparkSpec {
       val (_, tenAfter) = get(port, "/tenants?after=TENANT")
       assert(tenAfter == "[]")
 
+      // a nonzero offset under a cursor is a 400 on EVERY edge (matching
+      // GraphQL), never a silently ignored parameter
+      for (path <- Seq("/accounts?tenant=TENANT&after=CREDIT&offset=5",
+        "/tenants?after=A&offset=5",
+        "/transfers?tenant=TENANT&after=TRN%2CTRX&offset=5")) {
+        val (c, e) = get(port, path)
+        assert(c == 400 && e.contains("offset must be 0"), s"$path -> $c $e")
+      }
+
       // argument validation -> 400, not a stack trace
       val (code, err) = get(port, "/transfers?status=committed")
       assert(code == 400 && err.contains("missing arg: tenant"))
