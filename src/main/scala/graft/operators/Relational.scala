@@ -224,6 +224,76 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Approximate distinct counting — the 100 TB path for q_count_distinct.
+    // approx_count_distinct is HyperLogLog++: a fixed-size mergeable sketch
+    // per group (partial+final agg, bounded memory), where exact
+    // countDistinct expands into a second shuffle keyed by the VALUE. The
+    // HLL estimate is engine-specific, so — like q_percentiles_approx — the
+    // gate verifies the accuracy GUARANTEE in-plan (|est − exact| within
+    // 5×rsd, generous against the ~rsd standard error; HLL is deterministic
+    // for a given input so the verdict is stable) and hash-compares the
+    // verdict booleans plus the exact counts, not the estimate.
+    "q_approx_distinct" -> ((s, dir) => {
+      val rsd = 0.02
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), rsd).as("est"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderstatus"), col("n_custs"), col("n_orders"),
+          (abs(col("est") - col("n_custs")).cast("double")
+            <= lit(5 * rsd) * col("n_custs")).as("ok"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Cube (all subtotal combinations) — Expand + one hash agg, like
+    // rollup; orders' dimensions are non-null so the NULL markers identify
+    // each grouping set unambiguously in the compare.
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dbl4(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Explicit grouping sets — the general form rollup/cube specialize;
+    // per-dimension marginals without the cross-combinations cube pays for.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dbl4(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // INTERSECT (distinct) — customers holding a BUILDING segment row AND
+    // at least one order. Compiles to an aggregate + semi-join pair; at
+    // scale prefer the left_semi form (E1) when inputs are already distinct.
+    "q_intersect" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
+    // EXCEPT (distinct) — customers with a finished order but no open one
+    // (the set-op rendering of the reference's new-vs-known difference,
+    // E1/J3; non-empty at every tested sf, unlike customer∖orders).
+    "q_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    }),
+
     // E2 union (reference Future.reduceLeft(_ ++ _) over per-tenant fetches
     // — GraphQLService.scala:141-150): unionByName of two disjoint slices
     // projected in different column orders (the name-alignment is the op).
@@ -306,6 +376,29 @@ object Relational {
     "q_count_distinct" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
         |  COUNT(*) AS n_orders
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs,
+        |  COUNT(*) AS n_orders, true AS ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin
   )
 }
