@@ -770,7 +770,185 @@ object TextOps {
        |SELECT doc_id, rank, tok, tf, df FROM r WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Repetition detection (the Gopher/MassiveText-style repetitiousness
+    * filters): per document, the fraction of word-5-gram occurrences that
+    * are duplicates, the share of the most frequent token, and a boolean
+    * repetitive-document gate. Shapes: the 5-gram stats are ROW-LOCAL array
+    * expressions on the scan (each gram derives from one document — no
+    * shuffle); the top-token share goes through explode + two hash aggs
+    * (linear, partial+final) instead of a per-document quadratic
+    * count-within-array expression, because document length is unbounded
+    * at 100 TB while array lambdas are O(L·distinct) per row.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+    val topTok = base
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_tok_cnt"))
+    base
+      // sequence(0, size-5) DESCENDS when size < 5 (the langNgram trap) —
+      // the CASE keeps short documents at an empty gram list, as DuckDB's
+      // range(greatest(len-4, 0)) does
+      .withColumn("g5", expr(
+        "CASE WHEN size(t) >= 5 THEN transform(sequence(0, size(t) - 5), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .withColumn("n_5grams", size(col("g5")).cast("long"))
+      .withColumn("dup_5gram_frac",
+        when(col("n_5grams") > 0,
+          (col("n_5grams") - size(array_distinct(col("g5")))).cast("double")
+            / col("n_5grams"))
+          .otherwise(lit(0.0)))
+      .join(topTok, "doc_id")
+      .withColumn("top_tok_frac",
+        col("top_tok_cnt").cast("double") / col("n_tokens"))
+      .withColumn("is_repetitive",
+        (col("dup_5gram_frac") > 0.2 || col("top_tok_frac") > 0.2).cast("int"))
+      .select("doc_id", "n_tokens", "n_5grams", "dup_5gram_frac",
+        "top_tok_frac", "is_repetitive")
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |top AS (
+       |  SELECT doc_id, max(cnt) AS top_tok_cnt FROM (
+       |    SELECT doc_id, tok, count(*) AS cnt
+       |    FROM (SELECT doc_id, unnest(t) AS tok FROM t) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |g AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    list_transform(range(greatest(len(t) - 4, 0)),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]) AS g5
+       |  FROM t)
+       |SELECT g.doc_id, n_tokens, CAST(len(g5) AS BIGINT) AS n_5grams,
+       |  CASE WHEN len(g5) > 0
+       |    THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
+       |    ELSE 0.0 END AS dup_5gram_frac,
+       |  CAST(top_tok_cnt AS DOUBLE) / n_tokens AS top_tok_frac,
+       |  CAST(CASE WHEN len(g5) > 0
+       |      AND CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5) > 0.2
+       |    THEN 1 WHEN CAST(top_tok_cnt AS DOUBLE) / n_tokens > 0.2
+       |    THEN 1 ELSE 0 END AS INT) AS is_repetitive
+       |FROM g JOIN top ON g.doc_id = top.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
+  // -------------------------------------------------------- PII redaction
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  private val PhoneRe = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+  /** PII scrubbing: find and redact email addresses and phone numbers —
+    * the compliance pass every published-corpus pipeline runs. The
+    * testdata carries no PII, so the query first plants synthetic PII
+    * derived from doc_id (both engines plant identically), making the
+    * extraction/redaction genuinely load-bearing for the gate. Counts come
+    * from regexp_extract_all, redaction from regexp_replace-all; the
+    * redacted text is compared by md5 + length. Pure map on the scan; the
+    * regexes use only portable character-class syntax (Java and RE2 agree).
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("pii_text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" call 555-867-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"),
+        length(regexp_replace(
+          regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+
+  private val piiRedactSql = {
+    val piiText = "text || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+    val redacted = s"regexp_replace(regexp_replace(p, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+    s"""WITH p AS (SELECT doc_id, $piiText AS p FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(p, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(p, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5($redacted) AS redacted_md5,
+       |  CAST(length($redacted) AS BIGINT) AS redacted_len
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- contamination check
+
+  /** Train/test contamination check: for each TEST document (under the
+    * deterministic [[hashSplit]] assignment), how many of its distinct
+    * word-3-gram shingles also occur anywhere in the TRAIN split — the
+    * decontamination step that keeps eval benchmarks out of training data.
+    *
+    * Shape (the 100 TB contract): one shingle explode per side, the train
+    * side reduced to DISTINCT shingles, one equi-join keyed by the shingle
+    * — an inverted-index probe, never test×train document pairs; the
+    * per-document ratio comes back through a hash agg + a left join that
+    * keeps zero-overlap test docs. At real scale the join key would be
+    * [[h60]] of the shingle (narrow shuffle) — here the string itself
+    * keeps the oracle trivially equivalent.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val split = pmod(h60("doc_id"), lit(100L))
+    val sh = shingles(s, dir)
+    val trainGrams = sh.filter(split < 80)
+      .select(explode(col("s")).as("shingle")).distinct()
+    val testDocs = sh.filter(split >= 90)
+    val hits = testDocs.select(col("doc_id"), explode(col("s")).as("shingle"))
+      .join(trainGrams, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    testDocs
+      .select(col("doc_id"), size(col("s")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  private val contaminationSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t)-2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |train AS (
+       |  SELECT DISTINCT unnest(s) AS shingle FROM sh
+       |  WHERE ${h60Sql("doc_id")} % 100 < 80),
+       |test AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 >= 90),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_contaminated
+       |  FROM (SELECT doc_id, unnest(s) AS shingle FROM test) e
+       |  JOIN train USING (shingle) GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.s) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / len(t.s) AS contamination
+       |FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> (repetition(_, _)),
+    "q_pii_redact" -> (piiRedact(_, _)),
+    "q_contamination" -> (contamination(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
@@ -786,6 +964,9 @@ object TextOps {
     "q_fingerprint" -> (fingerprint(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" -> repetitionSql,
+    "q_pii_redact" -> piiRedactSql,
+    "q_contamination" -> contaminationSql,
     "q_hash_split" -> hashSplitSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,

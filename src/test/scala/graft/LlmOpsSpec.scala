@@ -261,4 +261,51 @@ class LlmOpsSpec extends SparkSpec {
       .filter(col("user_id") === 100).collect()
     assert(sessions.map(_.getAs[Long]("n_events")).toSeq.sorted == Seq(1L, 2L))
   }
+
+  test("repetition flags looped text, keeps diverse text, handles short docs") {
+    withDocs(
+      1L -> "spam ham spam ham spam ham spam ham spam ham spam ham",
+      2L -> "every token here is different from all of the others today",
+      3L -> "tiny doc") { dir =>
+      val out = TextOps.repetition(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("dup_5gram_frac"), r.getAs[Double]("top_tok_frac"),
+            r.getAs[Int]("is_repetitive"), r.getAs[Long]("n_5grams"))).toMap
+      assert(out(1L)._3 == 1 && out(1L)._1 > 0.5) // "spam ham..." 5-grams repeat
+      assert(out(2L)._3 == 0 && out(2L)._1 == 0.0)
+      assert(out(3L)._4 == 0L && out(3L)._1 == 0.0) // <5 tokens: no grams, no NaN
+    }
+  }
+
+  test("piiRedact counts and strips planted emails and phone numbers") {
+    // doc_id 12: %3==0 AND %4==0 — both an email and a phone are planted
+    withDocs(12L -> "plain text body", 13L -> "nothing here") { dir =>
+      val out = TextOps.piiRedact(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"))).toMap
+      assert(out(12L) == (1L, 1L))
+      assert(out(13L) == (0L, 0L))
+    }
+  }
+
+  test("contamination counts test-split shingles that occur in train") {
+    // find ids landing in train (<80) and test (>=90) under the md5 split
+    val bucket = (id: Long) => spark.sql(
+      s"SELECT CAST(conv(substring(md5(CAST($id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+      .collect()(0).getLong(0)
+    val ids = (0L to 200L)
+    val trainId = ids.find(bucket(_) < 80).get
+    val testId = ids.find(bucket(_) >= 90).get
+    withDocs(
+      trainId -> "alpha beta gamma delta epsilon zeta",
+      testId -> "alpha beta gamma delta something else entirely now") { dir =>
+      val out = TextOps.contamination(spark, dir).collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(testId))
+      val r = out.head
+      // test doc shares shingles "alpha beta gamma", "beta gamma delta"
+      assert(r.getAs[Long]("n_contaminated") == 2L)
+      assert(r.getAs[Long]("n_shingles") == 6L)
+      assert(r.getAs[Double]("contamination") == 2.0 / 6)
+    }
+  }
 }
