@@ -29,6 +29,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Bucketed.queries ++
       operators.WarehouseQueries.queries ++
       operators.TextOps.queries ++
       operators.Similarity.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.Bucketed.oracles ++
       operators.WarehouseQueries.oracles ++
       operators.TextOps.oracles ++
       operators.Similarity.oracles ++

@@ -143,6 +143,31 @@ object EventWindows {
       .orderBy("window_start", "event_type")
   }
 
+  /** The streaming SLIDING windows under the oracle — same engine path as
+    * [[streamTumbling]] (file source → watermark → windowed state →
+    * complete-mode memory sink, Trigger.AvailableNow) but with the ×4
+    * window-instance expansion of window(1h, 15m) feeding the state store.
+    * Gated by the SAME DuckDB oracle as the batch sliding window.
+    */
+  def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(s, dir, "events").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sink = "q_stream_sliding_sink"
+    val q = graft.streaming.EventStream.slidingCounts(stream, "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .withColumn("window_start", col("window_start").cast(TimestampNTZType))
+      .orderBy("window_start")
+  }
+
   /** Prepared input directory for the streaming SESSION gate: the real
     * events as ONE parquet file, then a sentinel file 7 h past the last
     * real event (> gap 6 h + watermark 10 min), with modification times
@@ -258,6 +283,7 @@ object EventWindows {
     "q_window_sliding" -> (sliding(_, _)),
     "q_window_session" -> (sessions(_, _)),
     "q_stream_tumbling" -> (streamTumbling(_, _)),
+    "q_stream_sliding" -> (streamSliding(_, _)),
     "q_stream_session" -> (streamSession(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)))
 
@@ -266,6 +292,7 @@ object EventWindows {
     "q_window_sliding" -> slidingSql,
     "q_window_session" -> sessionsSql,
     "q_stream_tumbling" -> tumblingSql,
+    "q_stream_sliding" -> slidingSql,
     "q_stream_session" -> streamSessionSql,
     "q_json_extract" -> jsonExtractSql)
 }

@@ -32,6 +32,20 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding windows (windowLen long, sliding every slide): each event
+    * enters windowLen/slide window instances BEFORE the partial agg — the
+    * standard Spark expansion; watermark-bounded state as with tumbling.
+    */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+
   /** Per-user session windows (gap-based) with watermark-bounded state. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "10 minutes"): DataFrame =

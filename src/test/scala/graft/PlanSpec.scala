@@ -212,6 +212,28 @@ class PlanSpec extends SparkSpec {
     assert(genIdx >= 0 && orIdx > genIdx,
       s"credit/debit prefilter must appear below the unpivot:\n$plan")
   }
+  test("bucketed co-located join: no shuffle exchange in the join subtree") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // broadcast off: the exchange-free property must come from the
+      // bucketed layout, not from one side being small enough to ship
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // string-walk the plan: collect() does not descend into the
+      // AdaptiveSparkPlan wrapper, but the join is the LOWEST multi-child
+      // operator here, so everything printed after it is its subtree
+      val plan = graft.operators.Bucketed.bucketedJoin(spark, dir)
+        .queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+      val subtree = plan.substring(joinIdx)
+      assert(!subtree.contains("Exchange"),
+        s"bucket-aligned join must not re-shuffle either side:\n$plan")
+      // both scans report the bucket layout, all buckets selected
+      assert("Bucketed: true".r.findAllIn(subtree).size == 2,
+        s"both join inputs must be bucketed scans:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("page-scoped balances put the semi join below the aggregate") {
     val transfers = Seq(("T", "tx1", "t1", 1, "T", "a", "T", "b",
       BigDecimal(1), "CZK", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
