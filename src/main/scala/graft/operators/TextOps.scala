@@ -434,6 +434,86 @@ object TextOps {
     jaccardVerify(candidates, raw)
   }
 
+  // ------------------------------------------------- near-dup clusters
+
+  /** Connected components over an undirected pair graph by alternating
+    * min-label propagation: every vertex starts labelled with itself; each
+    * round joins labels across edges and keeps the minimum seen; fixpoint
+    * in O(component diameter) rounds. Each round is ONE equi-join + one
+    * hash agg over (edges ⋈ labels) — all distributed, nothing driver-side
+    * except the convergence counter (the same driver-loop shape as the
+    * k-means training job, and the standard Spark CC skeleton; the
+    * large-star/small-star variant is the drop-in if a 100 TB component's
+    * diameter or degree skew ever dominates).
+    *
+    * Input must have columns (doc_a, doc_b); output is (v, lbl) with lbl =
+    * the component's minimum vertex id.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache() // probed every round
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min(col("lbl")).as("lbl"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), "v")
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"components did not converge in $rounds rounds")
+    // the final labels are materialized (the convergence count ran), so the
+    // edge cache is no longer needed by anything downstream
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** The dedup step the near-dup detectors feed: MinHash-LSH pairs →
+    * connected components → per-document cluster id + survivor flag
+    * (survivor = the component's smallest doc_id — the deterministic
+    * keep-one-of-each-cluster choice). The oracle recomputes the pair
+    * graph all-pairs and walks it with a recursive CTE — an independent
+    * transitive closure, not a replay of the propagation.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusters(minhashNearDup(s, dir).select("doc_a", "doc_b"))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("v") === col("lbl")).cast("int").as("is_survivor"))
+      .orderBy("doc_id")
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t)-2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+       |    >= $JaccardThreshold),
+       |e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a AS v, a AS u FROM e
+       |  UNION
+       |  SELECT reach.v, e.b FROM reach JOIN e ON reach.u = e.a)
+       |SELECT v AS doc_id, min(u) AS cluster_id,
+       |  CAST(v = min(u) AS INT) AS is_survivor
+       |FROM reach GROUP BY v ORDER BY v""".stripMargin
+
   // --------------------------------------------------------------- tokens
 
   /** BPE-ish pre-tokenization pattern: letter runs, single digits, single
@@ -907,7 +987,10 @@ object TextOps {
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val split = pmod(h60("doc_id"), lit(100L))
-    val sh = shingles(s, dir)
+    // cache: three branches below read the shingle sets, and the build is
+    // an interpreted HOF chain that filter-pushdown clones (the ngramJaccard
+    // lesson) — one fill, three columnar reads
+    val sh = shingles(s, dir).cache()
     val trainGrams = sh.filter(split < 80)
       .select(explode(col("s")).as("shingle")).distinct()
     val testDocs = sh.filter(split >= 90)
@@ -949,6 +1032,7 @@ object TextOps {
     "q_repetition" -> (repetition(_, _)),
     "q_pii_redact" -> (piiRedact(_, _)),
     "q_contamination" -> (contamination(_, _)),
+    "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
@@ -967,6 +1051,7 @@ object TextOps {
     "q_repetition" -> repetitionSql,
     "q_pii_redact" -> piiRedactSql,
     "q_contamination" -> contaminationSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_hash_split" -> hashSplitSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,

@@ -288,6 +288,15 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("clusters merges chained pairs transitively, split components stay apart") {
+    // A-B, B-C chain into one component even though A-C is not a pair;
+    // D-E is separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = TextOps.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("lbl")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("contamination counts test-split shingles that occur in train") {
     // find ids landing in train (<80) and test (>=90) under the md5 split
     val bucket = (id: Long) => spark.sql(
