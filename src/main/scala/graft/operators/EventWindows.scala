@@ -258,6 +258,121 @@ object EventWindows {
       |SELECT user_id, session_start, session_end, n_events
       |FROM g ORDER BY user_id, session_start""".stripMargin
 
+  /** Two-file fixture shared by the cross-batch state gates: `which`
+    * chooses the split predicate column; file 00 holds even-keyed rows,
+    * file 01 odd-keyed, mtimes force that batch order, and
+    * maxFilesPerTrigger=1 makes each file its own micro-batch — so the
+    * per-batch group composition (and with it the gate output) is
+    * deterministic and replayable by the oracle's `% 2` split.
+    */
+  private def twoBatchInput(s: SparkSession, dir: String, kind: String,
+                            dupSecond: Boolean): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot(kind, dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val staging = tmp.resolve(s"_staging_$name")
+        df.coalesce(1).write.parquet(staging.toString)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(staging)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+          finally listing.close()
+        java.nio.file.Files.move(part, tmp.resolve(name))
+        org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
+        java.nio.file.Files.setLastModifiedTime(tmp.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val base = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      val t0 = System.currentTimeMillis() - 120000
+      if (dupSecond) {
+        // batch 2 replays batch 1 byte-for-byte: the duplicate-suppression
+        // fixture (an at-least-once re-delivery)
+        writeOne(base, "00_first.parquet", t0)
+        writeOne(base, "01_replay.parquet", t0 + 60000)
+      } else {
+        writeOne(base.filter(pmod(col("event_id"), lit(2)) === 0),
+          "00_even.parquet", t0)
+        writeOne(base.filter(pmod(col("event_id"), lit(2)) === 1),
+          "01_odd.parquet", t0 + 60000)
+      }
+    }
+
+  private def streamTwoBatches(s: SparkSession, input: java.nio.file.Path,
+                               sink: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(input)
+    val first =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.minBy(_.toString)
+      finally listing.close()
+    val sch = s.read.parquet(first.toString).schema
+    val stream = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input.toString)
+    val q = build(stream)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  /** Streaming dedup under the oracle: the whole events table is delivered
+    * TWICE (two micro-batches, an at-least-once replay);
+    * [[graft.streaming.EventStream.dedupByKey]] must suppress every row of
+    * batch 2 through cross-batch state. The gate aggregates the deduped
+    * sink per event type — a surviving duplicate doubles a count and flips
+    * the hash against the plain-DISTINCT oracle.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val input = twoBatchInput(s, dir, "dedupstream", dupSecond = true)
+    val sunk = streamTwoBatches(s, input, "q_stream_dedup_sink")(
+      graft.streaming.EventStream.dedupByKey(_, Seq("event_id")))
+    sunk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val streamDedupSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Custom arbitrary state under the oracle: per-user running counts via
+    * flatMapGroupsWithState across two deterministic micro-batches (even
+    * event ids, then odd). The oracle replays the same batch split in SQL:
+    * users seen in batch 1 emit (version 1, n₁) then (version 2, n₁+n₂) if
+    * they recur; users first seen in batch 2 emit (version 1, n₂).
+    */
+  def streamCustomState(s: SparkSession, dir: String): DataFrame = {
+    val input = twoBatchInput(s, dir, "statestream", dupSecond = false)
+    streamTwoBatches(s, input, "q_stream_custom_state_sink")(
+      graft.streaming.EventStream.runningUserCounts)
+      .orderBy("user_id", "version")
+  }
+
+  private val streamCustomStateSql =
+    """WITH b1 AS (
+      |  SELECT user_id, count(*) AS n FROM events
+      |  WHERE event_id % 2 = 0 GROUP BY 1),
+      |b2 AS (
+      |  SELECT user_id, count(*) AS n FROM events
+      |  WHERE event_id % 2 = 1 GROUP BY 1)
+      |SELECT user_id, CAST(1 AS INT) AS version, n AS n_so_far FROM b1
+      |UNION ALL
+      |SELECT b2.user_id,
+      |  CAST(CASE WHEN b1.user_id IS NULL THEN 1 ELSE 2 END AS INT) AS version,
+      |  b2.n + COALESCE(b1.n, 0) AS n_so_far
+      |FROM b2 LEFT JOIN b1 USING (user_id)
+      |ORDER BY user_id, version""".stripMargin
+
   /** JSON property extraction from the semi-structured `props` column,
     * aggregated per event type — the scalar-function path for the payload
     * column (codegen'd get_json_object; no UDF).
@@ -285,6 +400,8 @@ object EventWindows {
     "q_stream_tumbling" -> (streamTumbling(_, _)),
     "q_stream_sliding" -> (streamSliding(_, _)),
     "q_stream_session" -> (streamSession(_, _)),
+    "q_stream_dedup" -> (streamDedup(_, _)),
+    "q_stream_custom_state" -> (streamCustomState(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -294,5 +411,7 @@ object EventWindows {
     "q_stream_tumbling" -> tumblingSql,
     "q_stream_sliding" -> slidingSql,
     "q_stream_session" -> streamSessionSql,
+    "q_stream_dedup" -> streamDedupSql,
+    "q_stream_custom_state" -> streamCustomStateSql,
     "q_json_extract" -> jsonExtractSql)
 }

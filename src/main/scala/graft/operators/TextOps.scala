@@ -450,9 +450,17 @@ object TextOps {
     * the component's minimum vertex id.
     */
   def clusters(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (eager): runs the pair-producing pipeline exactly ONCE
+    // and TRUNCATES the lineage, so every round's join + the convergence
+    // count plan against a small materialized edge list instead of
+    // re-growing (and on cache eviction re-executing) the whole upstream
+    // near-dup computation per round. Local checkpoints trade
+    // fault-tolerance for speed (lost blocks cannot be recomputed); on a
+    // real cluster use spark.sparkContext.setCheckpointDir + .checkpoint()
+    // — same shape, reliable storage.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache() // probed every round
+      .localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).cache()
     var changed = 1L
@@ -470,9 +478,6 @@ object TextOps {
       rounds += 1
     }
     require(changed == 0, s"components did not converge in $rounds rounds")
-    // the final labels are materialized (the convergence count ran), so the
-    // edge cache is no longer needed by anything downstream
-    edges.unpersist(blocking = false)
     labels
   }
 

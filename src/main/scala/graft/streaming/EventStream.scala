@@ -55,4 +55,42 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming exact dedup on a key: state holds every key seen, duplicates
+    * in LATER micro-batches are suppressed — the reference's at-least-once +
+    * idempotent-sink pattern (T6) as engine state instead of sink state.
+    * This unbounded form keeps one state row per distinct key forever; on an
+    * unbounded 100 TB stream swap in `dropDuplicatesWithinWatermark(keys)`
+    * after `withWatermark` so state expires once the key can no longer
+    * recur — same query shape, bounded state.
+    */
+  def dedupByKey(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicates(keys)
+
+  /** Arbitrary stateful processing via flatMapGroupsWithState — the §2i
+    * custom-state API (KeyValueGroupedDataset) the built-in windows can't
+    * express: per user, a running event count carried across micro-batches,
+    * one (user, version, n_so_far) row emitted per batch the user appears
+    * in. Only COUNTS live in state — order-insensitive within a batch, so
+    * the output is deterministic for a deterministic batch split. State is
+    * one (int, long) pair per live user; at 100 TB add a GroupStateTimeout
+    * so idle users expire instead of accumulating.
+    */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[(Int, Long)]) =>
+          val (v0, n0) = state.getOption.getOrElse((0, 0L))
+          val n = n0 + rows.size
+          val v = v0 + 1
+          state.update((v, n))
+          Iterator((user, v, n))
+      }
+      .toDF("user_id", "version", "n_so_far")
+  }
 }
