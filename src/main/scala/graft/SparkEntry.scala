@@ -29,6 +29,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.TpchQueries.queries ++
       operators.Bucketed.queries ++
       operators.WarehouseQueries.queries ++
       operators.TextOps.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.TpchQueries.oracles ++
       operators.Bucketed.oracles ++
       operators.WarehouseQueries.oracles ++
       operators.TextOps.oracles ++

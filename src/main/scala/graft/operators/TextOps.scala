@@ -434,6 +434,52 @@ object TextOps {
     jaccardVerify(candidates, raw)
   }
 
+  // ----------------------------------------------- overlapping chunking
+
+  // chunk layout constants, interpolated into BOTH engines' plans
+  private val ChunkLen = 64
+  private val ChunkStride = 48 // overlap = ChunkLen - ChunkStride = 16 tokens
+
+  /** Overlapping token-window chunking (the RAG / context-window prep step):
+    * each document yields chunks of up to [[ChunkLen]] tokens starting at
+    * multiples of [[ChunkStride]], so consecutive chunks share
+    * ChunkLen−ChunkStride tokens. Emits per chunk its offsets and the md5
+    * of the reassembled chunk text — the hash makes the slice+rejoin
+    * itself load-bearing in the compare, not just the arithmetic.
+    * Row-local array expressions + one bounded explode (≤ n/stride + 1
+    * rows per doc); no shuffle but the gate's output order.
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"),
+        posexplode(expr(s"sequence(0, size(t) - 1, $ChunkStride)"))
+          .as(Seq("chunk_id", "start_tok")))
+      .withColumn("chunk_len",
+        least(lit(ChunkLen), col("n_tokens") - col("start_tok")).cast("long"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"), col("chunk_len"),
+        col("n_tokens"),
+        md5(expr(s"array_join(slice(t, start_tok + 1, $ChunkLen), ' ')"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkDocsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |c AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    unnest(range(0, len(t), $ChunkStride)) AS start_tok
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS BIGINT)
+       |    AS chunk_id,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(least($ChunkLen, n_tokens - start_tok) AS BIGINT) AS chunk_len,
+       |  n_tokens,
+       |  md5(array_to_string(t[start_tok + 1 : start_tok + $ChunkLen], ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------- near-dup clusters
 
   /** Connected components over an undirected pair graph by alternating
@@ -1037,6 +1083,7 @@ object TextOps {
     "q_repetition" -> (repetition(_, _)),
     "q_pii_redact" -> (piiRedact(_, _)),
     "q_contamination" -> (contamination(_, _)),
+    "q_chunk_overlap" -> (chunkDocs(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
@@ -1056,6 +1103,7 @@ object TextOps {
     "q_repetition" -> repetitionSql,
     "q_pii_redact" -> piiRedactSql,
     "q_contamination" -> contaminationSql,
+    "q_chunk_overlap" -> chunkDocsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_hash_split" -> hashSplitSql,
     "q_pack_sequences" -> packSequencesSql,

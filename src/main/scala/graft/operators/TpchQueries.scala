@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+
+/** Classic TPC-H composite queries (Q1, Q3, Q5) over the testdata — the
+  * end-to-end shapes that exercise many operators in ONE plan: multi-way
+  * joins with selective dimension filters, date-range pushdown, grouped
+  * decimal aggregation, top-k ordering. Individually every piece has its
+  * own gate; these pin the COMPOSITION Catalyst produces (join order,
+  * broadcast choices, partial aggs) against the oracle.
+  *
+  * Decimal discipline: products like extendedprice×(1−discount) are EXACT
+  * decimal arithmetic end to end (see [[discPrice]] — the double-product-
+  * then-cast form hits cross-engine half-boundary rounding), summed in
+  * decimal so aggregation order cannot move the result, rounded ONCE at
+  * the output edge (Spark cast ≡ DuckDB round(), both half-away-from-zero;
+  * DuckDB's decimal DOWNCAST is not that — it resolves ties differently —
+  * hence round() in the oracles). Averages divide the decimal-exact sum by
+  * the count in double (identical inputs → identical quotient). The
+  * guarded dbl edge raises if a sum ever leaves the 2^53 exact range.
+  */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def dbl4(c: Column): Column = graft.DecimalEdge.dbl(c, 4)
+
+  /** price × (1 − discount), EXACT. The double product then per-row cast
+    * to decimal is a cross-engine trap: a product can land exactly on a
+    * half-boundary at the cast scale, where Spark rounds half-UP and
+    * DuckDB half-EVEN — observed flipping q1's sum_charge at sf0.01. So
+    * every factor is cast to decimal FIRST (casting the raw stored double
+    * is the proven-safe edge) and the multiplication itself is exact
+    * decimal arithmetic: (18,4)×(19,4) → decimal(38,8) with no rounding,
+    * then a PRECISION-only tightening to (18,8) (values fit — lossless)
+    * so a further multiply stays inside precision 38. The only rounding
+    * left is ONE final cast of each exact group sum back to scale 4.
+    */
+  private def discPrice: Column =
+    (dec(col("l_extendedprice")) * (dec(lit(1.0)) - dec(col("l_discount"))))
+      .cast(DecimalType(18, 8))
+
+  /** discPrice × (1 + tax): (18,8)×(19,4) → decimal(38,12), still exact. */
+  private def charge: Column =
+    discPrice * (dec(lit(1.0)) + dec(col("l_tax")))
+
+  /** One rounding at the very end: exact decimal sum → scale 4 → guarded
+    * double edge. */
+  private def sumRounded(c: Column): Column =
+    dbl4(sum(c).cast(DecimalType(18, 4)))
+
+  /** Q1: pricing summary report — scan-heavy single-table aggregate, the
+    * partial+final hash-agg shape (4 decimal sums, 1 avg, 1 count over ~4
+    * groups; at 100 TB this is pure map-side combine + a 4-row shuffle).
+    */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dbl4(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dbl4(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        sumRounded(discPrice).as("sum_disc_price"),
+        sumRounded(charge).as("sum_charge"),
+        (dbl4(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // the oracle-side renderings of discPrice / charge — identical exact-
+  // decimal staging (see discPrice doc): factors cast to scale 4, products
+  // exact, precision-only tighten between multiplies
+  private val discPriceSql =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+      | * (CAST(1.0 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      | AS DECIMAL(18,8))""".stripMargin.replace("\n", "")
+  private val chargeSql =
+    s"""($discPriceSql
+       | * (CAST(1.0 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))))""".stripMargin.replace("\n", "")
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS sum_disc_price,
+       |  CAST(round(SUM($chargeSql), 4) AS DOUBLE) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q3: shipping-priority top-10 — selective dimension filter (BUILDING
+    * customers, broadcast), fact-to-fact join, grouped revenue, top-k as
+    * TakeOrderedAndProject (no global sort materialization). Deterministic
+    * tie-break on (o_orderdate, l_orderkey) behind the revenue order.
+    */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast(TimestampNTZType).as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sumRounded(discPrice).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+      |  o_orderpriority,
+      |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q5: local-supplier volume — the 6-table star/snowflake join with a
+    * region→nation chain and the c_nationkey = s_nationkey correlation.
+    * The three small dimensions broadcast; orders carries the date range
+    * into the scan; the only shuffles are the two fact joins + final agg.
+    */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li   = t(s, dir, "lineitem")
+    val sup  = t(s, dir, "supplier")
+    val nat  = t(s, dir, "nation")
+    val reg  = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+        cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sumRounded(discPrice).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    s"""SELECT n_name,
+      |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1" -> (q1(_, _)),
+    "q_tpch_q3" -> (q3(_, _)),
+    "q_tpch_q5" -> (q5(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q1" -> q1Sql,
+    "q_tpch_q3" -> q3Sql,
+    "q_tpch_q5" -> q5Sql)
+}
