@@ -294,6 +294,44 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    // Distribution-analytic window functions (ntile / percent_rank /
+    // cume_dist / first-last value) — one shared window spec, ONE Window
+    // operator, one shuffle; rank-derived doubles are integer quotients,
+    // bit-identical across engines.
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first(col("o_orderkey")).over(w).as("cheapest_key"),
+          last(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("priciest_key"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    }),
+
+    // Null semantics end to end: a nullable key built in-plan (the testdata
+    // is null-free), grouped WITH a null group, then re-joined on itself
+    // with NULL-SAFE equality (<=> / IS NOT DISTINCT FROM) so the null key
+    // matches its own summary row — plus count(col) vs count(*) skew under
+    // nulls. A plain equi-join would silently drop the null group.
+    "q_null_semantics" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("prio", nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+      val all = o.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_all"), count(col("prio")).as("n_nonnull"))
+      val fin = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("prio").as("prio_f"))
+        .agg(count(lit(1)).as("n_f"))
+      all.join(fin, col("prio") <=> col("prio_f"), "left")
+        .select(col("prio"), col("n_all"), col("n_nonnull"), col("n_f"))
+        .orderBy(col("prio").asc_nulls_first)
+    }),
+
     // E2 union (reference Future.reduceLeft(_ ++ _) over per-tenant fetches
     // — GraphQLService.scala:141-150): unionByName of two disjoint slices
     // projected in different column orders (the name-alignment is the op).
@@ -399,6 +437,30 @@ object Relational {
     "q_except" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER w AS cheapest_key,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+    "q_null_semantics" ->
+      """WITH o AS (
+        |  SELECT *, nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders),
+        |a AS (
+        |  SELECT prio, count(*) AS n_all, count(prio) AS n_nonnull
+        |  FROM o GROUP BY 1),
+        |f AS (
+        |  SELECT prio AS prio_f, count(*) AS n_f FROM o
+        |  WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT prio, n_all, n_nonnull, n_f
+        |FROM a LEFT JOIN f ON prio IS NOT DISTINCT FROM prio_f
+        |ORDER BY prio ASC NULLS FIRST""".stripMargin
   )
 }
