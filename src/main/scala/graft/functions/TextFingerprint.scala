@@ -89,6 +89,106 @@ object Winnow {
   }
 }
 
+/** Static word-shingling kernel — see [[WordShingles]]. Plain object for
+  * static forwarders callable from generated Java.
+  */
+object Shingler {
+
+  /** Word n-gram shingles of a whitespace-NORMALIZED string (single spaces
+    * guaranteed by the caller's normalization — multi-space inputs would
+    * shift token boundaries). Because separators are single spaces, an
+    * n-word shingle is a CONTIGUOUS slice of the input: the kernel scans
+    * the UTF-8 bytes once for space positions (0x20 never occurs inside a
+    * multi-byte sequence, so byte scanning is UTF-8-safe) and emits
+    * zero-copy slices — no split, no per-shingle concat. `unique` keeps
+    * first occurrences only, matching `array_distinct` order semantics.
+    * Fewer than n tokens → empty array.
+    */
+  def shingles(s: UTF8String, n: Int, unique: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    // token start offsets; token i spans [starts(i), starts(i+1) - 2].
+    // An empty input is ONE empty token, matching split('', ' ') = ['']
+    var nToks = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) nToks += 1
+      i += 1
+    }
+    if (nToks < n) return new GenericArrayData(Array.empty[AnyRef])
+    val starts = new Array[Int](nToks + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nToks) = bytes.length + 1
+
+    val nSh = nToks - n + 1
+    if (unique) {
+      val seen = new java.util.LinkedHashSet[UTF8String](nSh * 2)
+      var j = 0
+      while (j < nSh) {
+        val from = starts(j)
+        val until = starts(j + n) - 1
+        seen.add(UTF8String.fromBytes(bytes, from, until - from)): Unit
+        j += 1
+      }
+      val out = new Array[AnyRef](seen.size())
+      val it = seen.iterator()
+      var idx = 0
+      while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[AnyRef](nSh)
+      var j = 0
+      while (j < nSh) {
+        val from = starts(j)
+        val until = starts(j + n) - 1
+        out(j) = UTF8String.fromBytes(bytes, from, until - from)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Native Catalyst expression for word n-gram shingling — the front end of
+  * every set-similarity operator here (MinHash, exact Jaccard, near-dup
+  * clustering, contamination, repetition). The compositional form
+  * (`transform(sequence(0, size(t)-n), i -> concat_ws(' ', t[i], ...))` +
+  * `array_distinct`) runs as interpreted higher-order lambdas that
+  * filter-pushdown happily clones; this expression is ONE codegen-resident
+  * kernel call doing a single byte scan with zero-copy slices. Semantics
+  * are identical (incl. array_distinct's first-occurrence order), pinned
+  * by LlmOpsSpec parity tests.
+  */
+case class WordShingles(child: Expression, n: Int, unique: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) {
+      if (n >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"word_shingles n must be >= 1, got $n")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def nullSafeEval(s: Any): Any =
+    Shingler.shingles(s.asInstanceOf[UTF8String], n, unique)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Shingler.shingles($c, $n, $unique);")
+}
+
 /** Native Catalyst expression computing a document's winnowing fingerprint
   * set in one codegen'd kernel call.
   *

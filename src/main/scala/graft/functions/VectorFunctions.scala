@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for the vector dot product.
   *
@@ -88,6 +88,14 @@ object VectorFunctions {
       "winnow_fps expects (text, gramLen literal int, winLen literal int)")
   }
 
+  private[functions] val shinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(c, n: Literal, u: Literal)
+        if n.dataType == IntegerType && u.dataType == BooleanType =>
+      WordShingles(c, n.value.asInstanceOf[Int], u.value.asInstanceOf[Boolean])
+    case _ => throw new IllegalArgumentException(
+      "word_shingles expects (text, n literal int, unique literal boolean)")
+  }
+
   /** Imperative registration for embedded use (tests, Verify/Bench mains):
     * makes `expr("vec_dot(a, b)")` / `expr("winnow_fps(t, 8, 4)")`
     * resolvable on an existing session.
@@ -97,6 +105,8 @@ object VectorFunctions {
       "vec_dot", builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps", winnowBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", shinglesBuilder, "built-in")
   }
 }
 
@@ -113,5 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
       VectorFunctions.winnowBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      VectorFunctions.shinglesBuilder))
   }
 }

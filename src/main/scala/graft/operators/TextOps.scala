@@ -274,15 +274,20 @@ object TextOps {
   private val JaccardThreshold = 0.8
 
   /** Distinct word-3-gram shingle sets per document (docs with <3 tokens
-    * carry no shingles and are skipped). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+    * carry no shingles and are skipped). Built by the native
+    * [[graft.functions.WordShingles]] kernel — one codegen'd byte scan with
+    * zero-copy slices, replacing the interpreted
+    * transform(sequence)+concat_ws+array_distinct chain that filter
+    * pushdown clones (first-occurrence order and the <3-token skip are
+    * pinned identical by LlmOpsSpec parity tests).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     docs(s, dir)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-          .as("s"))
+      .withColumn("n", norm(col("text")))
+      .select(col("doc_id"), expr("word_shingles(n, 3, true)").as("s"))
+      .filter(size(col("s")) > 0)
+  }
 
   /** Near-duplicate pairs by MinHash + banded LSH, exact-verified.
     *
@@ -912,25 +917,24 @@ object TextOps {
     * at 100 TB while array lambdas are O(L·distinct) per row.
     */
   def repetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val base = docs(s, dir)
-      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("nrm", norm(col("text")))
+      .withColumn("t", split(col("nrm"), " "))
       .withColumn("n_tokens", size(col("t")).cast("long"))
     val topTok = base
       .select(col("doc_id"), explode(col("t")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(max(col("cnt")).as("top_tok_cnt"))
     base
-      // sequence(0, size-5) DESCENDS when size < 5 (the langNgram trap) —
-      // the CASE keeps short documents at an empty gram list, as DuckDB's
-      // range(greatest(len-4, 0)) does
-      .withColumn("g5", expr(
-        "CASE WHEN size(t) >= 5 THEN transform(sequence(0, size(t) - 5), " +
-          "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END"))
-      .withColumn("n_5grams", size(col("g5")).cast("long"))
+      // native shingle kernel twice (all occurrences / distinct) — both
+      // calls stay in codegen; short documents yield empty arrays, as
+      // DuckDB's range(greatest(len-4, 0)) does
+      .withColumn("n_5grams",
+        size(expr("word_shingles(nrm, 5, false)")).cast("long"))
       .withColumn("dup_5gram_frac",
         when(col("n_5grams") > 0,
-          (col("n_5grams") - size(array_distinct(col("g5")))).cast("double")
+          (col("n_5grams") - size(expr("word_shingles(nrm, 5, true)"))).cast("double")
             / col("n_5grams"))
           .otherwise(lit(0.0)))
       .join(topTok, "doc_id")

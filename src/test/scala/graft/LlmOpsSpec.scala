@@ -288,6 +288,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("word_shingles matches the compositional transform+array_distinct form") {
+    graft.functions.VectorFunctions.register(spark)
+    val texts = Seq(
+      "a b c d e",
+      "a b c a b c a b c",         // repeats: distinct order must be first-occurrence
+      "x y",                        // < n tokens
+      "",                           // empty: one empty token
+      "héllo wörld çombo héllo wörld çombo x") // multi-byte UTF-8
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "nrm")
+    val got = df.selectExpr("id", "word_shingles(nrm, 3, true) AS s")
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    val want = df.selectExpr("id",
+      "split(nrm, ' ') AS t")
+      .selectExpr("id",
+        "CASE WHEN size(t) >= 3 THEN array_distinct(transform(sequence(0, size(t)-3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END AS s")
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(got.toSeq == want.toSeq)
+    // non-unique variant: every occurrence, in order
+    val raw = df.selectExpr("id", "word_shingles(nrm, 3, false) AS s")
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(raw(1) == Seq("a b c", "b c a", "c a b", "a b c", "b c a", "c a b", "a b c"))
+  }
+
   test("clusters merges chained pairs transitively, split components stay apart") {
     // A-B, B-C chain into one component even though A-C is not a pair;
     // D-E is separate
