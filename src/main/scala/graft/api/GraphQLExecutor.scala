@@ -41,12 +41,15 @@ final class GraphQLExecutor(
     accountTable: () => DataFrame,
     transferTable: () => DataFrame) {
 
-  /** One compiled root field: the plan, its JSON shape, list vs object. */
+  /** One compiled root field: the plan, its JSON shape, list vs object.
+    * `const` (root `__typename`) renders without executing `df`. */
   final case class RootPlan(outputName: String, df: DataFrame,
-      nodes: List[Node], list: Boolean)
+      nodes: List[Node], list: Boolean, const: Option[String] = None)
 
   sealed trait Node
   final case class Leaf(out: String, col: String, fmt: Any => String) extends Node
+  /** Row-independent constant leaf — `__typename` on an object type. */
+  final case class Const(out: String, value: String) extends Node
   /** Nested object; `presenceCol` null in a row ⇒ render JSON null
     * (Sangria's OptionType + deferOpt, GraphQLService.scala:158-162).
     */
@@ -67,10 +70,13 @@ final class GraphQLExecutor(
     */
   def renderResponse(compiled: List[RootPlan]): String = {
     val parts = compiled.map { p =>
-      val rows = p.df.collect()
-      val body =
-        if (p.list) rows.iterator.map(render(_, p.nodes)).mkString("[", ",", "]")
-        else rows.headOption.map(render(_, p.nodes)).getOrElse("null")
+      val body = p.const match {
+        case Some(v) => jstr(v)
+        case None =>
+          val rows = p.df.collect()
+          if (p.list) rows.iterator.map(render(_, p.nodes)).mkString("[", ",", "]")
+          else rows.headOption.map(render(_, p.nodes)).getOrElse("null")
+      }
       jstr(p.outputName) + ":" + body
     }
     parts.mkString("{\"data\":{", ",", "}}")
@@ -95,6 +101,16 @@ final class GraphQLExecutor(
   // ---- root fields -----------------------------------------------------
 
   private def rootPlan(f: Field): RootPlan = f.name match {
+    // the one introspection meta-field clients inject everywhere (Apollo
+    // cache normalization, GraphiQL); full __schema introspection is out
+    // of scope, and unknown __ fields still error below
+    case "__typename" =>
+      val c = constLeaf(f, "Query")
+      // never-executed placeholder plan (renderResponse short-circuits on
+      // const); limit(0) so accidental execution is visible and free
+      RootPlan(f.outputName, tenantTable().limit(0), List(c),
+        list = false, const = Some(c.value))
+
     case "tenants" =>
       val a = new Args(f, Set("limit", "offset", "after"))
       // `after` switches to keyset pagination; offset loses its meaning
@@ -174,6 +190,7 @@ final class GraphQLExecutor(
       var joined = false
       val nodes = requireSel(f).map { c =>
         c.name match {
+          case "__typename" => constLeaf(c, "transfer")
           case "tenant" => Obj(c.outputName, Some("tenant"),
             tenantNodes(requireSel(c), "tenant"))
           case "transaction" => leaf(c, "transaction", fmtString)
@@ -237,6 +254,7 @@ final class GraphQLExecutor(
     var needBalance = false
     val nodes = sel.map { c =>
       c.name match {
+        case "__typename" => constLeaf(c, "account")
         case "tenant" => Obj(c.outputName, Some(colOf("tenant")),
           tenantNodes(requireSel(c), colOf("tenant")))
         case "name" => leaf(c, colOf("name"), fmtString)
@@ -254,12 +272,24 @@ final class GraphQLExecutor(
   private def tenantNodes(sel: List[Field], nameCol: String): List[Node] =
     sel.map { c =>
       c.name match {
+        case "__typename" => constLeaf(c, "tenant")
         case "name" => leaf(c, nameCol, fmtString)
         case other =>
           throw AnalysisError(
             s"Field '$other' does not exist on type 'tenant'", c.line, c.column)
       }
     }
+
+  /** `__typename`: arguments and selections are both invalid on it. */
+  private def constLeaf(f: Field, tpe: String): Const = {
+    f.args.headOption.foreach(a => throw AnalysisError(
+      s"Unknown argument '${a.name}' on field '__typename'", a.line, a.column))
+    if (f.selection.nonEmpty)
+      throw AnalysisError(
+        s"Field '__typename' must not have a selection since its type has no fields",
+        f.line, f.column)
+    Const(f.outputName, tpe)
+  }
 
   private def leaf(f: Field, col: String, fmt: Any => String): Leaf = {
     if (f.selection.nonEmpty)
@@ -367,6 +397,8 @@ final class GraphQLExecutor(
       case Leaf(out, c, fmt) =>
         val i = row.fieldIndex(c)
         jstr(out) + ":" + fmt(if (row.isNullAt(i)) null else row.get(i))
+      case Const(out, v) =>
+        jstr(out) + ":" + jstr(v)
       case Obj(out, presence, children) =>
         val present = presence.forall(p => !row.isNullAt(row.fieldIndex(p)))
         jstr(out) + ":" + (if (present) render(row, children) else "null")

@@ -53,6 +53,37 @@ class GraphQLSpec extends SparkSpec {
     assert(out == """{"data":{"tenants":[{"name":"TENANT"}]}}""")
   }
 
+  test("__typename renders at root and on every object type; misuse is a 400") {
+    val out = exec.execute(
+      """query {
+        |  __typename
+        |  account(tenant: "TENANT", name: "CREDIT") {
+        |    __typename
+        |    name
+        |    tenant { __typename name }
+        |  }
+        |  transfers(tenant: "TENANT", limit: 10, offset: 0) {
+        |    __typename
+        |    transfer
+        |  }
+        |}""".stripMargin)
+    assert(out.contains(""""__typename":"Query""""))
+    assert(out.contains(""""__typename":"account""""))
+    assert(out.contains(""""__typename":"tenant""""))
+    assert(out.contains(""""__typename":"transfer""""))
+    // aliasing works like any field
+    val aliased = exec.execute(
+      """query { t: __typename }""")
+    assert(aliased == """{"data":{"t":"Query"}}""")
+    // a selection or an argument on __typename is an analysis error
+    val selErr = intercept[GraphQL.AnalysisError](
+      exec.execute("query { account(tenant: \"T\", name: \"A\") { __typename { x } } }"))
+    assert(selErr.getMessage.contains("__typename"))
+    val argErr = intercept[GraphQL.AnalysisError](
+      exec.execute("query { __typename(x: 1) }"))
+    assert(argErr.getMessage.contains("Unknown argument"))
+  }
+
   test("accounts cursor pagination: after skips to the next page; offset must be 0") {
     val out = exec.execute(
       """query {
