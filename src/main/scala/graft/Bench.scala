@@ -39,9 +39,17 @@ object Bench {
     // 43-query suite the backlog grows until random queries absorb the
     // cleanup + GC pauses (observed: a 1.6 s query reading 17 s mid-suite).
     // Forcing a GC at each query boundary keeps that cost OUT of timed runs.
+    // One System.gc() only ENQUEUES the dead references — the cleaner
+    // thread drains its queue asynchronously, so without the settle pause
+    // the actual unpersist/shuffle-file deletion raced INTO the next timed
+    // rep nondeterministically (observed: the same query sequence timing a
+    // cache-heavy query at 2.6 s or 11.5 s across full-suite runs). GC,
+    // give the cleaner a beat to drain, GC again for the newly-freed refs.
     def settle(): Unit = {
       clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      Thread.sleep(150)
       System.gc()
     }
 
