@@ -53,22 +53,15 @@ object Bench {
       System.gc()
     }
 
-    // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) =>
-        // a typo'd name silently timing nothing would read as an instantly
-        // green run — fail it loudly instead
-        val unknown = names.diff(SparkEntry.queries.keySet)
-        if (unknown.nonEmpty) {
-          System.err.println(
-            s"[bench] unknown SPARK_GRAFT_ONLY queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those
+    // queries; unknown names fail loudly (shared with Verify)
+    val selected =
+      try SparkEntry.selectedQueries(sys.env.get("SPARK_GRAFT_ONLY"))
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"[bench] ${e.getMessage}")
           sys.exit(2)
-        }
-        SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }
+      }
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     def median(xs: Seq[Double]): Double = {

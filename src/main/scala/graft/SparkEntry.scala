@@ -42,6 +42,21 @@ object SparkEntry {
       operators.SyncGate.queries ++
       multimodal.Multimodal.queries
 
+  /** Shared SPARK_GRAFT_ONLY handling for the Verify/Bench mains:
+    * comma-separated query names select a subset; unknown names throw
+    * (a typo'd name silently selecting nothing reads as an instantly
+    * green/fast run).
+    */
+  def selectedQueries(onlyEnv: Option[String]): Map[String, (SparkSession, String) => DataFrame] =
+    onlyEnv.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(sel) =>
+        val unknown = sel -- queries.keySet
+        require(unknown.isEmpty,
+          s"unknown SPARK_GRAFT_ONLY queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        queries.filter { case (n, _) => sel(n) }
+      case None => queries
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

@@ -15,17 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // local iteration aid (mirrors Bench): SPARK_GRAFT_ONLY=q_a,q_b dumps
-    // just those queries; unknown names fail loudly
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { sel =>
-      val unknown = sel -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"[verify] unknown SPARK_GRAFT_ONLY queries: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // local iteration aid (shared with Bench): SPARK_GRAFT_ONLY=q_a,q_b
+    // dumps just those queries; unknown names fail loudly
+    SparkEntry.selectedQueries(sys.env.get("SPARK_GRAFT_ONLY"))
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -107,8 +107,11 @@ final class GraphQLExecutor(
     case "__typename" =>
       val c = constLeaf(f, "Query")
       // never-executed placeholder plan (renderResponse short-circuits on
-      // const); limit(0) so accidental execution is visible and free
-      RootPlan(f.outputName, tenantTable().limit(0), List(c),
+      // const): an empty LocalRelation — building the tenant table here
+      // would pay parquet-source analysis on every Apollo-style request
+      // just to discard it
+      RootPlan(f.outputName,
+        org.apache.spark.sql.SparkSession.active.emptyDataFrame, List(c),
         list = false, const = Some(c.value))
 
     case "tenants" =>

@@ -122,7 +122,13 @@ object EventWindows {
   // DataFrame a caller got earlier stays valid: it resolved the view at
   // table() time. Runs of the same gate must not overlap (they don't:
   // Verify/Bench/specs run queries sequentially).
-  def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+  /** Shared runner for the window gates streaming the RAW events file:
+    * nanosAsLong conf, single-file glob source, ns→µs conversion,
+    * complete-mode memory sink (one reused view per gate — see the sink
+    * note above), AvailableNow drain.
+    */
+  private def runEventsFileStream(s: SparkSession, dir: String, sink: String)(
+      build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.load(s, dir, "events").schema
@@ -131,8 +137,7 @@ object EventWindows {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val sink = "q_stream_tumbling_sink"
-    val q = graft.streaming.EventStream.tumblingCounts(stream, "1 hour")
+    val q = build(stream)
       .writeStream.format("memory").queryName(sink)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
@@ -140,8 +145,12 @@ object EventWindows {
     q.awaitTermination()
     s.table(sink)
       .withColumn("window_start", col("window_start").cast(TimestampNTZType))
-      .orderBy("window_start", "event_type")
   }
+
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    runEventsFileStream(s, dir, "q_stream_tumbling_sink")(
+      graft.streaming.EventStream.tumblingCounts(_, "1 hour"))
+      .orderBy("window_start", "event_type")
 
   /** The streaming SLIDING windows under the oracle — same engine path as
     * [[streamTumbling]] (file source → watermark → windowed state →
@@ -149,24 +158,10 @@ object EventWindows {
     * window-instance expansion of window(1h, 15m) feeding the state store.
     * Gated by the SAME DuckDB oracle as the batch sliding window.
     */
-  def streamSliding(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(s, dir, "events").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val sink = "q_stream_sliding_sink"
-    val q = graft.streaming.EventStream.slidingCounts(stream, "1 hour", "15 minutes")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(sink)
-      .withColumn("window_start", col("window_start").cast(TimestampNTZType))
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    runEventsFileStream(s, dir, "q_stream_sliding_sink")(
+      graft.streaming.EventStream.slidingCounts(_, "1 hour", "15 minutes"))
       .orderBy("window_start")
-  }
 
   /** Prepared input directory for the streaming SESSION gate: the real
     * events as ONE parquet file, then a sentinel file 7 h past the last
@@ -177,24 +172,32 @@ object EventWindows {
     * had advanced the watermark would be dropped as late — correct
     * streaming semantics, wrong fixture. Per-JVM build (gate-output rule).
     */
+  /** Materialize `df` as ONE parquet file at `tmp/name` with a forced
+    * mtime — the file-ordering primitive of every multi-batch stream
+    * fixture (the file source feeds files oldest-mtime-first).
+    */
+  private def writeSingleParquet(tmp: java.nio.file.Path, df: DataFrame,
+                                 name: String, mtime: Long): Unit = {
+    val staging = tmp.resolve(s"_staging_$name")
+    df.coalesce(1).write.parquet(staging.toString)
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(staging)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
+      finally listing.close()
+    java.nio.file.Files.move(part, tmp.resolve(name))
+    org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
+    java.nio.file.Files.setLastModifiedTime(tmp.resolve(name),
+      java.nio.file.attribute.FileTime.fromMillis(mtime)): Unit
+  }
+
   private def sessionStreamInput(s: SparkSession, dir: String): java.nio.file.Path =
     JournalGate.buildPerJvm(JournalGate.fixtureRoot("sessstream", dir)) { tmp =>
       java.nio.file.Files.createDirectories(tmp)
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val staging = tmp.resolve(s"_staging_$name")
-        df.coalesce(1).write.parquet(staging.toString)
-        import scala.jdk.CollectionConverters._
-        val listing = java.nio.file.Files.list(staging)
-        val part =
-          try listing.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
-          finally listing.close()
-        java.nio.file.Files.move(part, tmp.resolve(name))
-        org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
-        java.nio.file.Files.setLastModifiedTime(tmp.resolve(name),
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit =
+        writeSingleParquet(tmp, df, name, mtime)
       // TimestampType (instant) for the stream: watermarks/session merge on
       // the event-time column; session TZ is UTC so the NTZ cast at the
       // OUTPUT edge is still the wall-clock identity
@@ -269,21 +272,8 @@ object EventWindows {
                             dupSecond: Boolean): java.nio.file.Path =
     JournalGate.buildPerJvm(JournalGate.fixtureRoot(kind, dir)) { tmp =>
       java.nio.file.Files.createDirectories(tmp)
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val staging = tmp.resolve(s"_staging_$name")
-        df.coalesce(1).write.parquet(staging.toString)
-        import scala.jdk.CollectionConverters._
-        val listing = java.nio.file.Files.list(staging)
-        val part =
-          try listing.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(s"no part file in $staging"))
-          finally listing.close()
-        java.nio.file.Files.move(part, tmp.resolve(name))
-        org.apache.commons.io.FileUtils.deleteQuietly(staging.toFile)
-        java.nio.file.Files.setLastModifiedTime(tmp.resolve(name),
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit =
+        writeSingleParquet(tmp, df, name, mtime)
       val base = events(s, dir)
         .select(col("event_id"), col("user_id"),
           col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))

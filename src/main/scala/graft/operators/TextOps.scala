@@ -529,7 +529,14 @@ object TextOps {
       rounds += 1
     }
     require(changed == 0, s"components did not converge in $rounds rounds")
-    labels
+    // hand back a self-contained materialized frame and release everything
+    // the loop pinned (edge blocks + the last round's cache) — under
+    // graft.Verify, which never clears caches, the loop state would
+    // otherwise stay in executor storage for the rest of the 82-query run
+    val out = labels.localCheckpoint()
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** The dedup step the near-dup detectors feed: MinHash-LSH pairs →
