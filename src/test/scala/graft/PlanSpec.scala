@@ -234,6 +234,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("tpch q5 broadcasts every dimension, no cartesian, one fact SMJ chain") {
+    val plan = graft.operators.TpchQueries.q5(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q5 must not go cartesian:\n$plan")
+    // customer, supplier, nation, region all ship as broadcasts
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 4,
+      s"q5's four dimensions must broadcast:\n$plan")
+  }
+
+  test("chunking stays row-local: no hash shuffle below the output order") {
+    val tmp = java.nio.file.Files.createTempDirectory("chunkdocs").toString
+    Seq((1L, ("tok " * 200).trim)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val plan = graft.operators.TextOps.chunkDocs(spark, tmp)
+      .queryExecution.executedPlan.toString
+    // the bounded explode (Generate) is the op; the only exchange is the
+    // gate's ORDER BY range partitioning
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$plan")
+  }
+
   test("page-scoped balances put the semi join below the aggregate") {
     val transfers = Seq(("T", "tx1", "t1", 1, "T", "a", "T", "b",
       BigDecimal(1), "CZK", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
