@@ -198,11 +198,71 @@ object SyncGate {
       .orderBy(expr("CAST(substring(name, 2, 10) AS LONG)"))
   }
 
+  /** The STREAMING journal sync (T2 as Structured Streaming) under the
+    * oracle: [[graft.streaming.JournalStream]] drains the full two-wave
+    * journal through the checkpointed file source + idempotent
+    * foreachBatch merge (Trigger.AvailableNow), then a RESTART over the
+    * unchanged journal must add nothing — exactly-once from source
+    * bookkeeping (the reference's timer loop + ON CONFLICT dance, T6).
+    * The stream is the transfer path only (no watermark pipeline), so it
+    * parses EVERY transaction file — including the late-canary
+    * transactions the batch sync's event watermarks skip — and the oracle
+    * counts accordingly: per credit account, all announced transfers and
+    * how many are committed.
+    */
+  def syncStream(s: SparkSession, dir: String): DataFrame = {
+    import JournalGate.{buildPerJvm, fixtureRoot, writeOnce}
+    import org.apache.spark.sql.streaming.Trigger
+    val j2 = writeOnce(fixtureRoot("sync_p2", dir))(writeJournal(s, dir, _, pass2 = true))
+    val wh = buildPerJvm(fixtureRoot("sync_whs", dir)) { tmp =>
+      val ckpt = tmp.resolve("ckpt").toString
+      val whd = tmp.resolve("wh").toString
+      def drain(): Unit = {
+        val q = graft.streaming.JournalStream.start(
+          s, j2.toString, whd, ckpt, Trigger.AvailableNow())
+        q.awaitTermination()
+      }
+      drain()
+      val before = s.read.parquet(s"$whd/transfer").count()
+      drain() // restart, unchanged journal: checkpoint must suppress all
+      val after = s.read.parquet(s"$whd/transfer").count()
+      require(after == before,
+        s"streaming re-sync of an unchanged journal appended rows: $before -> $after")
+    }
+    s.read.parquet(s"$wh/wh/transfer")
+      .groupBy(col("credit_name").as("name"))
+      .agg(count(lit(1)).as("n_transfers"),
+        sum(when(col("status") === 1, 1L).otherwise(0L)).as("n_committed"))
+      .orderBy(expr("CAST(substring(name, 2, 10) AS LONG)"))
+  }
+
+  private val syncStreamSql =
+    s"""WITH ev AS (
+       |  SELECT o_orderkey AS k, o_custkey % 50 AS ack,
+       |         CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'P' THEN 2 ELSE 0 END AS status
+       |  FROM orders WHERE o_orderkey < $KeyBound
+       |),
+       |x AS (
+       |  SELECT CASE WHEN k % 11 = 0 THEN 'c' || CAST(ack + 1000 AS VARCHAR)
+       |              ELSE 'c' || CAST(ack AS VARCHAR) END AS name, status
+       |  FROM ev
+       |  UNION ALL
+       |  -- late-canary transactions: real files, so the stream parses them
+       |  SELECT 'c' || CAST(ack AS VARCHAR), status FROM ev
+       |  WHERE k < $PassSplit AND k % 13 = 0
+       |)
+       |SELECT name, count(*) AS n_transfers,
+       |  CAST(sum(CASE WHEN status = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_committed
+       |FROM x GROUP BY 1
+       |ORDER BY CAST(substring(name, 2, 10) AS BIGINT)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sync_state" -> (syncState(_, _)),
-    "q_sync_hybrid" -> (syncStateHybrid(_, _)))
+    "q_sync_hybrid" -> (syncStateHybrid(_, _)),
+    "q_sync_stream" -> (syncStream(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_sync_state" -> syncStateSql,
-    "q_sync_hybrid" -> syncStateSql)
+    "q_sync_hybrid" -> syncStateSql,
+    "q_sync_stream" -> syncStreamSql)
 }
