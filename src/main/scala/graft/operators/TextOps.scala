@@ -439,6 +439,42 @@ object TextOps {
     jaccardVerify(candidates, raw)
   }
 
+  // ---------------------------------------------------- corpus reporting
+
+  /** Per-(source, lang) corpus report — the dataset-card numbers every
+    * curation pipeline publishes: document counts, token volume, quality
+    * rate (the [[textStats]] gate), mean document length. One pure-map
+    * stage feeding one partial+final hash agg on a low-cardinality key —
+    * at 100 TB this is the cheapest query in the suite (map-side combine
+    * collapses everything to |sources|×|langs| rows per partition).
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("t", toks(col("text")))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(((size(col("t")) >= 20) &&
+          (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+            / length(col("text")) > lit(0.5))).cast("long")).as("n_quality"),
+        // integer-sum ratio at the edge: identical longs divide to the
+        // identical double on both engines
+        (sum(length(col("text")).cast("long")).cast("double") / count(lit(1)))
+          .as("avg_chars"))
+      .orderBy("source", "lang")
+
+  private val corpusReportSql =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(sum(CAST(len(string_split($normSql, ' ')) >= 20
+       |    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / length(text) > 0.5 AS BIGINT)) AS BIGINT) AS n_quality,
+       |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------- overlapping chunking
 
   // chunk layout constants, interpolated into BOTH engines' plans
@@ -1094,6 +1130,7 @@ object TextOps {
     "q_repetition" -> (repetition(_, _)),
     "q_pii_redact" -> (piiRedact(_, _)),
     "q_contamination" -> (contamination(_, _)),
+    "q_corpus_report" -> (corpusReport(_, _)),
     "q_chunk_overlap" -> (chunkDocs(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
@@ -1114,6 +1151,7 @@ object TextOps {
     "q_repetition" -> repetitionSql,
     "q_pii_redact" -> piiRedactSql,
     "q_contamination" -> contaminationSql,
+    "q_corpus_report" -> corpusReportSql,
     "q_chunk_overlap" -> chunkDocsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_hash_split" -> hashSplitSql,
