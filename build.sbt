@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only the tail of sbt's stdout and json-parses the
+// bench's final line. sbt's default logged output strategy prefixes every
+// forked-process line with "[info] ", which breaks that parse (every
+// BENCH_r1..r9 artifact records parsed: null for exactly this reason).
+// StdoutOutput passes the forked process's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop the trailing "[success] Total time ..." line, so the bench
+// JSON line is the LAST stdout line — robust even if the tail parser only
+// looks at the final line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -30,4 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // unified memory pool comfortable for the cache-heavy near-dup suite
   // (the box has 128g; override via SPARK_DRIVER_MEM)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 80+ whole-stage-codegen queries × 3 reps compile thousands of generated
+  // classes; the JDK 17 default 240m JIT code cache can fill mid-suite,
+  // silently disabling compilation ("CodeCache is full") and turning the
+  // CPU-bound tail queries interpreted. Bench logs per-query occupancy.
+  "-XX:ReservedCodeCacheSize=512m",
 )

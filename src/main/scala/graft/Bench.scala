@@ -68,29 +68,99 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Per-query JVM diagnostics (stderr): JIT code-cache and metaspace
+    // occupancy. 80+ codegen'd queries × reps compile thousands of generated
+    // classes; if the code cache fills, HotSpot silently stops compiling and
+    // the CPU-bound tail queries run interpreted (~10×) — this line is the
+    // evidence either way.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def jvmStats(): String = {
+      val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      def mb(names: String*): String = {
+        val used = pools.filter(p => names.exists(p.getName.contains)).map(_.getUsage.getUsed).sum
+        s"${used / (1024 * 1024)}m"
+      }
+      val rt = Runtime.getRuntime
+      val heap = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      s"codecache=${mb("CodeHeap", "Code Cache")} metaspace=${mb("Metaspace")} heap=${heap}m"
+    }
+    // Per-query: (median, all reps). The rep spread is the diagnostic for
+    // the round-9 mystery — the driver's in-suite run recorded
+    // q_ngram_jaccard at 28.2 s where full-suite runs in this environment
+    // measure ~2.7 s (code cache at 114 MB of 512, so not JIT exhaustion;
+    // identical-prefix replays don't reproduce it either). If one rep
+    // balloons under driver-side load, min/med/max in BENCH_DETAIL.json
+    // shows it without a repro run.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec =
+      val (sec, repsTaken) =
         try {
           run(fn(spark, sfDir)) // warmup (untimed)
-          median(Seq.fill(reps) { settle(); timed(run(fn(spark, sfDir))) })
+          val samples = Seq.fill(reps) { settle(); timed(run(fn(spark, sfDir))) }
+          (median(samples), samples)
         } catch {
           // a silent -1 hides which query failed and why; attribute it
           case e: Throwable =>
             System.err.println(s"[bench] query $name FAILED: $e")
             e.printStackTrace()
-            -1.0
+            (-1.0, Seq.empty[Double])
         }
       settle()
-      name -> sec
+      val spread = repsTaken.map(r => f"$r%.2f").mkString("[", ",", "]")
+      System.err.println(f"[bench] $name%-28s $sec%9.3f sec  reps=$spread  ${jvmStats()}")
+      (name, sec, repsTaken)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val meds = results.map { case (n, s, _) => (n, s) }
+    // The driver captures only the LAST 2000 chars of stdout and json-parses
+    // the bench line out of that tail. With 90 queries the full per-query
+    // map alone is ~2.3k chars — it CANNOT fit, and every BENCH_r1..r9
+    // artifact records parsed:null (prefix/overflow). So: full-precision
+    // detail goes to a file (+ stderr above), and stdout carries ONE compact
+    // line — headline total plus as many of the SLOWEST queries as fit a
+    // 1.5k budget, with an omitted-count/sum so the total reconciles.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val total = meds.map(_._2).filter(_ >= 0).sum
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+    val detail = {
+      val qs = meds
+        .map { case (k, v) => s"\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.6f") }
+        .mkString("{", ",", "}")
+      val spreads = results
+        .map { case (k, _, r) => s"\"" + k + "\":" + r.map(x => f"$x%.3f").mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"reps":$spreads}""" + "\n"
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    System.err.println(s"[bench] full per-query detail written to $detailPath")
+    val bySlowest = meds.sortBy { case (_, v) => -v }
+    val budget = 1500
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = 0
+    var kept = 0
+    // strict prefix of the slowest-first order (no gap-filling with shorter
+    // names), so "omitted" is exactly the fastest tail
+    var full = false
+    bySlowest.foreach { case (k, v) =>
+      val e = s"\"" + k + "\":" + r3(v)
+      if (!full && len + e.length + 1 <= budget) { entries += e; len += e.length + 1; kept += 1 }
+      else full = true
+    }
+    val omitted = meds.size - kept
+    val omittedSec = bySlowest.drop(kept).map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},""" +
+        s""""queries_omitted":$omitted,"omitted_sec":${r3(omittedSec)},""" +
+        s""""detail_file":"$detailPath","sf":"$sfDir"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: json line ${line.length} chars — " +
+        "exceeds the driver's 2000-char stdout tail; lower the budget")
+    println(line)
     spark.stop()
-    if (results.exists(_._2 < 0)) {
+    if (meds.exists(_._2 < 0)) {
       System.err.println(
-        s"[bench] failed queries: ${results.filter(_._2 < 0).map(_._1).mkString(", ")}")
+        s"[bench] failed queries: ${meds.filter(_._2 < 0).map(_._1).mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -30,6 +30,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.TpchQueries.queries ++
+      operators.ZOrder.queries ++
       operators.Bucketed.queries ++
       operators.WarehouseQueries.queries ++
       operators.TextOps.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.TpchQueries.oracles ++
+      operators.ZOrder.oracles ++
       operators.Bucketed.oracles ++
       operators.WarehouseQueries.oracles ++
       operators.TextOps.oracles ++

@@ -37,9 +37,10 @@ object Bucketed {
     * session; returns the table name. Data lands under /tmp keyed by the
     * sf dir and bucket spec (a pure function of the testdata, so existing
     * files are REUSED, never deleted — the same build-staged/promote-by-
-    * rename discipline as JournalGate.writeOnce: a concurrent JVM can
-    * never observe a half-written or vanishing table, and a crash
-    * mid-write leaves only a .building directory the next build clears).
+    * rename discipline as JournalGate.writeOnce: each writer stages into
+    * its own unique .building.<id> path and promotes by rename, so a
+    * concurrent JVM can never observe a half-written or vanishing table;
+    * a crash mid-write leaves only an orphan staging dir under /tmp).
     * The catalog entry is per-session: later sessions register an
     * external table over the promoted directory.
     *
@@ -54,8 +55,16 @@ object Bucketed {
       val path = new java.io.File(s"/tmp/graft_bucketed_${ident(dir)}/$table")
       val df = Tables.load(s, dir, src).repartition(NumBuckets, col(key))
       if (!path.exists()) {
-        val staging = new java.io.File(path.getPath + ".building")
-        org.apache.commons.io.FileUtils.deleteQuietly(staging)
+        // Stage into a PER-JVM unique path: a fixed shared staging dir lets
+        // a second JVM racing on first build deleteQuietly/overwrite the
+        // first one's in-progress files, so the loser's rename could
+        // promote a directory of partial part-files. With a unique path
+        // each writer only ever promotes its OWN complete output; the
+        // loser of the rename race deletes its copy. A crashed build
+        // leaves an orphan .building.<id> under /tmp — never reused, never
+        // promoted.
+        val staging = new java.io.File(
+          path.getPath + ".building." + java.util.UUID.randomUUID().toString.take(8))
         // stage the bucket-encoded files via a throwaway table
         // registration (only saveAsTable writes bucketed layout), drop
         // the registration (external: files stay), promote atomically

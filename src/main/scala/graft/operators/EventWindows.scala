@@ -291,6 +291,29 @@ object EventWindows {
       }
     }
 
+  /** Two micro-batches split by EVENT TIME at a fixed cutoff (first half of
+    * the month, then the second) — the split the WATERMARKED cross-batch
+    * gates need: after batch 1 the watermark stands at max(batch 1) − delay,
+    * and an even/odd id split would deliver batch 2 almost entirely BELOW
+    * that watermark, where stream-stream join input is dropped as late
+    * (observed: a row at exactly the initial epoch watermark silently
+    * vanishes). A time-ordered split keeps every batch-2 row above the
+    * watermark, so the engine's late-drop machinery is armed but never
+    * fires, and the sink must equal the batch oracle.
+    */
+  private def timeSplitInput(s: SparkSession, dir: String, kind: String,
+                             cutoff: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot(kind, dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val base = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      val cut = lit(cutoff).cast("timestamp")
+      val t0 = System.currentTimeMillis() - 120000
+      writeSingleParquet(tmp, base.filter(col("ts") <= cut), "00_early.parquet", t0)
+      writeSingleParquet(tmp, base.filter(col("ts") > cut), "01_late.parquet", t0 + 60000)
+    }
+
   private def streamTwoBatches(s: SparkSession, input: java.nio.file.Path,
                                sink: String)(
       build: DataFrame => DataFrame): DataFrame = {
@@ -363,6 +386,37 @@ object EventWindows {
       |FROM b2 LEFT JOIN b1 USING (user_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** STREAM-STREAM join under the oracle: the view→click attribution join
+    * ([[graft.streaming.EventStream.viewClickJoin]]) run by the real
+    * engine over the TIME-SPLIT two-batch fixture (first half-month, then
+    * the second — see [[timeSplitInput]] for why an even/odd id split
+    * would be silently destroyed by late-input dropping). Views from the
+    * end of batch 1 can only meet their batch-2 clicks through the
+    * engine's buffered join state; the watermark meanwhile evicts views
+    * too old to ever match again (state is bounded AND no valid pair is
+    * lost — eviction lags the match horizon by construction). Inner joins
+    * emit matched pairs as soon as both rows arrived; AvailableNow drains
+    * both batches, so the sink equals the batch join and the oracle is
+    * DuckDB's plain self-join with the same user + time-range predicate.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val input = timeSplitInput(s, dir, "ssjoinstream", "2024-01-16 00:00:00")
+    streamTwoBatches(s, input, "q_stream_stream_join_sink")(
+      graft.streaming.EventStream.viewClickJoin(_))
+      .withColumn("view_ts", col("view_ts").cast(TimestampNTZType))
+      .withColumn("click_ts", col("click_ts").cast(TimestampNTZType))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  v.ts AS view_ts, c.ts AS click_ts
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin
+
   /** JSON property extraction from the semi-structured `props` column,
     * aggregated per event type — the scalar-function path for the payload
     * column (codegen'd get_json_object; no UDF).
@@ -392,6 +446,7 @@ object EventWindows {
     "q_stream_session" -> (streamSession(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
+    "q_stream_stream_join" -> (streamStreamJoin(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -403,5 +458,6 @@ object EventWindows {
     "q_stream_session" -> streamSessionSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_custom_state" -> streamCustomStateSql,
+    "q_stream_stream_join" -> streamStreamJoinSql,
     "q_json_extract" -> jsonExtractSql)
 }

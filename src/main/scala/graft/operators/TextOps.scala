@@ -1095,13 +1095,20 @@ object TextOps {
     val hits = testDocs.select(col("doc_id"), explode(col("s")).as("shingle"))
       .join(trainGrams, "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-    testDocs
+    val out = testDocs
       .select(col("doc_id"), size(col("s")).cast("long").as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .withColumn("contamination",
         col("n_contaminated").cast("double") / col("n_shingles"))
       .orderBy("doc_id")
+      // eager materialization (same discipline as clusters()): under a
+      // long Verify run nothing ever clears caches, so returning a plan
+      // that still references the cached shingle frame would pin it in
+      // executor storage for the remaining 80+ queries
+      .localCheckpoint()
+    sh.unpersist(blocking = false)
+    out
   }
 
   private val contaminationSql =

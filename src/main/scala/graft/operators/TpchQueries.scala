@@ -95,9 +95,15 @@ object TpchQueries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Q3: shipping-priority top-10 — selective dimension filter (BUILDING
-    * customers, broadcast), fact-to-fact join, grouped revenue, top-k as
+    * customers), fact-to-fact join, grouped revenue, top-k as
     * TakeOrderedAndProject (no global sort materialization). Deterministic
     * tie-break on (o_orderdate, l_orderkey) behind the revenue order.
+    *
+    * Customer is NOT broadcast-hinted: it grows linearly with scale factor
+    * (a ~1/5 segment slice of it still does), so a forced broadcast is
+    * wrong at 100 TB. The size-threshold/AQE machinery broadcasts it while
+    * it is genuinely small and shuffles it once it is not — exactly the
+    * runtime decision this plan should delegate.
     */
   def q3(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-03-15").cast("timestamp")
@@ -105,7 +111,7 @@ object TpchQueries {
     val ord  = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
     val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"),
         col("o_orderdate").cast(TimestampNTZType).as("o_orderdate"),
         col("o_orderpriority"))
@@ -128,8 +134,12 @@ object TpchQueries {
 
   /** Q5: local-supplier volume — the 6-table star/snowflake join with a
     * region→nation chain and the c_nationkey = s_nationkey correlation.
-    * The three small dimensions broadcast; orders carries the date range
-    * into the scan; the only shuffles are the two fact joins + final agg.
+    * Only the genuinely BOUNDED dimensions broadcast-hint: nation (25
+    * rows) and region (5 rows) are constants of the data model at every
+    * scale factor. Customer and supplier grow linearly with SF, so they
+    * go through ordinary size-threshold/AQE join selection — broadcast
+    * while small, shuffle at scale (a forced broadcast of either is an
+    * executor OOM at 100 TB). Orders carries the date range into the scan.
     */
   def q5(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
@@ -141,8 +151,8 @@ object TpchQueries {
     val nat  = t(s, dir, "nation")
     val reg  = t(s, dir, "region").filter(col("r_name") === "ASIA")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey") &&
         cust("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
@@ -163,13 +173,86 @@ object TpchQueries {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Q4: order-priority checking — the EXISTS-subquery shape. The classic
+    * predicate (l_commitdate < l_receiptdate) uses columns the testdata
+    * lacks, so the adapted existence predicate is l_returnflag = 'R'; the
+    * SHAPE is identical: a date-sliced orders scan semi-joined against a
+    * filtered lineitem, counted per priority. EXISTS compiles to
+    * left_semi — lineitem contributes each matching orderkey ONCE (no
+    * row multiplication, no distinct), and the semi join's build side
+    * carries only the join key. At 100 TB both sides shuffle on orderkey;
+    * nothing here broadcasts.
+    */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-04-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q18: large-volume customers — the IN-aggregate-subquery shape: orders
+    * whose total lineitem quantity exceeds a threshold (the HAVING subquery
+    * compiles to an aggregate + semi join), re-joined to lineitem for the
+    * quantity sum and to customer for the name, top-100 by price. Quantity
+    * sums are exact decimal; the threshold compares the EXACT sum. The
+    * final top-100 is TakeOrderedAndProject — no global sort. Customer is
+    * not broadcast-hinted (grows with SF; threshold/AQE decides).
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > lit(250).cast(DecimalType(18, 4)))
+      .select(col("l_orderkey").as("big_orderkey"))
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    ord.join(big, ord("o_orderkey") === col("big_orderkey"), "left_semi")
+      .join(cust, col("o_custkey") === cust("c_custkey"))
+      .join(li, col("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(TimestampNTZType).as("o_orderdate"),
+        col("o_totalprice"))
+      .agg(dbl4(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY 1, 2, 3, 4, 5
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> (q1(_, _)),
     "q_tpch_q3" -> (q3(_, _)),
-    "q_tpch_q5" -> (q5(_, _)))
+    "q_tpch_q4" -> (q4(_, _)),
+    "q_tpch_q5" -> (q5(_, _)),
+    "q_tpch_q18" -> (q18(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q1" -> q1Sql,
     "q_tpch_q3" -> q3Sql,
-    "q_tpch_q5" -> q5Sql)
+    "q_tpch_q4" -> q4Sql,
+    "q_tpch_q5" -> q5Sql,
+    "q_tpch_q18" -> q18Sql)
 }

@@ -67,6 +67,38 @@ object EventStream {
   def dedupByKey(events: DataFrame, keys: Seq[String]): DataFrame =
     events.dropDuplicates(keys)
 
+  /** STREAM-STREAM inner join with event-time range correlation — the
+    * view→click attribution shape: for each view event, the click events
+    * of the SAME user within `maxDelay` after it. Both sides are streaming
+    * (here: two filters of one source — a streaming self-join), so the
+    * engine buffers BOTH sides in state; the watermarks plus the two-sided
+    * time bound on the join condition are what let it evict: a buffered
+    * view can stop waiting once the click-side watermark passes
+    * view_ts + maxDelay, and a buffered click once the view-side watermark
+    * passes click_ts. Without the interval condition the state is the
+    * whole stream — the unbounded-join trap; with it, state tracks the
+    * last `maxDelay + watermark` of data regardless of stream length.
+    * Inner join, so matches emit as soon as both rows have arrived (no
+    * watermark wait on OUTPUT, unlike outer stream-stream joins).
+    */
+  def viewClickJoin(events: DataFrame, maxDelay: String = "2 hours",
+                    watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Arbitrary stateful processing via flatMapGroupsWithState — the §2i
     * custom-state API (KeyValueGroupedDataset) the built-in windows can't
     * express: per user, a running event count carried across micro-batches,

@@ -38,6 +38,38 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join matches across micro-batches, bounds the interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts", "event_type")
+
+    val query = EventStream.viewClickJoin(events, maxDelay = "2 hours")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      // minute offsets start at 1000, NOT 0: the initial watermark is the
+      // epoch, and stream-stream join INPUT rows with event time <= the
+      // current watermark are dropped as late — a row at exactly ts(0)
+      // silently vanishes before it can buffer
+      val b = 1000
+      // batch 1: a view and a same-batch click for user 10; a click for
+      // user 20 with no view anywhere
+      input.addData((1L, 10L, ts(b), "view"), (2L, 10L, ts(b + 10), "click"),
+        (9L, 20L, ts(b + 5), "click"))
+      query.processAllAvailable()
+      // batch 2: a click that must match batch 1's BUFFERED view through
+      // join state (cross-batch), and one past the 2-hour bound
+      input.addData((3L, 10L, ts(b + 30), "click"), (4L, 10L, ts(b + 200), "click"))
+      query.processAllAvailable()
+
+      val got = spark.table("ssjoin_out")
+        .select("user_id", "view_id", "click_id")
+        .orderBy("view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((10L, 1L, 2L), (10L, 1L, 3L)))
+    } finally query.stop()
+  }
+
   test("session streaming windows merge within the gap, split beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
