@@ -154,6 +154,91 @@ object Shingler {
   }
 }
 
+/** Static MinHash-signature kernel — see [[MinHashSig]]. Plain object for
+  * static forwarders callable from generated Java.
+  */
+object MinHasher {
+
+  val NumHashes = 128
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Carter-Wegman affine coefficients, IDENTICAL generation (seed 42) to
+    * the explode+groupBy pipeline this kernel replaces: the shingle string
+    * is hashed ONCE (xxhash64 seed 42, reduced to 32 bits), each family
+    * member is `(a*h + b) mod p`. `a < 2^30` keeps `a*h < 2^62` inside
+    * Long range. Fixed seed ⇒ signatures bit-identical to every earlier
+    * round's.
+    */
+  val coefs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)(
+      (rnd.nextInt(1 << 29).toLong * 2 + 1, rnd.nextInt(1 << 30).toLong))
+  }
+  private val as = coefs.map(_._1)
+  private val bs = coefs.map(_._2)
+
+  /** All 128 signature components of one document's shingle set in one
+    * row-local pass: hash each shingle once, fold the 128 affine mins.
+    * O(|shingles| × 128) register-resident multiply-adds — no explode, no
+    * shuffle, no 128-column aggregate. An empty array yields all-MaxValue
+    * sentinels; callers must filter empty shingle sets BEFORE banding
+    * (the exploded formulation dropped those docs implicitly).
+    */
+  def sig(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](NumHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(s, StringType, 42L) & 0xffffffffL
+      var k = 0
+      while (k < NumHashes) {
+        val v = (h * as(k) + bs(k)) % MersennePrime
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+/** Native Catalyst expression computing the full 128-component MinHash
+  * signature of a shingle array ROW-LOCALLY.
+  *
+  * The compositional formulation (explode every shingle to a row, hash,
+  * `groupBy(doc).agg(min₀…min₁₂₇)`) shuffles the ENTIRE exploded shingle
+  * corpus just to bring each document's shingles together — but each
+  * document's shingles start on one row; the aggregation is row-local by
+  * construction. At 100 TB that explode+shuffle (tens of shingles × every
+  * document) is the dominant cost of the MinHash pipeline; this expression
+  * deletes it outright — signatures become a pure map stage and the only
+  * remaining shuffle is the narrow (doc_id, band, sig) LSH bucket join.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any =
+    MinHasher.sig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHasher.sig($c);")
+}
+
 /** Native Catalyst expression for word n-gram shingling — the front end of
   * every set-similarity operator here (MinHash, exact Jaccard, near-dup
   * clustering, contamination, repetition). The compositional form

@@ -96,6 +96,12 @@ object VectorFunctions {
       "word_shingles expects (text, n literal int, unique literal boolean)")
   }
 
+  private[functions] val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => MinHashSig(c)
+    case exprs => throw new IllegalArgumentException(
+      s"minhash_sig expects 1 argument, got ${exprs.length}")
+  }
+
   /** Imperative registration for embedded use (tests, Verify/Bench mains):
     * makes `expr("vec_dot(a, b)")` / `expr("winnow_fps(t, 8, 4)")`
     * resolvable on an existing session.
@@ -107,6 +113,8 @@ object VectorFunctions {
       "winnow_fps", winnowBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", shinglesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", minhashBuilder, "built-in")
   }
 }
 
@@ -127,5 +135,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       VectorFunctions.shinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      VectorFunctions.minhashBuilder))
   }
 }

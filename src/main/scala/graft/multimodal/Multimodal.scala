@@ -208,13 +208,131 @@ object Multimodal {
   /** Decoded raster: interleaved RGB, row-major, top-down. */
   final case class RgbImage(width: Int, height: Int, pixels: Array[Byte])
 
-  /** Container sniff: P6 PPM or BMP by magic bytes. */
+  /** Container sniff: P6 PPM, BMP, or PNG by magic bytes. */
   def decodeImage(bytes: Array[Byte]): RgbImage = {
     require(bytes.length >= 2, "too short for an image header")
     if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
     else throw new IllegalArgumentException(
-      "unsupported image container (binary PPM and uncompressed 24-bit BMP decode here; codec formats stay stubbed)")
+      "unsupported image container (PPM, uncompressed BMP, and 8-bit " +
+        "non-interlaced PNG decode here; lossy codec formats stay stubbed)")
+  }
+
+  /** Real PNG decode in pure JVM code — the compression side is zlib
+    * (`java.util.zip.Inflater`, in the JDK), so PNG is NOT codec-bound the
+    * way JPEG/H.264 are: chunk walk (CRC-checked), IDAT inflate, and the
+    * five per-scanline filters (None/Sub/Up/Average/Paeth) reversed
+    * byte-exactly per the spec. Supports 8-bit depth, non-interlaced,
+    * color types 0 (gray → replicated to RGB), 2 (RGB), 6 (RGBA — alpha
+    * dropped; features read color, not coverage). Every step is integer
+    * arithmetic ⇒ bit-deterministic on any JVM.
+    */
+  def decodePng(bytes: Array[Byte]): RgbImage = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    require(bytes.length > 8, "truncated PNG")
+    bb.position(8) // signature checked by the sniff
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    val crc = new java.util.zip.CRC32()
+    while (!sawEnd) {
+      require(bb.remaining() >= 8, "truncated PNG chunk header")
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining() >= len + 8, "bad PNG chunk length")
+      val tagAndData = new Array[Byte](4 + len)
+      bb.get(tagAndData)
+      crc.reset(); crc.update(tagAndData)
+      require(bb.getInt == crc.getValue.toInt, "PNG chunk CRC mismatch")
+      val tag = new String(tagAndData, 0, 4, "US-ASCII")
+      tag match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          val d = java.nio.ByteBuffer.wrap(tagAndData, 4, 13)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          w = d.getInt; h = d.getInt
+          val bitDepth = d.get() & 0xff
+          colorType = d.get() & 0xff
+          val compression = d.get() & 0xff
+          val filterMethod = d.get() & 0xff
+          val interlace = d.get() & 0xff
+          require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
+          require(bitDepth == 8, s"only 8-bit PNG supported, depth=$bitDepth")
+          require(colorType == 0 || colorType == 2 || colorType == 6,
+            s"unsupported PNG color type $colorType (gray/RGB/RGBA decode here)")
+          require(compression == 0 && filterMethod == 0, "nonstandard PNG")
+          require(interlace == 0, "interlaced PNG not supported")
+        case "IDAT" => idat.write(tagAndData, 4, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks carry no pixel data
+      }
+    }
+    require(colorType >= 0, "PNG missing IHDR")
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    while (off < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, off, raw.length - off)
+      require(n > 0 || inf.finished() || !inf.needsInput, "truncated PNG IDAT")
+      off += n
+    }
+    inf.end()
+    require(off == raw.length, s"PNG pixel data short: $off of ${raw.length}")
+
+    // reverse the per-scanline filter in place; `prev` tracks the
+    // reconstructed prior scanline
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val filter = raw(base) & 0xff
+      var x = 0
+      while (x < stride) {
+        val v = raw(base + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) else 0
+        val b = prev(x)
+        val c = if (x >= bpp) prev(x - bpp) else 0
+        cur(x) = filter match {
+          case 0 => v
+          case 1 => (v + a) & 0xff
+          case 2 => (v + b) & 0xff
+          case 3 => (v + ((a + b) >> 1)) & 0xff
+          case 4 => (v + paeth(a, b, c)) & 0xff
+          case other => throw new IllegalArgumentException(
+            s"bad PNG filter type $other at row $y")
+        }
+        x += 1
+      }
+      // emit RGB for this row
+      var px = 0
+      while (px < w) {
+        val o = (y * w + px) * 3
+        colorType match {
+          case 0 =>
+            val g = cur(px)
+            out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
+          case _ =>
+            out(o) = cur(px * bpp).toByte
+            out(o + 1) = cur(px * bpp + 1).toByte
+            out(o + 2) = cur(px * bpp + 2).toByte
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    RgbImage(w, h, out)
   }
 
   /** Binary PPM (P6): `P6 <w> <h> <maxval>` in ASCII (with `#` comments),
@@ -304,9 +422,9 @@ object Multimodal {
     import s.implicits._
     // filter to exactly the formats this decoder handles (as wavFeatures
     // filters 'audio/wav'): a blanket image/* would route codec-stubbed
-    // rows (image/png in a mixed corpus) into decodeImage and crash the
-    // job on the first JPEG/PNG payload instead of skipping it
-    media.filter(col("mime").isin("image/ppm", "image/bmp"))
+    // rows (image/jpeg in a mixed corpus) into decodeImage and crash the
+    // job on the first JPEG payload instead of skipping it
+    media.filter(col("mime").isin("image/ppm", "image/bmp", "image/png"))
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>

@@ -128,7 +128,7 @@ object EventWindows {
     * note above), AvailableNow drain.
     */
   private def runEventsFileStream(s: SparkSession, dir: String, sink: String)(
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame): DataFrame = withFewShufflePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.load(s, dir, "events").schema
@@ -222,7 +222,7 @@ object EventWindows {
     * emitted) session out. Exercises exactly what complete-mode tumbling
     * cannot: watermark-driven finalization and state eviction.
     */
-  def streamSession(s: SparkSession, dir: String): DataFrame = {
+  def streamSession(s: SparkSession, dir: String): DataFrame = withFewShufflePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     val input = sessionStreamInput(s, dir)
     val sch = s.read.parquet(s"$input/00_real.parquet").schema
@@ -314,9 +314,27 @@ object EventWindows {
       writeSingleParquet(tmp, base.filter(col("ts") > cut), "01_late.parquet", t0 + 60000)
     }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned low: every
+    * stateful streaming operator materializes one state-store instance per
+    * shuffle partition and writes checkpoint files PER PARTITION PER
+    * MICRO-BATCH, so at 32 partitions the streaming gates spend most of
+    * their wall time creating near-empty state-store files (observed: the
+    * six gates ~36 s combined, 28% of the whole suite). 4 partitions cut
+    * that file count 8× with identical results — state is keyed, the
+    * partition count only shards it. A real deployment sizes this knob to
+    * state VOLUME (where 32+ is right); the gates' state is a few thousand
+    * keys.
+    */
+  private def withFewShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, prev)
+  }
+
   private def streamTwoBatches(s: SparkSession, input: java.nio.file.Path,
                                sink: String)(
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame): DataFrame = withFewShufflePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     import scala.jdk.CollectionConverters._
     val listing = java.nio.file.Files.list(input)
@@ -357,6 +375,47 @@ object EventWindows {
     """SELECT event_type, count(*) AS n_events,
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Fixture for the BOUNDED-state dedup gate: batch 1 = the first
+    * half-month, batch 2 = the second half PLUS a replay of batch 1's last
+    * 6 hours. After batch 1 the watermark stands at max(batch 1) − 12 h,
+    * so the replayed rows land ABOVE it (not dropped as late) and inside
+    * the 12 h dedup horizon (guaranteed suppressed by state, not by
+    * late-filtering) — the duplicate genuinely "arrives inside the
+    * watermark", which is the case the unbounded gate cannot distinguish.
+    */
+  private def dedupBoundedInput(s: SparkSession, dir: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot("dedupboundstream", dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val base = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val replay = base.filter(col("ts") <= cut &&
+        col("ts") > cut - expr("INTERVAL 6 HOURS"))
+      val t0 = System.currentTimeMillis() - 120000
+      writeSingleParquet(tmp, base.filter(col("ts") <= cut), "00_early.parquet", t0)
+      writeSingleParquet(tmp, base.filter(col("ts") > cut).unionAll(replay),
+        "01_late_plus_replay.parquet", t0 + 60000)
+    }
+
+  /** BOUNDED-state streaming dedup under the oracle:
+    * [[graft.streaming.EventStream.dedupByKeyBounded]] (`withWatermark` +
+    * `dropDuplicatesWithinWatermark` — state expires once a key can no
+    * longer recur, the form that survives an unbounded 100 TB stream) over
+    * the replay-inside-watermark fixture. Every replayed duplicate must be
+    * suppressed through cross-batch state while every genuine second-half
+    * row survives; a surviving duplicate doubles a count against the
+    * plain-DISTINCT oracle, a late-dropped genuine row loses one.
+    */
+  def streamDedupBounded(s: SparkSession, dir: String): DataFrame = {
+    val input = dedupBoundedInput(s, dir)
+    val sunk = streamTwoBatches(s, input, "q_stream_dedup_bounded_sink")(
+      graft.streaming.EventStream.dedupByKeyBounded(_, Seq("event_id"), "ts", "12 hours"))
+    sunk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
 
   /** Custom arbitrary state under the oracle: per-user running counts via
     * flatMapGroupsWithState across two deterministic micro-batches (even
@@ -417,6 +476,46 @@ object EventWindows {
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
       |ORDER BY v.user_id, view_id, click_id""".stripMargin
 
+  /** Per-event TRAILING interval aggregate via a RANGE window frame — for
+    * every event, the count and exact sum of the same user's events in the
+    * inclusive hour [t − 1 h, t]. The window-native counterpart to
+    * RangeJoin.trailingWindow (X19): where the join formulation buckets
+    * and probes, this one is ONE Window operator — one shuffle on user_id,
+    * one ordered sweep per partition with an O(1) sliding frame (rows
+    * enter/leave monotonically; Spark keeps running partial aggregates —
+    * never a per-row rescan). The frame bound is on the MICROSECOND long
+    * (ns div 1000, lossless on this data — every ns value is µs-aligned),
+    * because rangeBetween takes numeric offsets; DuckDB replays the same
+    * frame natively with RANGE BETWEEN INTERVAL. At 100 TB, partitions =
+    * users: bounded state per user, skew handled the same way as the as-of
+    * join's bucketed variant if one user dominates.
+    */
+  def trailingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts",
+        expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_trailing"),
+        graft.DecimalEdge.dbl(
+          sum(col("value").cast(DecimalType(18, 6))).over(w), 6)
+          .as("sum_trailing"))
+      .orderBy("event_id")
+  }
+
+  private val trailingWindowSql =
+    """SELECT event_id, user_id, ts,
+      |  count(*) OVER w AS n_trailing,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** JSON property extraction from the semi-structured `props` column,
     * aggregated per event type — the scalar-function path for the payload
     * column (codegen'd get_json_object; no UDF).
@@ -445,8 +544,10 @@ object EventWindows {
     "q_stream_sliding" -> (streamSliding(_, _)),
     "q_stream_session" -> (streamSession(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
+    "q_stream_dedup_bounded" -> (streamDedupBounded(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
     "q_stream_stream_join" -> (streamStreamJoin(_, _)),
+    "q_window_trailing" -> (trailingWindow(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -457,7 +558,9 @@ object EventWindows {
     "q_stream_sliding" -> slidingSql,
     "q_stream_session" -> streamSessionSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_dedup_bounded" -> streamDedupSql,
     "q_stream_custom_state" -> streamCustomStateSql,
     "q_stream_stream_join" -> streamStreamJoinSql,
+    "q_window_trailing" -> trailingWindowSql,
     "q_json_extract" -> jsonExtractSql)
 }

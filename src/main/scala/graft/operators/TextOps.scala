@@ -269,8 +269,9 @@ object TextOps {
 
   // ------------------------------------------------------ MinHash near-dup
 
-  private val NumHashes = 128
   private val NumBands = 32 // 4 rows/band: P(candidate) = 1-(1-s^4)^32
+  // 128 signature components live in graft.functions.MinHasher (the
+  // row-local native kernel); 32 bands × 4 components cover all 128
   private val JaccardThreshold = 0.8
 
   /** Distinct word-3-gram shingle sets per document (docs with <3 tokens
@@ -292,10 +293,17 @@ object TextOps {
   /** Near-duplicate pairs by MinHash + banded LSH, exact-verified.
     *
     * Plan shape (the part that must survive 100 TB):
-    *   1. shingle → explode → groupBy(doc): 128 `min(hash(shingle, i))`
-    *      signatures in ONE hash-aggregate pass (one shuffle by doc_id);
-    *   2. 32 band keys per doc (hash of 4 signature rows), self-join on
-    *      (band, band_hash) — candidates only ever meet inside a bucket;
+    *   1. signature as a PURE MAP: the native [[graft.functions.MinHashSig]]
+    *      expression folds all 128 Carter-Wegman mins row-locally in one
+    *      codegen'd kernel call (the r3–r9 formulation exploded every
+    *      shingle to a row and shuffled the whole exploded corpus into a
+    *      128-column min aggregate — a shuffle that existed only because
+    *      the window into a doc's shingles was expressed relationally;
+    *      signatures are bit-identical, pinned by LlmOpsSpec parity);
+    *   2. 32 band keys per doc (hash of 4 signature components), self-join
+    *      on (band, band_hash) — candidates only ever meet inside a bucket,
+    *      and the (doc_id, band, sig) frame is now the FIRST shuffle in the
+    *      whole pipeline;
     *   3. exact Jaccard on candidate pairs via their distinct shingle sets,
     *      keep sim ≥ 0.8.
     *
@@ -303,31 +311,16 @@ object TextOps {
     * docs) — LSH recall at the 0.9+ planted similarity makes the outputs
     * identical (miss probability ~1e-15 per pair).
     */
-  /** Carter-Wegman affine coefficients for the MinHash family: the shingle
-    * string is hashed ONCE (xxhash64, reduced to 32 bits), then each of the
-    * 128 family members is `(a*h + b) mod p` — cheap integer ops instead of
-    * 128 string hashes per shingle. `a < 2^30` keeps `a*h < 2^62`, inside
-    * Long range (ANSI mode makes overflow an error, not a wrap). Fixed seed
-    * ⇒ deterministic signatures.
-    */
-  private lazy val MinhashCoefs: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumHashes)((rnd.nextInt(1 << 29).toLong * 2 + 1, rnd.nextInt(1 << 30).toLong))
-  }
-  private val MersennePrime = 2147483647L // 2^31 - 1
-
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
 
-    val exploded = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")).bitwiseAND(lit(0xffffffffL)))
-    val sigAggs = MinhashCoefs.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * lit(a) + lit(b)) % lit(MersennePrime)).as(s"m$i")
-    }
-    val sigs = exploded.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    // shingles() drops empty sets, so every signature is real data — an
+    // all-sentinel sig (empty array through the kernel) can never reach
+    // the band join and false-bucket with other empty docs
+    val sigs = sh.select(col("doc_id"), expr("minhash_sig(s)").as("sig"))
 
     val bandCols = (0 until NumBands).map { b =>
-      hash((b * 4 until b * 4 + 4).map(r => col(s"m$r")): _*)
+      hash((b * 4 until b * 4 + 4).map(r => col("sig").getItem(r)): _*)
     }
     val bands = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "sig")))

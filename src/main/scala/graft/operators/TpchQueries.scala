@@ -242,11 +242,59 @@ object TpchQueries {
       |GROUP BY 1, 2, 3, 4, 5
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
 
+  /** Q17: small-quantity-order revenue — the CORRELATED SCALAR SUBQUERY
+    * shape (the one classic Catalyst surface no other gate exercised):
+    * lineitem rows below a per-part quantity threshold computed by a
+    * subquery correlated on the OUTER part's key. Catalyst must
+    * decorrelate (RewriteCorrelatedScalarSubquery): the subquery becomes
+    * one Aggregate over lineitem grouped by the correlation key, joined
+    * back — a per-row nested-loop re-scan of a 100 TB fact is the shape
+    * this gate exists to forbid (PlanSpec pins the rewrite).
+    *
+    * The classic threshold `l_quantity < 0.2 * avg(l_quantity)` averages —
+    * and Spark's decimal avg (scale+4, half-up) ≠ DuckDB's double avg at
+    * the ULP edge, so a boundary row could flip cross-engine. Instead the
+    * threshold is the q1 avg_qty pattern: the EXACT decimal sum cast to
+    * double, divided by the count — identical IEEE inputs and operations
+    * in both engines, so every comparison resolves identically (the
+    * predicate is ×5-multiplied through, sparing the 0.2 literal's own
+    * representation). The SQL text form (not DataFrame ops) is what makes
+    * Catalyst's subquery machinery do the work being graded.
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("q17_part")
+    s.sql(
+      """SELECT l_extendedprice
+        |FROM q17_lineitem, q17_part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 20
+        |  AND 5.0 * l_quantity <
+        |      (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |              / COUNT(*)
+        |       FROM q17_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+      .agg(
+        (dbl4(sum(dec(col("l_extendedprice")))) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  private val q17Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  COUNT(*) AS n_small
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 20
+      |  AND 5.0 * l_quantity <
+      |      (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+      |              / COUNT(*)
+      |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> (q1(_, _)),
     "q_tpch_q3" -> (q3(_, _)),
     "q_tpch_q4" -> (q4(_, _)),
     "q_tpch_q5" -> (q5(_, _)),
+    "q_tpch_q17" -> (q17(_, _)),
     "q_tpch_q18" -> (q18(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +302,6 @@ object TpchQueries {
     "q_tpch_q3" -> q3Sql,
     "q_tpch_q4" -> q4Sql,
     "q_tpch_q5" -> q5Sql,
+    "q_tpch_q17" -> q17Sql,
     "q_tpch_q18" -> q18Sql)
 }

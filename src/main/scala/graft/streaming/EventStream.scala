@@ -67,6 +67,20 @@ object EventStream {
   def dedupByKey(events: DataFrame, keys: Seq[String]): DataFrame =
     events.dropDuplicates(keys)
 
+  /** BOUNDED-state streaming dedup — the 100 TB form of [[dedupByKey]]:
+    * `withWatermark` + `dropDuplicatesWithinWatermark` keeps a key's state
+    * only until the watermark passes its event time + delay, so state
+    * tracks the last `delay` of stream time instead of every key ever
+    * seen. The contract shifts accordingly: duplicates are suppressed only
+    * when they arrive within `delay` of the original (at-least-once
+    * re-delivery is prompt — Kafka redelivers in seconds, not days — so
+    * this is the semantics production dedup actually wants). `tsCol` must
+    * be the event-time column the duplicates share.
+    */
+  def dedupByKeyBounded(events: DataFrame, keys: Seq[String], tsCol: String,
+                        delay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** STREAM-STREAM inner join with event-time range correlation — the
     * view→click attribution shape: for each view event, the click events
     * of the SAME user within `maxDelay` after it. Both sides are streaming
@@ -122,6 +136,45 @@ object EventStream {
           val v = v0 + 1
           state.update((v, n))
           Iterator((user, v, n))
+      }
+      .toDF("user_id", "version", "n_so_far")
+  }
+
+  /** [[runningUserCounts]] with STATE EXPIRY — the 100 TB form: a
+    * processing-time timeout evicts a user's state after `idleFor` without
+    * new events, so live state tracks ACTIVE users, not every user ever
+    * seen. On eviction the count genuinely restarts (a returning user
+    * emits version 1 again) — the trade the timeout buys; callers that
+    * need exact lifetime counts keep the unbounded form and pay its state.
+    * Timeout callbacks arrive as an (empty-iterator, hasTimedOut) group
+    * invocation on the first micro-batch after the deadline; emitting
+    * nothing there keeps the output schema identical to the unbounded op.
+    * Run it with a periodic trigger: under ProcessingTimeTimeout the engine
+    * always has "another batch" to run (a timeout may fire at any wall-
+    * clock moment), so the default as-fast-as-possible trigger busy-loops
+    * idle micro-batches and `processAllAvailable` never returns.
+    */
+  def runningUserCountsExpiring(events: DataFrame,
+                                idleFor: String = "30 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (v0, n0) = state.getOption.getOrElse((0, 0L))
+            val n = n0 + rows.size
+            val v = v0 + 1
+            state.update((v, n))
+            state.setTimeoutDuration(idleFor)
+            Iterator((user, v, n))
+          }
       }
       .toDF("user_id", "version", "n_so_far")
   }

@@ -70,6 +70,92 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bounded dedup suppresses in-horizon duplicates, frees state beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+
+    val query = EventStream.dedupByKeyBounded(events, Seq("event_id"), "ts",
+        delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_bounded_out")
+      .outputMode("append").start()
+    try {
+      // start at minute 1000: the initial watermark is the epoch and rows
+      // at/below it would be dropped as late (cf. the ssjoin test)
+      val b = 1000
+      input.addData((1L, ts(b)), (2L, ts(b + 10)))
+      query.processAllAvailable()
+      // watermark = b+10 − 60: the id-1 replay at ts(b) is above it and
+      // inside the horizon → suppressed via cross-batch STATE
+      input.addData((1L, ts(b)), (3L, ts(b + 20)))
+      query.processAllAvailable()
+      // advance the watermark past b+60 so id 1's state expires...
+      input.addData((4L, ts(b + 300)))
+      query.processAllAvailable()
+      // ...then id 1 recurs above the new watermark (b+240): state is gone,
+      // so it RE-EMITS — the bounded-state trade the unbounded form never
+      // makes (dropDuplicates would still be holding id 1)
+      input.addData((1L, ts(b + 250)))
+      query.processAllAvailable()
+
+      val got = spark.table("dedup_bounded_out")
+        .orderBy("ts", "event_id")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      assert(got == Seq((1L, ts(b)), (2L, ts(b + 10)), (3L, ts(b + 20)),
+        (4L, ts(b + 300)), (1L, ts(b + 250))).sortBy(p => (p._2.getTime, p._1)))
+    } finally query.stop()
+  }
+
+  test("processing-time timeout evicts idle user state; the count restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[Long]
+    val events = input.toDF().toDF("user_id")
+
+    // processAllAvailable CANNOT be used here: with ProcessingTimeTimeout
+    // the engine always has "another batch" to run (a timeout may fire at
+    // any wall-clock moment), so the no-new-data signal it waits on never
+    // comes. Poll the sink to a deadline instead; a periodic trigger keeps
+    // the idle-batch churn bounded.
+    val query = EventStream.runningUserCountsExpiring(events, idleFor = "2 seconds")
+      .writeStream.format("memory").queryName("expiring_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    def rows(): Seq[(Long, Int, Long)] = spark.table("expiring_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    def waitForRows(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (rows().size < n) {
+        query.exception.foreach(e => fail(s"query died: $e"))
+        assert(System.currentTimeMillis() < deadline,
+          s"timed out waiting for $n sink rows, have ${rows()}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData(7L, 7L)
+      waitForRows(1)
+      // let user 7's deadline pass; a trigger fires the timed-out-group
+      // callback, which must remove the state silently (no output row)
+      Thread.sleep(2500)
+      input.addData(8L)
+      // once 8's row is sunk, 7's eviction is committed too: the batch that
+      // carried 8's data fires pending timeouts for data-less keys in the
+      // same commit (or an earlier idle batch already had)
+      waitForRows(2)
+      // user 7 returns: state was evicted, so version AND count restart
+      input.addData(7L)
+      waitForRows(3)
+
+      val got = rows()
+      // without the timeout user 7's return row would be (7, 2, 3); the
+      // two (7, 1, _) rows share a sort key, so compare as a multiset
+      assert(got.size == 3)
+      assert(got.toSet == Set((7L, 1, 2L), (7L, 1, 1L), (8L, 1, 1L)))
+    } finally query.stop()
+  }
+
   test("session streaming windows merge within the gap, split beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]

@@ -314,6 +314,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(raw(1) == Seq("a b c", "b c a", "c a b", "a b c", "b c a", "c a b", "a b c"))
   }
 
+  test("minhash_sig matches the explode+groupBy 128-min formulation bit-for-bit") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("héllo wörld çombo")),                  // multi-byte UTF-8
+      (3L, Seq("x y z", "a b c", "x y z")),            // dup elements
+      (4L, (0 until 200).map(i => s"tok$i tok${i + 1} tok${i + 2}")))
+      .toDF("doc_id", "s")
+    val got = df.selectExpr("doc_id", "minhash_sig(s) AS sig")
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    // the r3–r9 relational formulation the kernel replaced
+    val coefs = graft.functions.MinHasher.coefs
+    val aggs = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(2147483647L)).as(s"m$i")
+    }.toSeq
+    val want = df.select(col("doc_id"), explode(col("s")).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")).bitwiseAND(lit(0xffffffffL)))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id").collect()
+      .map(r => (0 until 128).map(i => r.getLong(i + 1)))
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"doc ${i + 1}: signature mismatch")
+    }
+  }
+
   test("clusters merges chained pairs transitively, split components stay apart") {
     // A-B, B-C chain into one component even though A-C is not a pair;
     // D-E is separate

@@ -132,20 +132,86 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeBmp(evil))
   }
 
+  test("real PNG decode: ImageIO-encoded gray/RGB/RGBA reproduce pixels exactly") {
+    import java.awt.image.BufferedImage
+    // ImageIO's PNG writer (deflate + its own filter heuristics) is a real
+    // third-party encoder: round-tripping through it exercises the chunk
+    // walk, CRC checks, inflate, and filter reversal against bytes this
+    // repo didn't craft
+    def pngBytes(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val w = 5; val h = 4 // odd width: stride ≠ word-aligned, filters matter
+    def channel(x: Int, y: Int, c: Int): Int = (x * 53 + y * 11 + c * 71) & 0xff
+
+    val rgbImg = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val want = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (channel(x, y, 0), channel(x, y, 1), channel(x, y, 2))
+      rgbImg.setRGB(x, y, (r << 16) | (g << 8) | b)
+      val o = (y * w + x) * 3
+      want(o) = r.toByte; want(o + 1) = g.toByte; want(o + 2) = b.toByte
+    }
+    val rgbDec = Multimodal.decodePng(pngBytes(rgbImg))
+    assert(rgbDec.width == w && rgbDec.height == h)
+    assert(rgbDec.pixels.sameElements(want), "RGB pixels must round-trip")
+    // the sniff in decodeImage routes PNG magic here
+    assert(Multimodal.decodeImage(pngBytes(rgbImg)).pixels.sameElements(want))
+
+    // gray (color type 0): write the raster directly — setRGB on a gray
+    // image applies a colorspace transform; raster samples are the bytes
+    // the file carries. Decoded output replicates gray across RGB.
+    val grayImg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      grayImg.getRaster.setSample(x, y, 0, channel(x, y, 0))
+    val grayDec = Multimodal.decodePng(pngBytes(grayImg))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 to 2)
+      assert((grayDec.pixels((y * w + x) * 3 + c) & 0xff) == channel(x, y, 0),
+        s"gray pixel ($x,$y) ch$c")
+
+    // RGBA (color type 6): alpha is dropped, color survives untouched
+    val rgbaImg = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (channel(x, y, 0), channel(x, y, 1), channel(x, y, 2))
+      rgbaImg.setRGB(x, y, (((x + y) * 37 & 0xff) << 24) | (r << 16) | (g << 8) | b)
+    }
+    assert(Multimodal.decodePng(pngBytes(rgbaImg)).pixels.sameElements(want),
+      "RGBA color channels must match the RGB image; alpha dropped")
+
+    // corrupt payloads reject: flipped CRC, truncation, garbage
+    val good = pngBytes(rgbImg)
+    val flipped = good.clone(); flipped(good.length - 1) = (flipped(good.length - 1) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Multimodal.decodePng(flipped))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePng(java.util.Arrays.copyOfRange(good, 0, good.length / 2)))
+  }
+
   test("image features: channel means/variances and grid cells, distributed") {
     import spark.implicits._
     // 2x2 image, one pure color per pixel quadrant
     val rgb = Array[Byte](
       255.toByte, 0, 0,   0, 255.toByte, 0,  // row 0: red, green
       0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte) // row 1: blue, white
+    val pngImg = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 to 1; x <- 0 to 1) {
+      val o = (y * 2 + x) * 3
+      pngImg.setRGB(x, y, ((rgb(o) & 0xff) << 16) |
+        ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+    }
+    val pngBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pngImg, "png", pngBos)
     val media = Seq(
       (1L, ppmBytes(2, 2, rgb), "image/ppm"),
       (2L, bmpBytes(2, 2, rgb), "image/bmp"),
-      (3L, Array[Byte](1, 2, 3), "video/mp4")) // non-image: filtered out
+      (3L, Array[Byte](1, 2, 3), "video/mp4"), // non-image: filtered out
+      (4L, pngBos.toByteArray, "image/png"))
       .toDF("media_id", "bytes", "mime")
     val rows = Multimodal.imageFeatures(media, grid = 2).orderBy("media_id").collect()
-    assert(rows.length == 2, "only image/* rows decode")
-    val Seq(ppmRow, bmpRow) = rows.toSeq
+    assert(rows.length == 3, "ppm/bmp/png rows decode; the codec row is filtered")
+    val Seq(ppmRow, bmpRow, pngRow) = rows.toSeq
     val f = ppmRow.getSeq[Float](ppmRow.fieldIndex("feature"))
     assert(f.length == 6 + 12)
     // each channel is 255 in exactly 2 of 4 pixels -> mean 0.5, var 0.25
@@ -156,8 +222,10 @@ class MultimodalSpec extends SparkSpec {
     assert(f.slice(9, 12) == Seq(0f, 1f, 0f))  // top-right: green
     assert(f.slice(12, 15) == Seq(0f, 0f, 1f)) // bottom-left: blue
     assert(f.slice(15, 18) == Seq(1f, 1f, 1f)) // bottom-right: white
-    // the SAME pixels through the BMP path give bit-identical features
+    // the SAME pixels through the BMP and PNG paths give bit-identical
+    // features — three containers, one raster contract
     assert(bmpRow.getSeq[Float](bmpRow.fieldIndex("feature")) == f)
+    assert(pngRow.getSeq[Float](pngRow.fieldIndex("feature")) == f)
   }
 
   test("real WAV decode: sine RMS, stereo mix-down, distributed features") {

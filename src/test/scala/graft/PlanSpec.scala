@@ -271,6 +271,56 @@ class PlanSpec extends SparkSpec {
       s"q18's IN-subquery must be a semi join:\n$p18")
   }
 
+  test("tpch q17's correlated scalar subqueries decorrelate to one aggregate+join") {
+    // The correlated threshold subquery must be REWRITTEN (aggregate over
+    // lineitem grouped by the correlation key, joined back) — a surviving
+    // per-outer-row subquery would re-scan the 100 TB fact once per row.
+    val qe = graft.operators.TpchQueries.q17(spark, dir).queryExecution
+    val opt = qe.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("scalar-subquery"),
+      s"q17's correlated subqueries must be decorrelated out of the plan:\n$opt")
+    // the two threshold subqueries (count + sum over the same correlated
+    // group) must collapse into ONE aggregate over lineitem by partkey —
+    // two separate decorrelated joins would scan the fact twice
+    val groupedByPartkey = "Aggregate \\[l_partkey".r.findAllIn(opt).size
+    assert(groupedByPartkey == 1,
+      s"expected exactly one decorrelated per-partkey aggregate, got $groupedByPartkey:\n$opt")
+    assert(qe.executedPlan.toString.contains("Join"),
+      "the decorrelated aggregate joins back to the outer side")
+  }
+
+  test("runtime bloom filter prunes the fact scan under a selective dim join") {
+    // The 100 TB lever for selective fact⋈filtered-dim SHUFFLE joins (too
+    // big to broadcast): Catalyst builds a bloom filter from the filtered
+    // creation side and injects might_contain(fact key) into the fact scan,
+    // so most fact rows die before the exchange. Thresholds are lowered to
+    // trigger at test scale; the assertion is that OUR plan shape is
+    // eligible — an ineligible shape (e.g. a pre-aggregated or
+    // non-equi-join formulation) would silently read the whole fact side
+    // at scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val ord = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.load(spark, dir, "lineitem")
+      val plan = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("chunking stays row-local: no hash shuffle below the output order") {
     val tmp = java.nio.file.Files.createTempDirectory("chunkdocs").toString
     Seq((1L, ("tok " * 200).trim)).toDF("doc_id", "text")
