@@ -40,6 +40,7 @@ object SparkEntry {
       operators.RangeJoin.queries ++
       operators.Skew.queries ++
       operators.JournalGate.queries ++
+      operators.CorpusSourceGate.queries ++
       operators.SyncGate.queries ++
       multimodal.Multimodal.queries
 
@@ -74,6 +75,7 @@ object SparkEntry {
       operators.RangeJoin.oracles ++
       operators.Skew.oracles ++
       operators.JournalGate.oracles ++
+      operators.CorpusSourceGate.oracles ++
       operators.SyncGate.oracles ++
       multimodal.Multimodal.oracles
 }

@@ -154,6 +154,218 @@ object Shingler {
   }
 }
 
+/** Static SimHash-signature kernel — see [[SimHashSig]]. Plain object for
+  * static forwarders callable from generated Java.
+  */
+object SimHasher {
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
+  /** 60-bit SimHash of a token array in ONE pass: per token the 60-bit
+    * md5-prefix hash (the engine-portable family — identical to Spark's
+    * `conv(substring(md5(t),1,15),16,10)` and DuckDB's
+    * `CAST('0x'||substring(md5(t),1,15) AS UBIGINT)`), then the per-bit
+    * majority across the set. Callers pass the DISTINCT token set (the
+    * dedup is part of the operator's definition, left outside the kernel
+    * where `array_distinct` is already a native expression). Majority is
+    * strict (2·ones > n), matching the compositional form bit-for-bit;
+    * an empty array yields signature 0.
+    */
+  def sig(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val counts = new Array[Int](60)
+    val digestBuf = md5.get()
+    var i = 0
+    while (i < n) {
+      digestBuf.reset()
+      val d = digestBuf.digest(toks.getUTF8String(i).getBytes)
+      // big-endian first 8 digest bytes >>> 4 == first 15 hex chars as uint
+      val h = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      var b = 0
+      while (b < 60) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * counts(b) > n) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Native Catalyst expression for the 60-bit SimHash signature of a token
+  * set. The compositional form ran 60 interpreted lambda passes per
+  * document (`transform(sequence(0,59), b -> filter(hs, ...))` — each bit
+  * materializing a filtered array just to count it) plus a per-token
+  * md5→hex→conv string round-trip; this kernel hashes each token once
+  * (binary md5, no hex detour) and accumulates all 60 bit-counters in the
+  * same pass, inside whole-stage codegen. Signature bits are identical
+  * (parity-pinned in LlmOpsSpec); only the evaluation strategy changes.
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sig"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any =
+    SimHasher.sig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHasher.sig($c);")
+}
+
+/** Precompiled multi-needle overlapping-trigram counter — the lookup side
+  * of [[TrigramCounts]]. Built once per expression instance from the
+  * literal needle list (each needle EXACTLY 3 code points); `count` scans
+  * a document in one code-point pass with a rolling 63-bit packed key
+  * (3 × 21-bit code points) probed against an open-addressed table.
+  * Duplicate needles (the same gram in two language profiles) share a
+  * slot and report the same count.
+  */
+final class TrigramCountTable(needles: Array[String]) extends Serializable {
+  require(needles.nonEmpty, "trigram_counts needs at least one needle")
+  require(needles.forall(n => n.codePointCount(0, n.length) == 3),
+    "every trigram_counts needle must be exactly 3 code points")
+
+  private val Mask63 = (1L << 63) - 1
+
+  private def packKey(n: String): Long = {
+    var key = 0L
+    var i = 0
+    while (i < n.length) {
+      val cp = n.codePointAt(i)
+      key = ((key << 21) | cp.toLong) & Mask63
+      i += Character.charCount(cp)
+    }
+    key
+  }
+
+  // distinct keys -> dense slot ids; per-needle slot for output expansion
+  private val needleSlots = new Array[Int](needles.length)
+  private val (tableKeys, tableSlots, nSlots) = {
+    val keyToSlot = new java.util.HashMap[java.lang.Long, Integer]()
+    var next = 0
+    var i = 0
+    while (i < needles.length) {
+      val k = packKey(needles(i))
+      val existing = keyToSlot.get(k)
+      val slot = if (existing != null) existing.intValue()
+      else { val s = next; keyToSlot.put(k, s); next += 1; s }
+      needleSlots(i) = slot
+      i += 1
+    }
+    var cap = 8
+    while (cap < next * 4) cap <<= 1
+    val ks = Array.fill(cap)(-1L)
+    val ss = new Array[Int](cap)
+    keyToSlot.forEach { (k, s) =>
+      var idx = (scramble(k) & (cap - 1)).toInt
+      while (ks(idx) != -1L) idx = (idx + 1) & (cap - 1)
+      ks(idx) = k
+      ss(idx) = s
+    }
+    (ks, ss, next)
+  }
+  private val capMask = tableKeys.length - 1
+
+  private def scramble(k: Long): Long = {
+    val h = k * 0x9E3779B97F4A7C15L
+    h ^ (h >>> 32)
+  }
+
+  /** Per-needle overlapping occurrence counts over the text's code-point
+    * trigram stream (identical to counting positions i with
+    * `substring(text, i, 3) = needle` — Spark and DuckDB substring are
+    * both code-point based). Texts under 3 code points yield all zeros.
+    */
+  def count(s: UTF8String): ArrayData = {
+    val counts = new Array[Long](nSlots)
+    val str = s.toString
+    val len = str.length
+    if (str.codePointCount(0, len) >= 3) {
+      var key = 0L
+      var seen = 0
+      var i = 0
+      while (i < len) {
+        val cp = str.codePointAt(i)
+        key = ((key << 21) | cp.toLong) & Mask63
+        seen += 1
+        if (seen >= 3) {
+          var idx = (scramble(key) & capMask).toInt
+          while (tableKeys(idx) != -1L && tableKeys(idx) != key)
+            idx = (idx + 1) & capMask
+          if (tableKeys(idx) == key) counts(tableSlots(idx)) += 1
+        }
+        i += Character.charCount(cp)
+      }
+    }
+    val out = new Array[Long](needleSlots.length)
+    var n = 0
+    while (n < needleSlots.length) {
+      out(n) = counts(needleSlots(n))
+      n += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Native Catalyst expression counting OVERLAPPING occurrences of a fixed
+  * list of 3-code-point needles in one scan of the text — the profile-hit
+  * front end of n-gram language ID. The compositional form materialized
+  * every trigram of every document (`transform(sequence(...), substring)`
+  * + explode), shuffled the whole gram stream into a broadcast join +
+  * per-doc hash aggregate, and re-joined zero-hit docs; this expression
+  * makes profile scoring a PURE MAP — one rolling-key pass per document,
+  * no explode, no shuffle — and scales in profile size O(1) per position
+  * (hash probe), where the explode+join form paid per-gram row traffic.
+  * Needle counts come back positionally aligned with the literal array.
+  */
+case class TrigramCounts(child: Expression, needles: Seq[String])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"trigram_counts requires a string column, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_counts"
+
+  @transient private lazy val table = new TrigramCountTable(needles.toArray)
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramCounts =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any =
+    table.count(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tgTable", table,
+      classOf[TrigramCountTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
+  }
+}
+
 /** Static MinHash-signature kernel — see [[MinHashSig]]. Plain object for
   * static forwarders callable from generated Java.
   */

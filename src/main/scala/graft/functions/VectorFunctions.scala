@@ -102,6 +102,32 @@ object VectorFunctions {
       s"minhash_sig expects 1 argument, got ${exprs.length}")
   }
 
+  private[functions] val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => SimHashSig(c)
+    case exprs => throw new IllegalArgumentException(
+      s"simhash_sig expects 1 argument, got ${exprs.length}")
+  }
+
+  // the needle list must be a literal at plan time (the table is compiled
+  // once per expression); accept both the pre-folding CreateArray of
+  // string literals and an already-folded array literal
+  private[functions] val trigramBuilder: Seq[Expression] => Expression = {
+    case Seq(text, arr) =>
+      val needles = arr match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
+          if elems.forall(e => e.foldable && e.dataType == org.apache.spark.sql.types.StringType) =>
+          elems.map(_.eval(null).toString)
+        case lit: Literal if lit.dataType.isInstanceOf[ArrayType] =>
+          lit.value.asInstanceOf[ArrayData].toArray[Any](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"trigram_counts needles must be a literal array of strings, got $other")
+      }
+      TrigramCounts(text, needles)
+    case exprs => throw new IllegalArgumentException(
+      s"trigram_counts expects (text, array<string> literal), got ${exprs.length} args")
+  }
+
   /** Imperative registration for embedded use (tests, Verify/Bench mains):
     * makes `expr("vec_dot(a, b)")` / `expr("winnow_fps(t, 8, 4)")`
     * resolvable on an existing session.
@@ -115,6 +141,10 @@ object VectorFunctions {
       "word_shingles", shinglesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", simhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trigram_counts", trigramBuilder, "built-in")
   }
 }
 
@@ -139,5 +169,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       VectorFunctions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      VectorFunctions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("trigram_counts"),
+      new ExpressionInfo(classOf[TrigramCounts].getName, "trigram_counts"),
+      VectorFunctions.trigramBuilder))
   }
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle gates for the corpus FILE-FORMAT sources — the ingestion edge of
+  * an LLM data pipeline, which overwhelmingly arrives as line-delimited
+  * JSON (one document per line) or CSV, not parquet. Each gate writes a
+  * deterministic fixture from the parquet testdata through Spark's own
+  * DISTRIBUTED writer, reads it back through the distributed source under
+  * test, and the DuckDB oracle recomputes the expected rows straight from
+  * the parquet — so the format round-trip (escaping, schema application,
+  * type parsing) is exactly what the hash compare checks (the
+  * [[JournalGate]] pattern applied to standard formats).
+  *
+  * Scale posture, deliberate in both gates:
+  *  - EXPLICIT schemas. Schema inference reads every byte of the corpus
+  *    once before the real read — a full extra 100 TB pass; production
+  *    readers must pin the schema.
+  *  - JSONL, not a JSON array, and NO `multiLine`: line-delimited files
+  *    split at newlines into per-block tasks (`maxPartitionBytes`), so one
+  *    big file still parallelizes; `multiLine=true` forces whole-file
+  *    tasks and is the classic JSON-at-scale trap.
+  *  - Several part files (Spark's writer emits one per partition), so the
+  *    read path exercises multi-file listing + per-file splits.
+  */
+object CorpusSourceGate {
+
+  import JournalGate.{fixtureRoot, writeOnce}
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Documents as JSONL, written once per testdata dir by the distributed
+    * JSON writer (correct escaping for every code point by construction —
+    * hand-rolled fixture escaping is how a gate ends up testing its own
+    * bugs). 4 partitions → 4 part files.
+    */
+  private def jsonlFixture(s: SparkSession, dir: String): java.nio.file.Path =
+    writeOnce(fixtureRoot("jsonl", dir)) { tmp =>
+      Tables.load(s, dir, "documents")
+        .repartition(4, col("doc_id"))
+        .write.json(tmp.toString)
+    }
+
+  /** JSONL corpus read under the oracle: explicit schema, line-delimited
+    * splits, every field type (long/string) parsed by the JSON source. The
+    * output carries md5(text) next to the raw text length so a single
+    * flipped byte anywhere in any document fails the hash compare.
+    */
+  def jsonlSource(s: SparkSession, dir: String): DataFrame = {
+    val root = jsonlFixture(s, dir)
+    s.read.schema(docSchema).json(root.toString)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val jsonlSourceSql =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Lineitem slice as CSV with a header, written once by the distributed
+    * CSV writer. Timestamps travel as explicit `yyyy-MM-dd HH:mm:ss`
+    * strings — pinning the format on BOTH sides of the round-trip instead
+    * of trusting two engines' default timestamp renderings to agree.
+    */
+  private def csvFixture(s: SparkSession, dir: String): java.nio.file.Path =
+    writeOnce(fixtureRoot("csv", dir)) { tmp =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate"))
+        .repartition(4, col("l_orderkey"))
+        .write.option("header", "true").csv(tmp.toString)
+    }
+
+  /** CSV read under the oracle: explicit schema (header line used only for
+    * position sanity), doubles and longs parsed from text, the timestamp
+    * parsed back with the SAME pinned pattern it was written with. Exact
+    * decimal staging for the doubles at the output edge keeps the compare
+    * immune to double-formatting drift.
+    */
+  def csvSource(s: SparkSession, dir: String): DataFrame = {
+    val root = csvFixture(s, dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_shipdate", StringType)))
+    s.read.schema(schema).option("header", "true").csv(root.toString)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
+        to_timestamp(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+          .cast(TimestampNTZType).as("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val csvSourceSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
+      |FROM lineitem WHERE l_orderkey < 1200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jsonl_source" -> (jsonlSource(_, _)),
+    "q_csv_source" -> (csvSource(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_jsonl_source" -> jsonlSourceSql,
+    "q_csv_source" -> csvSourceSql)
+}

@@ -202,44 +202,32 @@ object TextOps {
   /** N-gram language ID: count occurrences of each language's profile
     * trigrams over the document's character trigram stream (spaces
     * included), argmax with the fixed en > de > fr > es tie-break.
-    * Unlike the stopword variant this is NOT a pure map: the profile is a
-    * broadcast dimension and the hit counts come back through one hash
-    * aggregate on doc_id (plus the re-join for zero-hit docs) — the shape
-    * that scales with profile size.
+    *
+    * A PURE MAP since r10: the native [[graft.functions.TrigramCounts]]
+    * expression counts every profile gram in ONE rolling-key pass per
+    * document, so profile scoring never leaves the scan. Two earlier
+    * formulations paid real plan costs for the same numbers: per-language
+    * IN-filters ran 4 interpreted lambdas over every trigram (~7M closure
+    * calls at sf0.1, 4.4 s), and the r9 broadcast-dimension form
+    * (explode every trigram → broadcast join → per-doc hash aggregate →
+    * zero-hit re-join) shuffled a corpus-sized gram stream TWICE to count
+    * 64 known needles. The kernel is also the better scale shape: O(1)
+    * hash probe per position regardless of profile size, where the
+    * explode+join form paid per-gram row traffic.
     */
   def langNgram(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // profile as a broadcast DIMENSION, not per-language IN-filters: the
-    // filter form runs 4 interpreted lambdas over every trigram of every
-    // document (~7M closure calls at sf0.1, measured 4.4s); explode + one
-    // broadcast hash join + conditional sums stays codegen'd end-to-end
-    // AND scales to hundreds of languages x thousands of profile grams
-    // (the dimension grows, the per-gram work does not)
-    val profile = TrigramProfiles
-      .flatMap { case (code, grams) => grams.map(g => (g, code)) }
-      .toDF("gram", "lang")
+    graft.functions.VectorFunctions.register(s)
+    val flat = TrigramProfiles.flatMap(_._2)
+    val offsets = TrigramProfiles.map(_._2.length).scanLeft(0)(_ + _)
+    val needleArray = flat.map(g => s"'${g.replace("'", "\\'")}'").mkString(", ")
     val base = docs(s, dir).withColumn("n", norm(col("text")))
-    // one in-array trigram build per document, exploded once: measured
-    // FASTER than exploding positions and substring-ing post-Generate
-    // (which drags the full text through every generated row). Texts under
-    // 3 chars: sequence(1, greatest(len-2, 0)) = sequence(1, 0) DESCENDS to
-    // [1, 0] rather than emptying, minting sub-3-char garbage grams that
-    // DuckDB's range() never produces — the length filter keeps only true
-    // trigrams in both engines.
-    val grams = base.select(col("doc_id"), explode(expr(
-      "filter(transform(sequence(1, greatest(length(n) - 2, 1)), " +
-        "i -> substring(n, i, 3)), x -> length(x) = 3)"))
-      .as("gram"))
-    val hitAggs = TrigramProfiles.map { case (code, _) =>
-      sum(when(col("lang") === code, 1L).otherwise(0L)).as(s"tg_$code")
-    }
-    val hits = grams.join(broadcast(profile), "gram")
-      .groupBy("doc_id")
-      .agg(hitAggs.head, hitAggs.tail: _*)
-    val scored = base.select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id") +: TrigramProfiles.map { case (code, _) =>
-        coalesce(col(s"tg_$code"), lit(0L)).as(s"tg_$code")
+      .withColumn("tc", expr(s"trigram_counts(n, array($needleArray))"))
+    // per-language score = sum of its slice of the aligned counts array
+    val scored = base.select(
+      col("doc_id") +: TrigramProfiles.zipWithIndex.map { case ((code, grams), li) =>
+        (offsets(li) until offsets(li) + grams.length)
+          .map(i => element_at(col("tc"), i + 1))
+          .reduce(_ + _).as(s"tg_$code")
       }: _*)
     val guess = argmaxGuess(TrigramProfiles.map { case (code, _) =>
       code -> col(s"tg_$code") })
@@ -649,9 +637,12 @@ object TextOps {
 
   /** SimHash near-dup pairs (hamming distance ≤ 3 over 60-bit signatures).
     *
-    * Per-doc signature is a pure map (no shuffle): hash each distinct
-    * token, take the per-bit majority across the token set — all in array
-    * expressions inside codegen. Pairing uses the pigeonhole band trick:
+    * Per-doc signature is a pure map (no shuffle): the native
+    * [[graft.functions.SimHashSig]] kernel hashes each distinct token once
+    * (binary md5) and folds all 60 majority counters in the same pass —
+    * the earlier compositional form ran 60 interpreted lambda passes per
+    * document plus a per-token md5→hex→conv string round-trip (bits
+    * identical, parity-pinned). Pairing uses the pigeonhole band trick:
     * signatures within hamming d of each other MUST agree on one of d+1
     * disjoint bands, so a 4×15-bit band join finds every pair with d ≤ 3
     * EXACTLY (no probabilistic recall) while never comparing all pairs.
@@ -665,15 +656,10 @@ object TextOps {
     * make the expansion cost the OUTPUT size, which is the lower bound.
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val sims = docs(s, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
-      .withColumn("hs", expr(s"transform(array_distinct(t), tok -> ${hash60Sql("tok")})"))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  transform(sequence(0, 59), b ->
-          |    IF(2 * size(filter(hs, x -> (shiftright(x, b) & 1) = 1)) > size(hs),
-          |       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("simhash", expr("simhash_sig(array_distinct(t))"))
       .select("doc_id", "simhash")
 
     // one row per distinct signature, members sorted for ordered pairs

@@ -339,6 +339,64 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash_sig matches the 60-lambda-pass majority formulation bit-for-bit") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq("héllo", "wörld", "日本語")),             // multi-byte UTF-8
+      (3L, Seq.empty[String]),                           // empty set → 0
+      (4L, Seq("tie", "break")),                         // n=2: strict majority
+      (5L, (0 until 300).map(i => s"tok$i")))
+      .toDF("doc_id", "t")
+    val got = df.selectExpr("doc_id", "simhash_sig(t) AS sig")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    // the compositional formulation the kernel replaced
+    val want = df
+      .withColumn("hs", expr(
+        "transform(t, tok -> CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("sig", expr(
+        """aggregate(
+          |  transform(sequence(0, 59), b ->
+          |    IF(2 * size(filter(hs, x -> (shiftright(x, b) & 1) = 1)) > size(hs),
+          |       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("sig"))
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"doc ${i + 1}: simhash mismatch")
+    }
+  }
+
+  test("trigram_counts matches the explode-substring formulation, incl. overlaps") {
+    graft.functions.VectorFunctions.register(spark)
+    val needles = Seq("aba", " th", "the", "ión", "日本語", "aaa")
+    val arr = needles.map(n => s"'$n'").mkString(", ")
+    val df = Seq(
+      (1L, "ababa the theory"),      // overlapping 'aba' ×2, ' th' ×2, 'the' ×2
+      (2L, "nación ión 日本語日本語"),   // multi-byte needles, overlap across repeat
+      (3L, "aaaaa"),                 // 'aaa' ×3 overlapping
+      (4L, "ab"),                    // under 3 code points → all zeros
+      (5L, ""))
+      .toDF("doc_id", "n")
+    val got = df.selectExpr("doc_id", s"trigram_counts(n, array($arr)) AS tc")
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    // reference: count positions where the code-point substring equals the
+    // needle (the formulation the kernel replaced)
+    val want = df.orderBy("doc_id").collect().map { r =>
+      val text = r.getString(1)
+      val cps = text.codePoints.toArray
+      needles.map { nd =>
+        val ncp = nd.codePoints.toArray
+        (0 to cps.length - 3).count(i => cps.slice(i, i + 3).sameElements(ncp)).toLong
+      }
+    }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"doc ${i + 1}: trigram counts mismatch (got $g want $w)")
+    }
+    // sanity on the planted overlaps
+    assert(got(0).take(3) == Seq(2L, 2L, 2L))
+    assert(got(2)(5) == 3L)
+  }
+
   test("clusters merges chained pairs transitively, split components stay apart") {
     // A-B, B-C chain into one component even though A-C is not a pair;
     // D-E is separate
