@@ -41,6 +41,7 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.JournalGate.queries ++
       operators.CorpusSourceGate.queries ++
+      operators.PartitionedScan.queries ++
       operators.SyncGate.queries ++
       multimodal.Multimodal.queries
 
@@ -76,6 +77,7 @@ object SparkEntry {
       operators.Skew.oracles ++
       operators.JournalGate.oracles ++
       operators.CorpusSourceGate.oracles ++
+      operators.PartitionedScan.oracles ++
       operators.SyncGate.oracles ++
       multimodal.Multimodal.oracles
 }

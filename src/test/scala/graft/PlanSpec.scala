@@ -289,6 +289,36 @@ class PlanSpec extends SparkSpec {
       "the decorrelated aggregate joins back to the outer side")
   }
 
+  test("partition pruning: static filter and dynamic dim join prune the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // static: the literal lang filter must land in PartitionFilters (whole
+    // directories never listed), NOT in the row-level data filters
+    val prunedRoot = graft.operators.PartitionedScan.partitionPruned(spark, dir)
+      .queryExecution.executedPlan
+    val pruned = prunedRoot match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan // unwrap AQE
+      case p => p
+    }
+    val scans = pruned.collectLeaves().collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"expected a file scan:\n$pruned")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang predicate must be a partition filter:\n$pruned")
+    assert(!scan.dataFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang predicate must never reach row evaluation:\n$pruned")
+    assert(scan.relation.location.inputFiles.length >
+      scan.selectedPartitions.totalNumberOfFiles,
+      "pruning must select a strict subset of the table's files")
+
+    // dynamic: the broadcast dim side must be reused as a runtime
+    // partition filter on the fact scan (dynamicpruning expression)
+    val dpp = graft.operators.PartitionedScan.dppJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(dpp.toLowerCase.contains("dynamicpruning"),
+      s"the dim join must inject a dynamic partition filter:\n$dpp")
+  }
+
   test("runtime bloom filter prunes the fact scan under a selective dim join") {
     // The 100 TB lever for selective fact⋈filtered-dim SHUFFLE joins (too
     // big to broadcast): Catalyst builds a bloom filter from the filtered
