@@ -289,6 +289,54 @@ class PlanSpec extends SparkSpec {
       "the decorrelated aggregate joins back to the outer side")
   }
 
+  test("AQE splits the skewed shuffle partition at runtime (skew=true)") {
+    // The runtime remedy the manual saltedJoin (X14) complements: for a
+    // plain shuffled sort-merge join, AQE detects the oversized partition
+    // AFTER the map stage's sizes are known and splits it into subtasks —
+    // no plan rewrite, no replication. Thresholds are lowered to trigger
+    // at test scale; the assertion is that OUR join shape is eligible
+    // (an ineligible shape — e.g. a pre-broadcast or non-equi join —
+    // would hot-spot one reducer at 100 TB with no runtime recourse).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // the q_skew_join fixture shape: ~75% of fact rows on hot key 0.
+      // The upstream repartition matters to the TEST (not the operator):
+      // AQE splits a skewed reduce partition at MAP-OUTPUT-BLOCK
+      // granularity, and the single-file sf0.001 scan is one map task —
+      // one indivisible block. Multiple mappers (as any real cluster scan
+      // has) give the splitter units to work with.
+      val li = Tables.load(spark, dir, "lineitem").repartition(8).select(
+        when(col("l_orderkey") % 4 < 3, lit(0L))
+          .otherwise(col("l_partkey") % 1000).as("k"),
+        col("l_orderkey"), col("l_quantity"))
+      // plain projection, no aggregate: OptimizeSkewedJoin only matches
+      // SMJ(Sort(shuffle), Sort(shuffle)) — an aggregate between either
+      // shuffle and the join makes the split ineligible
+      val dim = Tables.load(spark, dir, "part")
+        .select((col("p_partkey") % 1000).as("k"), col("p_name").as("dim_name"))
+      // NOTE no aggregate on top either: a downstream operator that
+      // REQUIRES the join's hash partitioning makes the skew split illegal
+      // (splitting un-co-partitions the output), and AQE silently
+      // declines — the same reason q_skew_join's salted rewrite exists
+      val joined = li.join(dim, "k")
+      joined.queryExecution.toRdd.count() // AQE decides from RUN-time sizes
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot-key join side as skew-split:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition pruning: static filter and dynamic dim join prune the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
