@@ -111,11 +111,67 @@ object CorpusSourceGate {
       |FROM lineitem WHERE l_orderkey < 1200
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** How many malformed lines the corrupt fixture plants (one per 20
+    * documents at the fixture's build slice — deterministic, and the
+    * oracle states the same number as a literal).
+    */
+  private val CorruptLines = 25
+
+  /** JSONL fixture with planted malformed lines: the real corpus plus
+    * `CorruptLines` files' worth of truncated JSON appended as extra
+    * lines. Written once; the corrupt lines are constants so the fixture
+    * is a pure function of the testdata.
+    */
+  private def corruptJsonlFixture(s: SparkSession, dir: String): java.nio.file.Path =
+    writeOnce(fixtureRoot("jsonlcorrupt", dir)) { tmp =>
+      Tables.load(s, dir, "documents")
+        .repartition(4, col("doc_id"))
+        .write.json(tmp.toString)
+      val junk = (0 until CorruptLines)
+        .map(i => s"""{"doc_id": $i, "text": "truncated""")
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(tmp.resolve("zz_corrupt.json"), junk): Unit
+    }
+
+  /** Corrupt-tolerant JSONL ingestion: PERMISSIVE mode routes malformed
+    * lines into `_corrupt_record` instead of killing the job — on a
+    * 100 TB crawl some lines are ALWAYS malformed, and FAILFAST means the
+    * whole job re-runs for one bad byte. The gate proves the split is
+    * exact: every good document survives (count + n_chars volume match
+    * the flat table) and the corrupt count is exactly the planted lines,
+    * no bleed in either direction.
+    */
+  def jsonlCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val root = corruptJsonlFixture(s, dir)
+    val withCorrupt = StructType(docSchema.fields :+
+      StructField("_corrupt_record", StringType))
+    val read = s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(root.toString)
+      // Spark requires a materialization boundary between the raw parse
+      // and predicates on the corrupt column (SPARK-21610: filters on
+      // _corrupt_record alone would prune the very columns whose parse
+      // failure defines it)
+      .cache()
+    read.agg(
+      count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      sum(when(col("_corrupt_record").isNull, col("n_chars"))).as("sum_chars"))
+  }
+
+  private val jsonlCorruptSql =
+    s"""SELECT count(*) AS n_good, CAST($CorruptLines AS BIGINT) AS n_corrupt,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jsonl_source" -> (jsonlSource(_, _)),
+    "q_jsonl_corrupt" -> (jsonlCorrupt(_, _)),
     "q_csv_source" -> (csvSource(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_jsonl_source" -> jsonlSourceSql,
+    "q_jsonl_corrupt" -> jsonlCorruptSql,
     "q_csv_source" -> csvSourceSql)
 }

@@ -88,11 +88,50 @@ object PartitionedScan {
       |      WHERE lang IN ('en', 'fr')) k USING (lang)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Documents re-shaped with log-style NESTING, once per testdata dir:
+    * the scalar metadata moves into a `meta` struct (with a doubly-nested
+    * `quality` struct), the payload stays top-level — the shape every
+    * event/crawl log has.
+    */
+  private[operators] def nestedDocs(s: SparkSession, dir: String): java.nio.file.Path =
+    writeOnce(fixtureRoot("nesteddocs", dir)) { tmp =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("lang"), col("source"),
+            struct(col("n_chars")).as("quality")).as("meta"),
+          col("text"))
+        .repartition(2, col("doc_id"))
+        .write.parquet(tmp.toString)
+    }
+
+  /** Nested-schema pruning: a query touching `meta.lang` and
+    * `meta.quality.n_chars` must leave `text` (the corpus's bulk — the
+    * payload column is ~99% of the bytes) and the untouched `meta.source`
+    * OUT of the parquet ReadSchema. Without the prune, every subfield
+    * access drags the whole struct + row through IO; PlanSpec pins the
+    * ReadSchema, this gate pins the values.
+    */
+  def nestedPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = nestedDocs(s, dir)
+    s.read.parquet(root.toString)
+      .groupBy(col("meta.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("meta.quality.n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  private val nestedPruneSql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_pruned" -> (partitionPruned(_, _)),
-    "q_dpp_join" -> (dppJoin(_, _)))
+    "q_dpp_join" -> (dppJoin(_, _)),
+    "q_nested_prune" -> (nestedPrune(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_partition_pruned" -> partitionPrunedSql,
-    "q_dpp_join" -> dppJoinSql)
+    "q_dpp_join" -> dppJoinSql,
+    "q_nested_prune" -> nestedPruneSql)
 }

@@ -289,6 +289,21 @@ class PlanSpec extends SparkSpec {
       "the decorrelated aggregate joins back to the outer side")
   }
 
+  test("nested schema pruning keeps the payload column out of the scan") {
+    val plan = graft.operators.PartitionedScan.nestedPrune(spark, dir)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema:")).getOrElse(fail(s"no scan:\n$plan"))
+    // only the touched subfields survive: meta.lang + meta.quality.n_chars;
+    // text (the corpus bulk) and the untouched meta.source must be pruned
+    assert(!readSchema.contains("text"),
+      s"the payload column must not be read:\n$readSchema")
+    assert(!readSchema.contains("source"),
+      s"untouched struct fields must be pruned:\n$readSchema")
+    assert(readSchema.contains("lang") && readSchema.contains("n_chars"),
+      s"touched subfields must be read:\n$readSchema")
+  }
+
   test("AQE splits the skewed shuffle partition at runtime (skew=true)") {
     // The runtime remedy the manual saltedJoin (X14) complements: for a
     // plain shuffled sort-merge join, AQE detects the oversized partition
