@@ -3,11 +3,11 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static winnowing kernel, called from both the interpreted and the
@@ -363,6 +363,52 @@ case class TrigramCounts(child: Expression, needles: Seq[String])
     val ref = ctx.addReferenceObj("tgTable", table,
       classOf[TrigramCountTable].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
+  }
+}
+
+/** Query side of the Count-Min sketch: estimate an item's frequency from
+  * the serialized sketch produced by Spark's `count_min_sketch` aggregate.
+  * Spark ships the BUILD side (the aggregate) but no SQL surface to READ
+  * the sketch back — without this, the bounded-memory frequency path dead-
+  * ends at a binary blob.
+  *
+  * Deliberately `CodegenFallback`: the expression evaluates once per
+  * PROBE row (a handful of heavy-hitter candidates against one sketch
+  * scalar), never per corpus row — the build side is where the data
+  * volume lives, and that is Spark's own codegen'd aggregate. The
+  * deserialized sketch is cached per-instance keyed on the blob reference,
+  * so repeated probes against the same sketch pay one parse.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate requires (binary sketch, string item), got $other")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+
+  // single-entry cache: all rows of a probe frame carry the SAME sketch
+  // scalar, so reference equality hits after the first row
+  @transient private var cachedBlob: Array[Byte] = _
+  @transient private var cachedSketch: org.apache.spark.util.sketch.CountMinSketch = _
+
+  override def nullSafeEval(sketchBytes: Any, item: Any): Any = {
+    val blob = sketchBytes.asInstanceOf[Array[Byte]]
+    if (cachedSketch == null || (cachedBlob ne blob)) {
+      cachedSketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+      cachedBlob = blob
+    }
+    cachedSketch.estimateCount(item.asInstanceOf[UTF8String].toString)
   }
 }
 

@@ -108,6 +108,12 @@ object VectorFunctions {
       s"simhash_sig expects 1 argument, got ${exprs.length}")
   }
 
+  private[functions] val cmsBuilder: Seq[Expression] => Expression = {
+    case Seq(sk, item) => CmsEstimate(sk, item)
+    case exprs => throw new IllegalArgumentException(
+      s"cms_estimate expects (sketch, item), got ${exprs.length} args")
+  }
+
   // the needle list must be a literal at plan time (the table is compiled
   // once per expression); accept both the pre-folding CreateArray of
   // string literals and an already-folded array literal
@@ -145,6 +151,8 @@ object VectorFunctions {
       "simhash_sig", simhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "trigram_counts", trigramBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_estimate", cmsBuilder, "built-in")
   }
 }
 
@@ -177,5 +185,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("trigram_counts"),
       new ExpressionInfo(classOf[TrigramCounts].getName, "trigram_counts"),
       VectorFunctions.trigramBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      VectorFunctions.cmsBuilder))
   }
 }

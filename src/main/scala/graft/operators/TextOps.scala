@@ -877,6 +877,53 @@ object TextOps {
        |FROM ex WHERE len(tok) > 0
        |GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin
 
+  /** Heavy hitters via Count-Min sketch — the BOUNDED-MEMORY frequency
+    * path beside [[vocabTopK]]'s exact aggregate, completing the sketch
+    * family (HLL++ distinct counts, GK percentiles, CMS frequencies).
+    * The exact groupBy holds one state row per DISTINCT token — a web-
+    * scale corpus has billions — where the sketch is a fixed
+    * depth×width counter grid (~0.2 MB here) regardless of cardinality,
+    * built by Spark's own mergeable `count_min_sketch` aggregate
+    * (map-side partials merge like any agg).
+    *
+    * Gate pattern as q_approx_distinct/q_percentiles_approx: the
+    * ESTIMATE is engine-specific, the GUARANTEE is not — CMS never
+    * undercounts, and with eps=0.001/confidence=0.9999/seed=42 the
+    * overcount stays ≤ ⌈eps·N⌉ (deterministic for fixed seed+data, so
+    * the verdict booleans hash-compare). The probe side reads the sketch
+    * back through the native [[graft.functions.CmsEstimate]] expression —
+    * Spark ships the build aggregate but no SQL surface to query the
+    * blob.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val tokens = docs(s, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val topk = tokens.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok"))
+      .limit(20)
+    val sketch = tokens.agg(
+      expr("count_min_sketch(tok, 0.001d, 0.9999d, 42)").as("sk"),
+      count(lit(1)).as("total"))
+    topk.crossJoin(broadcast(sketch))
+      .withColumn("est", expr("cms_estimate(sk, tok)"))
+      .select(col("tok"), col("exact_n"),
+        (col("est") >= col("exact_n")).as("never_undercounts"),
+        (col("est") <= col("exact_n") +
+          ceil(col("total") * lit(0.001)).cast("long")).as("within_eps_bound"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
+  private val heavyHittersSql =
+    s"""WITH ex AS (
+       |  SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents)
+       |SELECT tok, count(*) AS exact_n,
+       |  TRUE AS never_undercounts, TRUE AS within_eps_bound
+       |FROM ex WHERE len(tok) > 0
+       |GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20""".stripMargin
+
   /** Characteristic key terms per document: top-3 tokens by in-document
     * frequency among tokens that are NOT corpus boilerplate (document
     * frequency ≤ half the corpus) — TF-IDF's selection effect with
@@ -1122,6 +1169,7 @@ object TextOps {
     "q_hash_split" -> (hashSplit(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
+    "q_heavy_hitters" -> (heavyHitters(_, _)),
     "q_doc_keyterms" -> (docKeyterms(_, _)),
     "q_dedup_exact" -> (dedupExact(_, _)),
     "q_text_stats" -> (textStats(_, _)),
@@ -1143,6 +1191,7 @@ object TextOps {
     "q_hash_split" -> hashSplitSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_doc_keyterms" -> docKeytermsSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_text_stats" -> textStatsSql,

@@ -397,6 +397,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(2)(5) == 3L)
   }
 
+  test("cms_estimate reads back count_min_sketch; exact at test cardinality") {
+    graft.functions.VectorFunctions.register(spark)
+    val toks = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = toks.toDF("tok")
+    val sk = df.agg(expr("count_min_sketch(tok, 0.001d, 0.9999d, 42)").as("sk"))
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("tok")
+      .crossJoin(sk)
+      .selectExpr("tok", "cms_estimate(sk, tok) AS est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // width e/0.001 ≈ 2718 >> 3 distinct tokens: no collisions, so the
+    // estimates are EXACT here — and the never-undercount guarantee means
+    // an absent item can only read 0 or a collision (none at this width)
+    assert(probes == Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L, "absent" -> 0L))
+  }
+
   test("clusters merges chained pairs transitively, split components stay apart") {
     // A-B, B-C chain into one component even though A-C is not a pair;
     // D-E is separate
