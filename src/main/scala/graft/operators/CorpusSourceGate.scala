@@ -152,8 +152,11 @@ object CorpusSourceGate {
       // Spark requires a materialization boundary between the raw parse
       // and predicates on the corrupt column (SPARK-21610: filters on
       // _corrupt_record alone would prune the very columns whose parse
-      // failure defines it)
-      .cache()
+      // failure defines it). localCheckpoint, not cache: it materializes
+      // the boundary without pinning rows in executor storage for the
+      // rest of a 90-query Verify run (the clusters()/contamination()
+      // discipline) — the checkpoint RDD is released when the frame is.
+      .localCheckpoint()
     read.agg(
       count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
       count(col("_corrupt_record")).as("n_corrupt"),
