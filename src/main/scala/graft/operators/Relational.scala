@@ -332,6 +332,55 @@ object Relational {
         .orderBy(col("prio").asc_nulls_first)
     }),
 
+    // NOT IN three-valued logic — the null-aware anti join, the classic
+    // silent-wrong-answer surface: `x NOT IN (list)` is never TRUE when x
+    // is NULL, and never TRUE for ANY x once the list contains a NULL
+    // (the whole predicate collapses to empty — the single most-reported
+    // SQL correctness trap). A plain left_anti on equality gets both
+    // wrong, so Spark must plan its null-aware anti join for the
+    // null-bearing list. Three scalar subqueries pin the three behaviors
+    // in one row: meaningful filtering against a null-free list (null
+    // probes excluded), the null-list collapse (MUST be 0), and the null
+    // probe count the first two silently dropped. SQL text, not DataFrame
+    // ops — RewritePredicateSubquery + the NAAJ planning is the surface
+    // being graded.
+    "q_not_in_null" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("nin_orders")
+      s.sql(
+        """WITH o AS (
+          |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio
+          |  FROM nin_orders)
+          |SELECT
+          |  (SELECT count(*) FROM o WHERE prio NOT IN (
+          |     SELECT DISTINCT o_orderpriority FROM nin_orders
+          |     WHERE o_orderpriority LIKE '1-%'
+          |        OR o_orderpriority LIKE '2-%')) AS n_clean,
+          |  (SELECT count(*) FROM o WHERE prio NOT IN (
+          |     SELECT prio FROM o)) AS n_null_list,
+          |  (SELECT count(*) FROM o WHERE prio IS NULL) AS n_probe_null""".stripMargin)
+    }),
+
+    // LATERAL correlated-subquery join — per-nation top-2 suppliers where
+    // the inner query references the OUTER row (n_nationkey) under its own
+    // ORDER BY ... LIMIT. Catalyst cannot run a subquery per outer row at
+    // 100 TB; DecorrelateInnerQuery must rewrite the correlated LIMIT into
+    // a partitioned window (rank over s_nationkey) + one join — the
+    // same shape q_topk_per_group hand-writes, here produced by the
+    // OPTIMIZER from the lateral form. Nations without suppliers drop out
+    // (inner lateral). Doubles pass through unarithmetic'd, so the hash
+    // compare sees the stored bits.
+    "q_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      t(s, dir, "supplier").createOrReplaceTempView("lat_supplier")
+      s.sql(
+        """SELECT n_name, s_name, s_acctbal
+          |FROM lat_nation JOIN LATERAL (
+          |  SELECT s_name, s_acctbal FROM lat_supplier
+          |  WHERE s_nationkey = n_nationkey
+          |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+          |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+    }),
+
     // E2 union (reference Future.reduceLeft(_ ++ _) over per-tenant fetches
     // — GraphQLService.scala:141-150): unionByName of two disjoint slices
     // projected in different column orders (the name-alignment is the op).
@@ -450,6 +499,24 @@ object Relational {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+    "q_not_in_null" ->
+      """WITH o AS (
+        |  SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM o WHERE prio NOT IN (
+        |     SELECT DISTINCT o_orderpriority FROM orders
+        |     WHERE o_orderpriority LIKE '1-%'
+        |        OR o_orderpriority LIKE '2-%')) AS n_clean,
+        |  (SELECT count(*) FROM o WHERE prio NOT IN (
+        |     SELECT prio FROM o)) AS n_null_list,
+        |  (SELECT count(*) FROM o WHERE prio IS NULL) AS n_probe_null""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT n_name, s_name, s_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
     "q_null_semantics" ->
       """WITH o AS (
         |  SELECT *, nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders),

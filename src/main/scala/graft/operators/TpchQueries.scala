@@ -289,13 +289,62 @@ object TpchQueries {
       |              / COUNT(*)
       |       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** Q21: suppliers who kept orders waiting — the MULTI-KEY correlated
+    * EXISTS + NOT EXISTS shape (the one decorrelation surface Q4/Q17/Q18
+    * left uncovered): both subqueries correlate on l_orderkey EQUALITY and
+    * carry an extra l_suppkey INEQUALITY. RewritePredicateSubquery must
+    * compile them to one left_semi and one left_anti join whose condition
+    * is the equi-key PLUS the non-equi residual — shuffle-partitionable on
+    * orderkey at 100 TB, never a per-row re-scan (PlanSpec pins
+    * semi+anti and forbids nested-loop/cartesian). The classic "late"
+    * predicate (l_receiptdate > l_commitdate) uses columns the testdata
+    * lacks; l_returnflag = 'R' stands in — the decorrelation SHAPE is
+    * identical. Supplier carries no broadcast hint (it grows with SF;
+    * size-threshold/AQE decides).
+    */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "supplier").createOrReplaceTempView("q21_supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("q21_orders")
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM q21_supplier, q21_lineitem l1, q21_orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM q21_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> (q1(_, _)),
     "q_tpch_q3" -> (q3(_, _)),
     "q_tpch_q4" -> (q4(_, _)),
     "q_tpch_q5" -> (q5(_, _)),
     "q_tpch_q17" -> (q17(_, _)),
-    "q_tpch_q18" -> (q18(_, _)))
+    "q_tpch_q18" -> (q18(_, _)),
+    "q_tpch_q21" -> (q21(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q1" -> q1Sql,
@@ -303,5 +352,6 @@ object TpchQueries {
     "q_tpch_q4" -> q4Sql,
     "q_tpch_q5" -> q5Sql,
     "q_tpch_q17" -> q17Sql,
-    "q_tpch_q18" -> q18Sql)
+    "q_tpch_q18" -> q18Sql,
+    "q_tpch_q21" -> q21Sql)
 }

@@ -289,6 +289,40 @@ class PlanSpec extends SparkSpec {
       "the decorrelated aggregate joins back to the outer side")
   }
 
+  test("tpch q21's EXISTS/NOT EXISTS decorrelate to semi+anti equi-joins") {
+    // Both subqueries correlate on l_orderkey equality with an l_suppkey
+    // inequality residual. The rewrite must yield ONE left_semi and ONE
+    // left_anti join keyed on orderkey (shuffle-partitionable at 100 TB);
+    // a nested-loop or cartesian fallback would re-scan the fact per row.
+    val p = graft.operators.TpchQueries.q21(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"q21's EXISTS must be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"q21's NOT EXISTS must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"q21 must never fall back to nested-loop/cartesian:\n$p")
+  }
+
+  test("lateral top-k decorrelates the correlated LIMIT into a window") {
+    // The inner query's ORDER BY ... LIMIT 2 references the outer row; a
+    // surviving per-outer-row subquery is a per-row re-scan. Catalyst must
+    // rewrite it to a partitioned window (the q_topk_per_group shape) —
+    // no lateral/nested-loop join may survive to the physical plan.
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("lat_plan_nation")
+    Tables.load(spark, dir, "supplier").createOrReplaceTempView("lat_plan_supplier")
+    val qe = spark.sql(
+      """SELECT n_name, s_name, s_acctbal
+        |FROM lat_plan_nation JOIN LATERAL (
+        |  SELECT s_name, s_acctbal FROM lat_plan_supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"),
+      s"the correlated LIMIT must become a partitioned window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"lateral must not survive as a nested-loop join:\n$p")
+  }
+
   test("nested schema pruning keeps the payload column out of the scan") {
     val plan = graft.operators.PartitionedScan.nestedPrune(spark, dir)
       .queryExecution.executedPlan.toString
