@@ -522,6 +522,224 @@ object Similarity {
        |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
        |ORDER BY qid, rank""".stripMargin
 
+  // ----------------------------------------- product quantization ANN
+
+  private val PqM = 16      // subspaces
+  private val PqSubDim = 4  // Dim / PqM
+  private val PqK = 16      // centroids per subspace (4-bit codes)
+  private val PqIters = 3
+  private val PqCand = 50   // ADC shortlist size before exact re-rank
+
+  /** Per-run trained PQ codebooks, captured for the oracle exactly like
+    * [[lastTrained]]: (m, cid) → sub-centroid. */
+  @volatile private var lastPq: Option[Seq[(Int, Int, Seq[Double])]] = None
+
+  /** Subvector view of the corpus: one row per (vec_id, m) with the m-th
+    * 8-dim slice of the UNIT-NORMALIZED vector and its self-dot. PQ ranks
+    * by L2 but the engine's truth metric is cosine; on unit vectors they
+    * agree monotonically (L2-squared = 2 - 2cos), on raw vectors they do
+    * not — quantizing unnormalized inputs cost recall@5 0.48 vs 0.90 on
+    * the planted clusters. */
+  private def subVectors(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("vn", expr("transform(v, x -> x / sqrt(nn))"))
+      .withColumn("m", explode(expr(s"sequence(0, ${PqM - 1})")))
+      .withColumn("sub", expr(s"slice(vn, m * $PqSubDim + 1, $PqSubDim)"))
+      .withColumn("ss", expr("vec_dot(sub, sub)"))
+      .select(col("vec_id"), col("m"), col("sub"), col("ss"))
+
+  /** Literal (m, cid, cv, cc) frame for driver-held PQ codebooks. */
+  private def pqFrame(s: SparkSession, cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cb.toDF("m", "cid", "cv").withColumn("cc", expr("vec_dot(cv, cv)"))
+  }
+
+  /** Nearest sub-centroid per (vec_id, m) under squared L2, ties to the
+    * lower cid — the single assignment rule shared by training, encoding,
+    * and the oracle replay. d² = ss + cc − 2·dot, every term a row-local
+    * left fold, so both engines see identical doubles. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("cid"))
+    sub.join(broadcast(cb), "m")
+      .withColumn("d2", col("ss") + col("cc") - lit(2.0) * expr("vec_dot(sub, cv)"))
+      .withColumn("arank", row_number().over(w))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("m"), col("cid"), col("sub"))
+  }
+
+  /** Deterministic per-subspace Lloyd's k-means: PqM independent codebooks
+    * trained in ONE DataFrame job per iteration (the m column rides along
+    * as a grouping key). Same 100 TB shape as [[trainCodebook]]: codebooks
+    * live on the driver (PqM·PqK·PqSubDim = 1024 doubles) and broadcast;
+    * assignment is map-side; the mean update collects exactly
+    * PqM·PqK·PqSubDim cell sums, never data. Fixed-point init (subvectors
+    * of the first PqK corpus vectors) + fixed iteration count keep it
+    * reproducible; empty cells keep their previous centroid.
+    */
+  def trainPqCodebooks(s: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
+    val corpus = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)"))
+    val sub = subVectors(corpus).cache()
+    var cb: Map[(Int, Int), Seq[Double]] = corpus.filter(col("vec_id") < PqK)
+      .orderBy("vec_id").select(expr("transform(v, x -> x / sqrt(nn))")).collect()
+      .map(_.getSeq[Double](0)).zipWithIndex.flatMap { case (v, cid) =>
+        (0 until PqM).map(m =>
+          (m, cid) -> v.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      }.toMap
+    for (_ <- 1 to PqIters) {
+      val assigned = pqAssign(sub, pqFrame(s, cb.toSeq.map {
+        case ((m, c), v) => (m, c, v) }))
+      val sums = assigned
+        .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("i", "x")))
+        .groupBy("m", "cid", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val means = sums.groupBy(r => (r.getAs[Int]("m"), r.getAs[Int]("cid")))
+        .map { case (key, rows) =>
+          val v = Array.ofDim[Double](PqSubDim)
+          rows.foreach(r =>
+            v(r.getAs[Int]("i")) = r.getAs[Double]("sx") / r.getAs[Long]("cnt"))
+          key -> v.toSeq
+        }
+      cb = cb ++ means
+    }
+    sub.unpersist(blocking = false)
+    cb.toSeq.map { case ((m, c), v) => (m, c, v) }.sortBy(t => (t._1, t._2))
+  }
+
+  /** ANN via product quantization with asymmetric distance (ADC): corpus
+    * vectors compress to PqM 4-bit codes (64 dims → 8 codes, a 64×
+    * memory reduction at scale); queries stay exact and score candidates
+    * through per-subspace distance TABLES against the broadcast
+    * codebooks. The serving plan is the shape that survives 100 TB:
+    *
+    *   - encode: map-side assignment against broadcast codebooks, one
+    *     tiny grouped pivot to a codes-array per vector (at scale the
+    *     codes array is WRITTEN AT INGEST — serving reads it, never the
+    *     raw vectors);
+    *   - distance tables: per (query, m) the 16 d² values, pivoted
+    *     m-major and broadcast (NumQueries·PqM·PqK doubles);
+    *   - ADC: ONE pure-map pass over the codes — a row-local fold over m
+    *     of dt[m][code[m]] in fixed m order (bit-deterministic, no
+    *     cross-row double sum anywhere) — then a per-query top-PqCand
+    *     window and the shared exact re-rank on true vectors.
+    *
+    * The oracle replays the captured codebooks as literals (the
+    * [[annIvfTrained]] discipline), so the approximate result is still
+    * exact-compared. LlmOpsSpec additionally pins PQ recall@5 against the
+    * exact top-k — the quantization-quality floor the hash compare can't
+    * express.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    val cb = trainPqCodebooks(s, dir)
+    lastPq = Some(cb)
+    val cbf = pqFrame(s, cb)
+    val sub = subVectors(corpus)
+
+    // codes array per vector, m-ascending (struct sort orders by m first)
+    val codes = pqAssign(sub, cbf)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
+      .select(col("vec_id"), expr("transform(mc, x -> x.cid)").as("code"))
+
+    // per-query distance tables, pivoted (m-major, cid-minor) and broadcast
+    val qd = subVectors(corpus.filter(col("vec_id") < NumQueries))
+      .join(broadcast(cbf), "m")
+      .withColumn("d2", col("ss") + col("cc") - lit(2.0) * expr("vec_dot(sub, cv)"))
+    val qdt = qd.groupBy(col("vec_id").as("qid"), col("m"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("d2")))).as("cd"))
+      .select(col("qid"), col("m"), expr("transform(cd, x -> x.d2)").as("darr"))
+      .groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("m"), col("darr")))).as("md"))
+      .select(col("qid"), expr("transform(md, x -> x.darr)").as("dt"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val cands = codes.join(broadcast(qdt))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE),
+           |  (acc, m) -> acc + element_at(element_at(dt, m + 1),
+           |                               element_at(code, m + 1) + 1))""".stripMargin))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= PqCand)
+      .select(col("qid"), col("vec_id").as("nid"))
+
+    rerankTopK(cands, corpus, AnnK)
+  }
+
+  private def annPqSql: String = {
+    val cb = lastPq.getOrElse(
+      Seq.tabulate(PqM * PqK)(i => (i / PqK, i % PqK, Seq.fill(PqSubDim)(0.0))))
+    val values = cb
+      .map { case (m, cid, v) => s"($m, $cid, ${v.map(dlit).mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |cb AS (
+       |  SELECT m, cid, cv,
+       |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cc
+       |  FROM (VALUES
+       |    $values) t(m, cid, cv)),
+       |nv AS (
+       |  SELECT vec_id, list_transform(v, x -> x / sqrt(nn)) AS vn FROM n),
+       |sub AS (
+       |  SELECT vec_id, ms.m,
+       |    list_slice(vn, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS sub
+       |  FROM nv, (SELECT unnest(range($PqM)) AS m) ms),
+       |subn AS (
+       |  SELECT vec_id, m, sub,
+       |    list_reduce(list_transform(sub, x -> x * x), (a, b) -> a + b) AS ss
+       |  FROM sub),
+       |d AS (
+       |  SELECT vec_id, s.m, cid,
+       |    ss + cc - 2.0 * list_reduce(list_transform(range($PqSubDim),
+       |      i -> s.sub[i+1] * cb.cv[i+1]), (a, b) -> a + b) AS d2
+       |  FROM subn s JOIN cb ON s.m = cb.m),
+       |assigned AS (
+       |  SELECT vec_id, m, cid,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS arank
+       |  FROM d),
+       |code_arr AS (
+       |  SELECT vec_id, list(cid ORDER BY m) AS code
+       |  FROM assigned WHERE arank = 1 GROUP BY vec_id),
+       |qdm AS (
+       |  SELECT vec_id AS qid, m, list(d2 ORDER BY cid) AS darr
+       |  FROM d WHERE vec_id < $NumQueries GROUP BY 1, 2),
+       |qdt AS (SELECT qid, list(darr ORDER BY m) AS dt FROM qdm GROUP BY 1),
+       |adc AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_transform(range($PqM),
+       |      m -> dt[m + 1][code[m + 1] + 1]), (a, b) -> a + b) AS adc
+       |  FROM code_arr CROSS JOIN qdt WHERE vec_id != qid),
+       |cand AS (
+       |  SELECT qid, vec_id AS nid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS crank
+       |  FROM adc),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> qn.v[i+1] * cn.v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(qn.nn) * sqrt(cn.nn)) AS cosine
+       |  FROM cand
+       |  JOIN n qn ON qn.vec_id = cand.qid
+       |  JOIN n cn ON cn.vec_id = cand.nid
+       |  WHERE cand.crank <= $PqCand),
+       |r AS (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   // ------------------------------------- embedding curation operators
 
   /** Stratified deterministic sample: k vectors per label, chosen by the
@@ -596,6 +814,7 @@ object Similarity {
     "q_ann_lsh" -> (annLsh(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
     "q_ann_ivf_trained" -> (annIvfTrained(_, _)),
+    "q_ann_pq" -> (annPq(_, _)),
     "q_embed_neardup" -> (embedNearDup(_, _)))
 
   /** def, not val: q_ann_ivf_trained's oracle embeds the centroids trained
@@ -608,5 +827,6 @@ object Similarity {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_trained" -> annIvfTrainedSql,
+    "q_ann_pq" -> annPqSql,
     "q_embed_neardup" -> embedNearDupSql)
 }

@@ -221,6 +221,20 @@ class LlmOpsSpec extends SparkSpec {
       s"trained codebook recall $trained fell below stand-in $standIn")
   }
 
+  test("PQ-ADC recall@5 against the exact top-k") {
+    // The hash-compare gate proves both engines compute the SAME
+    // approximation; this pins that the approximation is GOOD — the 4-bit
+    // codes + 15-candidate rerank must recover most of the true top-5.
+    val dir = "/root/testdata/sf0.01"
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") <= 5).select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top5(Similarity.cosineTopK(spark, dir))
+    val pq = top5(Similarity.annPq(spark, dir))
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@5 $recall below 0.8 floor")
+  }
+
   test("annIvf surfaces an identical vector via its probed cell") {
     val dir = java.nio.file.Files.createTempDirectory("emb").toString
     // ids 0..15 double as the IVF codebook; 17 duplicates query 0's vector
