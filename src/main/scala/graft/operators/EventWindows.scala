@@ -592,8 +592,86 @@ object EventWindows {
       |WHERE ts < TIMESTAMP '2024-01-08'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** STREAM-STATIC join under the oracle — the third member of the
+    * Structured Streaming join family (beside the stream-stream interval
+    * join and the stateful aggregations): each micro-batch of the
+    * two-batch fixture joins a BATCH dimension (per-user lifetime event
+    * count, computed from the same parquet) with no state and no
+    * watermark; the enriched rows append to the sink, which the gate then
+    * aggregates in batch. The oracle recomputes join+aggregate directly,
+    * so rows lost (a batch skipping the dimension) or duplicated (a
+    * re-broadcast leak) across the batch boundary hash-fail.
+    */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val input = twoBatchInput(s, dir, "staticjoinstream", dupSecond = false)
+    val dim = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_total"))
+    val sunk = streamTwoBatches(s, input, "q_stream_static_join_sink")(
+      graft.streaming.EventStream.enrichWithDim(_, dim, "user_id"))
+    sunk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"),
+        sum(col("n_total")).as("sum_dim"))
+      .orderBy("event_type")
+  }
+
+  private val streamStaticJoinSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  CAST(sum(n_total) AS BIGINT) AS sum_dim
+      |FROM events e JOIN (
+      |  SELECT user_id, count(*) AS n_total FROM events GROUP BY 1) u
+      |  USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SCD2 history build + point-in-time lookup — the slowly-changing-
+    * dimension surface: each event is a change record opening a regime
+    * [ts, next-change) per user (valid_to = lead(ts), NULL while current),
+    * and the probe reads the regime active at one instant. ONE shuffle on
+    * user_id serves both the interval build (window lead) and the regime
+    * count; the point-in-time predicate is `valid_from <= T AND (valid_to
+    * IS NULL OR T < valid_to)` — zero-length regimes (equal-ts ties,
+    * ordered deterministically by event_id) self-exclude. At 100 TB the
+    * history table is built once (this plan) and stored; probes become
+    * filter-scans of the stored intervals, and a probe SET is the as-of
+    * join (X18) against the same intervals.
+    */
+  def scd2PointInTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probe = lit("2024-01-15 12:00:00").cast(TimestampNTZType)
+    val hist = events(s, dir)
+      .select(col("user_id"), col("ts").as("valid_from"), col("event_id"),
+        col("event_type").as("regime"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from"), col("event_id"))))
+    val counts = hist.groupBy(col("user_id")).agg(count(lit(1)).as("n_regimes"))
+    val active = hist.filter(col("valid_from") <= probe &&
+        (col("valid_to").isNull || probe < col("valid_to")))
+      .select(col("user_id"), col("regime"), col("valid_from").as("since"))
+    counts.join(active, "user_id")
+      .select(col("user_id"), col("n_regimes"), col("regime"), col("since"))
+      .orderBy("user_id")
+  }
+
+  private val scd2PointInTimeSql =
+    """WITH hist AS (
+      |  SELECT user_id, ts AS valid_from, event_id, event_type AS regime,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events),
+      |counts AS (SELECT user_id, count(*) AS n_regimes FROM hist GROUP BY 1),
+      |active AS (
+      |  SELECT user_id, regime, valid_from AS since FROM hist
+      |  WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+      |    AND (valid_to IS NULL OR TIMESTAMP '2024-01-15 12:00:00' < valid_to))
+      |SELECT user_id, n_regimes, regime, since
+      |FROM counts JOIN active USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_incr_agg" -> (incrementalAgg(_, _)),
+    "q_stream_static_join" -> (streamStaticJoin(_, _)),
+    "q_scd2_pit" -> (scd2PointInTime(_, _)),
     "q_window_tumbling" -> (tumbling(_, _)),
     "q_window_sliding" -> (sliding(_, _)),
     "q_window_session" -> (sessions(_, _)),
@@ -609,6 +687,8 @@ object EventWindows {
 
   val oracles: Map[String, String] = Map(
     "q_incr_agg" -> incrementalAggSql,
+    "q_stream_static_join" -> streamStaticJoinSql,
+    "q_scd2_pit" -> scd2PointInTimeSql,
     "q_window_tumbling" -> tumblingSql,
     "q_window_sliding" -> slidingSql,
     "q_window_session" -> sessionsSql,

@@ -81,6 +81,19 @@ object EventStream {
                         delay: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** STREAM-STATIC join — enrich each micro-batch with a BATCH dimension.
+    * Stateless by construction: the static side is a plan subtree, not
+    * stream state — the engine re-executes (or reuses the broadcast of)
+    * the dimension per micro-batch, nothing is buffered, no watermark is
+    * involved. The 100 TB enrichment shape: a broadcast dimension makes
+    * the join map-side within every micro-batch; a growing dimension
+    * would instead be a shuffled join per batch (or a slowly-refreshed
+    * snapshot table). Append-mode output: enriched rows emit on arrival.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   /** STREAM-STREAM inner join with event-time range correlation — the
     * view→click attribution shape: for each view event, the click events
     * of the SAME user within `maxDelay` after it. Both sides are streaming
