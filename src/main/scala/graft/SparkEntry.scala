@@ -29,6 +29,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.TypedAgg.queries ++
       operators.TpchQueries.queries ++
       operators.ZOrder.queries ++
       operators.Bucketed.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.TypedAgg.oracles ++
       operators.TpchQueries.oracles ++
       operators.ZOrder.oracles ++
       operators.Bucketed.oracles ++

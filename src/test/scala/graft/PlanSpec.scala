@@ -323,6 +323,21 @@ class PlanSpec extends SparkSpec {
       s"lateral must not survive as a nested-loop join:\n$p")
   }
 
+  test("typed top-k aggregator partially aggregates below the shuffle") {
+    // The Aggregator formulation's whole point vs the window top-k: a
+    // k-bounded buffer combines MAP-SIDE, so the exchange carries
+    // k·|groups| buffers, not every input row. Plan order is root-first:
+    // final ObjectHashAggregate, then the Exchange, then the partial
+    // ObjectHashAggregate below it.
+    val p = graft.operators.TypedAgg.topKAgg(spark, dir)
+      .queryExecution.executedPlan.toString
+    val aggs = "ObjectHashAggregate".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(aggs.size == 2, s"expected partial+final object hash aggregate:\n$p")
+    val ex = p.indexOf("Exchange hashpartitioning(o_orderpriority")
+    assert(ex > aggs.head && ex < aggs.last,
+      s"the exchange must sit between final and partial aggregation:\n$p")
+  }
+
   test("nested schema pruning keeps the payload column out of the scan") {
     val plan = graft.operators.PartitionedScan.nestedPrune(spark, dir)
       .queryExecution.executedPlan.toString
