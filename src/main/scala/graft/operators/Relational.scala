@@ -381,6 +381,22 @@ object Relational {
           |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
     }),
 
+    // Unpivot/melt — wide-to-long reshaping (the inverse of q_pivot):
+    // four measure columns become (metric, value) rows. Spark's native
+    // unpivot is a row-local Expand (4 output rows per input row, no
+    // shuffle, no UDTF); values pass through unarithmetic'd so the
+    // doubles hash-compare exactly against the oracle's UNION ALL form.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+
     // E2 union (reference Future.reduceLeft(_ ++ _) over per-tenant fetches
     // — GraphQLService.scala:141-150): unionByName of two disjoint slices
     // projected in different column orders (the name-alignment is the op).
@@ -517,6 +533,17 @@ object Relational {
         |  WHERE s_nationkey = n_nationkey
         |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
         |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_null_semantics" ->
       """WITH o AS (
         |  SELECT *, nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders),
