@@ -337,8 +337,42 @@ object TpchQueries {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** Q13: customer order-count distribution — the OUTER-JOIN-AGGREGATE
+    * shape with its classic semantics trap: the selective predicate lives
+    * in the LEFT JOIN's ON clause, where it null-extends non-matching
+    * customers into the c_count=0 bucket; written as a WHERE it would
+    * DROP them and silently delete the zero bucket (the single most
+    * common outer-join rewrite mistake — the gate exists to pin the
+    * difference). The classic comment-pattern filter uses a column the
+    * testdata lacks; an o_orderpriority exclusion stands in, same shape.
+    * Two-level aggregate: per-customer count (left outer join, count of
+    * the nullable side), then the distribution over counts. Both
+    * aggregates shuffle on their keys; nothing broadcasts except what
+    * AQE picks at small sf.
+    */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders").filter(col("o_orderpriority") =!= "3-MEDIUM")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> (q1(_, _)),
+    "q_tpch_q13" -> (q13(_, _)),
     "q_tpch_q3" -> (q3(_, _)),
     "q_tpch_q4" -> (q4(_, _)),
     "q_tpch_q5" -> (q5(_, _)),
@@ -348,6 +382,7 @@ object TpchQueries {
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q1" -> q1Sql,
+    "q_tpch_q13" -> q13Sql,
     "q_tpch_q3" -> q3Sql,
     "q_tpch_q4" -> q4Sql,
     "q_tpch_q5" -> q5Sql,
