@@ -381,6 +381,31 @@ object Relational {
           |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
     }),
 
+    // Date/time arithmetic family (§2h beyond the journal's ISO parse):
+    // truncation, month arithmetic (both engines clamp to month end —
+    // Jan 31 + 1 month = Feb 29), month-end resolution, day diffs from a
+    // fixed epoch, and calendar fields. Functions chosen so Spark and
+    // DuckDB agree by DEFINITION (dayofweek is deliberately absent: Spark
+    // counts Sunday=1, DuckDB Sunday=0 — an off-by-one the compare would
+    // catch but no portable expression avoids cleanly). All pure map,
+    // grouped to month grain for a compact deterministic output.
+    "q_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("month_start"),
+          col("o_orderdate"))
+        .groupBy(col("month_start"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(add_months(col("o_orderdate").cast("date"), 1)).as("next_month_min"),
+          max(last_day(col("o_orderdate").cast("date"))).as("month_end"),
+          max(datediff(col("o_orderdate").cast("date"),
+            lit("1998-01-01").cast("date"))).cast("long").as("max_days_since"),
+          min(quarter(col("o_orderdate"))).cast("long").as("q"),
+          min(year(col("o_orderdate"))).cast("long").as("y"))
+        .orderBy("month_start")
+    }),
+
     // Unpivot/melt — wide-to-long reshaping (the inverse of q_pivot):
     // four measure columns become (metric, value) rows. Spark's native
     // unpivot is a row-local Expand (4 output rows per input row, no
@@ -533,6 +558,15 @@ object Relational {
         |  WHERE s_nationkey = n_nationkey
         |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
         |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT date_trunc('month', o_orderdate) AS month_start, count(*) AS n,
+        |  min(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)) AS next_month_min,
+        |  max(last_day(CAST(o_orderdate AS DATE))) AS month_end,
+        |  max(date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE)))
+        |    AS max_days_since,
+        |  min(quarter(o_orderdate)) AS q,
+        |  min(year(o_orderdate)) AS y
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
