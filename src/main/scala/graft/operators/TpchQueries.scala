@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
 
-/** Classic TPC-H composite queries (Q1, Q3, Q5) over the testdata — the
+/** Classic TPC-H composite queries over the testdata — the
   * end-to-end shapes that exercise many operators in ONE plan: multi-way
   * joins with selective dimension filters, date-range pushdown, grouped
   * decimal aggregation, top-k ordering. Individually every piece has its
@@ -370,8 +370,194 @@ object TpchQueries {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** Q19: discounted revenue — the DISJUNCTIVE MULTI-BRANCH predicate
+    * shape: three OR'd conjunctions, each constraining columns from BOTH
+    * join sides (brand/size from part, quantity from lineitem). What makes
+    * this a distinct engine surface: Catalyst must keep the equi-join key
+    * out of the disjunction (the classic mistake is OR-ing the join
+    * condition too, forcing a nested loop) and should push the UNION of
+    * each side's branches into that side's scan as an OR filter — the
+    * part scan reads only rows matching some branch's brand+size, the
+    * lineitem scan only rows in some quantity range, and the full
+    * three-way predicate re-applies after the join. At 100 TB the
+    * difference between "scan filters rows then join" and "join
+    * everything then filter" is the whole game. The classic container/
+    * shipmode columns don't exist in the testdata; brand+size+quantity
+    * branches preserve the shape.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val pt = t(s, dir, "part")
+    def branch(brand: String, qlo: Int, qhi: Int, shi: Int): Column =
+      pt("p_brand") === brand &&
+        li("l_quantity").between(qlo, qhi) && pt("p_size").between(1, shi)
+    li.join(pt, li("l_partkey") === pt("p_partkey") &&
+        (branch("Brand#12", 1, 11, 5) ||
+          branch("Brand#23", 10, 20, 10) ||
+          branch("Brand#3", 20, 30, 15)))
+      .agg(sumRounded(discPrice).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  private val q19Sql =
+    s"""SELECT CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |     (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+      |      AND p_size BETWEEN 1 AND 5)
+      |  OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+      |      AND p_size BETWEEN 1 AND 10)
+      |  OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+      |      AND p_size BETWEEN 1 AND 15))""".stripMargin
+
+  /** Q22: global sales opportunity — the UNCORRELATED-SCALAR-SUBQUERY +
+    * NOT-EXISTS shape: customers in a key-range slice holding an
+    * above-average balance who never placed an urgent order. Two distinct
+    * pieces of machinery in one plan: the scalar average compiles to its
+    * own one-row aggregate subplan whose result feeds every outer row's
+    * comparison (computed ONCE, not per row), and the NOT EXISTS compiles
+    * to a left_anti join on custkey. SQL text so Catalyst's subquery
+    * rewrite is what's graded. The classic substring(c_phone) country
+    * code doesn't exist in the testdata; c_nationkey IN (...) is the same
+    * slice shape. The average follows the established cross-engine edge:
+    * exact decimal sum cast to double, divided by the count — never a
+    * native double avg (order-dependent) or decimal avg (rounding-rule
+    * divergent). Nothing here broadcasts by hint; the scalar result and
+    * whatever AQE picks at small sf are runtime decisions.
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("q22_customer")
+    t(s, dir, "orders").createOrReplaceTempView("q22_orders")
+    s.sql(
+      """SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+        |FROM q22_customer
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |  AND c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |           / COUNT(*)
+        |    FROM q22_customer
+        |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |  AND NOT EXISTS (SELECT 1 FROM q22_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  private val q22Sql =
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      |  AND c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      |           / COUNT(*)
+      |    FROM customer
+      |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Q7: volume shipping between two nations — the SYMMETRIC-PAIR join
+    * residual: supplier-nation × customer-nation must equal (1,2) or
+    * (2,1), an OR that references BOTH dimension branches and so can only
+    * resolve after both joins. The at-scale discipline this gate pins:
+    * the pair constraint is pre-pushed as an IN filter on EACH nation
+    * branch (a 2-row broadcast instead of 25 — at 100 TB the same move
+    * keeps the fact rows that survive the dimension joins to the pair's
+    * neighborhoods), with the OR residual deciding the pairing on the
+    * joined row. Year extraction groups the revenue by shipping year;
+    * nation broadcasts are the two genuinely bounded dimensions.
+    */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq(1, 2)
+    val n1 = t(s, dir, "nation").filter(col("n_nationkey").isin(pair: _*))
+      .select(col("n_nationkey").as("s_natkey"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").filter(col("n_nationkey").isin(pair: _*))
+      .select(col("n_nationkey").as("c_natkey"), col("n_name").as("cust_nation"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("s_natkey"))
+      .join(broadcast(n2), cust("c_nationkey") === col("c_natkey"))
+      .filter((col("s_natkey") === 1 && col("c_natkey") === 2) ||
+        (col("s_natkey") === 2 && col("c_natkey") === 1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sumRounded(discPrice).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS revenue
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+      |    OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))
+      |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+      |                     AND TIMESTAMP '1997-12-31'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q14: promo revenue — CONDITIONAL AGGREGATION over a join: the CASE
+    * branch keeps the exact-decimal discounted price for PROMO-typed
+    * parts and contributes an exact zero otherwise, so the promo share is
+    * a ratio of two EXACT decimal sums (each also emitted rounded once,
+    * for a stronger hash). The ratio divides the two sums in double —
+    * identical IEEE inputs and operation in both engines. The LIKE
+    * 'PROMO%' prefix matches the testdata's single-word p_type by
+    * startswith, exercising the string-predicate pushdown path. One month
+    * of lineitem joins part on partkey; part grows with SF, so no
+    * broadcast hint — size-threshold/AQE decides.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+    val pt = t(s, dir, "part")
+    val zero = lit(0).cast(DecimalType(18, 8))
+    val promo = when(pt("p_type").like("PROMO%"), discPrice).otherwise(zero)
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .agg(
+        (dbl4(sum(promo).cast(DecimalType(18, 4))) * 100.0 /
+          dbl4(sum(discPrice).cast(DecimalType(18, 4)))).as("promo_pct"),
+        sumRounded(promo).as("promo_revenue"),
+        sumRounded(discPrice).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q14Sql =
+    s"""SELECT
+      |  CAST(round(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $discPriceSql
+      |                      ELSE CAST(0 AS DECIMAL(18,8)) END), 4) AS DOUBLE)
+      |    * 100.0 /
+      |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS promo_pct,
+      |  CAST(round(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $discPriceSql
+      |                      ELSE CAST(0 AS DECIMAL(18,8)) END), 4) AS DOUBLE)
+      |    AS promo_revenue,
+      |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS total_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> (q1(_, _)),
+    "q_tpch_q7" -> (q7(_, _)),
+    "q_tpch_q14" -> (q14(_, _)),
+    "q_tpch_q19" -> (q19(_, _)),
+    "q_tpch_q22" -> (q22(_, _)),
     "q_tpch_q13" -> (q13(_, _)),
     "q_tpch_q3" -> (q3(_, _)),
     "q_tpch_q4" -> (q4(_, _)),
@@ -382,6 +568,10 @@ object TpchQueries {
 
   val oracles: Map[String, String] = Map(
     "q_tpch_q1" -> q1Sql,
+    "q_tpch_q7" -> q7Sql,
+    "q_tpch_q14" -> q14Sql,
+    "q_tpch_q19" -> q19Sql,
+    "q_tpch_q22" -> q22Sql,
     "q_tpch_q13" -> q13Sql,
     "q_tpch_q3" -> q3Sql,
     "q_tpch_q4" -> q4Sql,

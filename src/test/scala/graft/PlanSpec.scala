@@ -476,6 +476,47 @@ class PlanSpec extends SparkSpec {
       s"chunking must not hash-shuffle:\n$plan")
   }
 
+  test("q19's disjunctive branches push into BOTH scans; the join stays equi") {
+    // the TPC-H Q19 shape: three OR'd conjunctions spanning the join. The
+    // classic failure is the OR swallowing the equi key (nested loop) or
+    // the scans reading everything and filtering after the join. Catalyst's
+    // PushExtraPredicateThroughJoin must derive each side's disjunction:
+    // lineitem reads only rows in SOME quantity range, part only rows
+    // matching SOME brand+size branch, and the full predicate re-applies
+    // as the equi join's residual.
+    val plan = graft.operators.TpchQueries.q19(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("\\(l_quantity#\\d+ >= 1\\.0\\) AND \\(l_quantity#\\d+ <= 11\\.0\\)".r
+      .findFirstIn(plan).isDefined &&
+      "\\(l_quantity#\\d+ >= 20\\.0\\) AND \\(l_quantity#\\d+ <= 30\\.0\\)".r
+        .findFirstIn(plan).isDefined,
+      s"lineitem side must carry the quantity disjunction below the join:\n$plan")
+    assert("\\(p_brand#\\d+ = Brand#12\\) AND \\(p_size#\\d+ <= 5\\)".r
+      .findFirstIn(plan).isDefined,
+      s"part side must carry the brand+size disjunction below the join:\n$plan")
+    assert(plan.contains("HashJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the OR must stay a residual on an equi hash join:\n$plan")
+  }
+
+  test("q22 computes its scalar average once and anti-joins on custkey") {
+    val plan = graft.operators.TpchQueries.q22(spark, dir)
+      .queryExecution.executedPlan.toString
+    // NOT EXISTS → left_anti, never a per-row re-scan
+    assert(plan.contains("LeftAnti") && !plan.contains("CartesianProduct") &&
+      !plan.contains("NestedLoop"),
+      s"NOT EXISTS must compile to a left_anti equi join:\n$plan")
+    // the uncorrelated average is ONE subquery instance (computed once,
+    // fed to every row's comparison), not re-planned per reference
+    val ids = "Subquery subquery#(\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ids.size == 1,
+      s"the scalar average must be a single shared subquery, got $ids:\n$plan")
+    // and its result even reaches the parquet scan as a pushed filter —
+    // at 100 TB the row-group stats prune on the runtime threshold
+    assert(plan.contains("GreaterThan(c_acctbal,ScalarSubquery"),
+      s"the scalar threshold should push into the customer scan:\n$plan")
+  }
+
   test("page-scoped balances put the semi join below the aggregate") {
     val transfers = Seq(("T", "tx1", "t1", 1, "T", "a", "T", "b",
       BigDecimal(1), "CZK", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
