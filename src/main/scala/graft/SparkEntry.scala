@@ -43,6 +43,7 @@ object SparkEntry {
       operators.JournalGate.queries ++
       operators.CorpusSourceGate.queries ++
       operators.PartitionedScan.queries ++
+      operators.Compaction.queries ++
       operators.SyncGate.queries ++
       multimodal.Multimodal.queries
 
@@ -80,6 +81,7 @@ object SparkEntry {
       operators.JournalGate.oracles ++
       operators.CorpusSourceGate.oracles ++
       operators.PartitionedScan.oracles ++
+      operators.Compaction.oracles ++
       operators.SyncGate.oracles ++
       multimodal.Multimodal.oracles
 }
