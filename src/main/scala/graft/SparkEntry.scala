@@ -44,6 +44,7 @@ object SparkEntry {
       operators.CorpusSourceGate.queries ++
       operators.PartitionedScan.queries ++
       operators.Compaction.queries ++
+      operators.RuntimeFilter.queries ++
       operators.SyncGate.queries ++
       multimodal.Multimodal.queries
 
@@ -82,6 +83,7 @@ object SparkEntry {
       operators.CorpusSourceGate.oracles ++
       operators.PartitionedScan.oracles ++
       operators.Compaction.oracles ++
+      operators.RuntimeFilter.oracles ++
       operators.SyncGate.oracles ++
       multimodal.Multimodal.oracles
 }

@@ -431,38 +431,6 @@ class PlanSpec extends SparkSpec {
       s"the dim join must inject a dynamic partition filter:\n$dpp")
   }
 
-  test("runtime bloom filter prunes the fact scan under a selective dim join") {
-    // The 100 TB lever for selective fact⋈filtered-dim SHUFFLE joins (too
-    // big to broadcast): Catalyst builds a bloom filter from the filtered
-    // creation side and injects might_contain(fact key) into the fact scan,
-    // so most fact rows die before the exchange. Thresholds are lowered to
-    // trigger at test scale; the assertion is that OUR plan shape is
-    // eligible — an ineligible shape (e.g. a pre-aggregated or
-    // non-equi-join formulation) would silently read the whole fact side
-    // at scale.
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val ord = Tables.load(spark, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-      val li = Tables.load(spark, dir, "lineitem")
-      val plan = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(sum(col("l_quantity")).as("q"))
-        .queryExecution.optimizedPlan.toString
-      assert(plan.contains("might_contain"),
-        s"expected a runtime bloom filter on the fact side:\n$plan")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("chunking stays row-local: no hash shuffle below the output order") {
     val tmp = java.nio.file.Files.createTempDirectory("chunkdocs").toString
     Seq((1L, ("tok " * 200).trim)).toDF("doc_id", "text")
@@ -515,6 +483,33 @@ class PlanSpec extends SparkSpec {
     // at 100 TB the row-group stats prune on the runtime threshold
     assert(plan.contains("GreaterThan(c_acctbal,ScalarSubquery"),
       s"the scalar threshold should push into the customer scan:\n$plan")
+  }
+
+  test("selective dim join injects a bloom filter below the fact's shuffle") {
+    // the third runtime scan-reduction lever (after static prune + DPP):
+    // InjectRuntimeFilter must aggregate the dim's keys into a bloom
+    // (one-row subquery) and plant might_contain on the fact side BELOW
+    // its exchange, so non-matching fact rows never shuffle
+    val prev = graft.operators.RuntimeFilter.bloomConfs
+      .map { case (k, _) => k -> spark.conf.getOption(k) }
+    graft.operators.RuntimeFilter.bloomConfs
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val qe = graft.operators.RuntimeFilter.bloomJoinPlan(spark, dir)
+        .queryExecution
+      val opt = qe.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") && opt.contains("might_contain"),
+        s"runtime bloom filter must inject:\n$opt")
+      val phys = qe.executedPlan.toString
+      val exchange = phys.indexOf("Exchange hashpartitioning(l_orderkey")
+      val might = phys.indexOf("might_contain")
+      assert(exchange >= 0 && might > exchange,
+        s"might_contain must sit BELOW the fact's shuffle (prune before " +
+          s"serialize), not above it:\n$phys")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("page-scoped balances put the semi join below the aggregate") {
