@@ -430,6 +430,30 @@ object EventWindows {
       .orderBy("user_id", "version")
   }
 
+  /** The transformWithState twin of q_stream_custom_state: identical
+    * two-batch fixture, identical oracle — the gate pins that migrating
+    * from flatMapGroupsWithState to Spark 4's StatefulProcessor API (and
+    * from the default HDFS-backed state store to the RocksDB provider the
+    * new operator REQUIRES — the provider conf is scoped to this stream
+    * and restored after) moves no output row. RocksDB is the right
+    * provider at 100 TB anyway: state spills to local disk instead of
+    * living on the executor heap.
+    */
+  def streamTransformWithState(s: SparkSession, dir: String): DataFrame = {
+    val input = twoBatchInput(s, dir, "statestream", dupSecond = false)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try streamTwoBatches(s, input, "q_stream_tws_sink")(
+      graft.streaming.EventStream.runningUserCountsTws)
+      .orderBy("user_id", "version")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private val streamCustomStateSql =
     """WITH b1 AS (
       |  SELECT user_id, count(*) AS n FROM events
@@ -725,6 +749,7 @@ object EventWindows {
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_dedup_bounded" -> (streamDedupBounded(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
+    "q_stream_tws" -> (streamTransformWithState(_, _)),
     "q_stream_stream_join" -> (streamStreamJoin(_, _)),
     "q_window_trailing" -> (trailingWindow(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)))
@@ -743,6 +768,7 @@ object EventWindows {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_dedup_bounded" -> streamDedupSql,
     "q_stream_custom_state" -> streamCustomStateSql,
+    "q_stream_tws" -> streamCustomStateSql,
     "q_stream_stream_join" -> streamStreamJoinSql,
     "q_window_trailing" -> trailingWindowSql,
     "q_json_extract" -> jsonExtractSql)

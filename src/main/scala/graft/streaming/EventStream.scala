@@ -153,6 +153,51 @@ object EventStream {
       .toDF("user_id", "version", "n_so_far")
   }
 
+  /** [[runningUserCounts]] re-expressed on `transformWithState` — Spark
+    * 4's arbitrary-stateful successor to flatMapGroupsWithState, and the
+    * API a new 100 TB pipeline should target: state lives in NAMED, typed
+    * handles (`ValueState`/`ListState`/`MapState`, each independently
+    * TTL-able) instead of one opaque per-key blob, so a processor can
+    * evolve its state layout, expire pieces separately, and back it all
+    * with RocksDB (mandatory for this operator — exactly what unbounded
+    * key spaces need: state spills to disk instead of living on the JVM
+    * heap). Same semantics as the fMGWS form, same oracle — the gate pins
+    * that migrating the API does not move a single output row.
+    */
+  def runningUserCountsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .transformWithState(new RunningCountsProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "version", "n_so_far")
+  }
+
+  /** The [[runningUserCountsTws]] processor: one ValueState[(version,
+    * count)] per user. Top-level (not method-local) so the serialized
+    * processor captures no enclosing scope.
+    */
+  private class RunningCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Long, (Long, Int, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[(Int, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("counts",
+        Encoders.product[(Int, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Long],
+        tv: TimerValues): Iterator[(Long, Int, Long)] = {
+      val (v0, n0) = if (st.exists()) st.get() else (0, 0L)
+      val n = n0 + rows.size
+      val v = v0 + 1
+      st.update((v, n))
+      Iterator.single((user, v, n))
+    }
+  }
+
   /** [[runningUserCounts]] with STATE EXPIRY — the 100 TB form: a
     * processing-time timeout evicts a user's state after `idleFor` without
     * new events, so live state tracks ACTIVE users, not every user ever
