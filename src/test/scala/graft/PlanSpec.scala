@@ -467,6 +467,30 @@ class PlanSpec extends SparkSpec {
       s"the OR must stay a residual on an equi hash join:\n$plan")
   }
 
+  test("new TPC-H composites broadcast only constant-size dimensions") {
+    // the r9 lesson, pinned for the r10 queries: with the size threshold
+    // off, any surviving BroadcastExchange is a HINT — and a hint on an
+    // sf-proportional table (customer/supplier/part/orders/lineitem) is
+    // an OOM at 100×. q7 hints exactly its two nation branches (25 rows,
+    // bounded by the data model); q14/q19 hint nothing
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q7 = graft.operators.TpchQueries.q7(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastExchange".r.findAllIn(q7).size == 2,
+        s"q7 must broadcast exactly its two hinted nation branches:\n$q7")
+      for ((name, df) <- Seq(
+          "q14" -> graft.operators.TpchQueries.q14(spark, dir),
+          "q19" -> graft.operators.TpchQueries.q19(spark, dir))) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastExchange"),
+          s"$name joins only sf-proportional tables; with the threshold " +
+            s"off nothing may broadcast:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q22 computes its scalar average once and anti-joins on custkey") {
     val plan = graft.operators.TpchQueries.q22(spark, dir)
       .queryExecution.executedPlan.toString
