@@ -20,6 +20,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.Tables.NanosAsLongConf, "true") // ns-ts parquet; see Tables.requireNanosAsLong
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,6 +69,12 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // JSON must be locale-independent: the f-interpolator uses the JVM
+    // default locale, so on a comma-decimal locale (de_DE) "%.6f" renders
+    // "1,234567" and the artifact stops parsing. Lock to Locale.ROOT for
+    // every number embedded in JSON (stderr diagnostics may stay localized).
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     // Per-query JVM diagnostics (stderr): JIT code-cache and metaspace
     // occupancy. 80+ codegen'd queries × reps compile thousands of generated
     // classes; if the code cache fills, HotSpot silently stops compiling and
@@ -93,37 +100,39 @@ object Bench {
     // balloons under driver-side load, min/med/max in BENCH_DETAIL.json
     // shows it without a repro run.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, repsTaken) =
+      val (sec, rawMed, repsTaken) =
         try {
           run(fn(spark, sfDir)) // warmup (untimed)
           val samples = Seq.fill(reps) { settle(); timed(run(fn(spark, sfDir))) }
           // Outlier guard (r9: the driver recorded one query at 28 s that
           // measures <3 s in every builder-side run — a transient
-          // machine-level stall poisoning 2 of 3 reps sets the GRADE). If
-          // the median is >3× the best rep, the plan demonstrably runs at
-          // min speed and the spread is interference: take up to `reps`
-          // extra samples and re-median over everything. All reps still
-          // land in BENCH_DETAIL.json, so the interference stays visible.
+          // machine-level stall poisoning 2 of 3 reps sets the GRADE).
+          // SYMMETRIC trigger: any >3× spread between the fastest and
+          // slowest rep — whether the suspect reps are slow OR fast —
+          // earns `reps` extra samples, and the median is re-taken over
+          // the full pool. Both the raw-first-N median and the guarded
+          // median land in BENCH_DETAIL.json (median_raw), so the
+          // headline is never a silently re-derived number.
           val all =
-            if (reps >= 2 && median(samples) > 3 * samples.min) {
-              System.err.println(f"[bench] $name median ${median(samples)}%.2f" +
+            if (reps >= 2 && samples.max > 3 * samples.min) {
+              System.err.println(f"[bench] $name spread ${samples.max}%.2f" +
                 f" > 3x best ${samples.min}%.2f - taking $reps extra reps")
               samples ++ Seq.fill(reps) { settle(); timed(run(fn(spark, sfDir))) }
             } else samples
-          (median(all), all)
+          (median(all), median(samples), all)
         } catch {
           // a silent -1 hides which query failed and why; attribute it
           case e: Throwable =>
             System.err.println(s"[bench] query $name FAILED: $e")
             e.printStackTrace()
-            (-1.0, Seq.empty[Double])
+            (-1.0, -1.0, Seq.empty[Double])
         }
       settle()
       val spread = repsTaken.map(r => f"$r%.2f").mkString("[", ",", "]")
       System.err.println(f"[bench] $name%-28s $sec%9.3f sec  reps=$spread  ${jvmStats()}")
-      (name, sec, repsTaken)
+      (name, sec, rawMed, repsTaken)
     }
-    val meds = results.map { case (n, s, _) => (n, s) }
+    val meds = results.map { case (n, s, _, _) => (n, s) }
     // The driver captures only the LAST 2000 chars of stdout and json-parses
     // the bench line out of that tail. With 90 queries the full per-query
     // map alone is ~2.3k chars — it CANNOT fit, and every BENCH_r1..r9
@@ -131,17 +140,22 @@ object Bench {
     // detail goes to a file (+ stderr above), and stdout carries ONE compact
     // line — headline total plus as many of the SLOWEST queries as fit a
     // 1.5k budget, with an omitted-count/sum so the total reconciles.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def r3(v: Double): String = if (v < 0) "-1" else num("%.3f", v)
     val total = meds.map(_._2).filter(_ >= 0).sum
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
     val detail = {
       val qs = meds
-        .map { case (k, v) => s"\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.6f") }
+        .map { case (k, v) => s"\"" + k + "\":" + (if (v < 0) "-1" else num("%.6f", v)) }
+        .mkString("{", ",", "}")
+      // raw-first-N medians, BEFORE the outlier guard resampled: identical
+      // to the headline median unless the guard fired for that query
+      val raws = results
+        .map { case (k, _, rm, _) => s"\"" + k + "\":" + (if (rm < 0) "-1" else num("%.6f", rm)) }
         .mkString("{", ",", "}")
       val spreads = results
-        .map { case (k, _, r) => s"\"" + k + "\":" + r.map(x => f"$x%.3f").mkString("[", ",", "]") }
+        .map { case (k, _, _, r) => s"\"" + k + "\":" + r.map(x => num("%.3f", x)).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs,"reps":$spreads}""" + "\n"
+      s"""{"metric":"total","value":${num("%.6f", total)},"unit":"sec","sf":"$sfDir","queries":$qs,"median_raw":$raws,"reps":$spreads}""" + "\n"
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),

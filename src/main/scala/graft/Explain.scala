@@ -15,6 +15,7 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.Tables.NanosAsLongConf, "true") // ns-ts parquet; see Tables.requireNanosAsLong
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

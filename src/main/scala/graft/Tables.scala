@@ -20,4 +20,23 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** The events table carries a NANOSECOND parquet timestamp, which vanilla
+    * Spark refuses (PARQUET_TYPE_ILLEGAL); reading it requires the
+    * [[NanosAsLongConf]] legacy conf. The conf is consulted again at
+    * execution planning, so a scope-and-restore around `load()` would make
+    * the very plan it builds fail at runtime — it must hold for the
+    * session's whole life. Every session this repo constructs (Verify,
+    * Bench, Smoke, Explain, SparkSpec) sets it AT CONSTRUCTION; operators
+    * that read ns-timestamp parquet call this assert instead of mutating
+    * the caller's session, so no gate flips a conf mid-suite.
+    */
+  def requireNanosAsLong(spark: SparkSession): Unit =
+    require(spark.conf.getOption(NanosAsLongConf).contains("true"),
+      s"this operator reads nanosecond-timestamp parquet; build the session " +
+        s"with .config(\"$NanosAsLongConf\", \"true\") (see graft.Verify) — " +
+        "it cannot be set per-query because the parquet reader re-reads the " +
+        "conf at execution planning")
 }

@@ -240,7 +240,10 @@ object Multimodal {
     while (!sawEnd) {
       require(bb.remaining() >= 8, "truncated PNG chunk header")
       val len = bb.getInt
-      require(len >= 0 && bb.remaining() >= len + 8, "bad PNG chunk length")
+      // compare in Long: a crafted len near Int.MaxValue would overflow
+      // `len + 8` to negative and slip past the remaining() check, then
+      // blow up on array allocation instead of this clean error
+      require(len >= 0 && bb.remaining().toLong >= len.toLong + 8, "bad PNG chunk length")
       val tagAndData = new Array[Byte](4 + len)
       bb.get(tagAndData)
       crc.reset(); crc.update(tagAndData)

@@ -31,14 +31,14 @@ object EventWindows {
 
   /** events with `ts` as microsecond TIMESTAMP_NTZ (see class doc).
     *
-    * Deliberately leaves `nanosAsLong` set on the SESSION: the parquet
-    * reader consults the conf again at execution planning, so restoring it
-    * after `load()` would make the very plan built here fail at runtime.
-    * Session-wide effect: other ns-timestamp parquet columns read as LONG
-    * instead of erroring — convert them the same way this loader does.
+    * Requires `nanosAsLong` set at session CONSTRUCTION (all repo entry
+    * points do — Tables.requireNanosAsLong documents why a per-query
+    * scope-and-restore cannot work: the parquet reader re-reads the conf
+    * at execution planning). Gates assert the conf instead of mutating
+    * the caller's session.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.requireNanosAsLong(s)
     Tables.load(s, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
   }
@@ -130,7 +130,7 @@ object EventWindows {
   private def runEventsFileStream(s: SparkSession, dir: String, sink: String)(
       build: DataFrame => DataFrame): DataFrame = withFewShufflePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.requireNanosAsLong(s)
     val schema = Tables.load(s, dir, "events").schema
     // the testdata table is a single parquet FILE; the streaming source
     // needs a directory, so stream the parent filtered to that file
@@ -516,7 +516,7 @@ object EventWindows {
     */
   def trailingWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.requireNanosAsLong(s)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(-3600L * 1000000L, 0L)
     Tables.load(s, dir, "events")
@@ -561,10 +561,10 @@ object EventWindows {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Incremental aggregate maintenance — the never-recompute-the-lake
-    * pattern: a stored per-user aggregate over history [min, Jan 20) is
-    * MERGED with the aggregate of only the delta batch [Jan 20, Jan 25)
+    * pattern: a stored per-user aggregate over history [min, Jan 5) is
+    * MERGED with the aggregate of only the delta batch [Jan 5, Jan 8)
     * via one full-outer join + coalesce-and-add, and must equal the
-    * from-scratch recompute over [min, Jan 25) — which is exactly what
+    * from-scratch recompute over [min, Jan 8) — which is exactly what
     * the oracle runs, so any merge defect (lost delta-only users,
     * dropped history-only users, double counting, null arithmetic)
     * hash-fails. Decimal sums merge EXACTLY (adding two exact partials ≡

@@ -72,7 +72,7 @@ object ZOrder {
     * then count + min/max of both RAW dimensions per bucket.
     */
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.requireNanosAsLong(s)
     val ev = Tables.load(s, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withColumn("x8", expr(xSqlSpark))

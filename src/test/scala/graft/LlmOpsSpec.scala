@@ -426,6 +426,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(probes == Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L, "absent" -> 0L))
   }
 
+  test("heavyHitters eps bound holds on the pinned seed+testdata") {
+    // Probabilistic-but-seeded: est <= exact + ceil(eps*N) holds with
+    // probability ~ confidence (0.9999) PER PROBE, so it lives here — a
+    // fixture change that flips it signals re-seeding, not a code defect.
+    // The gated oracle asserts only the deterministic never-undercount
+    // guarantee (q_heavy_hitters).
+    val rows = TextOps.heavyHittersEps(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("within_eps_bound")),
+      s"eps bound violated for: ${rows.filterNot(_.getAs[Boolean]("within_eps_bound")).mkString(", ")}")
+  }
+
   test("clusters merges chained pairs transitively, split components stay apart") {
     // A-B, B-C chain into one component even though A-C is not a pair;
     // D-E is separate
