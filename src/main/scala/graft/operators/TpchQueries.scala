@@ -552,7 +552,129 @@ object TpchQueries {
       |  AND l_shipdate >= TIMESTAMP '1996-09-01'
       |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
 
+  /** Q2: minimum-cost supplier — the CORRELATED-MIN-IN-WHERE shape (the
+    * classic rewrite q17's correlated-avg began): the outer row survives
+    * only if its price EQUALS the minimum computed by a subquery that is
+    * (a) correlated on the outer part key and (b) itself a 4-table join
+    * (lineitem→supplier→nation→region). Catalyst must decorrelate the
+    * whole subquery join into ONE aggregate over the region-sliced
+    * lineitem grouped by the correlation key, joined back on partkey —
+    * a per-outer-row re-execution of a 4-table join over a 100 TB fact
+    * is exactly what the PlanSpec forbids. The testdata has no partsupp
+    * table, so lineitem stands in for it (l_extendedprice as the cost,
+    * l_suppkey as the sourcing link) — the decorrelation SHAPE is the
+    * classic one. MIN of a stored double is exact cross-engine (no
+    * arithmetic), and the equality compares two identically-stored IEEE
+    * values, so no decimal staging is needed. Nation and region are the
+    * bounded dimensions → broadcast-hinted; supplier/lineitem are not.
+    */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("q2_part")
+    t(s, dir, "supplier").createOrReplaceTempView("q2_supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+    t(s, dir, "nation").createOrReplaceTempView("q2_nation")
+    t(s, dir, "region").createOrReplaceTempView("q2_region")
+    s.sql(
+      """SELECT /*+ BROADCAST(q2_nation), BROADCAST(q2_region) */
+        |  s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  l_extendedprice AS min_price
+        |FROM q2_part, q2_supplier, q2_lineitem, q2_nation, q2_region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size < 8 AND p_type = 'STANDARD'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM q2_lineitem l2, q2_supplier s2, q2_nation n2, q2_region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val q2Sql =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  l_extendedprice AS min_price
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size < 8 AND p_type = 'STANDARD'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** Q20: potential part promotion — the DOUBLY-NESTED decorrelation
+    * shape: an IN subquery whose body contains BOTH a second (uncorrelated)
+    * IN against the part slice AND a scalar subquery correlated on TWO
+    * keys of the enclosing derived table. Catalyst has to (1) compile the
+    * outer IN to a semi join on suppkey, (2) the inner IN to a semi join
+    * on partkey, and (3) decorrelate the two-key scalar sum into one
+    * aggregate over the date-sliced lineitem grouped by (partkey,
+    * suppkey), joined back on both keys — three rewrites stacked in one
+    * plan, every result equi-join shuffleable at 100 TB (PlanSpec forbids
+    * nested-loop/cartesian fallbacks). No partsupp in the testdata:
+    * "availability" is the early-window quantity sum per (part, supplier)
+    * and the threshold is the late-window sum — `avail × 2 >` spares the
+    * classic 0.5 literal any representation question, and both sides are
+    * EXACT decimal sums compared without rounding (a pair with no late
+    * shipments compares against NULL → excluded, the classic bare-subquery
+    * semantics, identical in both engines). Nation is bounded → hinted;
+    * supplier is not.
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("q20_part")
+    t(s, dir, "supplier").createOrReplaceTempView("q20_supplier")
+    t(s, dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+    t(s, dir, "nation").createOrReplaceTempView("q20_nation")
+    s.sql(
+      """SELECT /*+ BROADCAST(q20_nation) */ s_name, s_acctbal
+        |FROM q20_supplier, q20_nation
+        |WHERE s_suppkey IN (
+        |  SELECT ps.suppkey FROM (
+        |    SELECT l_partkey AS pk, l_suppkey AS suppkey,
+        |           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS avail
+        |    FROM q20_lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY 1, 2) ps
+        |  WHERE ps.pk IN (SELECT p_partkey FROM q20_part
+        |                  WHERE p_type = 'ECONOMY' AND p_size < 25)
+        |    AND ps.avail * 2 > (
+        |      SELECT SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |      FROM q20_lineitem l2
+        |      WHERE l2.l_partkey = ps.pk AND l2.l_suppkey = ps.suppkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1998-01-01'))
+        |  AND s_nationkey = n_nationkey AND n_regionkey = 2
+        |ORDER BY s_name""".stripMargin)
+  }
+
+  private val q20Sql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |  SELECT ps.suppkey FROM (
+      |    SELECT l_partkey AS pk, l_suppkey AS suppkey,
+      |           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS avail
+      |    FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY 1, 2) ps
+      |  WHERE ps.pk IN (SELECT p_partkey FROM part
+      |                  WHERE p_type = 'ECONOMY' AND p_size < 25)
+      |    AND ps.avail * 2 > (
+      |      SELECT SUM(CAST(l_quantity AS DECIMAL(18,4)))
+      |      FROM lineitem l2
+      |      WHERE l2.l_partkey = ps.pk AND l2.l_suppkey = ps.suppkey
+      |        AND l2.l_shipdate >= TIMESTAMP '1998-01-01'))
+      |  AND s_nationkey = n_nationkey AND n_regionkey = 2
+      |ORDER BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2" -> (q2(_, _)),
+    "q_tpch_q20" -> (q20(_, _)),
     "q_tpch_q1" -> (q1(_, _)),
     "q_tpch_q7" -> (q7(_, _)),
     "q_tpch_q14" -> (q14(_, _)),
@@ -567,6 +689,8 @@ object TpchQueries {
     "q_tpch_q21" -> (q21(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q2" -> q2Sql,
+    "q_tpch_q20" -> q20Sql,
     "q_tpch_q1" -> q1Sql,
     "q_tpch_q7" -> q7Sql,
     "q_tpch_q14" -> q14Sql,

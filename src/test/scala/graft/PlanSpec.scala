@@ -302,6 +302,40 @@ class PlanSpec extends SparkSpec {
       s"q21 must never fall back to nested-loop/cartesian:\n$p")
   }
 
+  test("tpch q2's correlated MIN-in-WHERE decorrelates to one aggregate+join") {
+    // The min-cost subquery is itself a 4-table join correlated on the
+    // outer part key; the rewrite must produce ONE aggregate over the
+    // region-sliced lineitem grouped by l_partkey joined back — a
+    // surviving per-outer-row subquery re-runs a 4-table join per row.
+    val qe = graft.operators.TpchQueries.q2(spark, dir).queryExecution
+    val opt = qe.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("scalar-subquery"),
+      s"q2's correlated MIN must be decorrelated out of the plan:\n$opt")
+    val groupedByPartkey = "Aggregate \\[l_partkey".r.findAllIn(opt).size
+    assert(groupedByPartkey == 1,
+      s"expected exactly one decorrelated per-partkey MIN aggregate, got $groupedByPartkey:\n$opt")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"q2 must never fall back to nested-loop/cartesian:\n$p")
+  }
+
+  test("tpch q20's doubly-nested IN + correlated scalar decorrelate to equi-joins") {
+    // Three stacked rewrites: outer IN → semi join on suppkey, inner IN →
+    // semi join on partkey, two-key correlated sum → aggregate grouped by
+    // (partkey, suppkey) joined back on both keys. All equi-joins —
+    // shuffle-partitionable at 100 TB; any nested-loop fallback fails.
+    val qe = graft.operators.TpchQueries.q20(spark, dir).queryExecution
+    val opt = qe.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("scalar-subquery"),
+      s"q20's correlated threshold must be decorrelated:\n$opt")
+    val p = qe.executedPlan.toString
+    val semis = "LeftSemi".r.findAllIn(p).size
+    assert(semis >= 2,
+      s"q20 needs both IN subqueries as semi joins (got $semis):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"q20 must never fall back to nested-loop/cartesian:\n$p")
+  }
+
   test("lateral top-k decorrelates the correlated LIMIT into a window") {
     // The inner query's ORDER BY ... LIMIT 2 references the outer row; a
     // surviving per-outer-row subquery is a per-row re-scan. Catalyst must
