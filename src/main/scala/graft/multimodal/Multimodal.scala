@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample operators a training-data pipeline runs on them.
   *
   * Two modalities decode for REAL — WAV/PCM audio (`decodeWav` /
-  * `wavFeatures`; RIFF needs no codec) and PPM/BMP raster images
-  * (`decodePpm` / `decodeBmp` / `imageFeatures`; both are codec-free
-  * formats). Only codec-bound formats (JPEG/PNG/H.264) remain STUBBED
-  * (`decodeFeatures` — no native codecs in this environment). Everything
-  * around the stub — the media
+  * `wavFeatures`; RIFF needs no codec) and raster images
+  * (`imageFeatures`): PPM/BMP (codec-free), PNG (zlib is in the JDK),
+  * and JPEG (the JDK SHIPS a JPEG codec — `javax.imageio`; decode is
+  * bit-deterministic within a JVM, but JPEG being lossy means features
+  * carry tolerance-band tests, never bit-exact cross-encoder pins).
+  * Only H.264 remains STUBBED (`decodeFeatures` — genuinely no JDK
+  * video codec). Everything around the stub — the media
   * schema, the columnar metadata ops, the per-partition batch shape of the
   * decoder, the fixed-dim float feature output — is real, tested Spark
   * plumbing that a codec-backed implementation would drop into.
@@ -60,12 +62,13 @@ object Multimodal {
       posexplode(sequence(lit(0), col("duration_ms"), lit(everyMs)))
         .as(Seq("frame_idx", "frame_ts")))
 
-  /** STUB decoder: real image/audio decoding needs native codecs that are
-    * not in this container, so the "decode" is a deterministic byte
-    * histogram folded into a fixed-dim float feature. The REAL parts —
-    * binary input column, per-partition batch iteration, fixed-dim
-    * `array<float>` output feeding the ANN operators — are what a codec
-    * implementation would inherit unchanged.
+  /** STUB decoder for the one genuinely codec-bound modality left (H.264
+    * video — the JDK ships no video codec): the "decode" is a
+    * deterministic byte histogram folded into a fixed-dim float feature.
+    * The REAL parts — binary input column, per-partition batch iteration,
+    * fixed-dim `array<float>` output feeding the ANN operators — are what
+    * a codec implementation would inherit unchanged (as the WAV, PPM/BMP,
+    * PNG, and JPEG paths below demonstrate).
     */
   def decodeFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
     val s = media.sparkSession
@@ -197,27 +200,65 @@ object Multimodal {
       .toDF("media_id", "sample_rate", "n_samples", "feature")
   }
 
-  // ---- real image decode (PPM / BMP) -----------------------------------
+  // ---- real image decode (PPM / BMP / PNG / JPEG) ----------------------
   //
   // Codec-free raster formats make a SECOND real modality: binary PPM (P6)
   // is a text header + raw RGB, and uncompressed 24-bit BMP is a fixed
   // little-endian header + padded BGR rows. Both decode in pure JVM code,
-  // in the same mapPartitions batch shape as the WAV path. The stub now
-  // covers only genuinely codec-bound formats (JPEG/PNG/H.264).
+  // in the same mapPartitions batch shape as the WAV path. PNG decodes via
+  // hand-rolled chunk walk + JDK zlib; JPEG via the JDK's own ImageIO
+  // codec. The stub now covers only H.264 (no JDK video codec).
 
   /** Decoded raster: interleaved RGB, row-major, top-down. */
   final case class RgbImage(width: Int, height: Int, pixels: Array[Byte])
 
-  /** Container sniff: P6 PPM, BMP, or PNG by magic bytes. */
+  /** Container sniff: P6 PPM, BMP, PNG, or JPEG by magic bytes. */
   def decodeImage(bytes: Array[Byte]): RgbImage = {
     require(bytes.length >= 2, "too short for an image header")
     if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      decodeJpeg(bytes)
     else throw new IllegalArgumentException(
-      "unsupported image container (PPM, uncompressed BMP, and 8-bit " +
-        "non-interlaced PNG decode here; lossy codec formats stay stubbed)")
+      "unsupported image container (PPM, uncompressed BMP, 8-bit " +
+        "non-interlaced PNG, and JPEG decode here)")
+  }
+
+  /** Real JPEG decode via the JDK's OWN codec (`javax.imageio` — present
+    * in every JDK since 1.4; an earlier revision stubbed JPEG claiming
+    * "no codec in the JDK", which was simply wrong). Decode is
+    * bit-deterministic WITHIN a JVM (same decoder, same IDCT), which is
+    * what the per-partition feature discipline needs; what a lossy codec
+    * cannot give is bit-exactness across ENCODERS — round-tripping
+    * pixels→JPEG→pixels perturbs values — so JPEG features get
+    * tolerance-band assertions (MultimodalSpec), never the PNG path's
+    * exact-pixel pins. Grayscale JPEGs replicate to RGB like PNG gray.
+    */
+  def decodeJpeg(bytes: Array[Byte]): RgbImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode the JPEG stream")
+    val w = img.getWidth; val h = img.getHeight
+    require(w > 0 && h > 0, s"bad JPEG dimensions ${w}x$h")
+    require(w.toLong * h * 3 <= Int.MaxValue, "JPEG dimensions overflow")
+    val out = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val argb = row(x)
+        val d = (y * w + x) * 3
+        out(d) = ((argb >> 16) & 0xff).toByte
+        out(d + 1) = ((argb >> 8) & 0xff).toByte
+        out(d + 2) = (argb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    RgbImage(w, h, out)
   }
 
   /** Real PNG decode in pure JVM code — the compression side is zlib
@@ -424,10 +465,11 @@ object Multimodal {
     val s = media.sparkSession
     import s.implicits._
     // filter to exactly the formats this decoder handles (as wavFeatures
-    // filters 'audio/wav'): a blanket image/* would route codec-stubbed
-    // rows (image/jpeg in a mixed corpus) into decodeImage and crash the
-    // job on the first JPEG payload instead of skipping it
-    media.filter(col("mime").isin("image/ppm", "image/bmp", "image/png"))
+    // filters 'audio/wav'): a blanket image/* would route rows of a format
+    // decodeImage does NOT handle (a webp/avif in a mixed corpus) into it
+    // and crash the job on the first such payload instead of skipping it
+    media.filter(col("mime").isin(
+      "image/ppm", "image/bmp", "image/png", "image/jpeg"))
       .select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>

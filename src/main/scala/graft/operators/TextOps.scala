@@ -257,9 +257,18 @@ object TextOps {
 
   // ------------------------------------------------------ MinHash near-dup
 
-  private val NumBands = 32 // 4 rows/band: P(candidate) = 1-(1-s^4)^32
-  // 128 signature components live in graft.functions.MinHasher (the
-  // row-local native kernel); 32 bands × 4 components cover all 128
+  // LSH banding defaults. The s-curve: with b bands of r rows each, a pair
+  // with true Jaccard s becomes a candidate with P = 1-(1-s^r)^b, an
+  // S-shaped curve whose inflection ("threshold") sits near (1/b)^(1/r) —
+  // 32×4 puts it at ≈ 0.42, well under the 0.8 verification threshold, so
+  // recall at s ≥ 0.8 is 1-(1-0.8^4)^32 ≈ 1-6e-9 while pairs near s = 0.4
+  // mostly never meet in a bucket. Larger r sharpens the curve (fewer low-s
+  // candidates, lower recall near the threshold); larger b shifts it left
+  // (more candidates, higher recall). 128 signature components live in
+  // graft.functions.MinHasher (the row-local native kernel); bands×rows
+  // must fit inside those 128.
+  private val NumBands = 32
+  private val RowsPerBand = 4
   private val JaccardThreshold = 0.8
 
   /** Distinct word-3-gram shingle sets per document (docs with <3 tokens
@@ -299,7 +308,25 @@ object TextOps {
     * docs) — LSH recall at the 0.9+ planted similarity makes the outputs
     * identical (miss probability ~1e-15 per pair).
     */
-  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    minhashNearDupBanded(s, dir, NumBands, RowsPerBand, JaccardThreshold)
+
+  /** [[minhashNearDup]] with the LSH family exposed: `bands` ×
+    * `rowsPerBand` consecutive signature components form the bucket keys
+    * (must fit in the kernel's 128 components), `threshold` is the exact-
+    * Jaccard verification cut. Pick them by the s-curve (see the
+    * [[NumBands]] doc): candidate inflection ≈ (1/bands)^(1/rowsPerBand);
+    * keep it comfortably below `threshold` or banded recall eats into the
+    * verified output. The default 32×4/0.8 is the parity configuration —
+    * signatures and gate outputs are pinned byte-identical by LlmOpsSpec
+    * regardless of how non-default callers band them (banding only picks
+    * CANDIDATES; the exact verify decides membership).
+    */
+  def minhashNearDupBanded(s: SparkSession, dir: String, bands: Int,
+                           rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= 128,
+      s"bands x rowsPerBand must fit the 128 signature components, " +
+        s"got $bands x $rowsPerBand")
     val sh = shingles(s, dir).cache()
 
     // shingles() drops empty sets, so every signature is real data — an
@@ -307,19 +334,20 @@ object TextOps {
     // the band join and false-bucket with other empty docs
     val sigs = sh.select(col("doc_id"), expr("minhash_sig(s)").as("sig"))
 
-    val bandCols = (0 until NumBands).map { b =>
-      hash((b * 4 until b * 4 + 4).map(r => col("sig").getItem(r)): _*)
+    val bandCols = (0 until bands).map { b =>
+      hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(r => col("sig").getItem(r)): _*)
     }
-    val bands = sigs.select(col("doc_id"),
+    val banded = sigs.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
 
-    val x = bands.toDF("doc_a", "band", "sig")
-    val y = bands.toDF("doc_b", "band", "sig")
+    val x = banded.toDF("doc_a", "band", "sig")
+    val y = banded.toDF("doc_b", "band", "sig")
     val candidates = x.join(y, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    jaccardVerify(candidates, sh)
+    jaccardVerify(candidates, sh, threshold)
   }
 
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs against
@@ -328,7 +356,8 @@ object TextOps {
     * bound (jaccard >= t forces |small| >= t*|large|) drops most
     * candidates BEFORE the O(|a|+|b|) set intersection.
     */
-  private def jaccardVerify(candidates: DataFrame, sets: DataFrame): DataFrame = {
+  private def jaccardVerify(candidates: DataFrame, sets: DataFrame,
+                            threshold: Double = JaccardThreshold): DataFrame = {
     val sa = sets.toDF("doc_a", "sa")
     val sb = sets.toDF("doc_b", "sb")
     val inter = size(array_intersect(col("sa"), col("sb")))
@@ -336,10 +365,10 @@ object TextOps {
     candidates
       .join(sa, "doc_a").join(sb, "doc_b")
       .filter(least(size(col("sa")), size(col("sb"))).cast("double")
-        >= lit(JaccardThreshold) * greatest(size(col("sa")), size(col("sb"))))
+        >= lit(threshold) * greatest(size(col("sa")), size(col("sb"))))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / union).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -455,6 +484,55 @@ object TextOps {
        |      / length(text) > 0.5 AS BIGINT)) AS BIGINT) AS n_quality,
        |  CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** [[corpusReport]] with in-plan audit metrics — the Observation API
+    * (CollectMetrics) as a DRIVER-GATED query, not just a spec: corpus-
+    * wide totals are observed on the SAME pass that computes the grouped
+    * report (the side channel rides the scan; no second job re-counts
+    * what just flowed through), then compared against the totals the
+    * report's own groups sum to. The gate emits the observed numbers
+    * plus two guarantee booleans — the I1/I10 pattern where the VALUES
+    * are oracle-checkable and the engine-specific mechanism is pinned by
+    * a verdict the oracle expects TRUE:
+    *   - `observed_equals_plan`: the audit channel saw exactly the rows
+    *     the aggregation consumed (sum-over-groups == observed totals);
+    *   - `metrics_in_plan`: CollectMetrics is IN the executed plan (one
+    *     scan — the metrics were not recomputed by a separate query).
+    * The report itself is |sources|×|langs| rows (bounded), so the
+    * driver-side collect here is the API-edge marshalling pattern, not a
+    * hot-path collect. A fresh Observation per call keeps the gate
+    * re-runnable (bench reps; an Observation instance is one-shot).
+    */
+  def observedReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obs = Observation()
+    val base = docs(s, dir)
+      .observe(obs,
+        count(lit(1)).as("obs_docs"),
+        sum(length(col("text")).cast("long")).as("obs_chars"))
+      .withColumn("t", toks(col("text")))
+    val report = base
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    val rows = report.collect()
+    val planHasMetrics =
+      report.queryExecution.executedPlan.toString.contains("CollectMetrics")
+    val m = obs.get
+    val obsDocs = m("obs_docs").asInstanceOf[Long]
+    val obsChars = m("obs_chars").asInstanceOf[Long]
+    val sumDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val sumChars = rows.map(_.getAs[Long]("n_chars")).sum
+    import s.implicits._
+    Seq((obsDocs, obsChars,
+      obsDocs == sumDocs && obsChars == sumChars, planHasMetrics))
+      .toDF("n_docs", "n_chars", "observed_equals_plan", "metrics_in_plan")
+  }
+
+  private val observedReportSql =
+    """SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  TRUE AS observed_equals_plan, TRUE AS metrics_in_plan
+      |FROM documents""".stripMargin
 
   // ----------------------------------------------- overlapping chunking
 
@@ -632,8 +710,7 @@ object TextOps {
   private def duckHash60(arg: String): String =
     s"CAST(CAST('0x' || substring(md5($arg), 1, 15) AS UBIGINT) AS BIGINT)"
 
-  private val SimBands = 4 // 15 bits each: pigeonhole-exact for hamming <= 3
-  private val SimMaxHamming = 3
+  private val SimMaxHamming = 3 // default radius: 4 bands × 15 bits
 
   /** SimHash near-dup pairs (hamming distance ≤ 3 over 60-bit signatures).
     *
@@ -655,7 +732,32 @@ object TextOps {
     * member-list expansion keep the join linear in distinct signatures and
     * make the expansion cost the OUTPUT size, which is the lower bound.
     */
-  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    simhashNearDupRadius(s, dir, SimMaxHamming)
+
+  /** [[simhashNearDup]] with the hamming radius exposed. The pigeonhole
+    * guarantee generalizes: for radius d, split the 60 signature bits into
+    * d+1 DISJOINT bands that together cover all 60 — two signatures within
+    * hamming d must then agree exactly on at least one band, so the band
+    * join finds every qualifying pair EXACTLY (unlike MinHash banding
+    * there is no s-curve: recall is 1 by construction). The trade is
+    * selectivity: wider radius ⇒ more, narrower bands (d=3 → 4×15 bits,
+    * d=5 → 6×10 bits), and a b-bit band has 2^b distinct values, so
+    * halving band width squares the expected bucket collision rate — the
+    * candidate set (all still hamming-filtered exactly) grows accordingly.
+    * Radius capped so bands keep ≥ 6 bits; beyond that bucket selectivity
+    * has degraded to near-all-pairs and a different structure (multi-probe
+    * or BK-tree) is the right tool. Bands take floor(60/(d+1)) bits, the
+    * first 60 mod (d+1) bands one bit more — the default d=3 lands on the
+    * parity 4×15 layout, so defaults produce bit-identical gate output.
+    */
+  def simhashNearDupRadius(s: SparkSession, dir: String,
+                           maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 9,
+      s"radius must keep bands >= 6 bits (d <= 9), got $maxHamming")
+    val nBands = maxHamming + 1
+    val baseW = 60 / nBands
+    val extra = 60 % nBands // first `extra` bands carry one more bit
     graft.functions.VectorFunctions.register(s)
     val sims = docs(s, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
@@ -676,10 +778,13 @@ object TextOps {
       .select(col("p.da").as("doc_a"), col("p.db").as("doc_b"),
         lit(0L).as("hamming"))
 
+    val bandCols = (0 until nBands).map { b =>
+      val width = baseW + (if (b < extra) 1 else 0)
+      val offset = b * baseW + math.min(b, extra)
+      shiftright(col("simhash"), offset).bitwiseAND(lit((1L << width) - 1))
+    }
     val bands = groups.select(col("simhash"),
-      posexplode(array((0 until SimBands).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
-        .as(Seq("band", "sig")))
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
     val x = bands.toDF("sim_a", "band", "sig")
     val y = bands.toDF("sim_b", "band", "sig")
     val candSigs = x.join(y, Seq("band", "sig"))
@@ -687,7 +792,7 @@ object TextOps {
       .select("sim_a", "sim_b").distinct()
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-      .filter(col("hamming") <= SimMaxHamming)
+      .filter(col("hamming") <= maxHamming)
 
     val cross = candSigs
       .join(groups.toDF("sim_a", "ids_a"), "sim_a")
@@ -1189,6 +1294,7 @@ object TextOps {
     "q_pii_redact" -> (piiRedact(_, _)),
     "q_contamination" -> (contamination(_, _)),
     "q_corpus_report" -> (corpusReport(_, _)),
+    "q_observed_report" -> (observedReport(_, _)),
     "q_chunk_overlap" -> (chunkDocs(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
@@ -1211,6 +1317,7 @@ object TextOps {
     "q_pii_redact" -> piiRedactSql,
     "q_contamination" -> contaminationSql,
     "q_corpus_report" -> corpusReportSql,
+    "q_observed_report" -> observedReportSql,
     "q_chunk_overlap" -> chunkDocsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_hash_split" -> hashSplitSql,

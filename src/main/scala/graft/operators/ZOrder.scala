@@ -97,6 +97,40 @@ object ZOrder {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------ write path
+  //
+  // The operator's value claim is FILE SKIPPING: lay the data out by
+  // z-value and a selective filter on EITHER dimension prunes most
+  // row-groups via parquet min/max stats. zorderLayout proves the
+  // envelope property in-plan; the writers below produce the actual
+  // laid-out files, and ZOrderSpec executes scans against them and reads
+  // the scan's own metrics (numOutputRows after row-group pruning) to
+  // show the subset — asserted AND executed.
+
+  /** Write `df` z-order-clustered on two already-8-bit-normalized integer
+    * columns: z-value → range partition (each output file covers a narrow
+    * z interval ⇒ a narrow rectangle in (x, y)) → sort within partitions
+    * (row groups inside a file cluster too). The helper column is dropped
+    * before the write; the projection preserves the sort order.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, nFiles: Int): Unit =
+    df.withColumn("__z", zValue(xCol, yCol))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The single-key comparison layout: range-partitioned and sorted on
+    * ONE column — prunes scans on that column only; the other dimension
+    * spans its full range in every file.
+    */
+  def writeKeySorted(df: DataFrame, keyCol: String,
+                     path: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_layout" -> (zorderLayout(_, _)))
 

@@ -198,6 +198,58 @@ object EventStream {
     }
   }
 
+  /** [[runningUserCountsTws]] with PER-STATE TTL — the expiry story that
+    * makes transformWithState's named handles worth having: the TTL is
+    * declared ON the state handle (`TTLConfig`), not hand-rolled with
+    * timers, and each named handle in a processor can carry a DIFFERENT
+    * TTL (counts kept an hour, a session blob kept a day) — the
+    * per-piece expiry fMGWS's single opaque blob cannot express.
+    * Requires `TimeMode.ProcessingTime`; expiry is lazy — an expired
+    * value simply stops being returned at the next read, so a returning
+    * user restarts at version 1 (same trade as the fMGWS timeout form,
+    * minus the timer callback). At 100 TB this is how live state tracks
+    * ACTIVE keys under an unbounded key space without hand-rolled timer
+    * traffic. Run it with a periodic trigger for the same reason as the
+    * timeout form below: under ProcessingTime the engine always has
+    * "another batch" to run, so the default trigger busy-loops and
+    * `processAllAvailable` never returns.
+    */
+  def runningUserCountsTwsTtl(events: DataFrame,
+                              ttlMillis: Long = 2000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id").as[Long]
+      .groupByKey(identity)
+      .transformWithState(new RunningCountsTtlProcessor(ttlMillis),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF("user_id", "version", "n_so_far")
+  }
+
+  /** The [[runningUserCountsTwsTtl]] processor: identical logic to
+    * [[RunningCountsProcessor]], but the ValueState carries a TTL — the
+    * handle declaration IS the whole expiry implementation.
+    */
+  private class RunningCountsTtlProcessor(ttlMillis: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Long, (Long, Int, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[(Int, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("counts",
+        Encoders.product[(Int, Long)],
+        TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+    override def handleInputRows(user: Long, rows: Iterator[Long],
+        tv: TimerValues): Iterator[(Long, Int, Long)] = {
+      val (v0, n0) = if (st.exists()) st.get() else (0, 0L)
+      val n = n0 + rows.size
+      val v = v0 + 1
+      st.update((v, n))
+      Iterator.single((user, v, n))
+    }
+  }
+
   /** [[runningUserCounts]] with STATE EXPIRY — the 100 TB form: a
     * processing-time timeout evicts a user's state after `idleFor` without
     * new events, so live state tracks ACTIVE users, not every user ever

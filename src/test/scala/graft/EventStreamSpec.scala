@@ -156,6 +156,65 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState ValueState TTL expires a key's state between batches") {
+    // The TWS analog of the processing-time-timeout test above: the TTL is
+    // declared ON the state handle (TTLConfig), no timers. Under
+    // TimeMode.ProcessingTime the engine — exactly like the fMGWS
+    // ProcessingTimeTimeout case — always has "another batch" to run, so
+    // processAllAvailable never settles and the default trigger busy-loops
+    // (observed: 3000+ micro-batch versions in seconds). Periodic trigger
+    // + sink polling, as above. RocksDB provider scoped-and-restored:
+    // transformWithState requires it.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[Long]
+    val events = input.toDF().toDF("user_id")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val query = EventStream.runningUserCountsTwsTtl(events, ttlMillis = 3000L)
+      .writeStream.format("memory").queryName("tws_ttl_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    def rows(): Seq[(Long, Int, Long)] = spark.table("tws_ttl_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    def waitForRows(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (rows().size < n) {
+        query.exception.foreach(e => fail(s"query died: $e"))
+        assert(System.currentTimeMillis() < deadline,
+          s"timed out waiting for $n sink rows, have ${rows()}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData(7L, 7L)
+      waitForRows(1)
+      // within the TTL the state survives: version increments
+      input.addData(7L)
+      waitForRows(2)
+      // let the TTL lapse with margin, then the key returns: the handle
+      // reads expired → version AND count restart at 1
+      Thread.sleep(6000)
+      input.addData(7L)
+      waitForRows(3)
+
+      val got = rows()
+      // without TTL the last row would be (7, 3, 4)
+      assert(got.size == 3)
+      assert(got.toSet == Set((7L, 1, 2L), (7L, 2, 3L), (7L, 1, 1L)),
+        s"got $got")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session streaming windows merge within the gap, split beyond it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]

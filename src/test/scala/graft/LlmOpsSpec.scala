@@ -97,6 +97,60 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashNearDupBanded: non-default 16x8 banding finds the same verified pairs") {
+    // Banding only nominates CANDIDATES; the exact-Jaccard verify decides
+    // membership. At planted s ≈ 0.93, 16 bands x 8 rows still recalls
+    // the pair (P(miss) = (1-s^8)^16 ≈ 2e-7), so the verified output must
+    // equal the default 32x4 run's; a distinct-doc pair must stay absent
+    // under BOTH bandings.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    withDocs(
+      1L -> base,
+      2L -> (base + " extra"),
+      3L -> (1 to 40).map(i => s"other$i").mkString(" ")) { dir =>
+      val banded = TextOps.minhashNearDupBanded(spark, dir, 16, 8, 0.8)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      assert(banded.toSeq == Seq((1L, 2L)))
+      // an invalid family (overruns the 128 signature components) fails fast
+      intercept[IllegalArgumentException] {
+        TextOps.minhashNearDupBanded(spark, dir, 33, 4, 0.8)
+      }
+    }
+  }
+
+  test("simhashNearDupRadius: wider radius is exact against brute-force hamming") {
+    // d=5 exercises the non-default 6x10-bit pigeonhole split (and the
+    // uneven-width path is covered by construction for any d where
+    // 60 mod (d+1) != 0, e.g. d=6 -> 7 bands of 9/8 bits). Exactness
+    // claim: banding recalls EVERY pair within the radius, so the output
+    // must equal an all-pairs hamming filter over the same signatures.
+    val fixture = (1 to 12).map { i =>
+      i.toLong -> (1 to 50).map(j => if (j % 12 < i % 4) s"v$j" else s"tok$j")
+        .mkString(" ")
+    }
+    withDocs(fixture: _*) { dir =>
+      for (d <- Seq(5, 6)) {
+        val got = TextOps.simhashNearDupRadius(spark, dir, d).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+            r.getAs[Long]("hamming")).toMap
+        // brute force over the kernel's own signatures (same normalization
+        // as the operator: lower, trim, whitespace-collapse, split)
+        graft.functions.VectorFunctions.register(spark)
+        val sigs = Tables.load(spark, dir, "documents")
+          .selectExpr("doc_id",
+            """simhash_sig(array_distinct(
+              |  split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' '))) AS sh"""
+              .stripMargin)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val expect = (for {
+          (a, sa) <- sigs; (b, sb) <- sigs if a < b
+          h = java.lang.Long.bitCount(sa ^ sb) if h <= d
+        } yield (a, b) -> h.toLong).toMap
+        assert(got == expect, s"radius $d: got $got expect $expect")
+      }
+    }
+  }
+
   test("langNgram classifies real sentences by trigram profile") {
     withDocs(
       1L -> "the quick brown fox is jumping over the lazy dog in the garden",

@@ -188,6 +188,58 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodePng(java.util.Arrays.copyOfRange(good, 0, good.length / 2)))
   }
 
+  test("real JPEG decode: tolerance-band pixels, per-JVM determinism, features") {
+    import java.awt.image.BufferedImage
+    // smooth gradient: JPEG's DCT quantization stays small away from sharp
+    // edges, so a tight tolerance still holds — lossy means NO exact-pixel
+    // pin (cf. the PNG test), only bands
+    val w = 16; val h = 12
+    // strictly linear ramp, no modulus wrap: a sawtooth edge is exactly
+    // what DCT quantization mangles (observed 88/255 error on a %-wrapped
+    // fixture); linear gradients stay within a tight band
+    def channel(x: Int, y: Int, c: Int): Int = 64 + x * 4 + y * 2 + c * 3
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (channel(x, y, 0) << 16) |
+        (channel(x, y, 1) << 8) | channel(x, y, 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+
+    val dec = Multimodal.decodeJpeg(jpeg)
+    assert(dec.width == w && dec.height == h, "dimensions are exact — only pixels are lossy")
+    // tolerance band: every channel within 24/255 of the source
+    var maxErr = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 to 2) {
+      val got = dec.pixels((y * w + x) * 3 + c) & 0xff
+      maxErr = math.max(maxErr, math.abs(got - channel(x, y, c)))
+    }
+    assert(maxErr <= 24, s"JPEG decode drifted $maxErr/255 from the source")
+    // per-JVM determinism: the same bytes decode to the same pixels
+    assert(Multimodal.decodeJpeg(jpeg).pixels.sameElements(dec.pixels))
+    // the sniff routes JPEG magic (FF D8) here
+    assert(Multimodal.decodeImage(jpeg).pixels.sameElements(dec.pixels))
+
+    // distributed features flow through the same imageFeatures path, and
+    // land within the tolerance band of the SAME raster through the
+    // lossless PPM path (they cannot be bit-equal — the codec is lossy)
+    import spark.implicits._
+    val raw = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 to 2)
+      raw((y * w + x) * 3 + c) = channel(x, y, c).toByte
+    val media = Seq(
+      (1L, ppmBytes(w, h, raw), "image/ppm"),
+      (2L, jpeg, "image/jpeg"))
+      .toDF("media_id", "bytes", "mime")
+    val rows = Multimodal.imageFeatures(media, grid = 2).orderBy("media_id").collect()
+    assert(rows.length == 2, "image/jpeg rows are decoded, not filtered")
+    val exact = rows(0).getSeq[Float](rows(0).fieldIndex("feature"))
+    val lossy = rows(1).getSeq[Float](rows(1).fieldIndex("feature"))
+    exact.zip(lossy).zipWithIndex.foreach { case ((e, l), i) =>
+      assert(math.abs(e - l) < 0.05f, s"feature $i: exact $e vs jpeg $l")
+    }
+  }
+
   test("image features: channel means/variances and grid cells, distributed") {
     import spark.implicits._
     // 2x2 image, one pure color per pixel quadrant

@@ -48,4 +48,56 @@ class ZOrderSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(plan).size == 1,
       s"exactly the aggregate's shuffle:\n$plan")
   }
+
+  /** Rows the parquet SCAN surfaces after row-group stat pruning — the
+    * executed-scan metric (not a plan string): pushed filters prune whole
+    * row groups by min/max; whatever survives streams out of the scan and
+    * is counted by its numOutputRows.
+    */
+  private def scanOutputRows(path: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+    val df = spark.read.parquet(path).filter(pred)
+    val qe = df.queryExecution
+    qe.toRdd.count() // execute the real plan (no AQE wrapper: scan+filter only)
+    val scan = qe.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    (scan.metrics("numOutputRows").value, scan.metrics("numFiles").value)
+  }
+
+  test("written z-order files prune scans on EITHER dimension; key-sort on one") {
+    // full 256x256 grid, one row per (x, y): pruning ratios are exact by
+    // construction instead of hostage to testdata skew
+    val n = 256 * 256
+    val grid = spark.range(n.toLong)
+      .selectExpr("CAST(id % 256 AS INT) AS x8", "CAST(id div 256 AS INT) AS y8",
+        "id AS payload")
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    val zPath = s"$tmp/by_z"; val xPath = s"$tmp/by_x"
+    // 16 files ≈ one row group each at this size: row-group stats become
+    // file-level envelopes, so surviving rows measure skipped FILES
+    ZOrder.writeZOrdered(grid, "x8", "y8", zPath, nFiles = 16)
+    ZOrder.writeKeySorted(grid, "x8", xPath, nFiles = 16)
+
+    val (zxRows, zxFiles) = scanOutputRows(zPath, col("x8") === 7)
+    val (zyRows, _)       = scanOutputRows(zPath, col("y8") === 7)
+    val (sxRows, _)       = scanOutputRows(xPath, col("x8") === 7)
+    val (syRows, syFiles) = scanOutputRows(xPath, col("y8") === 7)
+
+    // both layouts LIST every file — what differs is row groups actually
+    // read, i.e. this is stat pruning, not partition pruning
+    assert(zxFiles == 16 && syFiles == 16)
+
+    // single-key layout: its own key prunes hard...
+    assert(sxRows <= n / 8, s"x-sorted layout must prune x filters, read $sxRows")
+    // ...but the other dimension reads the ENTIRE table — every file's
+    // y envelope spans the full range
+    assert(syRows == n, s"x-sorted layout cannot prune y filters, read $syRows")
+
+    // z-order: BOTH dimensions read a strict subset. 16 z-ranges ≈ a 4x4
+    // tile grid: a point filter on either dim intersects ~4 tiles (~n/4
+    // rows); ≤ n/2 is robust to repartitionByRange's sampled boundaries
+    assert(zxRows <= n / 2, s"z layout must prune x filters, read $zxRows of $n")
+    assert(zyRows <= n / 2, s"z layout must prune y filters, read $zyRows of $n")
+    assert(zyRows < syRows, "the whole point: y filters prune under z, not under x-sort")
+  }
 }
