@@ -155,7 +155,19 @@ object Bench {
       val spreads = results
         .map { case (k, _, _, r) => s"\"" + k + "\":" + r.map(x => num("%.3f", x)).mkString("[", ",", "]") }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num("%.6f", total)},"unit":"sec","sf":"$sfDir","queries":$qs,"median_raw":$raws,"reps":$spreads}""" + "\n"
+      // Measured sf0.1→sf1 decade ratios (SCALING.md): the committed
+      // artifact from the one-off scaling pass rides along under
+      // "scaling", so the driver-visible detail file carries the scale
+      // evidence every round without re-running the two-suite experiment.
+      val scaling = {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SCALING_JSON", "SCALING.json"))
+        if (java.nio.file.Files.isReadable(p))
+          ",\"scaling\":" + new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else ""
+      }
+      s"""{"metric":"total","value":${num("%.6f", total)},"unit":"sec","sf":"$sfDir","queries":$qs,"median_raw":$raws,"reps":$spreads$scaling}""" + "\n"
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),

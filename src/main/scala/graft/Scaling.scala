@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-experiment driver (a dev tool beside [[Explain]], not part of
+  * the driver contract): times parameterized operator variants on a chosen
+  * dataset so scale-knob claims in SCALING.md are MEASURED, not asserted.
+  *
+  * Current probes: the SRP-LSH embedding near-dup at the parity family
+  * (16 bands × 6 bits) vs log(n)-sized signatures — the one operator the
+  * sf0.1→sf1 pass showed super-linear under fixed bucket count.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.Scaling [mode]"
+  * where mode ∈ time | recall | planted | truth | all (default: all).
+  */
+object Scaling {
+
+  private val Families = Seq((16, 6), (16, 10), (24, 10))
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/bench_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosAsLongConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def on(m: String) = mode == "all" || mode == m
+    if (on("time")) probeTimes(spark, dir)
+    if (on("recall")) probeRecallCurves(spark, dir)
+    if (on("planted")) probePlantedRecall(spark, dir)
+    if (on("truth")) probeGroundTruth(spark, dir)
+    spark.stop()
+  }
+
+  private def timed(spark: SparkSession, label: String)(df: => DataFrame): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    System.gc(); Thread.sleep(150); System.gc()
+    val t0 = System.nanoTime()
+    val n = df.queryExecution.toRdd.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n}""")
+  }
+
+  private def probeTimes(spark: SparkSession, dir: String): Unit = {
+    // warmup (JIT + codegen) on the cheap family first
+    operators.Similarity.embedNearDup(spark, dir).queryExecution.toRdd.count(): Unit
+    timed(spark, "embed_neardup_16x6")(
+      operators.Similarity.embedNearDup(spark, dir))
+    for ((bands, bits) <- Families.drop(1))
+      timed(spark, s"embed_neardup_${bands}x$bits")(
+        operators.Similarity.embedNearDupSized(spark, dir, bands, bits, 0.45))
+  }
+
+  /** Per-bit agreement for a pair at cosine c is 1 - arccos(c)/pi, so wider
+    * bands shed pairs selectively by cosine — hardest at the low end of the
+    * threshold range. Bucketing each family's found pairs by cosine measures
+    * that curve directly (the candidate join is the cost; the agg is free).
+    */
+  private def probeRecallCurves(spark: SparkSession, dir: String): Unit =
+    for ((bands, bits) <- Families) {
+      val byBand = operators.Similarity
+        .embedNearDupSized(spark, dir, bands, bits, 0.45)
+        .groupBy(floor(col("cosine") * 10).as("cos_decile"))
+        .count().orderBy("cos_decile")
+        .collect().map(r => s""""0.${r.getLong(0)}":${r.getLong(1)}""")
+      println(s"""{"recall_curve":"${bands}x$bits",${byBand.mkString(",")}}""")
+    }
+
+  /** Recall at the PRODUCTION near-dup operating point, measured: the sf1
+    * fixture's true pairs all sit below cosine 0.7 (rotated shards — by
+    * construction), so recall at 0.9 cannot be read off the corpus. Instead
+    * plant 1000 pairs at cosine EXACTLY 0.9: for each of the first 1000
+    * vectors v, emit w = 0.9·v̂ + sqrt(1-0.81)·p̂ where p̂ is the (md5-parity
+    * deterministic) direction g orthogonalized against v̂ — cos(v,w) = 0.9
+    * by construction, float storage adds ~1e-7. Each family then runs on
+    * the 51k-vector augmented corpus at threshold 0.85 and we count how
+    * many planted (i, i+10⁷) pairs its candidate generation kept, against
+    * the analytic s-curve 1-(1-p^bits)^bands, p = 1-arccos(0.9)/π.
+    */
+  private def probePlantedRecall(spark: SparkSession, dir: String): Unit = {
+    val planted = 1000
+    val offset = 10000000L
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seeds = base.filter(col("vec_id") < planted)
+      .select("vec_id", "embedding", "label").collect()
+    val cosTarget = 0.9
+    val rows = seeds.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val vh = v.map(_ / nv)
+      val g = Array.tabulate(v.length) { i =>
+        val h = md.digest(s"plant_${id}_$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }
+      val gv = g.indices.map(i => g(i) * vh(i)).sum
+      val p = g.indices.map(i => g(i) - gv * vh(i)).toArray
+      val np = math.sqrt(p.map(x => x * x).sum)
+      if (np < 1e-9) None
+      else {
+        val s = math.sqrt(1 - cosTarget * cosTarget)
+        val w = p.indices.map(i => (cosTarget * vh(i) + s * p(i) / np).toFloat)
+        Some((id + offset, w, r.getInt(2)))
+      }
+    }
+    import spark.implicits._
+    val aug = java.nio.file.Files.createTempDirectory("planted").toString
+    base.select("vec_id", "embedding", "label")
+      .union(rows.toSeq.toDF("vec_id", "embedding", "label"))
+      .write.mode("overwrite").parquet(s"$aug/embeddings.parquet")
+    val pBit = 1.0 - math.acos(cosTarget) / math.Pi
+    for ((bands, bits) <- Families) {
+      val found = operators.Similarity
+        .embedNearDupSized(spark, aug, bands, bits, 0.85)
+        .filter(col("vec_b") - col("vec_a") === offset && col("vec_a") < planted)
+        .count()
+      val analytic = 1.0 - math.pow(1.0 - math.pow(pBit, bits), bands)
+      println(f"""{"planted_recall":"${bands}x$bits","found":$found,"planted":$planted,"analytic":$analytic%.4f}""")
+    }
+  }
+
+  /** Exact ground truth for the recall curves: brute-force all-pairs cosine
+    * (broadcast nested-loop, codegen'd vec_dot — ~n²/2 dot products, the
+    * quadratic cost the LSH exists to avoid; run once, offline) bucketed by
+    * decile. Divide a family's recall_curve counts by these for recall.
+    */
+  private def probeGroundTruth(spark: SparkSession, dir: String): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nn", expr("vec_dot(v, v)"))
+    val a = n.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("ida"), col("v").as("va"), col("nn").as("na"))
+    val b = n.select(col("vec_id").as("idb"), col("v").as("vb"), col("nn").as("nb"))
+    val t0 = System.nanoTime()
+    val gt = a.join(broadcast(b), col("ida") < col("idb"))
+      .withColumn("cosine",
+        expr("vec_dot(va, vb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") >= 0.45) // align with the family probes' threshold
+      .groupBy(floor(col("cosine") * 10).as("cos_decile"))
+      .count().orderBy("cos_decile")
+      .collect().map(r => s""""0.${r.getLong(0)}":${r.getLong(1)}""")
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"ground_truth_deciles":${gt.mkString("{", ",", "}")},"sec":$sec%.1f}""")
+  }
+}

@@ -94,20 +94,25 @@ object Similarity {
   private val AnnBands = 16 // OR-amplification: candidate iff any band agrees
   private val AnnK = 5
 
-  /** Deterministic ±1 random-hyperplane matrix (AnnBands*BandBits × Dim),
-    * derived from md5 parity so it is reproducible from the code alone. It
-    * is inlined as a LITERAL into both the Spark plan and the oracle SQL —
+  /** Deterministic ±1 random-hyperplane matrix (`rows` × Dim), derived
+    * from md5 parity so it is reproducible from the code alone. It is
+    * inlined as a LITERAL into both the Spark plan and the oracle SQL —
     * the two engines never have to agree on an internal hash function.
+    * A wider family is a strict extension: the first AnnBands×BandBits
+    * rows are identical for any `rows`, so widening bands/bits never
+    * perturbs the default signatures.
     */
-  private lazy val planes: Seq[Seq[Double]] = {
+  private def planesFor(rows: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until AnnBands * BandBits).map { j =>
+    (0 until rows).map { j =>
       (0 until Dim).map { i =>
         val h = md.digest(s"${j}_$i".getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1.0 else -1.0
       }
     }
   }
+
+  private lazy val planes: Seq[Seq[Double]] = planesFor(AnnBands * BandBits)
 
   /** Approximate nearest neighbors by sign-random-projection LSH — the
     * 100 TB path where brute force stops being an option.
@@ -205,11 +210,29 @@ object Similarity {
     * plane, so the result is exact-compared; recall at a given threshold
     * is the standard LSH trade-off (raise bands to raise recall).
     */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    embedNearDupSized(s, dir, AnnBands, BandBits, NearDupCosine)
+
+  /** [[embedNearDup]] with the SRP signature family exposed — the knob
+    * the sf0.1→sf1 scaling pass showed is NOT optional: the bucket space
+    * is bands × 2^bandBits, so with FIXED bits a 10× corpus multiplies
+    * per-bucket occupancy 10× and candidate PAIRS ~100× (measured: the
+    * default 16×6-bit family ran 49.9× slower on 10× vectors — the one
+    * super-linear query in the pass). Size `bandBits` ≈ log2(n /
+    * targetOccupancy): each added bit halves expected occupancy (and
+    * quarters per-bucket pair counts) at the cost of sign-boundary recall
+    * — raise `bands` to buy recall back (OR-amplification). The plane
+    * family is prefix-stable, so the default 16×6 configuration emits
+    * bit-identical signatures to every prior round (gate parity).
+    */
+  def embedNearDupSized(s: SparkSession, dir: String, bands: Int,
+                        bandBits: Int, threshold: Double): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 30,
+      s"need 1..30 sig bits per band, got $bandBits")
     val corpus = emb(s, dir)
       .withColumn("nn", expr("vec_dot(v, v)"))
       .cache()
-    val sigs = bandSignatures(corpus)
+    val sigs = bandSignatures(corpus, bands, bandBits)
     val a = sigs.toDF("vec_a", "band", "sig")
     val b = sigs.toDF("vec_b", "band", "sig")
     val cands = a.join(b, Seq("band", "sig"))
@@ -220,26 +243,36 @@ object Similarity {
     cands.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cosine",
         expr("vec_dot(a, b)") / (sqrt(col("na")) * sqrt(col("nb"))))
-      .filter(col("cosine") >= NearDupCosine)
+      .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 
   /** (vec_id, band, sig) signature table — shared by annLsh/embedNearDup. */
-  private def bandSignatures(corpus: DataFrame): DataFrame =
+  private def bandSignatures(corpus: DataFrame, bands: Int = AnnBands,
+                             bandBits: Int = BandBits): DataFrame =
     corpus
-      .withColumn("p", typedLit(planes))
+      .withColumn("p", typedLit(planesFor(bands * bandBits)))
       .withColumn("dots", expr(
-        s"transform(sequence(0, ${AnnBands * BandBits - 1}), j -> vec_dot(v, p[j]))"))
+        s"transform(sequence(0, ${bands * bandBits - 1}), j -> vec_dot(v, p[j]))"))
       .select(col("vec_id"),
         posexplode(expr(
-          s"""transform(sequence(0, ${AnnBands - 1}), b ->
-             |  aggregate(sequence(0, ${BandBits - 1}), 0,
-             |    (acc, k) -> acc + IF(dots[b * $BandBits + k] > 0D, shiftleft(1, k), 0)))"""
+          s"""transform(sequence(0, ${bands - 1}), b ->
+             |  aggregate(sequence(0, ${bandBits - 1}), 0,
+             |    (acc, k) -> acc + IF(dots[b * $bandBits + k] > 0D, shiftleft(1, k), 0)))"""
             .stripMargin)).as(Seq("band", "sig")))
 
-  private lazy val embedNearDupSql = {
-    val planesLit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+  private lazy val embedNearDupSql =
+    embedNearDupSqlFor(AnnBands, BandBits, NearDupCosine)
+
+  /** DuckDB oracle for [[embedNearDupSized]] — same literal-plane trick at
+    * any family size (the planes are prefix-stable, so the wide family's
+    * first rows are the parity family's).
+    */
+  private def embedNearDupSqlFor(bands: Int, bandBits: Int,
+                                 threshold: Double): String = {
+    val planesLit = planesFor(bands * bandBits)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -250,16 +283,16 @@ object Similarity {
        |pl AS (SELECT $planesLit AS p),
        |d AS (
        |  SELECT vec_id,
-       |    list_transform(range(${AnnBands * BandBits}), j ->
+       |    list_transform(range(${bands * bandBits}), j ->
        |      list_reduce(list_transform(range($Dim), i -> v[i+1] * p[j+1][i+1]),
        |        (a, b) -> a + b)) AS dots
        |  FROM n CROSS JOIN pl),
        |sg AS (
        |  SELECT vec_id, bb.band,
-       |    list_reduce(list_prepend(0, list_transform(range($BandBits),
-       |      k -> CASE WHEN dots[bb.band * $BandBits + k + 1] > 0
+       |    list_reduce(list_prepend(0, list_transform(range($bandBits),
+       |      k -> CASE WHEN dots[bb.band * $bandBits + k + 1] > 0
        |                THEN (1 << k) ELSE 0 END)), (a, c) -> a + c) AS sig
-       |  FROM d CROSS JOIN (SELECT unnest(range($AnnBands)) AS band) bb),
+       |  FROM d CROSS JOIN (SELECT unnest(range($bands)) AS band) bb),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM sg a JOIN sg b ON a.band = b.band AND a.sig = b.sig
@@ -272,7 +305,7 @@ object Similarity {
        |  FROM cand
        |  JOIN n an ON an.vec_id = cand.vec_a
        |  JOIN n bn ON bn.vec_id = cand.vec_b)
-       |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= $NearDupCosine
+       |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
@@ -815,7 +848,11 @@ object Similarity {
     "q_ann_ivf" -> (annIvf(_, _)),
     "q_ann_ivf_trained" -> (annIvfTrained(_, _)),
     "q_ann_pq" -> (annPq(_, _)),
-    "q_embed_neardup" -> (embedNearDup(_, _)))
+    "q_embed_neardup" -> (embedNearDup(_, _)),
+    // the sf1 scaling fix (SCALING.md), oracle-gated at a non-default
+    // family: 16 bands × 8 bits shrinks per-bucket occupancy 4× — the
+    // knob that keeps candidate pairs linear as the corpus grows
+    "q_embed_neardup_wide" -> (embedNearDupSized(_, _, 16, 8, NearDupCosine)))
 
   /** def, not val: q_ann_ivf_trained's oracle embeds the centroids trained
     * while the queries ran (Verify dumps oracle SQL after running them).
@@ -828,5 +865,6 @@ object Similarity {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_pq" -> annPqSql,
-    "q_embed_neardup" -> embedNearDupSql)
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_neardup_wide" -> embedNearDupSqlFor(16, 8, NearDupCosine))
 }

@@ -257,6 +257,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("cosine") == -1.0)
   }
 
+  test("embedNearDupSized: wider signatures keep true pairs, defaults unchanged") {
+    // identical-direction vectors agree on EVERY sign, so they share every
+    // band bucket at any width — widening bits prunes the candidate space
+    // (the sf1 scaling fix) without losing exact duplicates
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => math.sin(seed * 37.0 + i).toFloat)
+    val vecs = Seq(
+      (0L, v(1)), (1L, v(1)),      // same direction: cosine 1
+      (2L, v(2)), (3L, v(3)))      // unrelated directions
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val wide = Similarity.embedNearDupSized(spark, dir, 16, 10, 0.45)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(wide.contains((0L, 1L)), s"identical pair must survive 10-bit bands, got $wide")
+    // the default entry point IS the sized variant at the parity family
+    val dflt = Similarity.embedNearDup(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(dflt.contains((0L, 1L)))
+    intercept[IllegalArgumentException] {
+      Similarity.embedNearDupSized(spark, dir, 16, 31, 0.45)
+    }
+  }
+
   test("trained IVF codebook: planted-label recall >= the stand-in's") {
     // sf0.01 embeddings carry 10 planted label clusters; a neighbor is
     // "true" when it shares its query's label. k-means from the stand-in
