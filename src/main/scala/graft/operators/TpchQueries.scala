@@ -672,7 +672,363 @@ object TpchQueries {
       |  AND s_nationkey = n_nationkey AND n_regionkey = 2
       |ORDER BY s_name""".stripMargin
 
+  /** Q6: forecasting revenue change — the PURE-SCAN aggregate: three
+    * range predicates on one table, no join, two aggregates. The entire
+    * query should collapse to a parquet scan with every predicate in
+    * PushedFilters feeding a partial+final agg over ONE output row — at
+    * 100 TB this is the query whose cost is exactly "read the pruned
+    * row groups once". revenue = price×discount is exact decimal:
+    * (18,4)×(18,4) → (37,8) with no rounding, summed exact, rounded
+    * once at the edge. The discount bounds compare stored doubles
+    * against the same literals in both engines — no arithmetic, no ULP
+    * hazard.
+    */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sumRounded(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql =
+    """SELECT
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |                 * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE)
+      |    AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Q8: national market share — the widest join in the suite (7 tables,
+    * nation twice in different roles) feeding a RATIO-OF-CONDITIONAL-SUMS
+    * aggregate: the share of yearly volume supplied by one nation, where
+    * the numerator keeps rows by a post-join CASE on the SUPPLIER-side
+    * nation while the REGION slice filters on the CUSTOMER-side nation
+    * chain. Both sums are exact decimal (q14's zero-else CASE pattern),
+    * emitted rounded for the hash plus divided in double for the share.
+    * Broadcast discipline: both nation roles and region are bounded →
+    * hinted; part/customer/supplier/orders grow with SF → size-threshold/
+    * AQE decides (the r9 lesson, inverted into PlanSpec).
+    */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val pt = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val n1 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_natkey"), col("n_regionkey"))
+    val n2 = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_natkey"), col("n_name").as("supp_nation"))
+    val reg = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+    val zero = lit(0).cast(DecimalType(18, 8))
+    val natVol = when(col("supp_nation") === "NATION_2", discPrice).otherwise(zero)
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), cust("c_nationkey") === col("c_natkey"))
+      .join(broadcast(reg), col("n_regionkey") === reg("r_regionkey"))
+      .join(broadcast(n2), sup("s_nationkey") === col("s_natkey"))
+      .groupBy(year(ord("o_orderdate")).as("o_year"))
+      .agg(
+        (dbl4(sum(natVol).cast(DecimalType(18, 4))) /
+          dbl4(sum(discPrice).cast(DecimalType(18, 4)))).as("mkt_share"),
+        sumRounded(natVol).as("nation_volume"),
+        sumRounded(discPrice).as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  private val q8Sql =
+    s"""SELECT year(o_orderdate) AS o_year,
+      |  CAST(round(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN $discPriceSql
+      |                      ELSE CAST(0 AS DECIMAL(18,8)) END), 4) AS DOUBLE)
+      |    /
+      |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS mkt_share,
+      |  CAST(round(SUM(CASE WHEN n2.n_name = 'NATION_2' THEN $discPriceSql
+      |                      ELSE CAST(0 AS DECIMAL(18,8)) END), 4) AS DOUBLE)
+      |    AS nation_volume,
+      |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS total_volume
+      |FROM part, supplier, lineitem, orders, customer,
+      |     nation n1, nation n2, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |  AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND p_type = 'ECONOMY'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q9: product-type profit — the LIKE-sliced 5-table join grouped on
+    * BOTH a dimension attribute and a derived year, with a SUBTRACTION
+    * inside the aggregate: profit = discounted revenue − sourcing cost.
+    * No partsupp in the testdata, so cost is p_retailprice × l_quantity
+    * (the same "cost rides the part dimension onto each lineitem" shape
+    * as ps_supplycost; profits go negative, which is fine — the gate
+    * compares sums, not signs). All arithmetic exact decimal: the cost
+    * product (18,4)×(18,4) → (37,8) tightened losslessly to (18,8),
+    * subtracted from the (18,8) discPrice exactly, summed exact,
+    * rounded once. The '%red%' infix LIKE cannot prefix-prune — it
+    * rides the part scan as a residual filter, which is the honest shape
+    * for an infix match at any scale.
+    */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val pt = t(s, dir, "part").filter(col("p_name").like("%red%"))
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+    val nat = t(s, dir, "nation")
+    val cost = (dec(col("p_retailprice")) * dec(col("l_quantity")))
+      .cast(DecimalType(18, 8))
+    val amount = discPrice - cost
+    li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sumRounded(amount).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Sql =
+    s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  CAST(round(SUM($discPriceSql
+      |    - CAST(CAST(p_retailprice AS DECIMAL(18,4))
+      |           * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,8))),
+      |    4) AS DOUBLE) AS sum_profit
+      |FROM part, supplier, lineitem, orders, nation
+      |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |  AND p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q10: returned-item reporting — one quarter of orders joined to the
+    * 'R'-sliced lineitem, grouped PER CUSTOMER (the high-cardinality
+    * grouping in the suite: |customers| keys, vs q1's 4 and q8's years),
+    * top-20 by revenue. The shape this pins at 100 TB: both fact filters
+    * reach their scans, the customer join shuffles (no hint — customer
+    * grows with SF), the per-customer agg is partial+final on custkey,
+    * and the top-20 is TakeOrderedAndProject — never a global sort of
+    * |customers| rows. Nation rides on the end as a bounded broadcast.
+    */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val nat = t(s, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sumRounded(discPrice).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(round(SUM($discPriceSql), 4) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Q11: important stock — the HAVING-OVER-SCALAR-SUBQUERY shape: a
+    * grouped sum kept only where it exceeds a fraction of the SAME sum
+    * computed globally by an uncorrelated scalar subquery. Catalyst
+    * compiles the scalar to its own subplan evaluated ONCE and feeds the
+    * result into the post-aggregate filter — the gate pins that the
+    * nation-sliced lineitem⋈supplier pipeline appears twice (group-keyed
+    * and global) rather than once-per-group. No partsupp: lineitem's
+    * price stands in for supplycost×availqty (q2/q20 convention). The
+    * threshold compares in double (exact decimal sums cast — identical
+    * IEEE inputs both engines) with the fraction as ×1000 on the LEFT so
+    * no 0.001 literal ever needs a representation. SQL text so the
+    * subquery rewrite is what's graded; supplier carries no hint (grows
+    * with SF).
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("q11_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("q11_supplier")
+    s.sql(
+      """SELECT l_partkey AS ps_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS part_value
+        |FROM q11_lineitem, q11_supplier
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = 7
+        |GROUP BY l_partkey
+        |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |       * 1000.0 > (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  FROM q11_lineitem, q11_supplier
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = 7)
+        |ORDER BY part_value DESC, ps_partkey""".stripMargin)
+  }
+
+  private val q11Sql =
+    """SELECT l_partkey AS ps_partkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS part_value
+      |FROM lineitem, supplier
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = 7
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |       * 1000.0 > (
+      |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |  FROM lineitem, supplier
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = 7)
+      |ORDER BY part_value DESC, ps_partkey""".stripMargin
+
+  /** Q12: shipping-mode priority counts — the TWO-WAY CONDITIONAL COUNT
+    * over a fact-fact join: per mode, how many lines belong to
+    * high-priority orders vs not, as complementary CASE sums (their total
+    * is the join's row count — a free self-check the oracle hashes). The
+    * testdata has no l_shipmode; l_returnflag's two-value slice ('A','N')
+    * is the stand-in mode column, same shape: an IN filter + date range
+    * on the fact scan, an orderkey shuffle join (neither side bounded →
+    * no hints), a 2-group agg whose CASE reads the OTHER side's column —
+    * the conditional can only resolve post-join.
+    */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_returnflag IN ('A', 'N')
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q15: top supplier — the SHARED-CTE + SCALAR-MAX shape: a quarterly
+    * per-supplier revenue aggregate referenced TWICE (as the join input
+    * and inside the scalar MAX subquery), keeping exactly the suppliers
+    * whose revenue equals the maximum. The equality compares the EXACT
+    * decimal sums — no rounding before the compare, so cross-engine ties
+    * are impossible to miscount; the rounded double appears only in the
+    * output. At 100 TB the revenue CTE is one suppkey-shuffled aggregate
+    * and the MAX is a 1-row all-reduce over its |suppliers| output —
+    * Catalyst plans the CTE subtree twice (or reuses the exchange under
+    * AQE), never once-per-row. SQL text so the scalar-subquery machinery
+    * is what's graded.
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("q15_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("q15_supplier")
+    s.sql(
+      s"""WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM($discPriceSql) AS total_rev
+        |  FROM q15_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(total_rev, 4) AS DOUBLE) AS total_revenue
+        |FROM q15_supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  private val q15Sql =
+    s"""WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM($discPriceSql) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  CAST(round(total_rev, 4) AS DOUBLE) AS total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q16: parts/supplier relationship — COUNT DISTINCT over a
+    * DISTINCT-projected fact (lineitem's (partkey, suppkey) pairs stand
+    * in for partsupp — q2/q20 convention) with an exclusion subquery.
+    * The classic text says NOT IN; here it is NOT EXISTS deliberately:
+    * the keys are non-null so the semantics are identical, but NOT IN
+    * compiles to a null-aware anti join that can ONLY broadcast its
+    * build side — and the "complaint supplier" slice grows with SF, so
+    * that plan is the r9 broadcast defect in disguise. NOT EXISTS
+    * compiles to a plain left_anti, shuffleable on suppkey at any scale
+    * (the null-aware surface itself is pinned by q_not_in_null). Two
+    * dedups stack: the DISTINCT pair projection, then COUNT(DISTINCT
+    * suppkey) per (brand, type, size) — partial aggs handle both without
+    * ever materializing the raw join.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("q16_part")
+    t(s, dir, "supplier").createOrReplaceTempView("q16_supplier")
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM q16_lineitem) ps,
+        |     q16_part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND NOT EXISTS (SELECT 1 FROM q16_supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q6" -> (q6(_, _)),
+    "q_tpch_q8" -> (q8(_, _)),
+    "q_tpch_q9" -> (q9(_, _)),
+    "q_tpch_q10" -> (q10(_, _)),
+    "q_tpch_q11" -> (q11(_, _)),
+    "q_tpch_q12" -> (q12(_, _)),
+    "q_tpch_q15" -> (q15(_, _)),
+    "q_tpch_q16" -> (q16(_, _)),
     "q_tpch_q2" -> (q2(_, _)),
     "q_tpch_q20" -> (q20(_, _)),
     "q_tpch_q1" -> (q1(_, _)),
@@ -689,6 +1045,14 @@ object TpchQueries {
     "q_tpch_q21" -> (q21(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q6" -> q6Sql,
+    "q_tpch_q8" -> q8Sql,
+    "q_tpch_q9" -> q9Sql,
+    "q_tpch_q10" -> q10Sql,
+    "q_tpch_q11" -> q11Sql,
+    "q_tpch_q12" -> q12Sql,
+    "q_tpch_q15" -> q15Sql,
+    "q_tpch_q16" -> q16Sql,
     "q_tpch_q2" -> q2Sql,
     "q_tpch_q20" -> q20Sql,
     "q_tpch_q1" -> q1Sql,
