@@ -20,7 +20,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.Tables.NanosAsLongConf, "true") // ns-ts parquet; see Tables.requireNanosAsLong
+      .config(graft.Tables.NanosAsLongConf, "true") // harmless on 4.1.2+ (ignored); needed if ts ships as ns parquet on engines that honor it
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -173,8 +173,19 @@ object Bench {
       java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     System.err.println(s"[bench] full per-query detail written to $detailPath")
+    val failed = meds.filter(_._2 < 0).map(_._1).sorted
     val bySlowest = meds.sortBy { case (_, v) => -v }
-    val budget = 1500
+    // Budget math: the driver json-parses the bench line out of the LAST
+    // 2000 chars of stdout. On a failing run sys.exit(1) makes sbt append
+    // ~250 chars of "[error] Nonzero exit code..." AFTER our line (this is
+    // what voided BENCH_r11: the line printed, then got pushed out of the
+    // tail). So the line itself must stay ≤ ~1600 chars — failure or not.
+    val failedJson = {
+      val shown = failed.take(10)
+      val arr = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""""failed_count":${failed.size},"failed":$arr,"""
+    }
+    val budget = 1100 - failedJson.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = 0
     var kept = 0
@@ -190,17 +201,18 @@ object Bench {
     val omittedSec = bySlowest.drop(kept).map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},""" +
-        s""""queries_omitted":$omitted,"omitted_sec":${r3(omittedSec)},""" +
+        s""""queries_omitted":$omitted,"omitted_sec":${r3(omittedSec)},$failedJson""" +
         s""""detail_file":"$detailPath","sf":"$sfDir"}"""
-    if (line.length > 1900)
+    if (line.length > 1600)
       System.err.println(s"[bench] WARNING: json line ${line.length} chars — " +
-        "exceeds the driver's 2000-char stdout tail; lower the budget")
-    println(line)
+        "may fall out of the driver's 2000-char stdout tail after sbt's " +
+        "exit-code noise; lower the budget")
+    // ALL diagnostics (including the failed-query list) go to stderr BEFORE
+    // the contract line; nothing we control prints to stdout after it.
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] failed queries: ${failed.mkString(", ")}")
     spark.stop()
-    if (meds.exists(_._2 < 0)) {
-      System.err.println(
-        s"[bench] failed queries: ${meds.filter(_._2 < 0).map(_._1).mkString(", ")}")
-      sys.exit(1)
-    }
+    println(line)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

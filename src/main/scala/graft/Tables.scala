@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the driver's Parquet testdata tables.
   *
@@ -23,20 +25,44 @@ object Tables {
 
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** The events table carries a NANOSECOND parquet timestamp, which vanilla
-    * Spark refuses (PARQUET_TYPE_ILLEGAL); reading it requires the
-    * [[NanosAsLongConf]] legacy conf. The conf is consulted again at
-    * execution planning, so a scope-and-restore around `load()` would make
-    * the very plan it builds fail at runtime — it must hold for the
-    * session's whole life. Every session this repo constructs (Verify,
-    * Bench, Smoke, Explain, SparkSpec) sets it AT CONSTRUCTION; operators
-    * that read ns-timestamp parquet call this assert instead of mutating
-    * the caller's session, so no gate flips a conf mid-suite.
+  /** The `events.ts` column has shipped in two physical shapes across
+    * driver/testdata generations, and Spark's read of it moved under us:
+    *
+    *  - NANOSECOND parquet timestamp + Spark ≤4.0 honoring the
+    *    [[NanosAsLongConf]] legacy conf → reads as LONG (raw ns).
+    *  - MICROSECOND parquet timestamp (isAdjustedToUTC=false) — the
+    *    current testdata — → reads natively as TIMESTAMP_NTZ; Spark 4.1.2
+    *    accepts but IGNORES the legacy conf.
+    *
+    * Operators must therefore branch on the LOADED schema, never on the
+    * conf. These two helpers are the single place that knows the mapping;
+    * both target the same canonical form: microsecond-precision values
+    * with DuckDB-identical truncation semantics (ns→µs is integer `div
+    * 1000` on the LONG path; the µs file needs no narrowing at all).
+    * Session TZ is UTC everywhere in this repo, so TIMESTAMP ↔ NTZ casts
+    * are wall-clock identities.
     */
-  def requireNanosAsLong(spark: SparkSession): Unit =
-    require(spark.conf.getOption(NanosAsLongConf).contains("true"),
-      s"this operator reads nanosecond-timestamp parquet; build the session " +
-        s"with .config(\"$NanosAsLongConf\", \"true\") (see graft.Verify) — " +
-        "it cannot be set per-query because the parquet reader re-reads the " +
-        "conf at execution planning")
+  def tsAsNtz(dt: DataType): Column = dt match {
+    case LongType           => expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType)
+    case TimestampNTZType   => col("ts")
+    case TimestampType      => col("ts").cast(TimestampNTZType)
+    case other => throw new IllegalStateException(
+      s"events.ts read as unexpected type $other; extend Tables.tsAsNtz")
+  }
+
+  /** `ts` as a microsecond LONG (for rangeBetween frames / bucket math). */
+  def tsAsMicros(dt: DataType): Column = dt match {
+    case LongType                         => expr("ts div 1000")
+    case TimestampNTZType | TimestampType => expr("unix_micros(cast(ts as timestamp))")
+    case other => throw new IllegalStateException(
+      s"events.ts read as unexpected type $other; extend Tables.tsAsMicros")
+  }
+
+  /** events with `ts` normalized to microsecond TIMESTAMP_NTZ regardless of
+    * the file's physical shape (see [[tsAsNtz]]).
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.withColumn("ts", tsAsNtz(raw.schema("ts").dataType))
+  }
 }

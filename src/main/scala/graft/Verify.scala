@@ -11,7 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config(graft.Tables.NanosAsLongConf, "true") // ns-ts parquet; see Tables.requireNanosAsLong
+      .config(graft.Tables.NanosAsLongConf, "true") // harmless on 4.1.2+ (ignored); needed if ts ships as ns parquet on engines that honor it
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -9,11 +9,12 @@ import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
   * sliding, and session windows (the batch shape of the Structured
   * Streaming operators; see graft.streaming for the streaming variant).
   *
-  * The testdata's `events.ts` is a NANOSECOND parquet timestamp, which
-  * vanilla Spark refuses (PARQUET_TYPE_ILLEGAL). We read it via the
-  * `nanosAsLong` legacy conf and convert with integer `div 1000` — the same
-  * truncation DuckDB applies when it narrows ns→µs, so both engines see
-  * bit-identical microsecond values.
+  * The testdata's `events.ts` has shipped as both a nanosecond parquet
+  * timestamp (read as LONG under the pre-4.1 `nanosAsLong` conf) and a
+  * microsecond NTZ timestamp (the current shape; Spark 4.1.2 ignores the
+  * legacy conf). `Tables.tsAsNtz` branches on the LOADED schema and
+  * normalizes both to microsecond TIMESTAMP_NTZ with DuckDB-identical
+  * truncation, so both engines see bit-identical microsecond values.
   *
   * All timestamp OUTPUT columns are TIMESTAMP_NTZ: Spark's TimestampType is
   * an instant (parquet isAdjustedToUTC=true ⇒ pandas reads it tz-aware,
@@ -30,18 +31,11 @@ import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
 object EventWindows {
 
   /** events with `ts` as microsecond TIMESTAMP_NTZ (see class doc).
-    *
-    * Requires `nanosAsLong` set at session CONSTRUCTION (all repo entry
-    * points do — Tables.requireNanosAsLong documents why a per-query
-    * scope-and-restore cannot work: the parquet reader re-reads the conf
-    * at execution planning). Gates assert the conf instead of mutating
-    * the caller's session.
+    * Schema-adaptive: works on both the ns-as-LONG and native-NTZ read
+    * paths via [[graft.Tables.tsAsNtz]].
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    graft.Tables.requireNanosAsLong(s)
-    Tables.load(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
-  }
+  def events(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
 
   private def decSum(c: Column): Column =
     graft.DecimalEdge.dbl(sum(c.cast(DecimalType(18, 6))), 6)
@@ -123,20 +117,23 @@ object EventWindows {
   // table() time. Runs of the same gate must not overlap (they don't:
   // Verify/Bench/specs run queries sequentially).
   /** Shared runner for the window gates streaming the RAW events file:
-    * nanosAsLong conf, single-file glob source, ns→µs conversion,
-    * complete-mode memory sink (one reused view per gate — see the sink
-    * note above), AvailableNow drain.
+    * single-file glob source, schema-adaptive ts normalization
+    * (Tables.tsAsNtz), complete-mode memory sink (one reused view per
+    * gate — see the sink note above), AvailableNow drain.
     */
   private def runEventsFileStream(s: SparkSession, dir: String, sink: String)(
       build: DataFrame => DataFrame): DataFrame = withFewShufflePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    graft.Tables.requireNanosAsLong(s)
     val schema = Tables.load(s, dir, "events").schema
     // the testdata table is a single parquet FILE; the streaming source
     // needs a directory, so stream the parent filtered to that file
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // watermark/event-time column stays TimestampType, as it always was
+      // on the ns-as-LONG path (identity wall-clock cast in a UTC session)
+      .withColumn("ts",
+        graft.Tables.tsAsNtz(schema("ts").dataType)
+          .cast(org.apache.spark.sql.types.TimestampType))
     val q = build(stream)
       .writeStream.format("memory").queryName(sink)
       .outputMode("complete")
@@ -508,7 +505,7 @@ object EventWindows {
     * one ordered sweep per partition with an O(1) sliding frame (rows
     * enter/leave monotonically; Spark keeps running partial aggregates —
     * never a per-row rescan). The frame bound is on the MICROSECOND long
-    * (ns div 1000, lossless on this data — every ns value is µs-aligned),
+    * (Tables.tsAsMicros, schema-adaptive),
     * because rangeBetween takes numeric offsets; DuckDB replays the same
     * frame natively with RANGE BETWEEN INTERVAL. At 100 TB, partitions =
     * users: bounded state per user, skew handled the same way as the as-of
@@ -516,13 +513,13 @@ object EventWindows {
     */
   def trailingWindow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.Tables.requireNanosAsLong(s)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(-3600L * 1000000L, 0L)
-    Tables.load(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+    val raw = Tables.load(s, dir, "events")
+    val tsType = raw.schema("ts").dataType
+    raw
+      .withColumn("ts_us", graft.Tables.tsAsMicros(tsType))
+      .withColumn("ts", graft.Tables.tsAsNtz(tsType))
       .select(col("event_id"), col("user_id"), col("ts"),
         count(lit(1)).over(w).as("n_trailing"),
         graft.DecimalEdge.dbl(

@@ -72,9 +72,7 @@ object ZOrder {
     * then count + min/max of both RAW dimensions per bucket.
     */
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
-    graft.Tables.requireNanosAsLong(s)
-    val ev = Tables.load(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = Tables.loadEvents(s, dir)
       .withColumn("x8", expr(xSqlSpark))
       .withColumn("y8", expr(ySql("hour(ts)", "minute(ts)")))
       .withColumn("minute_of_day", expr("hour(ts) * 60 + minute(ts)"))
