@@ -209,6 +209,14 @@ object Similarity {
     * "pairs the LSH search surfaces", which the oracle replays plane-for-
     * plane, so the result is exact-compared; recall at a given threshold
     * is the standard LSH trade-off (raise bands to raise recall).
+    *
+    * PARITY PIN ONLY: this entry point fixes the family at 16 bands ×
+    * 6 bits so the gate hashes stay comparable round-over-round. The
+    * PRODUCTION contract is [[embedNearDupSized]] with `bandBits` sized
+    * to the corpus — `bandBits ≈ log2(n / targetOccupancy)` — because a
+    * fixed 64-bucket-per-band family is quadratic in n (measured 49.9×
+    * wall at 10× vectors, SCALING.md). LlmOpsSpec pins the invariant
+    * that doubling n with bandBits+1 holds per-bucket occupancy flat.
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     embedNearDupSized(s, dir, AnnBands, BandBits, NearDupCosine)
@@ -248,8 +256,10 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** (vec_id, band, sig) signature table — shared by annLsh/embedNearDup. */
-  private def bandSignatures(corpus: DataFrame, bands: Int = AnnBands,
+  /** (vec_id, band, sig) signature table — shared by annLsh/embedNearDup.
+    * private[graft] so LlmOpsSpec can measure bucket occupancy directly.
+    */
+  private[graft] def bandSignatures(corpus: DataFrame, bands: Int = AnnBands,
                              bandBits: Int = BandBits): DataFrame =
     corpus
       .withColumn("p", typedLit(planesFor(bands * bandBits)))

@@ -545,4 +545,39 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("contamination") == 2.0 / 6)
     }
   }
+
+  test("sized LSH: doubling n with bandBits+1 holds per-bucket occupancy flat") {
+    // The production contract of embedNearDupSized (SCALING.md): bucket
+    // count must track n. Each extra signature bit doubles the bucket
+    // space, so 2n vectors at bandBits+1 should land at ~the same
+    // per-bucket occupancy as n vectors at bandBits — occupancy (and with
+    // it per-bucket candidate PAIRS) stays flat instead of doubling
+    // (quadrupling). The doubled corpus rotates each vector one position,
+    // preserving the distribution without duplicate signatures.
+    val dir = "/root/testdata/sf0.01"
+    graft.functions.VectorFunctions.register(spark)
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val rotated = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("concat(slice(v, 2, size(v) - 1), slice(v, 1, 1))").as("v"))
+    val doubled = base.unionByName(rotated)
+    def occupancy(corpus: org.apache.spark.sql.DataFrame, bandBits: Int): Double = {
+      val r = operators.Similarity.bandSignatures(corpus, 16, bandBits)
+        .agg(count(lit(1)).cast("double").as("n"),
+          countDistinct(col("band"), col("sig")).cast("double").as("b"))
+        .collect().head
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val occN  = occupancy(base, 6)    // n vectors,  64 buckets/band
+    val occ2N = occupancy(doubled, 7) // 2n vectors, 128 buckets/band
+    val ratio = occ2N / occN
+    assert(ratio > 0.5 && ratio < 2.0,
+      s"occupancy must stay ~flat under the sizing rule: n@6bits=$occN, " +
+        s"2n@7bits=$occ2N, ratio=$ratio")
+    // and the UNSIZED family degrades: 2n at the same bits ≈ 2x occupancy
+    val occ2NUnsized = occupancy(doubled, 6)
+    assert(occ2NUnsized > 1.5 * occN,
+      s"fixed family must show the degradation the sizing rule removes: " +
+        s"n@6bits=$occN, 2n@6bits=$occ2NUnsized")
+  }
 }

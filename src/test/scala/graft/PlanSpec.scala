@@ -583,4 +583,41 @@ class PlanSpec extends SparkSpec {
     assert(aggIdx >= 0 && semiIdx > aggIdx,
       s"semi join must restrict the aggregate's input, not its output:\n$plan")
   }
+
+  test("stream-static cached: micro-batch broadcasts the materialized dim") {
+    // the q_stream_static_join_cached shape (SCALING.md mitigation): the
+    // static aggregate is cached+materialized before the stream starts, so
+    // the MICRO-BATCH plan must (a) broadcast-join, (b) read the dim from
+    // memory, and (c) contain NO aggregate at all — a HashAggregate here
+    // would mean the lake-wide groupBy re-runs every batch, the exact
+    // super-linearity SCALING.md measured (4.47x wall at 10x data)
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    val dim = operators.EventWindows.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_total")).cache()
+    try {
+      dim.count()
+      val schema = Tables.load(spark, dir, "events").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = graft.streaming.EventStream.enrichWithDim(stream, dim, "user_id")
+        .writeStream.format("memory").queryName("pin_static_cached")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val plan = q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+        .lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"static side must broadcast inside the micro-batch:\n$plan")
+      assert(plan.contains("InMemoryTableScan"),
+        s"static side must read the materialized cache, not the lake:\n$plan")
+      // InMemoryRelation's stringification includes the ORIGINAL build plan
+      // (with its HashAggregate) as cached lineage; executed-per-batch
+      // operators all print ABOVE it. An aggregate before that marker would
+      // be real per-batch work.
+      val aggIdx = plan.indexOf("HashAggregate")
+      val cacheIdx = plan.indexOf("InMemoryRelation")
+      assert(aggIdx < 0 || aggIdx > cacheIdx,
+        s"no per-batch re-aggregation of the static side:\n$plan")
+    } finally { dim.unpersist(blocking = false); () }
+  }
 }
