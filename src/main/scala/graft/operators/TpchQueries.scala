@@ -858,7 +858,11 @@ object TpchQueries {
     * IEEE inputs both engines) with the fraction as ×1000 on the LEFT so
     * no 0.001 literal ever needs a representation. SQL text so the
     * subquery rewrite is what's graded; supplier carries no hint (grows
-    * with SF).
+    * with SF). BOUND (unlike the DecimalEdge.dbl-guarded sums elsewhere,
+    * these casts are unguarded by design — SQL text): double loses
+    * bit-exactness past 2^53, i.e. a global scale-4 revenue sum above
+    * ~9.0e11 — about SF 100 on this data; far beyond any gate SF, and at
+    * cluster scale the compare should move to DECIMAL outright.
     */
   def q11(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("q11_lineitem")

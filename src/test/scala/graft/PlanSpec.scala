@@ -584,6 +584,72 @@ class PlanSpec extends SparkSpec {
       s"semi join must restrict the aggregate's input, not its output:\n$plan")
   }
 
+  test("r11 TPC-H composites broadcast only constant-size dimensions") {
+    // the same inverse pin as the r10 batch, for q8/q9/q10/q12: with the
+    // size threshold off, every surviving BroadcastExchange is a HINT, and
+    // hints are allowed on bounded tables only (nation=25, region=5 rows
+    // by the data model). q8 hints its two nation roles + region; q9/q10
+    // hint nation once; q12 joins only sf-proportional tables and may
+    // broadcast nothing.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val expected = Seq(
+        ("q8", () => graft.operators.TpchQueries.q8(spark, dir), 3),
+        ("q9", () => graft.operators.TpchQueries.q9(spark, dir), 1),
+        ("q10", () => graft.operators.TpchQueries.q10(spark, dir), 1),
+        ("q12", () => graft.operators.TpchQueries.q12(spark, dir), 0))
+      for ((name, mk, n) <- expected) {
+        val p = mk().queryExecution.executedPlan.toString
+        val got = "BroadcastExchange".r.findAllIn(p).size
+        assert(got == n,
+          s"$name must broadcast exactly its $n bounded-dim hints, got $got:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q10 top-20 avoids a global sort; q16's NOT EXISTS is a left_anti") {
+    val q10 = graft.operators.TpchQueries.q10(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q10.contains("TakeOrderedAndProject"),
+      s"orderBy+limit(20) must fuse to per-partition top-k + merge:\n$q10")
+    val q16 = graft.operators.TpchQueries.q16(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q16.contains("LeftAnti") && !q16.contains("CartesianProduct") &&
+      !q16.contains("NestedLoop"),
+      s"NOT EXISTS must compile to a shuffleable left_anti equi join:\n$q16")
+    assert(!q16.contains("BroadcastNestedLoop"),
+      s"the exclusion must never be a broadcast-only null-aware join:\n$q16")
+  }
+
+  test("q11/q15 evaluate their uncorrelated scalar subqueries once") {
+    // the HAVING-threshold (q11) and MAX-revenue (q15) scalars must be a
+    // single shared subquery instance each — once-per-group/row re-plans
+    // are the decorrelation failure the docstrings promise away
+    for ((name, df) <- Seq(
+        "q11" -> graft.operators.TpchQueries.q11(spark, dir),
+        "q15" -> graft.operators.TpchQueries.q15(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val ids = "Subquery subquery#(\\d+)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet
+      assert(ids.size == 1,
+        s"$name's scalar must be one shared subquery, got $ids:\n$plan")
+    }
+  }
+
+  test("q6 pushes all four range predicates into the lineitem scan") {
+    // treeString truncates PushedFilters at ~100 chars; formatted explain
+    // prints the full list in the scan's detail block
+    val plan = graft.operators.TpchQueries.q6(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(plan.contains(f),
+        s"q6's $f must reach PushedFilters (row-group pruning at scale):\n$plan")
+  }
+
   test("stream-static cached: micro-batch broadcasts the materialized dim") {
     // the q_stream_static_join_cached shape (SCALING.md mitigation): the
     // static aggregate is cached+materialized before the stream starts, so
