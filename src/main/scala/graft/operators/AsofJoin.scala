@@ -56,7 +56,7 @@ object AsofJoin {
     require(collisions.isEmpty,
       s"value columns ${collisions.mkString(", ")} collide with left columns — alias them first")
     val reserved = (leftCols ++ valueCols)
-      .intersect(Seq("__side", "__m", "__match", "__ts", "__tl", "__b", "__eb", "__s", "__last", "__carry"))
+      .intersect(Seq("__side", "__m", "__match", "__ts", "__tl", "__b", "__eb", "__s", "__last", "__carry", "__back", "__fwd"))
     require(reserved.isEmpty,
       s"columns ${reserved.mkString(", ")} collide with reserved as-of names")
     require(!leftCols.contains(tsRight),
@@ -111,6 +111,59 @@ object AsofJoin {
       tsCol: String, valueCols: Seq[String]): DataFrame = {
     val tg = validateAndTag(left, right, keys, tsCol, valueCols)
     sweep(tg.taggedRight.unionByName(tg.taggedLeft), keys.map(col), tsCol, valueCols, tg)
+  }
+
+  /** Microsecond LONG view of an orderable column, for nearest-distance
+    * arithmetic: timestamps through unix_micros (TIMESTAMP ↔ NTZ is a
+    * wall-clock identity in this repo's UTC sessions), numerics as-is.
+    */
+  private def asMicros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case _ => c.cast("long")
+    }
+
+  /** NEAREST as-of join — pandas `merge_asof(direction='nearest')`: for
+    * each left row, the right row minimizing |ts_right − ts_left| within
+    * the key, ties to the BACKWARD (≤) candidate so the operator degrades
+    * to [[asofBackward]] on exact hits. Same distributed shape as the
+    * backward sweep — tag, union, ONE shuffle+sort per key — but with TWO
+    * frames over the SAME window ordering: last(ignoreNulls) over
+    * (unbounded, current) carries the latest right row at-or-before, and
+    * first(ignoreNulls) over (current, unbounded) grabs the earliest
+    * right row strictly after (a right row AT the left timestamp sorts
+    * before it, so it lands in the backward frame where the tie rule
+    * wants it). Spark computes both frames in the one sort pass — the
+    * forward direction costs no second shuffle. Null-safe choice: a
+    * missing side loses automatically; both missing ⇒ null match.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val tg = validateAndTag(left, right, keys, tsCol, valueCols)
+    val tsType = left.schema(tsCol).dataType
+    val wBack = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = asMicros(col(tsCol), tsType)
+    val backDist = t - asMicros(col("__back.__ts"), tsType)
+    val fwdDist = asMicros(col("__fwd.__ts"), tsType) - t
+    tg.taggedRight.unionByName(tg.taggedLeft)
+      .withColumn("__back", last(col("__m"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(col("__m"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+      .withColumn("__match",
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          .when(backDist <= fwdDist, col("__back"))
+          .otherwise(col("__fwd")))
+      .select(tg.leftCols.map(col) ++
+        valueCols.map(c => col(s"__match.$c").as(c)) :+
+        col("__match.__ts").as(tg.tsRight): _*)
   }
 
   /** Skew-safe backward as-of join — the 100 TB remedy for hot keys.
@@ -244,11 +297,63 @@ object AsofJoin {
       .orderBy("click_id")
   }
 
+  /** Nearest-direction gate: for every click, the view of the same user
+    * closest in time (either direction, ties backward). The oracle runs
+    * DuckDB's native ASOF twice — `>=` (backward) and `<` (forward) —
+    * and replays the distance choice in epoch microseconds, so our
+    * two-frame single-sweep formulation is checked against two
+    * independent native as-of passes.
+    */
+  def asofClicksNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventWindows.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    asofNearest(clicks, views, Seq("user_id"), "ts", Seq("view_id"))
+      .select(col("user_id"), col("click_id"), col("ts").as("click_ts"),
+        col("view_id"), col("ts_right").as("view_ts"))
+      .orderBy("click_id")
+  }
+
+  private val asofClicksNearestSql =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, event_id AS click_id FROM events
+      |  WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, ts, max(event_id) AS view_id FROM events
+      |  WHERE event_type = 'view' GROUP BY 1, 2),
+      |b AS (
+      |  SELECT c.user_id, c.click_id, c.ts AS click_ts,
+      |    v.view_id AS b_id, v.ts AS b_ts
+      |  FROM clicks c ASOF LEFT JOIN views v
+      |    ON c.user_id = v.user_id AND c.ts >= v.ts),
+      |f AS (
+      |  SELECT c.click_id, v.view_id AS f_id, v.ts AS f_ts
+      |  FROM clicks c ASOF LEFT JOIN views v
+      |    ON c.user_id = v.user_id AND c.ts < v.ts)
+      |SELECT b.user_id, b.click_id, b.click_ts,
+      |  CASE WHEN b_id IS NULL THEN f_id
+      |       WHEN f_id IS NULL THEN b_id
+      |       WHEN epoch_us(click_ts) - epoch_us(b_ts)
+      |            <= epoch_us(f_ts) - epoch_us(click_ts) THEN b_id
+      |       ELSE f_id END AS view_id,
+      |  CASE WHEN b_id IS NULL THEN f_ts
+      |       WHEN f_id IS NULL THEN b_ts
+      |       WHEN epoch_us(click_ts) - epoch_us(b_ts)
+      |            <= epoch_us(f_ts) - epoch_us(click_ts) THEN b_ts
+      |       ELSE f_ts END AS view_ts
+      |FROM b JOIN f USING (click_id)
+      |ORDER BY b.click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofClicks(_, _)),
-    "q_asof_join_bucketed" -> (asofClicksBucketed(_, _)))
+    "q_asof_join_bucketed" -> (asofClicksBucketed(_, _)),
+    "q_asof_nearest" -> (asofClicksNearest(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> asofClicksSql,
-    "q_asof_join_bucketed" -> asofClicksSql)
+    "q_asof_join_bucketed" -> asofClicksSql,
+    "q_asof_nearest" -> asofClicksNearestSql)
 }

@@ -916,6 +916,72 @@ object TextOps {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val WeightedK = 50
+  // 2^60 as an exact double literal — h60 keys are uniform in [0, 2^60)
+  private val Pow60 = "1.152921504606846976E18"
+
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws key = ln(u) / w with u = (h60+1)/2^60 derived from
+    * the PORTABLE md5 hash (u identical doubles both engines: h+1 rounds
+    * to double by the same IEEE nearest-even everywhere) and w = its
+    * whitespace token count — the top-k keys ARE a weighted sample
+    * (each key is a -Exp(w) race; P(selected) ∝ w marginally). This is
+    * THE distributed weighted-sampling algorithm: one pass, no RNG
+    * state, and top-k-by-key is mergeable — the plan is a pure map into
+    * TakeOrderedAndProject (per-partition top-k + driver merge of k·P
+    * rows), never a global sort; reruns and engines agree bit-for-bit
+    * where sampleBy/reservoir RNGs agree on nothing. The ln() is the
+    * one cross-engine double hazard: selection flips only if two keys
+    * collide within 1 ulp, and the emitted columns (rank, doc_id,
+    * weight — not the key) are integer-exact.
+    *
+    * Reference corpus-sampling analog: data-warehouse has none (its
+    * pagination is offset/keyset — api/Api.scala); this is the §2x
+    * training-pipeline extension surface.
+    */
+  /** Core A-ES draw over any (doc_id, weight) frame — private[graft] so
+    * LlmOpsSpec can drive inline weight fixtures through the same code.
+    */
+  private[graft] def weightedSampleOf(df: DataFrame, k: Int): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key").desc, col("doc_id"))
+    df
+      .withColumn("h", h60("doc_id"))
+      .withColumn("key",
+        expr(s"ln(CAST(h + 1 AS DOUBLE) / $Pow60) / CAST(weight AS DOUBLE)"))
+      .orderBy(col("key").desc, col("doc_id")).limit(k)
+      // rank over the k survivors only — a bounded single-partition window
+      // (k rows), NOT a global one; the top-k itself fused to
+      // TakeOrderedAndProject above (PlanSpec pins it)
+      .withColumn("rank", row_number().over(byKey).cast("long"))
+      .select("rank", "doc_id", "weight")
+      .orderBy("rank")
+  }
+
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSampleOf(
+      docs(s, dir).select(col("doc_id"),
+        greatest(size(split(norm(col("text")), " ")).cast("long"), lit(1L))
+          .as("weight")),
+      WeightedK)
+
+  private val weightedSampleSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    GREATEST(len(string_split($normSql, ' ')), 1) AS weight,
+       |    ${h60Sql("doc_id")} AS h
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, weight,
+       |    ln(CAST(h + 1 AS DOUBLE) / $Pow60) / CAST(weight AS DOUBLE) AS key
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+       |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+       |  FROM k)
+       |SELECT rank, doc_id, weight FROM r WHERE rank <= $WeightedK
+       |ORDER BY rank""".stripMargin
+
   /** Context-window sequence packing (concatenate-and-chunk): documents are
     * hash-sharded, ordered deterministically within each shard, and laid
     * out back-to-back; a document starts in pack `floor(start/budget)` at
@@ -1298,6 +1364,7 @@ object TextOps {
     "q_chunk_overlap" -> (chunkDocs(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
+    "q_weighted_sample" -> (weightedSample(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
@@ -1321,6 +1388,7 @@ object TextOps {
     "q_chunk_overlap" -> chunkDocsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_hash_split" -> hashSplitSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -115,4 +115,43 @@ class AsofJoinSpec extends SparkSpec {
     assert(row.getAs[String]("x") == "a" && row.getAs[Double]("y") == 3.5)
     assert(row.isNullAt(row.fieldIndex("val")))
   }
+
+  test("asofNearest: closest either direction, ties backward, one-sided falls back") {
+    val left = Seq(
+      (1L, 10L, "mid_back"),   // rights at 8 and 13: |10-8|=2 < |13-10|=3 -> 8
+      (1L, 12L, "mid_fwd"),    // |12-8|=4 > |13-12|=1 -> 13
+      (1L, 8L, "exact"),       // right AT 8 -> distance 0, backward frame
+      (1L, 18L, "tie"),        // rights 13 and 23 both at distance 5 -> backward 13
+      (1L, 2L, "only_fwd"),    // nothing at-or-before -> forward 8
+      (2L, 50L, "only_back"),  // key 2 has one right at 40, nothing after
+      (3L, 1L, "no_match"))    // key 3 has no rights at all
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, 8L, 80L), (1L, 13L, 130L), (1L, 23L, 230L),
+      (2L, 40L, 400L))
+      .toDF("user_id", "ts", "val")
+    val out = AsofJoin.asofNearest(left, right, Seq("user_id"), "ts", Seq("val"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[java.lang.Long]("val")), Option(r.getAs[java.lang.Long]("ts_right"))))
+      .toMap
+    assert(out("mid_back") == (Some(80L), Some(8L)))
+    assert(out("mid_fwd") == (Some(130L), Some(13L)))
+    assert(out("exact") == (Some(80L), Some(8L)))
+    assert(out("tie") == (Some(130L), Some(13L)))
+    assert(out("only_fwd") == (Some(80L), Some(8L)))
+    assert(out("only_back") == (Some(400L), Some(40L)))
+    assert(out("no_match") == (None, None))
+  }
+
+  test("asofNearest plans ONE shuffle: both frames share the sort, no self-join") {
+    val left = Seq((1L, 10L)).toDF("user_id", "ts")
+    val right = Seq((1L, 8L, 80L)).toDF("user_id", "ts", "val")
+    val plan = AsofJoin.asofNearest(left, right, Seq("user_id"), "ts", Seq("val"))
+      .queryExecution.executedPlan.toString
+    // the union is the only exchange producer; a second Exchange or any
+    // join operator would mean the forward pass paid its own shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"nearest must reuse ONE keyed sort for both directions:\n$plan")
+    assert(!plan.contains("Join"), s"nearest is a window sweep, not a join:\n$plan")
+  }
 }

@@ -546,6 +546,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: without replacement, deterministic, selection tracks weight") {
+    import spark.implicits._
+    // 2000 ids in two weight classes (1 vs 10), k=200: heavy docs must be
+    // selected at a far higher RATE (A-ES marginal P ∝ w for k << n). The
+    // md5-derived u makes the draw deterministic, so the class rates are
+    // fixed numbers — the band is generous on purpose (the claim is
+    // "tracks weight", not an exact inclusion probability).
+    val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) 10L else 1L))
+      .toDF("doc_id", "weight")
+    val out = operators.TextOps.weightedSampleOf(df, 200).collect()
+    assert(out.length == 200)
+    val ids = out.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == 200, "sample must be without replacement")
+    val again = operators.TextOps.weightedSampleOf(df, 200).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(ids.sameElements(again), "hash-derived draw must be deterministic")
+    val heavyRate = ids.count(_ % 4 == 0) / 500.0
+    val lightRate = ids.count(_ % 4 != 0) / 1500.0
+    assert(heavyRate / lightRate > 3.0,
+      s"weight-10 docs must be sampled at a far higher rate: " +
+        s"heavy=$heavyRate light=$lightRate")
+  }
+
+  test("weightedSample plans a distributed top-k, not a global sort") {
+    val plan = operators.TextOps.weightedSample(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k-by-key draw must fuse to per-partition top-k + merge:\n$plan")
+  }
+
   test("sized LSH: doubling n with bandBits+1 holds per-bucket occupancy flat") {
     // The production contract of embedNearDupSized (SCALING.md): bucket
     // count must track n. Each extra signature bit doubles the bucket
