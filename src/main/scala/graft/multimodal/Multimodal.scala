@@ -475,46 +475,112 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.map { case (id, blob) =>
           val img = decodeImage(blob)
-          val n = img.width * img.height
-          val sum = new Array[Double](3); val sumSq = new Array[Double](3)
-          val cellSum = Array.ofDim[Double](grid * grid, 3)
-          val cellCnt = new Array[Int](grid * grid)
-          var i = 0
-          while (i < n) {
-            val y = i / img.width; val x = i % img.width
-            val cell = (y.toLong * grid / img.height).toInt * grid +
-              (x.toLong * grid / img.width).toInt
-            cellCnt(cell) += 1
-            var c = 0
-            while (c < 3) {
-              val v = (img.pixels(i * 3 + c) & 0xff) / 255.0
-              sum(c) += v; sumSq(c) += v * v; cellSum(cell)(c) += v
-              c += 1
-            }
-            i += 1
-          }
-          val feat = new Array[Float](6 + 3 * grid * grid)
-          var c = 0
-          while (c < 3) {
-            val mean = sum(c) / n
-            feat(c) = mean.toFloat
-            feat(3 + c) = (sumSq(c) / n - mean * mean).toFloat
-            c += 1
-          }
-          var g = 0
-          while (g < grid * grid) {
-            var ch = 0
-            while (ch < 3) {
-              feat(6 + g * 3 + ch) =
-                (if (cellCnt(g) == 0) 0.0 else cellSum(g)(ch) / cellCnt(g)).toFloat
-              ch += 1
-            }
-            g += 1
-          }
-          (id, img.width, img.height, feat)
+          (id, img.width, img.height, imageFeatureVector(img, grid))
         }
       }
       .toDF("media_id", "width", "height", "feature")
+  }
+
+  /** Real PIXEL-level resize: nearest-neighbor with the floor source map
+    * `src = dst · srcDim / outDim` (pure integer arithmetic — the same
+    * exactness discipline as the metadata math in [[resized]]; no
+    * sub-pixel filtering means no float accumulation and bit-identical
+    * output on any JVM). Nearest-neighbor is the honest baseline kernel:
+    * area/bilinear filters change downstream features by design and would
+    * need tolerance-band gates; this one is exact-pinnable.
+    */
+  def resizePixels(img: RgbImage, outW: Int, outH: Int): RgbImage = {
+    require(outW > 0 && outH > 0, s"bad resize target ${outW}x$outH")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val so = (sy * img.width + (x.toLong * img.width / outW).toInt) * 3
+        val d = (y * outW + x) * 3
+        out(d) = img.pixels(so)
+        out(d + 1) = img.pixels(so + 1)
+        out(d + 2) = img.pixels(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    RgbImage(outW, outH, out)
+  }
+
+  /** Distributed decode→resize→featurize stage: each image decodes, maps
+    * through [[resizePixels]] to the SAME aspect-preserving target the
+    * metadata operator computes (out_w = min(width, maxWidth), out_h =
+    * floor(height·out_w/width) — one shared formula, so the plan-level
+    * resize math and the pixel kernel cannot drift), then re-extracts the
+    * fixed-dim feature at the new size. Same mapPartitions batch shape as
+    * [[imageFeatures]]: one partition of blobs per task, no driver. At
+    * 100 TB this is the standard normalize-resolution preprocessing pass
+    * before any vision-encoder batch.
+    */
+  def resizedImageFeatures(media: DataFrame, maxWidth: Int,
+                           grid: Int = 2): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.filter(col("mime").isin(
+      "image/ppm", "image/bmp", "image/png", "image/jpeg"))
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, blob) =>
+          val img = decodeImage(blob)
+          val outW = math.min(img.width, maxWidth)
+          val outH = ((img.height.toLong * outW) / img.width).toInt
+          val small = resizePixels(img, outW, outH)
+          (id, small.width, small.height, imageFeatureVector(small, grid))
+        }
+      }
+      .toDF("media_id", "out_w", "out_h", "feature")
+  }
+
+  /** The per-image feature fold of [[imageFeatures]], factored out so the
+    * resize stage featurizes identically (mean+var per channel, then the
+    * grid of per-cell channel means).
+    */
+  private[graft] def imageFeatureVector(img: RgbImage, grid: Int): Array[Float] = {
+    val n = img.width * img.height
+    val sum = new Array[Double](3); val sumSq = new Array[Double](3)
+    val cellSum = Array.ofDim[Double](grid * grid, 3)
+    val cellCnt = new Array[Int](grid * grid)
+    var i = 0
+    while (i < n) {
+      val y = i / img.width; val x = i % img.width
+      val cell = (y.toLong * grid / img.height).toInt * grid +
+        (x.toLong * grid / img.width).toInt
+      cellCnt(cell) += 1
+      var c = 0
+      while (c < 3) {
+        val v = (img.pixels(i * 3 + c) & 0xff) / 255.0
+        sum(c) += v; sumSq(c) += v * v; cellSum(cell)(c) += v
+        c += 1
+      }
+      i += 1
+    }
+    val feat = new Array[Float](6 + 3 * grid * grid)
+    var c = 0
+    while (c < 3) {
+      val mean = sum(c) / n
+      feat(c) = mean.toFloat
+      feat(3 + c) = (sumSq(c) / n - mean * mean).toFloat
+      c += 1
+    }
+    var g = 0
+    while (g < grid * grid) {
+      var ch = 0
+      while (ch < 3) {
+        feat(6 + g * 3 + ch) =
+          (if (cellCnt(g) == 0) 0.0 else cellSum(g)(ch) / cellCnt(g)).toFloat
+        ch += 1
+      }
+      g += 1
+    }
+    feat
   }
 
   /** Gated metadata query: per-frame rows with byte sizes and resize math

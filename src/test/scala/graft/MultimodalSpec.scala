@@ -317,4 +317,43 @@ class MultimodalSpec extends SparkSpec {
     bb.putInt(16, -8) // corrupt the fmt chunk size
     intercept[IllegalArgumentException](Multimodal.decodeWav(evil))
   }
+
+  test("pixel resize: exact nearest-neighbor samples, identity, and checkerboard") {
+    // 4x2 image, distinct color per column so the source map is visible
+    val rgb = Array[Byte](
+      10, 0, 0,  20, 0, 0,  30, 0, 0,  40, 0, 0,
+      50, 0, 0,  60, 0, 0,  70, 0, 0,  80, 0, 0)
+    val img = Multimodal.RgbImage(4, 2, rgb)
+    // 4x2 -> 2x1: src x = floor(dst*4/2) = 0,2; src y = floor(dst*2/1) = 0
+    val down = Multimodal.resizePixels(img, 2, 1)
+    assert((down.width, down.height) == (2, 1))
+    assert(down.pixels.toSeq == Seq[Byte](10, 0, 0, 30, 0, 0))
+    // identity target returns the same raster
+    val same = Multimodal.resizePixels(img, 4, 2)
+    assert(same.pixels.toSeq == rgb.toSeq)
+    // 2x upscale replicates each pixel 2x2 (floor map x/2, y/2)
+    val up = Multimodal.resizePixels(Multimodal.RgbImage(1, 1, Array[Byte](7, 8, 9)), 2, 2)
+    assert(up.pixels.toSeq == Seq[Byte](7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8, 9))
+  }
+
+  test("resizedImageFeatures: kernel target matches the metadata resize math") {
+    import spark.implicits._
+    // 4x2 solid-color PPM: resize to maxWidth=2 must yield out 2x1 and
+    // IDENTICAL features to decoding the small image directly (solid color
+    // means any correct sampling gives the same cells)
+    val rgb = Array.fill[Byte](4 * 2 * 3)(100.toByte)
+    val media = Seq((1L, ppmBytes(4, 2, rgb), "image/ppm"))
+      .toDF("media_id", "bytes", "mime")
+    val row = Multimodal.resizedImageFeatures(media, maxWidth = 2).collect().head
+    assert(row.getAs[Int]("out_w") == 2 && row.getAs[Int]("out_h") == 1)
+    val direct = Multimodal.imageFeatureVector(
+      Multimodal.RgbImage(2, 1, Array.fill[Byte](6)(100.toByte)), 2)
+    assert(row.getSeq[Float](row.fieldIndex("feature")) == direct.toSeq)
+    // and a media row WIDER than maxWidth is the only one resized: a 2x2
+    // image under maxWidth=2 keeps its dims
+    val keep = Seq((2L, ppmBytes(2, 2, Array.fill[Byte](12)(5.toByte)), "image/ppm"))
+      .toDF("media_id", "bytes", "mime")
+    val kept = Multimodal.resizedImageFeatures(keep, maxWidth = 2).collect().head
+    assert(kept.getAs[Int]("out_w") == 2 && kept.getAs[Int]("out_h") == 2)
+  }
 }
