@@ -275,6 +275,106 @@ object Similarity {
   private lazy val embedNearDupSql =
     embedNearDupSqlFor(AnnBands, BandBits, NearDupCosine)
 
+  private val DecontamEval = 50L
+  // looser than NearDupCosine on purpose: decontamination errs toward
+  // recall (dropping a training doc is cheap; leaking an eval doc is not),
+  // and the fixture then exercises multi-hit counts + the argmax tie path
+  private val DecontamCosine = 0.30
+
+  /** Embedding-space DECONTAMINATION — the cross-corpus form of
+    * [[embedNearDup]] and the vector counterpart of the n-gram
+    * `contamination` gate: flag every training-corpus vector whose
+    * embedding near-duplicates ANY eval-set vector (here: vec_id <
+    * [[DecontamEval]] stands in for the benchmark set). Candidates come
+    * from the SAME banded SRP signature family (never all-pairs); exact
+    * cosine ≥ threshold on candidates; per corpus vector the verdict row
+    * carries the hit count and the deterministic argmax eval neighbor
+    * (cosine DESC, eval_id).
+    *
+    * Scale shape — the asymmetry IS the design: the eval set is tiny and
+    * fixed (benchmarks: 10³–10⁵ rows), so its signatures AND its
+    * embeddings ride broadcast joins; the corpus computes row-local
+    * signatures and probes map-side. The corpus is never shuffled, and
+    * candidate pairs are bounded by eval-bucket occupancy — at 100 TB
+    * this is one scan over the lake plus broadcast hash lookups.
+    */
+  def embedDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)")).cache()
+    val sigs = bandSignatures(all)
+    val evalSigs = sigs.filter(col("vec_id") < DecontamEval)
+      .toDF("eval_id", "band", "sig")
+    val corpSigs = sigs.filter(col("vec_id") >= DecontamEval)
+      .toDF("corpus_id", "band", "sig")
+    val cands = corpSigs.join(broadcast(evalSigs), Seq("band", "sig"))
+      .select("corpus_id", "eval_id").distinct()
+    val ce = all.select(col("vec_id").as("corpus_id"), col("v").as("cv"),
+      col("nn").as("cn"))
+    val ee = all.filter(col("vec_id") < DecontamEval)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nn").as("en"))
+    val w = Window.partitionBy(col("corpus_id"))
+      .orderBy(col("cosine").desc, col("eval_id"))
+    cands.join(ce, "corpus_id").join(broadcast(ee), "eval_id")
+      .withColumn("cosine",
+        expr("vec_dot(cv, ev)") / (sqrt(col("cn")) * sqrt(col("en"))))
+      .filter(col("cosine") >= DecontamCosine)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_eval_hits",
+        count(lit(1)).over(Window.partitionBy(col("corpus_id"))))
+      .filter(col("rk") === 1)
+      .select(col("corpus_id"), col("n_eval_hits"),
+        col("eval_id").as("best_eval"), col("cosine").as("best_cosine"))
+      .orderBy("corpus_id")
+  }
+
+  private lazy val embedDecontaminateSql = {
+    val planesLit = planesFor(AnnBands * BandBits)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val nb = AnnBands * BandBits
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |pl AS (SELECT $planesLit AS p),
+       |d AS (
+       |  SELECT vec_id,
+       |    list_transform(range($nb), j ->
+       |      list_reduce(list_transform(range($Dim), i -> v[i+1] * p[j+1][i+1]),
+       |        (a, b) -> a + b)) AS dots
+       |  FROM n CROSS JOIN pl),
+       |sg AS (
+       |  SELECT vec_id, bb.band,
+       |    list_reduce(list_prepend(0, list_transform(range($BandBits),
+       |      k -> CASE WHEN dots[bb.band * $BandBits + k + 1] > 0
+       |                THEN (1 << k) ELSE 0 END)), (a, c) -> a + c) AS sig
+       |  FROM d CROSS JOIN (SELECT unnest(range($AnnBands)) AS band) bb),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id AS corpus_id, q.vec_id AS eval_id
+       |  FROM sg c JOIN sg q ON c.band = q.band AND c.sig = q.sig
+       |  WHERE c.vec_id >= $DecontamEval AND q.vec_id < $DecontamEval),
+       |scored AS (
+       |  SELECT corpus_id, eval_id,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> cn.v[i+1] * en.v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(cn.nn) * sqrt(en.nn)) AS cosine
+       |  FROM cand
+       |  JOIN n cn ON cn.vec_id = cand.corpus_id
+       |  JOIN n en ON en.vec_id = cand.eval_id),
+       |hits AS (SELECT * FROM scored WHERE cosine >= $DecontamCosine),
+       |r AS (
+       |  SELECT corpus_id, eval_id, cosine,
+       |    row_number() OVER (PARTITION BY corpus_id
+       |                       ORDER BY cosine DESC, eval_id) AS rk,
+       |    count(*) OVER (PARTITION BY corpus_id) AS n_eval_hits
+       |  FROM hits)
+       |SELECT corpus_id, n_eval_hits, eval_id AS best_eval,
+       |  cosine AS best_cosine
+       |FROM r WHERE rk = 1 ORDER BY corpus_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[embedNearDupSized]] — same literal-plane trick at
     * any family size (the planes are prefix-stable, so the wide family's
     * first rows are the parity family's).
@@ -859,6 +959,7 @@ object Similarity {
     "q_ann_ivf_trained" -> (annIvfTrained(_, _)),
     "q_ann_pq" -> (annPq(_, _)),
     "q_embed_neardup" -> (embedNearDup(_, _)),
+    "q_embed_decontam" -> (embedDecontaminate(_, _)),
     // the sf1 scaling fix (SCALING.md), oracle-gated at a non-default
     // family: 16 bands × 8 bits shrinks per-bucket occupancy 4× — the
     // knob that keeps candidate pairs linear as the corpus grows
@@ -876,5 +977,6 @@ object Similarity {
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_pq" -> annPqSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_decontam" -> embedDecontaminateSql,
     "q_embed_neardup_wide" -> embedNearDupSqlFor(16, 8, NearDupCosine))
 }

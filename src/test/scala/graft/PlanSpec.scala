@@ -650,6 +650,21 @@ class PlanSpec extends SparkSpec {
         s"q6's $f must reach PushedFilters (row-group pruning at scale):\n$plan")
   }
 
+  test("embed decontamination broadcasts only the eval side") {
+    // the asymmetry IS the design: eval signatures + eval embeddings are
+    // bounded (the benchmark set) and ride the exactly-two hinted
+    // broadcasts; the corpus side must never broadcast or the operator
+    // OOMs at lake scale. Threshold off ⇒ survivors are hints only.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.operators.Similarity.embedDecontaminate(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastExchange".r.findAllIn(plan).size == 2,
+        s"exactly the two eval-side hints may broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stream-static cached: micro-batch broadcasts the materialized dim") {
     // the q_stream_static_join_cached shape (SCALING.md mitigation): the
     // static aggregate is cached+materialized before the stream starts, so
