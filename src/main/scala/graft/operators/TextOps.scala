@@ -916,6 +916,57 @@ object TextOps {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Quality-filter CASCADE with first-failure attribution — the funnel
+    * report every corpus curation pipeline publishes (how many documents
+    * each rule rejects, in rule order, so rule costs and overlaps are
+    * visible): too_short → low_alpha → repetitive → non_target_lang →
+    * kept. Attribution is FIRST failing rule (CASE order — a doc failing
+    * two rules counts once, under the earlier rule), which is what makes
+    * the funnel sum to the corpus total. Pure map into a 5-row hash agg —
+    * map-side combine collapses it to |rules| rows per partition; the
+    * same shape at 100 TB.
+    */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n", norm(col("text")))
+      .withColumn("tk", split(col("n"), " "))
+      .withColumn("stage",
+        when(size(col("tk")) < 5, 1L)
+          .when(length(regexp_replace(col("n"), "[^a-z]", "")) <
+            length(col("n")) * 0.6, 2L)
+          .when(size(array_distinct(col("tk"))).cast("double") <
+            size(col("tk")) * 0.3, 3L)
+          .when(col("lang") =!= "en", 4L)
+          .otherwise(5L))
+      .withColumn("verdict",
+        when(col("stage") === 1L, "too_short")
+          .when(col("stage") === 2L, "low_alpha")
+          .when(col("stage") === 3L, "repetitive")
+          .when(col("stage") === 4L, "non_target_lang")
+          .otherwise("kept"))
+      .groupBy(col("stage"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("stage")
+
+  private val filterFunnelSql =
+    s"""WITH t AS (
+       |  SELECT lang, $normSql AS n, string_split($normSql, ' ') AS tk
+       |  FROM documents),
+       |staged AS (
+       |  SELECT CASE
+       |    WHEN len(tk) < 5 THEN 1
+       |    WHEN len(regexp_replace(n, '[^a-z]', '', 'g')) < len(n) * 0.6 THEN 2
+       |    WHEN CAST(len(list_distinct(tk)) AS DOUBLE) < len(tk) * 0.3 THEN 3
+       |    WHEN lang != 'en' THEN 4
+       |    ELSE 5 END AS stage
+       |  FROM t)
+       |SELECT CAST(stage AS BIGINT) AS stage,
+       |  CASE stage WHEN 1 THEN 'too_short' WHEN 2 THEN 'low_alpha'
+       |    WHEN 3 THEN 'repetitive' WHEN 4 THEN 'non_target_lang'
+       |    ELSE 'kept' END AS verdict,
+       |  count(*) AS n_docs
+       |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
+
   private val WeightedK = 50
   // 2^60 as an exact double literal — h60 keys are uniform in [0, 2^60)
   private val Pow60 = "1.152921504606846976E18"
@@ -1365,6 +1416,7 @@ object TextOps {
     "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
     "q_weighted_sample" -> (weightedSample(_, _)),
+    "q_filter_funnel" -> (filterFunnel(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
@@ -1389,6 +1441,7 @@ object TextOps {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_hash_split" -> hashSplitSql,
     "q_weighted_sample" -> weightedSampleSql,
+    "q_filter_funnel" -> filterFunnelSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -546,6 +546,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("filterFunnel: first-failure attribution covers every rule in order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    Seq(
+      (1L, "one two three", "en"),                          // <5 tokens
+      (2L, "1 2 3 4 5 6 7 8 9", "en"),                      // no alpha
+      (3L, "word word word word word word word word", "en"),// 1/8 distinct
+      (4L, "un texte parfaitement raisonnable et varie ici", "fr"),
+      (5L, "a perfectly reasonable varied english document here", "en"),
+      (6L, "x 9", "fr")) // fails too_short AND lang -> counted ONCE, earlier rule
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.filterFunnel(spark, dir).collect()
+      .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n_docs")).toMap
+    assert(out == Map("too_short" -> 2L, "low_alpha" -> 1L, "repetitive" -> 1L,
+      "non_target_lang" -> 1L, "kept" -> 1L))
+  }
+
   test("weightedSample: without replacement, deterministic, selection tracks weight") {
     import spark.implicits._
     // 2000 ids in two weight classes (1 vs 10), k=200: heavy docs must be
