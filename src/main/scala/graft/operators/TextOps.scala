@@ -967,6 +967,110 @@ object TextOps {
        |  count(*) AS n_docs
        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin
 
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 10L
+  // literal query set — the vocabulary is the corpus's own; each query is
+  // a (query_id, terms) row inlined into BOTH engines
+  private val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q_spark_stream" -> Seq("spark", "stream", "join"),
+    "q_hash_window" -> Seq("hash", "window"),
+    "q_sort_merge" -> Seq("sort", "merge", "batch"))
+
+  /** BM25 full-text search over the corpus — the inverted-index ranking
+    * operator (Okapi BM25, k1=1.2, b=0.75, the +1 idf variant): tokenize
+    * once, aggregate (doc, term) term frequencies and per-term document
+    * frequencies, score the literal query set, top-k docs per query.
+    *
+    * Plan shape at 100 TB: ONE explode+shuffle builds the posting lists
+    * (tf keyed by (doc, term) — this is the stored inverted index at
+    * scale, built once); df is a second agg over tf's narrow output, and
+    * the global (N, avgdl) pair is a 1-row broadcast. The query side is a
+    * literal inlined frame joined on term — bounded, broadcast — so
+    * serving never shuffles the corpus again. Scoring doubles (idf, the
+    * length normalization) stay INTERNAL: the gate emits (query, rank,
+    * doc_id) only, because ln() is not bit-identical across engines —
+    * ranks are stable (score gaps ≫ 1 ulp; ties break by doc_id), the
+    * raw double would hash-flap.
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dlen = terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dlen"))
+    val stats = dlen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dlen")).as("avgdl"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val queryTerms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .foldLeft(Option.empty[DataFrame]) { (acc, qt) =>
+        val row = s.range(1).select(lit(qt._1).as("query"), lit(qt._2).as("term"))
+        Some(acc.fold(row)(_.unionByName(row)))
+      }.get
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(queryTerms), "term")
+      .join(broadcast(df_.join(broadcast(queryTerms), "term")
+        .select("term", "df").distinct()), "term")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dlen") / col("avgdl"))))
+      .groupBy(col("query"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query"), col("rank"), col("doc_id"))
+      .orderBy("query", "rank")
+  }
+
+  private val bm25SearchSql = {
+    val queryRows = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM terms GROUP BY 1, 2),
+       |dlen AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dlen
+       |  FROM terms GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dlen) AS avgdl
+       |  FROM dlen),
+       |df AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT * FROM (VALUES $queryRows) AS v(query, term)),
+       |scored AS (
+       |  SELECT qt.query, tf.doc_id,
+       |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * tf * ($Bm25K1 + 1.0)
+       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dlen / avgdl)))
+       |      AS score
+       |  FROM tf
+       |  JOIN qt ON qt.term = tf.term
+       |  JOIN df ON df.term = tf.term
+       |  JOIN dlen ON dlen.doc_id = tf.doc_id
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query, doc_id,
+       |    row_number() OVER (PARTITION BY query
+       |                       ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query, rank, doc_id FROM r WHERE rank <= $Bm25TopK
+       |ORDER BY query, rank""".stripMargin
+  }
+
   private val WeightedK = 50
   // 2^60 as an exact double literal — h60 keys are uniform in [0, 2^60)
   private val Pow60 = "1.152921504606846976E18"
@@ -1417,6 +1521,7 @@ object TextOps {
     "q_hash_split" -> (hashSplit(_, _)),
     "q_weighted_sample" -> (weightedSample(_, _)),
     "q_filter_funnel" -> (filterFunnel(_, _)),
+    "q_bm25_search" -> (bm25Search(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
@@ -1442,6 +1547,7 @@ object TextOps {
     "q_hash_split" -> hashSplitSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_filter_funnel" -> filterFunnelSql,
+    "q_bm25_search" -> bm25SearchSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -546,6 +546,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25Search: term frequency drives rank; no-term docs never appear") {
+    withDocs(
+      1L -> "spark spark spark stream join pipeline engine runs",
+      2L -> "spark appears here once among other words only",
+      3L -> "nothing relevant in this document at all",
+      4L -> "filler text padding the corpus vocabulary some more") { dir =>
+      val rows = TextOps.bm25Search(spark, dir).collect()
+        .filter(_.getAs[String]("query") == "q_spark_stream")
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+      assert(rows(1L) < rows(2L),
+        s"3x tf plus two more matched terms must outrank a single hit: $rows")
+      assert(!rows.contains(3L) && !rows.contains(4L),
+        s"docs with no query term must not be retrieved: $rows")
+    }
+  }
+
   test("filterFunnel: first-failure attribution covers every rule in order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("funnel").toString
