@@ -42,18 +42,30 @@ object Tables {
     * Session TZ is UTC everywhere in this repo, so TIMESTAMP ↔ NTZ casts
     * are wall-clock identities.
     */
-  def tsAsNtz(dt: DataType): Column = dt match {
-    case LongType           => expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType)
-    case TimestampNTZType   => col("ts")
-    case TimestampType      => col("ts").cast(TimestampNTZType)
+  /** Exact ns→µs truncating division on a LONG column. `c / 1000` in the
+    * Column DSL is DOUBLE division — ns-epoch values (~1.7e18) exceed
+    * 2^53 and would round by ~±128 ns; decimal division keeps every bit
+    * and the decimal→long cast truncates toward zero (= floor on the
+    * non-negative epoch domain), matching SQL `div` / DuckDB `//`.
+    */
+  private def nsDivToMicros(c: Column): Column =
+    (c.cast(org.apache.spark.sql.types.DecimalType(20, 0)) / lit(1000))
+      .cast(LongType)
+
+  def tsAsNtz(c: Column, dt: DataType): Column = dt match {
+    case LongType           => timestamp_micros(nsDivToMicros(c)).cast(TimestampNTZType)
+    case TimestampNTZType   => c
+    case TimestampType      => c.cast(TimestampNTZType)
     case other => throw new IllegalStateException(
       s"events.ts read as unexpected type $other; extend Tables.tsAsNtz")
   }
 
-  /** `ts` as a microsecond LONG (for rangeBetween frames / bucket math). */
-  def tsAsMicros(dt: DataType): Column = dt match {
-    case LongType                         => expr("ts div 1000")
-    case TimestampNTZType | TimestampType => expr("unix_micros(cast(ts as timestamp))")
+  /** The column as a microsecond LONG (for rangeBetween frames / bucket
+    * math). Raw-ns LONG columns truncate by integer div 1000.
+    */
+  def tsAsMicros(c: Column, dt: DataType): Column = dt match {
+    case LongType                         => nsDivToMicros(c)
+    case TimestampNTZType | TimestampType => unix_micros(c.cast(TimestampType))
     case other => throw new IllegalStateException(
       s"events.ts read as unexpected type $other; extend Tables.tsAsMicros")
   }
@@ -63,6 +75,6 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    raw.withColumn("ts", tsAsNtz(raw.schema("ts").dataType))
+    raw.withColumn("ts", tsAsNtz(col("ts"), raw.schema("ts").dataType))
   }
 }

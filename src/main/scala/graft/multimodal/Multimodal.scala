@@ -51,7 +51,12 @@ object Multimodal {
   def resized(media: DataFrame, maxWidth: Int): DataFrame =
     media
       .withColumn("out_w", least(col("width"), lit(maxWidth)))
-      .withColumn("out_h", expr("CAST(height * out_w AS BIGINT) div width").cast("int"))
+      // floor(h·w'/w) clamped to ≥1: an extreme-aspect banner (1000×3 at
+      // maxWidth 100) would otherwise target zero rows — a degenerate
+      // raster the pixel kernel rightly refuses
+      .withColumn("out_h",
+        greatest(expr("CAST(height * out_w AS BIGINT) div width").cast("int"),
+          lit(1)))
 
   /** One row per sampled frame timestamp (every `everyMs` through the
     * duration, inclusive) — the frame-extraction fan-out as a columnar
@@ -531,7 +536,8 @@ object Multimodal {
         batch.map { case (id, blob) =>
           val img = decodeImage(blob)
           val outW = math.min(img.width, maxWidth)
-          val outH = ((img.height.toLong * outW) / img.width).toInt
+          // the same ≥1 clamp as the metadata operator (see resized)
+          val outH = math.max(((img.height.toLong * outW) / img.width).toInt, 1)
           val small = resizePixels(img, outW, outH)
           (id, small.width, small.height, imageFeatureVector(small, grid))
         }
@@ -610,7 +616,8 @@ object Multimodal {
       |  FROM documents),
       |r AS (
       |  SELECT *, CAST(least(width, 640) AS BIGINT) AS out_w,
-      |    CAST((CAST(height AS BIGINT) * least(width, 640)) // width AS INT) AS out_h
+      |    CAST(greatest((CAST(height AS BIGINT) * least(width, 640)) // width,
+      |                  1) AS INT) AS out_h
       |  FROM m),
       |f AS (
       |  SELECT media_id, unnest(range(0, duration_ms + 1, 1000)) AS frame_ts,

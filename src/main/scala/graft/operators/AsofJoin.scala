@@ -113,17 +113,24 @@ object AsofJoin {
     sweep(tg.taggedRight.unionByName(tg.taggedLeft), keys.map(col), tsCol, valueCols, tg)
   }
 
-  /** Microsecond LONG view of an orderable column, for nearest-distance
-    * arithmetic: timestamps through unix_micros (TIMESTAMP ↔ NTZ is a
-    * wall-clock identity in this repo's UTC sessions), numerics as-is.
+  /** Distance-comparable view of an orderable ts column: timestamps via
+    * the shared Tables.tsAsMicros mapping, dates by day number, integral
+    * numerics as-is, fractional numerics as DOUBLE (a long cast would
+    * truncate 10.4 vs 10.5 to a false tie and pick the wrong neighbor).
+    * Anything else is rejected up front — a silent null distance would
+    * otherwise bias every choice to the forward row.
     */
-  private def asMicros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+  private def asDistance(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
     dt match {
-      case org.apache.spark.sql.types.TimestampNTZType |
-           org.apache.spark.sql.types.TimestampType =>
-        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
-      case _ => c.cast("long")
+      case TimestampNTZType | TimestampType => graft.Tables.tsAsMicros(c, dt)
+      case DateType => unix_date(c)
+      case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+      case FloatType | DoubleType | _: DecimalType => c.cast(DoubleType)
+      case other => throw new IllegalArgumentException(
+        s"asofNearest needs a timestamp/date/numeric ts column, got $other")
     }
+  }
 
   /** NEAREST as-of join — pandas `merge_asof(direction='nearest')`: for
     * each left row, the right row minimizing |ts_right − ts_left| within
@@ -149,9 +156,9 @@ object AsofJoin {
     val wFwd = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val t = asMicros(col(tsCol), tsType)
-    val backDist = t - asMicros(col("__back.__ts"), tsType)
-    val fwdDist = asMicros(col("__fwd.__ts"), tsType) - t
+    val t = asDistance(col(tsCol), tsType)
+    val backDist = t - asDistance(col("__back.__ts"), tsType)
+    val fwdDist = asDistance(col("__fwd.__ts"), tsType) - t
     tg.taggedRight.unionByName(tg.taggedLeft)
       .withColumn("__back", last(col("__m"), ignoreNulls = true).over(wBack))
       .withColumn("__fwd", first(col("__m"), ignoreNulls = true).over(wFwd))

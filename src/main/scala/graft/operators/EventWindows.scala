@@ -132,7 +132,7 @@ object EventWindows {
       // watermark/event-time column stays TimestampType, as it always was
       // on the ns-as-LONG path (identity wall-clock cast in a UTC session)
       .withColumn("ts",
-        graft.Tables.tsAsNtz(schema("ts").dataType)
+        graft.Tables.tsAsNtz(col("ts"), schema("ts").dataType)
           .cast(org.apache.spark.sql.types.TimestampType))
     val q = build(stream)
       .writeStream.format("memory").queryName(sink)
@@ -518,8 +518,8 @@ object EventWindows {
     val raw = Tables.load(s, dir, "events")
     val tsType = raw.schema("ts").dataType
     raw
-      .withColumn("ts_us", graft.Tables.tsAsMicros(tsType))
-      .withColumn("ts", graft.Tables.tsAsNtz(tsType))
+      .withColumn("ts_us", graft.Tables.tsAsMicros(col("ts"), tsType))
+      .withColumn("ts", graft.Tables.tsAsNtz(col("ts"), tsType))
       .select(col("event_id"), col("user_id"), col("ts"),
         count(lit(1)).over(w).as("n_trailing"),
         graft.DecimalEdge.dbl(

@@ -328,29 +328,7 @@ object Similarity {
   }
 
   private lazy val embedDecontaminateSql = {
-    val planesLit = planesFor(AnnBands * BandBits)
-      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    val nb = AnnBands * BandBits
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |n AS (
-       |  SELECT vec_id, v,
-       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
-       |  FROM e),
-       |pl AS (SELECT $planesLit AS p),
-       |d AS (
-       |  SELECT vec_id,
-       |    list_transform(range($nb), j ->
-       |      list_reduce(list_transform(range($Dim), i -> v[i+1] * p[j+1][i+1]),
-       |        (a, b) -> a + b)) AS dots
-       |  FROM n CROSS JOIN pl),
-       |sg AS (
-       |  SELECT vec_id, bb.band,
-       |    list_reduce(list_prepend(0, list_transform(range($BandBits),
-       |      k -> CASE WHEN dots[bb.band * $BandBits + k + 1] > 0
-       |                THEN (1 << k) ELSE 0 END)), (a, c) -> a + c) AS sig
-       |  FROM d CROSS JOIN (SELECT unnest(range($AnnBands)) AS band) bb),
+    s"""${srpSigCtePrefix(AnnBands, BandBits)},
        |cand AS (
        |  SELECT DISTINCT c.vec_id AS corpus_id, q.vec_id AS eval_id
        |  FROM sg c JOIN sg q ON c.band = q.band AND c.sig = q.sig
@@ -379,8 +357,11 @@ object Similarity {
     * any family size (the planes are prefix-stable, so the wide family's
     * first rows are the parity family's).
     */
-  private def embedNearDupSqlFor(bands: Int, bandBits: Int,
-                                 threshold: Double): String = {
+  /** Shared e/n/pl/d/sg CTE prefix of every SRP-signature oracle — ONE
+    * spelling of the signature math, so the near-dup and decontamination
+    * oracles cannot silently diverge.
+    */
+  private def srpSigCtePrefix(bands: Int, bandBits: Int): String = {
     val planesLit = planesFor(bands * bandBits)
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     s"""WITH e AS (
@@ -402,7 +383,13 @@ object Similarity {
        |    list_reduce(list_prepend(0, list_transform(range($bandBits),
        |      k -> CASE WHEN dots[bb.band * $bandBits + k + 1] > 0
        |                THEN (1 << k) ELSE 0 END)), (a, c) -> a + c) AS sig
-       |  FROM d CROSS JOIN (SELECT unnest(range($bands)) AS band) bb),
+       |  FROM d CROSS JOIN (SELECT unnest(range($bands)) AS band) bb)"""
+      .stripMargin
+  }
+
+  private def embedNearDupSqlFor(bands: Int, bandBits: Int,
+                                 threshold: Double): String = {
+    s"""${srpSigCtePrefix(bands, bandBits)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM sg a JOIN sg b ON a.band = b.band AND a.sig = b.sig

@@ -995,22 +995,20 @@ object TextOps {
     */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val terms = docs(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dlen = terms.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("double").as("dlen"))
+    // dlen/df/stats all derive from tf's NARROW output (|doc,term| rows)
+    // — the corpus token stream is exploded and shuffled exactly once
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
     val stats = dlen.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dlen")).as("avgdl"))
     val df_ = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val queryTerms = Bm25Queries
-      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .foldLeft(Option.empty[DataFrame]) { (acc, qt) =>
-        val row = s.range(1).select(lit(qt._1).as("query"), lit(qt._2).as("term"))
-        Some(acc.fold(row)(_.unionByName(row)))
-      }.get
+      .flatMap { case (q, ts) => ts.map((q, _)) }.toDF("query", "term")
     val w = Window.partitionBy(col("query"))
       .orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(queryTerms), "term")
