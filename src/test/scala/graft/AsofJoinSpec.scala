@@ -143,6 +143,40 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("no_match") == (None, None))
   }
 
+  test("asofNearest equals brute force on 300 mixed-key deterministic rows") {
+    // Knuth-mix pseudo-data (no RNG): dense/sparse keys, duplicate
+    // timestamps, left rows before/after all rights — every frame edge.
+    def mix(i: Long): Long = (i * 2654435761L) % 1000L
+    val left = (0L until 200L).map(i => (i % 7, mix(i), i)).toDF("k", "ts", "lid")
+    val right = (0L until 100L)
+      .map(i => (i % 5, mix(i * 3 + 1), 1000L + i))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, ts)
+      .toDF("k", "ts", "val")
+    val rightRows = right.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ts"), r.getAs[Long]("val")))
+    def expected(k: Long, t: Long): Option[(Long, Long)] = {
+      val mine = rightRows.filter(_._1 == k)
+      val back = mine.filter(_._2 <= t).sortBy(r => (-r._2, -r._3)).headOption
+      val fwd = mine.filter(_._2 > t).sortBy(r => (r._2, r._3)).headOption
+      (back, fwd) match {
+        case (None, None) => None
+        case (Some(b), None) => Some((b._3, b._2))
+        case (None, Some(f)) => Some((f._3, f._2))
+        case (Some(b), Some(f)) =>
+          if (t - b._2 <= f._2 - t) Some((b._3, b._2)) else Some((f._3, f._2))
+      }
+    }
+    val out = AsofJoin.asofNearest(left, right, Seq("k"), "ts", Seq("val"))
+      .collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      val (k, t) = (r.getAs[Long]("k"), r.getAs[Long]("ts"))
+      val got = Option(r.getAs[java.lang.Long]("val"))
+        .map(v => (v.longValue, r.getAs[Long]("ts_right")))
+      assert(got == expected(k, t), s"k=$k ts=$t: got $got, want ${expected(k, t)}")
+    }
+  }
+
   test("asofNearest plans ONE shuffle: both frames share the sort, no self-join") {
     val left = Seq((1L, 10L)).toDF("user_id", "ts")
     val right = Seq((1L, 8L, 80L)).toDF("user_id", "ts", "val")
