@@ -211,7 +211,11 @@ object Bench {
     // the contract line; nothing we control prints to stdout after it.
     if (failed.nonEmpty)
       System.err.println(s"[bench] failed queries: ${failed.mkString(", ")}")
-    spark.stop()
+    // stop() must not stand between us and the contract line: a shutdown
+    // failure (temp-dir cleanup etc.) would otherwise swallow the one
+    // stdout artifact the driver parses
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
     println(line)
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -36,7 +36,32 @@ object Scaling {
     if (on("recall")) probeRecallCurves(spark, dir)
     if (on("planted")) probePlantedRecall(spark, dir)
     if (on("truth")) probeGroundTruth(spark, dir)
+    if (mode == "decontam") probeDecontam(spark, dir)
     spark.stop()
+  }
+
+  /** Decontamination at benchmark eval scale (r12 verdict #5): eval set
+    * FIXED at 10⁴ vectors, corpus slice doubled 5k → 10k (sf1's 20k-vector
+    * table). The broadcast-asymmetry claim predicts candidate pairs and
+    * wall both ∝ corpus at fixed eval — the ratio printed is the evidence.
+    * Run on bench_sf1: `sbt "runMain graft.Scaling decontam"`.
+    */
+  private def probeDecontam(spark: SparkSession, dir: String): Unit = {
+    val eval = 10000L
+    for (corpusBound <- Seq(15000L, 20000L)) {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(150); System.gc()
+      val p = operators.Similarity
+        .embedDecontaminateSliced(spark, dir, eval, corpusBound, 0.30)
+      val t0 = System.nanoTime()
+      val nCands = p.candidates.count()
+      val tCand = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nOut = p.result.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t1) / 1e9
+      p.corpus.unpersist(blocking = false)
+      println(f"""{"probe":"decontam_eval10k","corpus":${corpusBound - eval},"candidates":$nCands,"flagged":$nOut,"cand_sec":$tCand%.3f,"score_sec":$sec%.3f}""")
+    }
   }
 
   private def timed(spark: SparkSession, label: String)(df: => DataFrame): Unit = {

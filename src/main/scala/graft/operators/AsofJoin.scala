@@ -117,8 +117,12 @@ object AsofJoin {
     * the shared Tables.tsAsMicros mapping, dates by day number, integral
     * numerics as-is, fractional numerics as DOUBLE (a long cast would
     * truncate 10.4 vs 10.5 to a false tie and pick the wrong neighbor).
-    * Anything else is rejected up front — a silent null distance would
-    * otherwise bias every choice to the forward row.
+    * Integral decimals (scale 0, long-representable) stay EXACT through
+    * the long path — a DECIMAL(20,0) ns-epoch would lose ~hundreds of ns
+    * to double rounding, the very hazard the double fallback is scoped to
+    * fractional/oversized decimals to avoid. Anything else is rejected up
+    * front — a silent null distance would otherwise bias every choice to
+    * the forward row.
     */
   private def asDistance(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types._
@@ -126,6 +130,7 @@ object AsofJoin {
       case TimestampNTZType | TimestampType => graft.Tables.tsAsMicros(c, dt)
       case DateType => unix_date(c)
       case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => c.cast(LongType)
       case FloatType | DoubleType | _: DecimalType => c.cast(DoubleType)
       case other => throw new IllegalArgumentException(
         s"asofNearest needs a timestamp/date/numeric ts column, got $other")
@@ -149,17 +154,29 @@ object AsofJoin {
   def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String]): DataFrame = {
     val tg = validateAndTag(left, right, keys, tsCol, valueCols)
-    val tsType = left.schema(tsCol).dataType
-    val wBack = Window.partitionBy(keys.map(col): _*)
+    nearestSweep(tg.taggedRight.unionByName(tg.taggedLeft), keys.map(col),
+      tsCol, valueCols, tg, left.schema(tsCol).dataType)
+  }
+
+  /** The two-frame sweep shared by [[asofNearest]] (partition = keys) and
+    * [[asofNearestBucketed]] (partition = keys + time bucket): both frames
+    * ride ONE sort — last(≤ current) is the backward candidate, first(≥
+    * current) the forward one — then the null-safe distance choice, ties
+    * backward.
+    */
+  private def nearestSweep(unioned: DataFrame, partCols: Seq[Column],
+      tsCol: String, valueCols: Seq[String], tg: Tagged,
+      tsType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val wBack = Window.partitionBy(partCols: _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = Window.partitionBy(keys.map(col): _*)
+    val wFwd = Window.partitionBy(partCols: _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val t = asDistance(col(tsCol), tsType)
     val backDist = t - asDistance(col("__back.__ts"), tsType)
     val fwdDist = asDistance(col("__fwd.__ts"), tsType) - t
-    tg.taggedRight.unionByName(tg.taggedLeft)
+    unioned
       .withColumn("__back", last(col("__m"), ignoreNulls = true).over(wBack))
       .withColumn("__fwd", first(col("__m"), ignoreNulls = true).over(wFwd))
       .filter(col("__side") === 1)
@@ -196,62 +213,109 @@ object AsofJoin {
     */
   def asofBackwardBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String], bucketUs: Long): DataFrame = {
+    val tg = bucketChecks(left, right, keys, tsCol, valueCols, bucketUs)
+    val rightB = withBucket(tg.taggedRight, tsCol, bucketUs)
+    val leftB  = withBucket(tg.taggedLeft, tsCol, bucketUs)
+    val back = seedRows(
+      carrySeeds(rightB, leftB, keys, forward = false), tg, left, keys, tsCol)
+    // pass 2: the standard sweep, partitioned by the COMPOSITE key
+    sweep(rightB.unionByName(leftB).unionByName(back),
+      keys.map(col) :+ col("__b"), tsCol, valueCols, tg)
+  }
+
+  /** NEAREST as-of under the same skew remedy: [[asofNearest]]'s hot-key
+    * window partitions by key alone, serializing a hot key through one
+    * task exactly as [[asofBackward]]'s did before the bucketed variant.
+    * Here the composite (keys…, bucket) partition needs carries in BOTH
+    * directions: the backward seed (latest right row of any strictly
+    * earlier bucket — sorts before every native row of its target bucket)
+    * and the forward seed (earliest right row of any strictly later bucket
+    * — sorts after every native row, so the in-bucket forward frame finds
+    * it last). With both seeds injected, the two-frame sweep inside a
+    * bucket sees exactly the global backward and forward candidates, so
+    * results match [[asofNearest]] by construction (AsofJoinSpec holds it
+    * to the brute force under 90%-hot-key skew).
+    */
+  def asofNearestBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String], bucketUs: Long): DataFrame = {
+    val tg = bucketChecks(left, right, keys, tsCol, valueCols, bucketUs)
+    val rightB = withBucket(tg.taggedRight, tsCol, bucketUs)
+    val leftB  = withBucket(tg.taggedLeft, tsCol, bucketUs)
+    val back = seedRows(
+      carrySeeds(rightB, leftB, keys, forward = false), tg, left, keys, tsCol)
+    val fwd = seedRows(
+      carrySeeds(rightB, leftB, keys, forward = true), tg, left, keys, tsCol)
+    nearestSweep(rightB.unionByName(leftB).unionByName(back).unionByName(fwd),
+      keys.map(col) :+ col("__b"), tsCol, valueCols, tg,
+      left.schema(tsCol).dataType)
+  }
+
+  private def bucketChecks(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, valueCols: Seq[String], bucketUs: Long): Tagged = {
     require(bucketUs > 0, "bucket width must be positive")
-    val tg = validateAndTag(left, right, keys, tsCol, valueCols)
     if (Seq(left.schema(tsCol).dataType, right.schema(tsCol).dataType)
         .contains(org.apache.spark.sql.types.TimestampNTZType)) {
       val tz = left.sparkSession.conf.get("spark.sql.session.timeZone")
       require(tz == "UTC",
-        s"asofBackwardBucketed on TIMESTAMP_NTZ needs spark.sql.session.timeZone=UTC, found $tz")
+        s"bucketed as-of on TIMESTAMP_NTZ needs spark.sql.session.timeZone=UTC, found $tz")
     }
-    // exact floor-division bucketing in LONG arithmetic: (t - pmod(t, w))
-    // is the exact floor multiple, and integral `div` of an exact multiple
-    // has no rounding — correct over the whole long range, unlike
-    // floor(t / w) whose double division loses integer precision past 2^52
-    def withBucket(df: DataFrame): DataFrame = df
-      .withColumn("__tl", unix_micros(col(tsCol).cast("timestamp")))
-      .withColumn("__b", expr(s"(__tl - pmod(__tl, ${bucketUs}L)) div ${bucketUs}L"))
-      .drop("__tl")
+    validateAndTag(left, right, keys, tsCol, valueCols)
+  }
 
-    val rightB = withBucket(tg.taggedRight)
-    val leftB  = withBucket(tg.taggedLeft)
+  // exact floor-division bucketing in LONG arithmetic: (t - pmod(t, w))
+  // is the exact floor multiple, and integral `div` of an exact multiple
+  // has no rounding — correct over the whole long range, unlike
+  // floor(t / w) whose double division loses integer precision past 2^52
+  private def withBucket(df: DataFrame, tsCol: String, bucketUs: Long): DataFrame = df
+    .withColumn("__tl", unix_micros(col(tsCol).cast("timestamp")))
+    .withColumn("__b", expr(s"(__tl - pmod(__tl, ${bucketUs}L)) div ${bucketUs}L"))
+    .drop("__tl")
 
-    // pass 1 (bucket granularity): last right row per occupied (key, bucket)
-    // — struct max orders on its leading __ts field, so max(__m) IS the
-    // latest right row of the bucket
-    val lastPerBucket = rightB.groupBy(keys.map(col) :+ col("__b"): _*)
-      .agg(max(col("__m")).as("__last"))
+  /** Pass 1 of the bucketed variants, at BUCKET granularity (one row per
+    * occupied (key, bucket), data-size independent): for each left-occupied
+    * bucket, the latest right row of any strictly earlier bucket
+    * (backward), or the earliest right row of any strictly later bucket
+    * (forward). Struct min/max order on the leading __ts field, so
+    * max(__m)/min(__m) ARE the bucket's latest/earliest right rows; a right
+    * bucket's marker is shifted one bucket toward its visibility side
+    * (+1 backward, −1 forward) so the running carry sweep sees exactly the
+    * buckets STRICTLY on the other side of each left bucket.
+    */
+  private def carrySeeds(rightB: DataFrame, leftB: DataFrame, keys: Seq[String],
+      forward: Boolean): DataFrame = {
+    val perBucket = rightB.groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg((if (forward) min(col("__m")) else max(col("__m"))).as("__last"))
     val leftBuckets = leftB.select(keys.map(col) :+ col("__b"): _*).distinct()
-    // each right bucket's seed becomes visible from the NEXT bucket on
-    // (__eb = __b + 1): a left bucket at __eb = __b then sees exactly the
-    // right buckets strictly before it
-    val markers = lastPerBucket
-      .select((keys.map(col) :+ (col("__b") + 1).as("__eb") :+
+    val shift = if (forward) -1 else 1
+    val markers = perBucket
+      .select((keys.map(col) :+ (col("__b") + shift).as("__eb") :+
         lit(0).as("__s") :+ col("__last")): _*)
       .unionByName(leftBuckets.select(
         (keys.map(col) :+ col("__b").as("__eb") :+ lit(1).as("__s") :+
-          lit(null).cast(lastPerBucket.schema("__last").dataType).as("__last")): _*))
+          lit(null).cast(perBucket.schema("__last").dataType).as("__last")): _*))
+    // forward sweeps bucket-DESCENDING: the last marker seen before a left
+    // bucket is then the nearest strictly-later occupied right bucket
     val wCarry = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__eb"), col("__s"))
+      .orderBy((if (forward) col("__eb").desc else col("__eb")), col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val seeds = markers
+    markers
       .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wCarry))
       .filter(col("__s") === 1 && col("__carry").isNotNull)
       .select(keys.map(col) :+ col("__eb").as("__b") :+ col("__carry"): _*)
+  }
 
-    // inject the carry as a synthetic right row of its target bucket; its
-    // (earlier-bucket) timestamp sorts it before every native bucket row
-    val seedRows = seeds.select(
+  /** Inject carries as synthetic right rows of their target bucket; the
+    * other-bucket timestamp sorts a backward seed before (and a forward
+    * seed after) every native row of the bucket, so the in-bucket sweeps
+    * need no special cases. */
+  private def seedRows(seeds: DataFrame, tg: Tagged, left: DataFrame,
+      keys: Seq[String], tsCol: String): DataFrame =
+    seeds.select(
       (keys.map(col) :+ col("__carry.__ts").as(tsCol) :+ lit(0).as("__side") :+
         col("__carry").as("__m")) ++
         tg.leftCols.filterNot(c => keys.contains(c) || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         col("__b"): _*)
-
-    // pass 2: the standard sweep, partitioned by the COMPOSITE key
-    sweep(rightB.unionByName(leftB).unionByName(seedRows),
-      keys.map(col) :+ col("__b"), tsCol, valueCols, tg)
-  }
 
   // ---- oracle gate ------------------------------------------------------
 
@@ -354,13 +418,33 @@ object AsofJoin {
       |FROM b JOIN f USING (click_id)
       |ORDER BY b.click_id""".stripMargin
 
+  /** Nearest semantics through the skew-safe variant (1-hour buckets) —
+    * oracle byte-identical to q_asof_nearest's, so the two-carry rewrite is
+    * held to exactly the single-window formulation's results.
+    */
+  def asofClicksNearestBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventWindows.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    asofNearestBucketed(clicks, views, Seq("user_id"), "ts", Seq("view_id"),
+      bucketUs = 3600L * 1000 * 1000)
+      .select(col("user_id"), col("click_id"), col("ts").as("click_ts"),
+        col("view_id"), col("ts_right").as("view_ts"))
+      .orderBy("click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofClicks(_, _)),
     "q_asof_join_bucketed" -> (asofClicksBucketed(_, _)),
-    "q_asof_nearest" -> (asofClicksNearest(_, _)))
+    "q_asof_nearest" -> (asofClicksNearest(_, _)),
+    "q_asof_nearest_bucketed" -> (asofClicksNearestBucketed(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> asofClicksSql,
     "q_asof_join_bucketed" -> asofClicksSql,
-    "q_asof_nearest" -> asofClicksNearestSql)
+    "q_asof_nearest" -> asofClicksNearestSql,
+    "q_asof_nearest_bucketed" -> asofClicksNearestSql)
 }

@@ -299,25 +299,58 @@ object Similarity {
     * this is one scan over the lake plus broadcast hash lookups.
     */
   def embedDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val (out, all) = embedDecontaminateLazy(s, dir)
+    // materialize, then release the corpus cache: under graft.Verify nothing
+    // ever clears caches, so returning a plan that still reads the cached
+    // corpus would pin it in executor storage for the rest of the 135-query
+    // run (the dedupClusters/contamination discipline in TextOps)
+    val res = out.localCheckpoint()
+    all.unpersist(blocking = false)
+    res
+  }
+
+  /** The lazy decontamination plan + the cached corpus frame it reads —
+    * private[graft] so PlanSpec can pin the two-broadcast shape on the
+    * PRE-checkpoint plan (the public gate materializes immediately).
+    */
+  private[graft] def embedDecontaminateLazy(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val p = embedDecontaminateSliced(s, dir, DecontamEval, Long.MaxValue,
+      DecontamCosine)
+    (p.result, p.corpus)
+  }
+
+  private[graft] case class DecontamPlan(result: DataFrame, corpus: DataFrame,
+      candidates: DataFrame)
+
+  /** [[embedDecontaminateLazy]] with the eval boundary, corpus slice and
+    * threshold exposed — the scale-measurement entry point: the Scaling
+    * probe fixes the eval set at the documented benchmark scale (10⁴ rows)
+    * and DOUBLES the corpus slice, measuring that candidate pairs and wall
+    * stay ∝ corpus (the broadcast-asymmetry claim, now a number).
+    */
+  private[graft] def embedDecontaminateSliced(s: SparkSession, dir: String,
+      evalBound: Long, corpusBound: Long, threshold: Double): DecontamPlan = {
     import org.apache.spark.sql.expressions.Window
     val all = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)")).cache()
     val sigs = bandSignatures(all)
-    val evalSigs = sigs.filter(col("vec_id") < DecontamEval)
+    val evalSigs = sigs.filter(col("vec_id") < evalBound)
       .toDF("eval_id", "band", "sig")
-    val corpSigs = sigs.filter(col("vec_id") >= DecontamEval)
+    val corpSigs = sigs
+      .filter(col("vec_id") >= evalBound && col("vec_id") < corpusBound)
       .toDF("corpus_id", "band", "sig")
     val cands = corpSigs.join(broadcast(evalSigs), Seq("band", "sig"))
       .select("corpus_id", "eval_id").distinct()
     val ce = all.select(col("vec_id").as("corpus_id"), col("v").as("cv"),
       col("nn").as("cn"))
-    val ee = all.filter(col("vec_id") < DecontamEval)
+    val ee = all.filter(col("vec_id") < evalBound)
       .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nn").as("en"))
     val w = Window.partitionBy(col("corpus_id"))
       .orderBy(col("cosine").desc, col("eval_id"))
-    cands.join(ce, "corpus_id").join(broadcast(ee), "eval_id")
+    val out = cands.join(ce, "corpus_id").join(broadcast(ee), "eval_id")
       .withColumn("cosine",
         expr("vec_dot(cv, ev)") / (sqrt(col("cn")) * sqrt(col("en"))))
-      .filter(col("cosine") >= DecontamCosine)
+      .filter(col("cosine") >= threshold)
       .withColumn("rk", row_number().over(w))
       .withColumn("n_eval_hits",
         count(lit(1)).over(Window.partitionBy(col("corpus_id"))))
@@ -325,6 +358,7 @@ object Similarity {
       .select(col("corpus_id"), col("n_eval_hits"),
         col("eval_id").as("best_eval"), col("cosine").as("best_cosine"))
       .orderBy("corpus_id")
+    DecontamPlan(out, all, cands)
   }
 
   private lazy val embedDecontaminateSql = {
@@ -767,14 +801,29 @@ object Similarity {
     val cb = trainPqCodebooks(s, dir)
     lastPq = Some(cb)
     val cbf = pqFrame(s, cb)
-    val sub = subVectors(corpus)
 
     // codes array per vector, m-ascending (struct sort orders by m first)
-    val codes = pqAssign(sub, cbf)
+    val codes = pqEncode(subVectors(corpus), cbf)
+    pqAdcRerank(corpus, cbf, codes)
+  }
+
+  /** (vec_id, code array) encoding of a subvector frame — the artifact
+    * "written at ingest" at scale; [[pqBuildIndex]] stores exactly this.
+    */
+  private def pqEncode(sub: DataFrame, cbf: DataFrame): DataFrame =
+    pqAssign(sub, cbf)
       .groupBy("vec_id")
       .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
       .select(col("vec_id"), expr("transform(mc, x -> x.cid)").as("code"))
 
+  /** The ADC serving tail shared by [[annPq]] (codes computed in-plan) and
+    * [[annPqServe]] (codes read from the stored index): query-side distance
+    * tables against the broadcast codebooks, one pure-map ADC pass over the
+    * codes, top-PqCand shortlist, exact re-rank. ONE spelling of the
+    * serving math — the stored-index path cannot diverge from the gate.
+    */
+  private def pqAdcRerank(corpus: DataFrame, cbf: DataFrame,
+                          codes: DataFrame): DataFrame = {
     // per-query distance tables, pivoted (m-major, cid-minor) and broadcast
     val qd = subVectors(corpus.filter(col("vec_id") < NumQueries))
       .join(broadcast(cbf), "m")
@@ -800,8 +849,66 @@ object Similarity {
     rerankTopK(cands, corpus, AnnK)
   }
 
-  private def annPqSql: String = {
-    val cb = lastPq.getOrElse(
+  /** Train-once/serve-split, EXECUTED: persist the trained per-subspace
+    * codebooks and the corpus code arrays to parquet, once per JVM
+    * (buildPerJvm — index content is output of the code under test; the
+    * bench warmup absorbs the build, timed reps measure pure serving).
+    * This is the artifact the [[annPq]] scaladoc promises — "the codes
+    * array is WRITTEN AT INGEST — serving reads it, never the raw
+    * vectors".
+    */
+  def pqBuildIndex(s: SparkSession, dir: String): String = {
+    import JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("pqidx", dir)) { tmp =>
+      val corpus = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)")).cache()
+      val cb = trainPqCodebooks(s, dir)
+      pqFrame(s, cb).select("m", "cid", "cv")
+        .coalesce(1).write.parquet(s"$tmp/codebooks")
+      pqEncode(subVectors(corpus), pqFrame(s, cb))
+        .write.parquet(s"$tmp/codes")
+      corpus.unpersist(blocking = false)
+    }.toString
+  }
+
+  /** Codebooks as READ BACK from the stored index this JVM served from —
+    * the oracle replays these (not a retrain), so query and oracle always
+    * describe the same persisted artifact. */
+  @volatile private var lastPqServed: Option[Seq[(Int, Int, Seq[Double])]] = None
+
+  /** PQ ANN SERVING from the stored index — the half of [[annPq]] that
+    * runs per query batch in production, now gated separately so the
+    * train/serve cost split is measured, not asserted. Reads the 1 KB-
+    * scale codebooks (driver-side, broadcast back out) and the codes
+    * parquet; NO k-means iteration, NO corpus re-encoding — the only
+    * corpus-wide work is the pure-map ADC fold over the stored codes and
+    * the exact re-rank of the PqCand shortlist. Same oracle discipline as
+    * [[annIvfTrained]]: the codebooks ride from the parquet read into the
+    * oracle SQL as literals, so the served result is exact-compared.
+    */
+  def annPqServe(s: SparkSession, dir: String): DataFrame = {
+    val root = pqBuildIndex(s, dir)
+    val cb = s.read.parquet(s"$root/codebooks").collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cid"),
+        r.getSeq[Double](r.fieldIndex("cv"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    lastPqServed = Some(cb)
+    val corpus = emb(s, dir)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    pqAdcRerank(corpus, pqFrame(s, cb), s.read.parquet(s"$root/codes"))
+  }
+
+  private def annPqSql: String = annPqSqlFor(lastPq)
+
+  /** [[annPqSql]] from the codebooks read off the stored index — the serve
+    * gate's oracle recomputes codes and distance tables in SQL from the
+    * SAME persisted codebooks the serving plan used. */
+  private def annPqServeSql: String = annPqSqlFor(lastPqServed)
+
+  private def annPqSqlFor(cbOpt: Option[Seq[(Int, Int, Seq[Double])]]): String = {
+    val cb = cbOpt.getOrElse(
+      // not trained/read in this JVM (query errored first): emit parseable
+      // SQL; the gate is already red in that case
       Seq.tabulate(PqM * PqK)(i => (i / PqK, i % PqK, Seq.fill(PqSubDim)(0.0))))
     val values = cb
       .map { case (m, cid, v) => s"($m, $cid, ${v.map(dlit).mkString("[", ", ", "]")})" }
@@ -945,6 +1052,7 @@ object Similarity {
     "q_ann_ivf" -> (annIvf(_, _)),
     "q_ann_ivf_trained" -> (annIvfTrained(_, _)),
     "q_ann_pq" -> (annPq(_, _)),
+    "q_ann_pq_serve" -> (annPqServe(_, _)),
     "q_embed_neardup" -> (embedNearDup(_, _)),
     "q_embed_decontam" -> (embedDecontaminate(_, _)),
     // the sf1 scaling fix (SCALING.md), oracle-gated at a non-default
@@ -963,6 +1071,7 @@ object Similarity {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_pq_serve" -> annPqServeSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_decontam" -> embedDecontaminateSql,
     "q_embed_neardup_wide" -> embedNearDupSqlFor(16, 8, NearDupCosine))

@@ -990,12 +990,12 @@ object TextOps {
     * serving never shuffles the corpus again. Scoring doubles (idf, the
     * length normalization) stay INTERNAL: the gate emits (query, rank,
     * doc_id) only, because ln() is not bit-identical across engines —
-    * ranks are stable (score gaps ≫ 1 ulp; ties break by doc_id), the
-    * raw double would hash-flap.
+    * and rank itself is taken over floor(score·1e9) (a coarse integer
+    * grain, ties by doc_id), so docs would have to score within 1e-9 of
+    * each other before last-ulp summation-order differences could flap
+    * the ordering, instead of within 1 ulp.
     */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
     val terms = docs(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -1007,10 +1007,22 @@ object TextOps {
       avg(col("dlen")).as("avgdl"))
     val df_ = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
+    bm25Score(s, tf, dlen, df_, stats)
+  }
+
+  /** The Okapi scoring tail shared by [[bm25Search]] (index built in-plan)
+    * and [[bm25Serve]] (index read from parquet): ONE spelling of the
+    * ranking math, so the stored-index path cannot silently diverge from
+    * the gate the oracle checks.
+    */
+  private def bm25Score(s: SparkSession, tf: DataFrame, dlen: DataFrame,
+                        df_ : DataFrame, stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val queryTerms = Bm25Queries
       .flatMap { case (q, ts) => ts.map((q, _)) }.toDF("query", "term")
     val w = Window.partitionBy(col("query"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("skey").desc, col("doc_id"))
     tf.join(broadcast(queryTerms), "term")
       .join(broadcast(df_.join(broadcast(queryTerms), "term")
         .select("term", "df").distinct()), "term")
@@ -1023,10 +1035,60 @@ object TextOps {
           (lit(1.0 - Bm25B) + lit(Bm25B) * col("dlen") / col("avgdl"))))
       .groupBy(col("query"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
+      // floor, not round: identical double→integer semantics both engines
+      .withColumn("skey", floor(col("score") * lit(1e9)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= Bm25TopK)
       .select(col("query"), col("rank"), col("doc_id"))
       .orderBy("query", "rank")
+  }
+
+  /** Materialize the BM25 inverted index ONCE per JVM: tf postings keyed
+    * (doc, term) — "tf IS the stored inverted index at scale" (the L13
+    * contract), now executed — plus the dlen/df/stats side tables derived
+    * from the STORED postings, so serving owes the corpus nothing. Rebuilt
+    * on each JVM's first use (buildPerJvm: index content is output of the
+    * code under test); bench's untimed warmup absorbs the build, timed
+    * reps measure pure serving.
+    */
+  def bm25BuildIndex(s: SparkSession, dir: String): String = {
+    import JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("bm25idx", dir)) { tmp =>
+      val terms = docs(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .write.parquet(s"$tmp/tf")
+      val tfStored = s.read.parquet(s"$tmp/tf")
+      // integral doubles: the per-doc sum is exact regardless of add order
+      tfStored.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+        .write.parquet(s"$tmp/dlen")
+      tfStored.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .write.parquet(s"$tmp/df")
+      s.read.parquet(s"$tmp/dlen")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dlen")).as("avgdl"))
+        .write.parquet(s"$tmp/stats")
+    }.toString
+  }
+
+  /** BM25 SERVING from the stored index — the query path of a deployed
+    * search stack: no tokenization, no explode, no corpus scan. The term
+    * dimension is filtered with a LITERAL isin over the query set BEFORE
+    * anything joins, so the predicate reaches the parquet scan
+    * (PushedFilters — at scale, postings term-bucketed on disk turn that
+    * into partition pruning) and the plan only ever lifts the postings of
+    * the queried terms. Same scoring tail, same oracle as q_bm25_search:
+    * the stored index provably answers identically to the fresh one.
+    */
+  def bm25Serve(s: SparkSession, dir: String): DataFrame = {
+    val root = bm25BuildIndex(s, dir)
+    val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
+    val tf = s.read.parquet(s"$root/tf").filter(col("term").isin(qTerms: _*))
+    val df_ = s.read.parquet(s"$root/df").filter(col("term").isin(qTerms: _*))
+    bm25Score(s, tf, s.read.parquet(s"$root/dlen"),
+      df_, s.read.parquet(s"$root/stats"))
   }
 
   private val bm25SearchSql = {
@@ -1063,7 +1125,8 @@ object TextOps {
        |r AS (
        |  SELECT query, doc_id,
        |    row_number() OVER (PARTITION BY query
-       |                       ORDER BY score DESC, doc_id) AS rank
+       |                       ORDER BY CAST(floor(score * 1e9) AS BIGINT) DESC,
+       |                                doc_id) AS rank
        |  FROM scored)
        |SELECT query, rank, doc_id FROM r WHERE rank <= $Bm25TopK
        |ORDER BY query, rank""".stripMargin
@@ -1520,6 +1583,7 @@ object TextOps {
     "q_weighted_sample" -> (weightedSample(_, _)),
     "q_filter_funnel" -> (filterFunnel(_, _)),
     "q_bm25_search" -> (bm25Search(_, _)),
+    "q_bm25_serve" -> (bm25Serve(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
@@ -1546,6 +1610,7 @@ object TextOps {
     "q_weighted_sample" -> weightedSampleSql,
     "q_filter_funnel" -> filterFunnelSql,
     "q_bm25_search" -> bm25SearchSql,
+    "q_bm25_serve" -> bm25SearchSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -177,6 +177,47 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofNearestBucketed equals asofNearest under 90%-hot-key skew") {
+    // same skew shape as the backward-bucketed fixture: key 1 carries 90%
+    // of the left rows and the 10-tick buckets split it across ~30 tasks.
+    // Rights every 3rd tick, so both the backward AND forward carries are
+    // routinely the match (a bucket with no in-bucket right on one side).
+    // asofNearest is itself held to the brute force above, so transitivity
+    // gives the bucketed rewrite the brute-force guarantee too.
+    val rnd = new scala.util.Random(1313)
+    val left = ((1 to 900).map(i => (1L, (rnd.nextInt(300) + 1).toLong, i.toLong)) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, (rnd.nextInt(300) + 1).toLong, (900 + i).toLong)))
+      .toDF("user_id", "ts", "click_id")
+    val right = (0 to 100).flatMap(i => Seq((1L, i * 3L, i * 10L), ((i % 7 + 2).toLong, i * 3L, i * 10L + 1)))
+      .toDF("user_id", "ts", "view_id")
+      .groupBy("user_id", "ts").agg(max("view_id").as("view_id"))
+
+    val plain = AsofJoin.asofNearest(left, right, Seq("user_id"), "ts", Seq("view_id"))
+    val bucketed = AsofJoin.asofNearestBucketed(left, right, Seq("user_id"), "ts",
+      Seq("view_id"), bucketUs = 10L * 1000 * 1000)
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+    assert(bucketed.count() == 1000)
+
+    // the in-bucket sweep must partition on the COMPOSITE (key, bucket)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    val sweepExchanges = plan.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("user_id") && l.contains("__b"))
+    assert(sweepExchanges.nonEmpty,
+      s"bucketed nearest as-of must hash-partition on (keys, __b):\n$plan")
+  }
+
+  test("asofNearestBucketed: one-sided and no-match rows survive bucketing") {
+    val left = Seq((1L, 2L, "before_all"), (1L, 50L, "after_all"),
+      (2L, 9L, "no_rights")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, 30L, 7L)).toDF("user_id", "ts", "val")
+    val out = AsofJoin.asofNearestBucketed(left, right, Seq("user_id"), "ts",
+      Seq("val"), bucketUs = 5L * 1000 * 1000)
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[java.lang.Long]("val"))).toMap
+    assert(out("before_all") == Some(7L)) // forward carry across buckets
+    assert(out("after_all") == Some(7L))  // backward carry across buckets
+    assert(out("no_rights").isEmpty)
+  }
+
   test("asofNearest plans ONE shuffle: both frames share the sort, no self-join") {
     val left = Seq((1L, 10L)).toDF("user_id", "ts")
     val right = Seq((1L, 8L, 80L)).toDF("user_id", "ts", "val")

@@ -311,6 +311,11 @@ class LlmOpsSpec extends SparkSpec {
     val pq = top5(Similarity.annPq(spark, dir))
     val recall = (exact & pq).size.toDouble / exact.size
     assert(recall >= 0.8, s"PQ recall@5 $recall below 0.8 floor")
+    // serving from the stored index is the same approximation — the same
+    // floor must hold (codebooks persisted+reloaded, codes read off parquet)
+    val served = top5(Similarity.annPqServe(spark, dir))
+    val servedRecall = (exact & served).size.toDouble / exact.size
+    assert(servedRecall >= 0.8, s"served PQ recall@5 $servedRecall below 0.8 floor")
   }
 
   test("annIvf surfaces an identical vector via its probed cell") {

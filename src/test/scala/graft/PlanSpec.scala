@@ -658,11 +658,49 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val plan = graft.operators.Similarity.embedDecontaminate(spark, dir)
-        .queryExecution.executedPlan.toString
+      // the Lazy variant: the public gate localCheckpoints (whose plan is
+      // just an RDD scan) — the broadcast shape lives in the inner plan
+      val (out, all) = graft.operators.Similarity.embedDecontaminateLazy(spark, dir)
+      val plan = out.queryExecution.executedPlan.toString
+      all.unpersist(blocking = false)
       assert("BroadcastExchange".r.findAllIn(plan).size == 2,
         s"exactly the two eval-side hints may broadcast:\n$plan")
+      // the shape is eval-size independent: at the documented benchmark
+      // scale (10^4-row eval set) the same two hints and nothing else
+      // broadcast — the Scaling `decontam` probe measures the candidates
+      val big = graft.operators.Similarity
+        .embedDecontaminateSliced(spark, dir, 10000L, Long.MaxValue, 0.30)
+      val bigPlan = big.result.queryExecution.executedPlan.toString
+      big.corpus.unpersist(blocking = false)
+      assert("BroadcastExchange".r.findAllIn(bigPlan).size == 2,
+        s"10^4-eval slice must keep the two-broadcast shape:\n$bigPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("PQ serving reads the stored codes — no corpus re-encoding") {
+    // the train/serve split, executed: the serving plan must scan the
+    // persisted codes parquet and contain NO per-(vec_id, m) assignment
+    // window over the corpus (alias `arank`) — re-encoding at query time
+    // is the retrain-per-query cost the split exists to remove. (k-means
+    // itself is a driver-side loop of separate jobs; its absence from the
+    // ONE serving plan is exactly this pin.)
+    val plan = graft.operators.Similarity.annPqServe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pqidx"),
+      s"serving must read the stored PQ index:\n$plan")
+    assert(!plan.contains("arank"),
+      s"serving must not re-encode the corpus (no assignment window):\n$plan")
+  }
+
+  test("BM25 serving reads the stored postings — no re-tokenization, term filter pushed") {
+    val plan = graft.operators.TextOps.bm25Serve(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bm25idx"),
+      s"serving must read the stored postings:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"serving must not explode/re-tokenize the corpus:\n$plan")
+    assert(plan.contains("In(term"),
+      s"the literal query-term filter must reach the postings scan:\n$plan")
   }
 
   test("stream-static cached: micro-batch broadcasts the materialized dim") {
