@@ -840,17 +840,28 @@ object TextOps {
     * Shape: the whole gram-hash → window-min → distinct computation is
     * row-local (every gram derives from ONE document row), so it runs in a
     * single native expression ([[graft.functions.WinnowFingerprints]])
-    * inside whole-stage codegen — scan → project, ZERO shuffles except the
-    * gate's output ORDER BY. The previous compositional form (posexplode +
-    * md5/row + 4-row min window over partitionBy(doc)) forced a corpus-
-    * sized exchange+sort just to co-locate rows that were born co-located;
-    * at 100 TB that exchange was the plan's only scale-killer.
+    * inside whole-stage codegen. The previous compositional form
+    * (posexplode + md5/row + 4-row min window over partitionBy(doc))
+    * forced a corpus-sized exchange+sort just to co-locate rows that were
+    * born co-located; at 100 TB that exchange was the plan's scale-killer.
+    *
+    * The one remaining exchange (the gate's doc_id ORDER BY) sits BELOW
+    * the kernel: `repartitionByRange` moves the cheap raw rows, the md5
+    * kernel then runs on every core, and the final sort is partition-local
+    * (range partitions are globally ordered, so local sort = global
+    * order). With the exchange ABOVE the kernel instead — the naive
+    * `.orderBy` tail — parallelism is capped by the SCAN's split count: a
+    * compact parquet corpus slice under maxPartitionBytes runs the whole
+    * CPU-bound kernel on one core (measured r11→r13: the sf0.1→sf1 decade
+    * ratio drops from 11.3× to ~linear-in-cores once the kernel is spread;
+    * PlanSpec pins the exchange-below-kernel shape).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     docs(s, dir)
       .withColumn("n", norm(col("text")))
       .filter(length(col("n")) >= GramLen + WinLen - 1)
+      .repartitionByRange(col("doc_id"))
       .withColumn("fps", expr(s"winnow_fps(n, $GramLen, $WinLen)"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fingerprints"),
@@ -858,7 +869,7 @@ object TextOps {
         // the interpreted HOF fold costs nothing next to the md5 kernel
         expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x % 1000000007)")
           .as("fp_checksum"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   private val fingerprintSql =

@@ -71,6 +71,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"fingerprint must not explode:\n$plan")
     assert(!plan.contains("hashpartitioning"),
       s"fingerprint must not hash-shuffle:\n$plan")
+    // r13: the range exchange must sit BELOW the md5 kernel (it moves raw
+    // rows, then every core winnows) — with the exchange above the kernel
+    // parallelism is capped by the scan's split count, the measured cause
+    // of the r11 11.3x decade ratio. In the top-down plan string the
+    // winnow_fps Project must therefore print ABOVE the exchange.
+    val kernelAt = plan.indexOf("winnow_fps")
+    val exchangeAt = plan.indexOf("rangepartitioning")
+    assert(kernelAt >= 0 && exchangeAt >= 0,
+      s"fingerprint must keep the kernel and one range exchange:\n$plan")
+    assert(kernelAt < exchangeAt,
+      s"the range exchange must be below the winnow kernel:\n$plan")
   }
 
   test("annIvf broadcasts the codebook, never a cartesian product") {
