@@ -589,6 +589,150 @@ object Multimodal {
     feat
   }
 
+  // ---- real multi-frame decode (animated GIF) --------------------------
+  //
+  // GIF is the one multi-frame container the JDK decodes natively
+  // (javax.imageio ships a GIF reader AND writer), which upgrades the
+  // frame-sampling family from metadata-only to REAL frames: encode N
+  // frames into one animated blob, read the frame count back from the
+  // container, decode each frame. GIF stores an indexed palette losslessly,
+  // so with a 256-gray palette the byte→pixel→byte round trip is EXACT —
+  // unlike JPEG, gates on decoded GIF pixels can be bit-exact.
+
+  /** Encode same-size 8-bit gray frames as one animated GIF via the JDK's
+    * own writer (`prepareWriteSequence`/`writeToSequence`). Each frame is
+    * TYPE_BYTE_INDEXED over an identity gray palette (index i → rgb
+    * (i,i,i)), so the stored color table maps every input byte to itself.
+    */
+  def encodeGifGray(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty, "no frames to encode")
+    // measured JDK codec quirk (jshell probe, JDK 17): any GIF written at
+    // height <= 4 round-trips with every row after row 0 corrupted —
+    // height >= 5 is always exact. Interlace-pass bookkeeping in the
+    // javax.imageio GIF plugin; refuse the degenerate sizes rather than
+    // silently emit frames this JVM cannot read back.
+    require(h >= 5, s"JDK GIF codec corrupts images under 5 rows (h=$h)")
+    frames.foreach(f => require(f.length == w * h,
+      s"frame length ${f.length} != ${w}x$h"))
+    val gray = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        img.getRaster.setDataElements(0, 0, w, h, px)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode EVERY frame of an animated GIF with the JDK reader: frame
+    * count from the container (`getNumImages(true)`), each frame read
+    * independently and expanded through its palette to interleaved RGB —
+    * the same [[RgbImage]] the single-frame decoders emit, so decoded
+    * frames flow into [[imageFeatureVector]]/[[resizePixels]] unchanged.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[RgbImage] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n > 0, "GIF stream holds no frames")
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](w * h * 3)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val argb = row(x)
+            val d = (y * w + x) * 3
+            out(d) = ((argb >> 16) & 0xff).toByte
+            out(d + 1) = ((argb >> 8) & 0xff).toByte
+            out(d + 2) = (argb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        RgbImage(w, h, out)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  private val GifFrameW = 8
+  private val GifFrameH = 8
+  private val GifMaxFrames = 4
+
+  /** Gated ENCODE→DECODE round trip over the corpus: each document's
+    * printable-ASCII text becomes up to [[GifMaxFrames]] 8×8 gray frames
+    * (pixel = char code), the frames encode into ONE animated GIF, the GIF
+    * decodes back through the real multi-frame reader, and the gate emits
+    * per-frame dimensions + the decoded pixel sum. Because the gray
+    * palette round-trips exactly, DuckDB can recompute every pixel sum
+    * from the text chars alone — a bit-exact cross-engine oracle over a
+    * REAL container decode (the property JPEG's lossy path can never
+    * give). The ASCII filter is load-bearing twice: char code = UTF-8
+    * byte = palette index ≤ 127 < 256, and ord() agrees across engines.
+    *
+    * Shape: encode+decode both live in one mapPartitions batch over
+    * document rows — no driver, no shuffle except the gate's ORDER BY.
+    */
+  def gifFrameTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frameLen = GifFrameW * GifFrameH
+    Tables.load(s, dir, "documents")
+      .filter(col("text").rlike("^[ -~]*$") && length(col("text")) >= frameLen)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val n = math.min(bytes.length / frameLen, GifMaxFrames)
+          val frames = (0 until n).map(f =>
+            java.util.Arrays.copyOfRange(bytes, f * frameLen, (f + 1) * frameLen))
+          val gif = encodeGifGray(frames, GifFrameW, GifFrameH)
+          decodeGifFrames(gif).iterator.zipWithIndex.map { case (img, idx) =>
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 3 }
+            (id, idx, img.width, img.height, sum)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "pix_sum")
+      .withColumn("frame_idx", col("frame_idx").cast("int"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  private val gifFrameTableSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    least(length(text) // ${GifFrameW * GifFrameH}, $GifMaxFrames) AS nf
+       |  FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= ${GifFrameW * GifFrameH}),
+       |f AS (
+       |  SELECT doc_id, unnest(range(nf)) AS frame_idx, text FROM d)
+       |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  $GifFrameW AS width, $GifFrameH AS height,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(${GifFrameW * GifFrameH}),
+       |      i -> ord(substring(text, CAST(frame_idx * ${GifFrameW * GifFrameH} + i + 1 AS INT), 1)))),
+       |    (a, b) -> a + b) AS BIGINT) AS pix_sum
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   /** Gated metadata query: per-frame rows with byte sizes and resize math
     * (decode stays out — it has no cross-engine oracle by design).
     */
@@ -630,8 +774,10 @@ object Multimodal {
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_frames" -> (frameTable(_, _)))
+    "q_multimodal_frames" -> (frameTable(_, _)),
+    "q_gif_frames" -> (gifFrameTable(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_multimodal_frames" -> frameTableSql)
+    "q_multimodal_frames" -> frameTableSql,
+    "q_gif_frames" -> gifFrameTableSql)
 }

@@ -356,4 +356,58 @@ class MultimodalSpec extends SparkSpec {
     val kept = Multimodal.resizedImageFeatures(keep, maxWidth = 2).collect().head
     assert(kept.getAs[Int]("out_w") == 2 && kept.getAs[Int]("out_h") == 2)
   }
+
+  test("animated GIF: multi-frame encode/decode round-trips pixels exactly") {
+    // three 4x5 gray frames with distinct, position-dependent values — the
+    // identity gray palette must carry every byte through encode→decode
+    val n = 4 * 5
+    val frames = Seq.tabulate(3)(f =>
+      Array.tabulate[Byte](n)(i => (f * 50 + i * 3).toByte))
+    val gif = Multimodal.encodeGifGray(frames, 4, 5)
+    // container magic: animated GIFs are GIF89a streams
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val decoded = Multimodal.decodeGifFrames(gif)
+    assert(decoded.length == 3, "frame count must survive the container")
+    decoded.zip(frames).foreach { case (img, src) =>
+      assert((img.width, img.height) == (4, 5))
+      // gray pixel: all three RGB channels replicate the source byte
+      (0 until n).foreach { i =>
+        assert((img.pixels(i * 3) & 0xff) == (src(i) & 0xff), s"pixel $i")
+        assert(img.pixels(i * 3) == img.pixels(i * 3 + 1))
+        assert(img.pixels(i * 3) == img.pixels(i * 3 + 2))
+      }
+    }
+    // single-frame stream still decodes; empty frame list rejects
+    assert(Multimodal.decodeGifFrames(
+      Multimodal.encodeGifGray(frames.take(1), 4, 5)).length == 1)
+    intercept[IllegalArgumentException](Multimodal.encodeGifGray(Seq.empty, 4, 5))
+    // the measured JDK quirk is guarded, not silently emitted: any height
+    // under 5 rows corrupts every row after row 0 on read-back
+    intercept[IllegalArgumentException](
+      Multimodal.encodeGifGray(Seq(Array.fill[Byte](8)(1)), 4, 2))
+    // garbage bytes reject through the reader, not hang
+    intercept[Exception](Multimodal.decodeGifFrames(Array.fill[Byte](32)(9)))
+  }
+
+  test("gifFrameTable: per-frame pixel sums match the text chars") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gifdocs").toString
+    // doc 1: 130 ASCII chars -> 2 full 64-char frames (last 2 chars dropped)
+    // doc 2: short text -> filtered (under one frame)
+    // doc 3: non-ASCII -> filtered by the printable-ASCII guard
+    val text1 = (0 until 130).map(i => (' ' + (i % 95)).toChar).mkString
+    Seq((1L, text1, text1.length.toLong), (2L, "tiny", 4L),
+      (3L, "café " * 20, 100L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = Multimodal.gifFrameTable(spark, tmp).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (1L, 1)))
+    rows.foreach { r =>
+      val idx = r.getInt(1)
+      val expected = text1.substring(idx * 64, (idx + 1) * 64).map(_.toLong).sum
+      assert(r.getAs[Long]("pix_sum") == expected, s"frame $idx sum")
+      assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 8)
+    }
+  }
 }
