@@ -134,12 +134,15 @@ object EventWindows {
       .withColumn("ts",
         graft.Tables.tsAsNtz(col("ts"), schema("ts").dataType)
           .cast(org.apache.spark.sql.types.TimestampType))
-    val q = build(stream)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withEphemeralCheckpoint { ckpt =>
+      val q = build(stream)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
       .withColumn("window_start", col("window_start").cast(TimestampNTZType))
   }
@@ -227,12 +230,15 @@ object EventWindows {
       .option("maxFilesPerTrigger", "1")
       .parquet(input.toString)
     val sink = "q_stream_session_sink"
-    val q = graft.streaming.EventStream.sessionCounts(stream, "6 hours", "10 minutes")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withEphemeralCheckpoint { ckpt =>
+      val q = graft.streaming.EventStream.sessionCounts(stream, "6 hours", "10 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
       .filter(col("user_id") =!= -1L)
       .withColumn("session_start", col("session_start").cast(TimestampNTZType))
@@ -311,6 +317,46 @@ object EventWindows {
       writeSingleParquet(tmp, base.filter(col("ts") > cut), "01_late.parquet", t0 + 60000)
     }
 
+  /** Ephemeral checkpoint root on the fastest writable local volume:
+    * Spark's default TEMPORARY checkpoint lands under java.io.tmpdir (ext4
+    * here); every micro-batch writes offset/commit WALs plus one
+    * state-store delta PER PARTITION into it. Semantics are identical to a
+    * temp checkpoint (fresh dir per run = same restart behavior); the
+    * r13 measurement is recorded for honesty: on an IDLE box this is
+    * NEUTRAL (streaming subtotal 17.1 s → 18.8 s, inside run variance;
+    * partitions 4→2 also neutral) — the per-gate fixed cost is
+    * micro-batch planning + state-store instantiation, structural to the
+    * engine, not disk fsync. tmpfs checkpoints are kept because they
+    * remove the one disk dependency these gates had, the failure mode
+    * suspected in the r11 driver-host-contended artifact. Production
+    * layout is unchanged: durable checkpoints by explicit config
+    * (JournalStream's callers pass their own dir).
+    */
+  private def ephemeralCheckpoint(): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft-ckpt-")
+  }
+
+  /** Run `body` against a fresh ephemeral checkpoint, deleting it after
+    * (explicit checkpointLocations are not auto-cleaned the way temp
+    * ones are; reps would otherwise accumulate on the shared tmpfs).
+    */
+  private def withEphemeralCheckpoint[T](body: String => T): T = {
+    val ckpt = ephemeralCheckpoint()
+    try body(ckpt.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      finally walk.close()
+    }
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` pinned low: every
     * stateful streaming operator materializes one state-store instance per
     * shuffle partition and writes checkpoint files PER PARTITION PER
@@ -343,12 +389,15 @@ object EventWindows {
     val stream = s.readStream.schema(sch)
       .option("maxFilesPerTrigger", "1")
       .parquet(input.toString)
-    val q = build(stream)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withEphemeralCheckpoint { ckpt =>
+      val q = build(stream)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(sink)
   }
 
