@@ -927,6 +927,69 @@ object TextOps {
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Target mix shares per source in BASIS POINTS (integer — share·budget
+    * quota math stays in exact integer arithmetic on both engines; a
+    * double share like 0.35 would floor differently than DuckDB's DECIMAL
+    * literal on quota boundaries). Sources not listed are excluded. */
+  private val MixBudget = 200L
+  private val MixSharesBp =
+    Seq(("src0", 3000L), ("src1", 2500L), ("src2", 2000L),
+      ("src3", 1500L), ("src4", 1000L))
+
+  /** Domain-mix resampling: re-weight the corpus toward TARGET source
+    * proportions — the mixing step every pretraining data pipeline runs
+    * (DoReMi-style weights land here as the shares table). Per source s:
+    * quota_s = bp_s·budget/10⁴ (integer), then keep the first quota_s
+    * docs in the deterministic portable-hash order ([[h60]] — same
+    * engine-portable draw as [[hashSplit]]/stratifiedSample; a random()
+    * mix would be neither reproducible nor cross-engine checkable). The
+    * gate reports per source: quota, kept count (short sources cap at
+    * availability — visible as n_kept < quota), and the kept-id checksum
+    * so the SELECTION, not just its size, is exact-compared.
+    *
+    * Shape: pure-map hash → per-source rank window (each stratum its own
+    * partition) → broadcast join against the |sources|-row share table →
+    * 5-row agg. Scale: identical to stratifiedSample — no global sort,
+    * windows shard by source; skewed sources salt like any skewed key.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // div, not /: Spark's `/` is double division even on two LONGs; the
+    // quota must stay exact integer arithmetic (the reason shares are bp)
+    val shares = MixSharesBp.toDF("source", "bp")
+      .withColumn("quota", expr(s"bp * $MixBudget div 10000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), h60("doc_id").as("h"))
+      .join(broadcast(shares), "source")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("quota"))
+      .groupBy("source")
+      .agg(first(col("quota")).as("quota"),
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_ids_sum"))
+      .orderBy("source")
+  }
+
+  private val corpusMixSql = {
+    val values = MixSharesBp
+      .map { case (src, bp) => s"('$src', $bp)" }.mkString(", ")
+    s"""WITH shares AS (
+       |  SELECT source, bp, bp * $MixBudget // 10000 AS quota
+       |  FROM (VALUES $values) t(source, bp)),
+       |h AS (
+       |  SELECT d.doc_id, d.source, quota, ${h60Sql("d.doc_id")} AS h
+       |  FROM documents d JOIN shares USING (source)),
+       |r AS (
+       |  SELECT source, quota, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       |  FROM h)
+       |SELECT source, quota, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS kept_ids_sum
+       |FROM r WHERE rk <= quota GROUP BY 1, 2 ORDER BY source""".stripMargin
+  }
+
   /** Quality-filter CASCADE with first-failure attribution — the funnel
     * report every corpus curation pipeline publishes (how many documents
     * each rule rejects, in rule order, so rule costs and overlaps are
@@ -1591,6 +1654,7 @@ object TextOps {
     "q_chunk_overlap" -> (chunkDocs(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
+    "q_corpus_mix" -> (corpusMix(_, _)),
     "q_weighted_sample" -> (weightedSample(_, _)),
     "q_filter_funnel" -> (filterFunnel(_, _)),
     "q_bm25_search" -> (bm25Search(_, _)),
@@ -1618,6 +1682,7 @@ object TextOps {
     "q_chunk_overlap" -> chunkDocsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_hash_split" -> hashSplitSql,
+    "q_corpus_mix" -> corpusMixSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_filter_funnel" -> filterFunnelSql,
     "q_bm25_search" -> bm25SearchSql,

@@ -316,6 +316,13 @@ class LlmOpsSpec extends SparkSpec {
     val served = top5(Similarity.annPqServe(spark, dir))
     val servedRecall = (exact & served).size.toDouble / exact.size
     assert(servedRecall >= 0.8, s"served PQ recall@5 $servedRecall below 0.8 floor")
+    // the combined IVF-PQ path additionally prunes to NProbe cells before
+    // ADC — recall may only drop by what the coarse routing misses; hold
+    // it to the same floor (measured at this fixture: cell pruning costs
+    // little because near neighbors share coarse cells by construction)
+    val ivfpq = top5(Similarity.annIvfPqServe(spark, dir))
+    val ivfpqRecall = (exact & ivfpq).size.toDouble / exact.size
+    assert(ivfpqRecall >= 0.8, s"IVF-PQ recall@5 $ivfpqRecall below 0.8 floor")
   }
 
   test("annIvf surfaces an identical vector via its probed cell") {
@@ -649,5 +656,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(occ2NUnsized > 1.5 * occN,
       s"fixed family must show the degradation the sizing rule removes: " +
         s"n@6bits=$occN, 2n@6bits=$occ2NUnsized")
+  }
+
+  test("semanticDedup: exact duplicates drop to the lowest id, cross-group survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    // 5 groups x 4 EXACT duplicate vectors (cosine 1 within a group),
+    // groups on orthogonal axes (cosine 0 across groups, far below theta).
+    // Group of vec i = i % 5; axis g carries 1.0 at dim g.
+    val rows = (0L until 20L).map { i =>
+      val g = (i % 5).toInt
+      val v = Array.tabulate(64)(d => if (d == g) 1.0f else 0.0f)
+      (i, v, g)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticDedup(spark, dir).collect()
+    // every group's three higher ids drop; the lowest (ids 0..4) survive
+    val droppedIds = out.map(_.getAs[Long]("vec_id")).toSet
+    assert(droppedIds == (5L until 20L).toSet,
+      s"exactly the non-minimal duplicates must drop: $droppedIds")
+    // n_closer counts the lower-id in-cell neighbors at >= theta
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("n_closer") == id / 5,
+        s"vec $id must see ${id / 5} lower-id duplicates")
+    }
+    // identical-centroid tie (groups appear twice among the 16 k-means
+    // init vectors): all members of a group still land in ONE cell —
+    // 5 distinct cells across the 15 dropped rows
+    assert(out.map(_.getAs[Long]("cell")).distinct.length == 5)
   }
 }

@@ -84,6 +84,29 @@ class PlanSpec extends SparkSpec {
       s"the range exchange must be below the winnow kernel:\n$plan")
   }
 
+  test("semanticDedup broadcasts centroids and pairs only within a cell") {
+    val tmp = java.nio.file.Files.createTempDirectory("semplan").toString
+    (0 until 40).map(i => (i.toLong,
+      Array.tabulate(64)(d => if (d == i % 5) 1.0f else 0.0f), i % 5))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val plan = graft.operators.Similarity.semanticDedup(spark, tmp)
+      .queryExecution.executedPlan.toString
+    // corpus x centroids must broadcast the k-row centroid side; the
+    // candidate stage must be an equi-join co-located on cell (the
+    // sum-of-occupancy^2 bound), never a loop over corpus^2
+    assert(!plan.contains("CartesianProduct"), s"no corpus cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast:\n$plan")
+    // keyed on cell either way: at fixture size AQE broadcasts the small
+    // cached side (BroadcastHashJoin [cell], [cell]); at corpus scale the
+    // same equi-join shuffles both sides on cell. What must NEVER appear
+    // is a non-equi loop over corpus^2.
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell".r
+      .findFirstIn(plan).isDefined,
+      s"pair join must be keyed on cell:\n$plan")
+  }
+
   test("annIvf broadcasts the codebook, never a cartesian product") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfemb").toString
     (0 to 20).map(i => (i.toLong, Array(i.toFloat, 1f, 0f, 0f)))
@@ -701,6 +724,23 @@ class PlanSpec extends SparkSpec {
       s"serving must read the stored PQ index:\n$plan")
     assert(!plan.contains("arank"),
       s"serving must not re-encode the corpus (no assignment window):\n$plan")
+  }
+
+  test("IVF-PQ serving prunes to probed cells off the stored index") {
+    // the combined index: serving must scan the ivfpqidx artifact, never
+    // re-encode (no arank window), and the codes scan must be keyed on the
+    // cell PARTITION column — the nprobe-as-partition-pruning layout
+    val plan = graft.operators.Similarity.annIvfPqServe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ivfpqidx"),
+      s"serving must read the stored IVF-PQ index:\n$plan")
+    assert(!plan.contains("arank"),
+      s"serving must not re-encode the corpus:\n$plan")
+    // the probes join against the codes scan is keyed on cell (the
+    // partition column) — the equi-join AQE/DPP prunes by
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(plan).isDefined ||
+      "dynamicpruning".r.findFirstIn(plan).isDefined,
+      s"codes must join/prune on the cell partition column:\n$plan")
   }
 
   test("BM25 serving reads the stored postings — no re-tokenization, term filter pushed") {
