@@ -1645,6 +1645,256 @@ object TextOps {
        |FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------- duplicate-span detection
+
+  private val SpanW = 8
+
+  /** Duplicated k-gram SPAN detection — the exact-substring dedup shape
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): every W-token sliding window is hashed (md5, the
+    * oracle-reproducible family), a window whose hash occurs more than
+    * once in the corpus is *duplicated*, and runs of consecutive
+    * duplicated positions per document merge into MAXIMAL spans (island
+    * trick: a break opens where the previous duplicated position is not
+    * pos-1, the running sum of breaks is the island id, islands group to
+    * (start, end) token ranges). W is the minimum detectable duplicate
+    * length — the same role as the suffix-array threshold in the paper.
+    *
+    * Plan shape at 100 TB: windows are a pure-map posexplode on the scan;
+    * duplicate marking is ONE count-over-hash analytic window (a single
+    * shuffle keyed on the 128-bit hash — no self-join, no second corpus
+    * scan); the island merge re-shuffles only the SURVIVING duplicated
+    * windows by doc (output-proportional, tiny next to the corpus). The
+    * paper's suffix array is single-node by construction — this fixed-W
+    * window-hash reduction is what production corpus pipelines
+    * distribute.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val overHash = Window.partitionBy(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, 0)
+    docs(s, dir)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= SpanW)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $SpanW), " +
+          s"i -> md5(array_join(slice(t, i + 1, $SpanW), ' ')))"))
+        .as(Seq("pos", "h")))
+      .withColumn("n_occ", count(lit(1)).over(overHash))
+      .filter(col("n_occ") > 1)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) === 1, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + SpanW - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_len"), col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dupSpansSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(range(len(t) - $SpanW + 1)) AS pos, t
+       |  FROM toks WHERE len(t) >= $SpanW),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(t[pos + 1:pos + $SpanW], ' ')) AS h
+       |  FROM w),
+       |d AS (
+       |  SELECT doc_id, pos FROM
+       |    (SELECT *, count(*) OVER (PARTITION BY h) AS n_occ FROM h)
+       |  WHERE n_occ > 1),
+       |g AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM d),
+       |i AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM g)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + $SpanW - 1 AS span_end,
+       |  max(pos) - min(pos) + $SpanW AS span_len,
+       |  count(*) AS n_windows
+       |FROM i GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // --------------------------------------------- hybrid retrieval (RRF)
+
+  /** Each hybrid query pairs a BM25 term set ([[Bm25Queries]], by name)
+    * with a designated query VECTOR in the embeddings table — the
+    * two-leg query a production retrieval stack issues. */
+  private val HybridQueryVec: Seq[(String, Long)] = Seq(
+    "q_spark_stream" -> 0L, "q_hash_window" -> 1L, "q_sort_merge" -> 2L)
+  private val RrfK = 60 // the standard reciprocal-rank-fusion constant
+
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion — the
+    * serving-path capstone over BOTH stored indexes: the sparse leg is
+    * [[bm25Serve]] (top-k off the stored postings, no corpus scan), the
+    * dense leg is exact cosine top-k against a designated query vector
+    * per query (the [[Similarity.cosineTopK]] discipline: codegen'd
+    * vec_dot, float→double promotion, left-fold accumulation — cosines
+    * bit-identical cross-engine), and fusion is RRF (Cormack et al.
+    * 2009): score = Σ_legs 1/(60 + rank).
+    *
+    * Determinism: fusion works on floor(1e9/(60+rank)) — 1e9 and every
+    * divisor are exact doubles, the division rounds identically under
+    * IEEE in both engines, floor lands on exact integers — so the fused
+    * score is an exact BIGINT and the final ordering (rrf desc, doc_id)
+    * hash-compares exactly; a leg miss contributes 0, never NULL.
+    *
+    * Plan shape at 100 TB: both legs are top-k-bounded (≤ k rows per
+    * query each), so the fusion join and re-rank run on O(queries·k)
+    * rows — the corpus is touched only inside the legs, each of which
+    * has its own stored-index scale story.
+    */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val sparse = bm25Serve(s, dir)
+      .select(col("query"), col("doc_id"), col("rank").as("bm25_rank"))
+    val qv = HybridQueryVec.toDF("query", "qid")
+    val n = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nn", expr("vec_dot(v, v)"))
+    val qn = n.join(broadcast(qv), col("vec_id") === col("qid"))
+      .select(col("query"), col("qid"), col("v").as("qv"),
+        col("nn").as("nq"))
+    val wd = Window.partitionBy(col("query"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val dense = n.join(broadcast(qn), col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        expr("vec_dot(qv, v)") / (sqrt(col("nq")) * sqrt(col("nn"))))
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .filter(col("dense_rank") <= Bm25TopK)
+      .select(col("query"), col("vec_id").as("doc_id"), col("dense_rank"))
+    val wf = Window.partitionBy(col("query"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sparse.join(dense, Seq("query", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(floor(lit(1e9) / (lit(RrfK) + col("bm25_rank"))), lit(0L)) +
+          coalesce(floor(lit(1e9) / (lit(RrfK) + col("dense_rank"))), lit(0L)))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query"), col("rank"), col("doc_id"), col("rrf"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .orderBy("query", "rank")
+  }
+
+  private val hybridSearchSql = {
+    val qvRows = HybridQueryVec
+      .map { case (q, v) => s"('$q', $v)" }.mkString(", ")
+    s"""WITH bm AS ($bm25SearchSql),
+       |qv AS (SELECT * FROM (VALUES $qvRows) AS v(query, qid)),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |qn AS (
+       |  SELECT query, qid, v AS qv, nn AS nq
+       |  FROM qv JOIN n ON n.vec_id = qid),
+       |p AS (
+       |  SELECT query, n.vec_id AS doc_id,
+       |    list_reduce(list_transform(range(len(qv)),
+       |      i -> qv[i+1] * v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(nq) * sqrt(nn)) AS cosine
+       |  FROM qn CROSS JOIN n WHERE n.vec_id != qid),
+       |dtop AS (
+       |  SELECT query, doc_id, rank FROM
+       |    (SELECT query, doc_id, row_number() OVER (PARTITION BY query
+       |       ORDER BY cosine DESC, doc_id) AS rank FROM p)
+       |  WHERE rank <= $Bm25TopK),
+       |fused AS (
+       |  SELECT coalesce(bm.query, dtop.query) AS query,
+       |    coalesce(bm.doc_id, dtop.doc_id) AS doc_id,
+       |    CAST(coalesce(bm.rank, 0) AS BIGINT) AS bm25_rank,
+       |    CAST(coalesce(dtop.rank, 0) AS BIGINT) AS dense_rank,
+       |    CAST(coalesce(floor(1e9 / ($RrfK + bm.rank)), 0) +
+       |         coalesce(floor(1e9 / ($RrfK + dtop.rank)), 0) AS BIGINT) AS rrf
+       |  FROM bm FULL OUTER JOIN dtop
+       |    ON bm.query = dtop.query AND bm.doc_id = dtop.doc_id),
+       |fr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query
+       |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+       |SELECT query, rank, doc_id, rrf, bm25_rank, dense_rank
+       |FROM fr WHERE rank <= $Bm25TopK
+       |ORDER BY query, rank""".stripMargin
+  }
+
+  // ------------------------------------- hashed linear quality scoring
+
+  private val QcBuckets = 64
+
+  /** Deterministic bucket-weight table for the hashed linear scorer:
+    * weight_j = (first md5 nibble of "w_j") - 8 ∈ [-8, 7] — reproducible
+    * from the code alone and inlined as a LITERAL into both engines (the
+    * planesFor discipline: the engines never have to agree on an
+    * internal hash or a stored model file). */
+  private val QcWeights: Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until QcBuckets).map { j =>
+      val h = md.digest(s"w_$j".getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) - 8
+    }
+  }
+
+  /** Hashed-feature linear classifier SERVING — the fastText-style
+    * quality-model shape (Weinberger et al. 2009 feature hashing: token →
+    * h60 % buckets → weight; document score = Σ token weights): how a
+    * trained lightweight quality model actually runs over a 100 TB corpus
+    * — a pure map on the scan, model broadcast as a literal, no shuffle
+    * but the gate's output order. INTEGER weights keep the sum exact and
+    * order-free (a double-weight sum would depend on Spark's partition-
+    * nondeterministic add order); mean_score is one exact division at the
+    * end; the keep label thresholds the integer sum.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val wArr = QcWeights.mkString(", ")
+    val bucket = s"CAST(CAST(conv(substring(md5(x), 1, 15), 16, 10) " +
+      s"AS BIGINT) % $QcBuckets AS INT)"
+    docs(s, dir)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        expr(s"aggregate(t, CAST(0 AS BIGINT), " +
+          s"(acc, x) -> acc + element_at(array($wArr), $bucket + 1))")
+          .as("score"))
+      .withColumn("mean_score", col("score").cast("double") / col("n_tokens"))
+      .withColumn("keep", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
+  private val qualityClassifierSql = {
+    val wArr = QcWeights.mkString(", ")
+    val bucket = "CAST(CAST(CAST('0x' || substring(md5(x), 1, 15) " +
+      s"AS UBIGINT) AS BIGINT) % $QcBuckets AS INT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |scored AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_transform(t,
+       |      x -> ([$wArr])[$bucket + 1]), (a, b) -> a + b) AS BIGINT) AS score
+       |  FROM toks)
+       |SELECT doc_id, n_tokens, score,
+       |  CAST(score AS DOUBLE) / n_tokens AS mean_score,
+       |  score > 0 AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (repetition(_, _)),
     "q_pii_redact" -> (piiRedact(_, _)),
@@ -1659,6 +1909,9 @@ object TextOps {
     "q_filter_funnel" -> (filterFunnel(_, _)),
     "q_bm25_search" -> (bm25Search(_, _)),
     "q_bm25_serve" -> (bm25Serve(_, _)),
+    "q_hybrid_search" -> (hybridSearch(_, _)),
+    "q_dup_spans" -> (dupSpans(_, _)),
+    "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
@@ -1687,6 +1940,9 @@ object TextOps {
     "q_filter_funnel" -> filterFunnelSql,
     "q_bm25_search" -> bm25SearchSql,
     "q_bm25_serve" -> bm25SearchSql,
+    "q_hybrid_search" -> hybridSearchSql,
+    "q_dup_spans" -> dupSpansSql,
+    "q_quality_classifier" -> qualityClassifierSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -687,4 +687,96 @@ class LlmOpsSpec extends SparkSpec {
     // 5 distinct cells across the 15 dropped rows
     assert(out.map(_.getAs[Long]("cell")).distinct.length == 5)
   }
+
+  test("dupSpans merges consecutive duplicated windows into maximal spans") {
+    // docs 1 and 2 share a 12-token prefix then diverge; doc 3 is unique.
+    // W=8 duplicated windows sit at positions 0..4 (window 4 covers tokens
+    // 4..11, the last fully-shared one) => ONE maximal span [0, 11] per doc
+    val shared = (1 to 12).map(i => s"a$i").mkString(" ")
+    withDocs(
+      1L -> s"$shared u1 u2 u3",
+      2L -> s"$shared v1 v2 v3",
+      3L -> ((1 to 20).map(i => s"z$i").mkString(" "))) { dir =>
+      val out = TextOps.dupSpans(spark, dir).collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+      out.foreach { r =>
+        assert(r.getAs[Long]("span_start") == 0L)
+        assert(r.getAs[Long]("span_end") == 11L)
+        assert(r.getAs[Long]("span_len") == 12L)
+        assert(r.getAs[Long]("n_windows") == 5L)
+      }
+    }
+  }
+
+  test("dupSpans: a within-doc repeat splits into two spans, not one") {
+    // one doc repeats its own 8-gram twice with a unique separator long
+    // enough that no window bridges the two copies into one island
+    val block = (1 to 8).map(i => s"b$i").mkString(" ")
+    val sep = (1 to 10).map(i => s"s$i").mkString(" ")
+    withDocs(
+      1L -> s"$block $sep $block",
+      2L -> ((1 to 20).map(i => s"y$i").mkString(" "))) { dir =>
+      val out = TextOps.dupSpans(spark, dir).collect()
+      assert(out.length == 2, s"two separate spans expected: ${out.toSeq}")
+      val spans = out.map(r => (r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+      assert(spans == Set((0L, 7L), (18L, 25L)),
+        s"both copies of the repeated block must surface: $spans")
+    }
+  }
+
+  test("hybridSearch: rrf is exactly the sum of its leg contributions") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextOps.hybridSearch(spark, dir).collect()
+    assert(out.nonEmpty)
+    def contrib(rank: Long): Long =
+      if (rank == 0L) 0L else math.floor(1e9 / (60 + rank)).toLong
+    out.foreach { r =>
+      val rrf = r.getAs[Long]("rrf")
+      val b = r.getAs[Long]("bm25_rank")
+      val d = r.getAs[Long]("dense_rank")
+      assert(b > 0L || d > 0L, "a fused row must come from at least one leg")
+      assert(rrf == contrib(b) + contrib(d),
+        s"rrf must recompute from the leg ranks: $r")
+    }
+    // per query: ranks are 1..k dense, ordered by (rrf desc, doc_id)
+    out.groupBy(_.getAs[String]("query")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val key = sorted.map(r => (-r.getAs[Long]("rrf"), r.getAs[Long]("doc_id")))
+      assert(key.toSeq == key.sortBy(identity).toSeq)
+    }
+    // fusion is real: some doc must appear in BOTH legs at sf0.001's
+    // corpus (both legs rank the same 500-doc universe)
+    assert(out.exists(r => r.getAs[Long]("bm25_rank") > 0L &&
+      r.getAs[Long]("dense_rank") > 0L),
+      "no doc fused from both legs — the join keys are misaligned")
+  }
+
+  test("qualityClassifier matches an independent per-token recomputation") {
+    // independent reimplementation: JVM md5 + 60-bit prefix parse, the
+    // same weight derivation re-done from its spec (not the object's val)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(x: String): Long = java.lang.Long.parseLong(md5hex(x).take(15), 16)
+    val weights = (0 until 64).map(j => (Integer.parseInt(md5hex(s"w_$j").take(1), 16)) - 8)
+    withDocs(
+      1L -> "Key  Agg row SCAN slow",
+      2L -> "hash value table part merge batch spark window") { dir =>
+      val out = TextOps.qualityClassifier(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("score"),
+            r.getAs[Boolean]("keep"))).toMap
+      Seq(1L -> "Key  Agg row SCAN slow",
+        2L -> "hash value table part merge batch spark window").foreach {
+        case (id, text) =>
+          val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+          val score = toks.map(t => weights((h60(t) % 64).toInt).toLong).sum
+          assert(out(id) == ((toks.length.toLong, score, score > 0)),
+            s"doc $id: expected (${toks.length}, $score, ${score > 0}), got ${out(id)}")
+      }
+    }
+  }
 }

@@ -790,4 +790,44 @@ class PlanSpec extends SparkSpec {
         s"no per-batch re-aggregation of the static side:\n$plan")
     } finally { dim.unpersist(blocking = false); () }
   }
+
+  test("dupSpans marks duplicates with one analytic window, never a self-join") {
+    // the naive shape is windows ⋈ (windows groupBy hash having n>1) — a
+    // second corpus explode + a join; the count-over-hash window does the
+    // marking in ONE shuffle on a single scan
+    val plan = graft.operators.TextOps.dupSpans(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"duplicate marking must be an analytic window, not a self-join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"the corpus must be scanned exactly once, found $scans scans:\n$plan")
+  }
+
+  test("qualityClassifier is a pure map: no shuffle but the output sort") {
+    // model serving over 100 TB must not shuffle: literal weights, hashed
+    // buckets, per-row fold — the only exchange is the gate's orderBy
+    val plan = graft.operators.TextOps.qualityClassifier(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1 && plan.contains("rangepartitioning"),
+      s"expected exactly the orderBy's range exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"scoring must fold per-row, not aggregate:\n$plan")
+  }
+
+  test("hybridSearch fuses stored-index legs without re-tokenizing") {
+    // both legs must come from their serving shapes: the sparse leg off
+    // the stored postings (no Generate anywhere — tokenization happened
+    // at index build), the dense leg off codegen'd vec_dot (no explode of
+    // the embedding arrays either)
+    val plan = graft.operators.TextOps.hybridSearch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bm25idx"),
+      s"the sparse leg must read the stored postings:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"no leg may explode/re-tokenize at serve time:\n$plan")
+    assert(plan.contains("vec_dot"),
+      s"the dense leg must use the codegen'd dot-product kernel:\n$plan")
+  }
 }
