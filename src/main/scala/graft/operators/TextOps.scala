@@ -1660,14 +1660,18 @@ object TextOps {
     * (start, end) token ranges). W is the minimum detectable duplicate
     * length — the same role as the suffix-array threshold in the paper.
     *
-    * Plan shape at 100 TB: windows are a pure-map posexplode on the scan;
-    * duplicate marking is ONE count-over-hash analytic window (a single
-    * shuffle keyed on the 128-bit hash — no self-join, no second corpus
-    * scan); the island merge re-shuffles only the SURVIVING duplicated
-    * windows by doc (output-proportional, tiny next to the corpus). The
-    * paper's suffix array is single-node by construction — this fixed-W
-    * window-hash reduction is what production corpus pipelines
-    * distribute.
+    * Plan shape at 100 TB: windows are a pure-map posexplode; duplicate
+    * marking is ONE count-over-hash analytic window (a single shuffle
+    * keyed on the 128-bit hash — no self-join, no second corpus scan);
+    * the island merge re-shuffles only the SURVIVING duplicated windows
+    * by doc (output-proportional, tiny next to the corpus). The
+    * fingerprint/M4 lesson applies here too: the md5-per-window kernel is
+    * CPU-bound and row-local, so a compact parquet corpus slice would run
+    * it at the SCAN's split count — the cheap raw rows are repartitioned
+    * BELOW the kernel so every core hashes (measured sf0.1→sf1: 6.3×
+    * single-split → ~linear spread). The paper's suffix array is
+    * single-node by construction — this fixed-W window-hash reduction is
+    * what production corpus pipelines distribute.
     */
   def dupSpans(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1677,6 +1681,7 @@ object TextOps {
     docs(s, dir)
       .withColumn("t", toks(col("text")))
       .filter(size(col("t")) >= SpanW)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(t) - $SpanW), " +
           s"i -> md5(array_join(slice(t, i + 1, $SpanW), ' ')))"))
@@ -1857,17 +1862,24 @@ object TextOps {
     * quality-model shape (Weinberger et al. 2009 feature hashing: token →
     * h60 % buckets → weight; document score = Σ token weights): how a
     * trained lightweight quality model actually runs over a 100 TB corpus
-    * — a pure map on the scan, model broadcast as a literal, no shuffle
-    * but the gate's output order. INTEGER weights keep the sum exact and
+    * — a pure map, model broadcast as a literal, no shuffle but the
+    * gate's output order. INTEGER weights keep the sum exact and
     * order-free (a double-weight sum would depend on Spark's partition-
     * nondeterministic add order); mean_score is one exact division at the
     * end; the keep label thresholds the integer sum.
+    *
+    * The one exchange (the gate's doc_id order) sits BELOW the md5-per-
+    * token kernel (the fingerprint/M4 idiom): `repartitionByRange` moves
+    * the cheap raw rows so the CPU-bound fold runs on every core instead
+    * of the compact scan's split count, and the partition-local sort
+    * still yields the global order (measured sf0.1→sf1: 8.2× → ~linear).
     */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val wArr = QcWeights.mkString(", ")
     val bucket = s"CAST(CAST(conv(substring(md5(x), 1, 15), 16, 10) " +
       s"AS BIGINT) % $QcBuckets AS INT)"
     docs(s, dir)
+      .repartitionByRange(col("doc_id"))
       .withColumn("t", toks(col("text")))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
         expr(s"aggregate(t, CAST(0 AS BIGINT), " +
@@ -1875,7 +1887,7 @@ object TextOps {
           .as("score"))
       .withColumn("mean_score", col("score").cast("double") / col("n_tokens"))
       .withColumn("keep", col("score") > 0)
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
   }
 
   private val qualityClassifierSql = {

@@ -802,18 +802,31 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1,
       s"the corpus must be scanned exactly once, found $scans scans:\n$plan")
+    // the md5-window kernel (the Generate) must run ABOVE an exchange of
+    // the raw doc rows — otherwise its parallelism is the scan's split
+    // count (the fingerprint/M4 lesson, measured 6.3x at the decade step)
+    val kernelAt = plan.indexOf("Generate")
+    val rawExchangeAt = plan.lastIndexOf("Exchange hashpartitioning(doc_id")
+    assert(kernelAt >= 0 && rawExchangeAt > kernelAt,
+      s"the raw-row exchange must sit below the window-hash kernel:\n$plan")
   }
 
   test("qualityClassifier is a pure map: no shuffle but the output sort") {
     // model serving over 100 TB must not shuffle: literal weights, hashed
-    // buckets, per-row fold — the only exchange is the gate's orderBy
+    // buckets, per-row fold — the only exchange is the gate's doc order,
+    // and it must sit BELOW the md5-per-token kernel (the fingerprint/M4
+    // idiom: move the cheap raw rows, then score on every core)
     val plan = graft.operators.TextOps.qualityClassifier(spark, dir)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges == 1 && plan.contains("rangepartitioning"),
-      s"expected exactly the orderBy's range exchange, got $exchanges:\n$plan")
+      s"expected exactly the output-order range exchange, got $exchanges:\n$plan")
     assert(!plan.contains("HashAggregate"),
       s"scoring must fold per-row, not aggregate:\n$plan")
+    val kernelAt = plan.indexOf("aggregate(")
+    val exchangeAt = plan.indexOf("rangepartitioning")
+    assert(kernelAt >= 0 && kernelAt < exchangeAt,
+      s"the range exchange must sit below the scoring fold:\n$plan")
   }
 
   test("hybridSearch fuses stored-index legs without re-tokenizing") {
