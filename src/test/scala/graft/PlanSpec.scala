@@ -791,6 +791,65 @@ class PlanSpec extends SparkSpec {
     } finally { dim.unpersist(blocking = false); () }
   }
 
+  test("q1 partial-aggregates below its exchange; shipdate reaches the scan") {
+    // the canonical scan-heavy aggregate: the map side must collapse each
+    // partition to |groups| rows BEFORE the exchange (4 groups vs 6B rows
+    // at 100 TB), and the date predicate must prune at the parquet scan
+    val plan = graft.operators.TpchQueries.q1(spark, dir)
+      .queryExecution.executedPlan.toString
+    val partialAt = plan.indexOf("partial_sum")
+    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
+    assert(partialAt >= 0 && exchangeAt >= 0 && partialAt > exchangeAt,
+      s"partial aggregation must sit below the group exchange:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"the shipdate bound must reach the lineitem scan:\n$plan")
+  }
+
+  test("q7 broadcasts only the two nation slices; the fact joins shuffle") {
+    // four growing tables (lineitem/orders/customer/supplier) + two 2-row
+    // nation renames: with the size threshold off, exactly the two hinted
+    // nation broadcasts may survive — anything more is a force-broadcast
+    // of a growing table, an executor OOM at 100 TB
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.operators.TpchQueries.q7(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastExchange".r.findAllIn(plan).size == 2,
+        s"exactly the two nation slices may broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"the growing-table joins must be shuffle joins:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"the cross-pair filter must not degrade the join to cartesian:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q13 keeps the outer join outer and pushes the priority filter") {
+    // customers with zero orders must survive (left_outer), and the
+    // o_orderpriority predicate must filter ORDERS before the join —
+    // applied after it, it would silently turn the join inner
+    val plan = graft.operators.TpchQueries.q13(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"),
+      s"q13 must preserve order-less customers:\n$plan")
+    assert(plan.contains("o_orderpriority") &&
+      plan.indexOf("o_orderpriority", plan.indexOf("PushedFilters")) >= 0,
+      s"the priority filter must reach the orders scan:\n$plan")
+  }
+
+  test("q14 computes both conditional sums in one aggregation pass") {
+    // promo and total revenue are CASE branches of ONE aggregate over one
+    // join — a second scan/join per sum doubles the lake read; the single
+    // final+partial HashAggregate pair and exactly two scans pin that
+    val plan = graft.operators.TpchQueries.q14(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"one lineitem + one part scan expected, found $scans:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length == 2,
+      s"both sums must share one partial+final aggregate pair:\n$plan")
+  }
+
   test("dupSpans marks duplicates with one analytic window, never a self-join") {
     // the naive shape is windows ⋈ (windows groupBy hash having n>1) — a
     // second corpus explode + a join; the count-over-hash window does the
