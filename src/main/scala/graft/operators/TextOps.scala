@@ -1733,6 +1733,92 @@ object TextOps {
        |FROM i GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Span REMOVAL — the cleaning half of the exact-substring dedup loop
+    * ([[dupSpans]] detects; this applies): for every duplicated W-window
+    * hash the CANONICAL occurrence is the lexicographic minimum
+    * (doc_id, pos); every other occurrence marks its W token positions
+    * for removal, and a document's cleaned text keeps exactly the
+    * positions no non-canonical duplicate window covers. Deterministic by
+    * construction (min is total over (doc, pos)); one copy of every
+    * duplicated substring survives — where its first occurrence lives —
+    * which is the paper's remove-all-but-one semantics at window grain.
+    *
+    * The gate emits per-doc counts plus md5 of the cleaned token stream,
+    * so the compare covers the actual cleaned TEXT, not just tallies.
+    *
+    * Plan shape at 100 TB: the same single hash shuffle as [[dupSpans]]
+    * marks occurrences (count + row_number share one exchange+sort);
+    * removal positions explode only from NON-CANONICAL duplicated windows
+    * (output-proportional), collapse to a per-doc sorted array, and
+    * rejoin the corpus on doc_id; the cleaning itself is a row-local
+    * indexed filter() fold. Raw rows are exchanged below the md5 kernel
+    * (the M4 idiom).
+    */
+  def spanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val overHash = Window.partitionBy(col("h"))
+    val byFirst = Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("pos"))
+    val base = docs(s, dir)
+      .withColumn("t", toks(col("text")))
+      .repartition(col("doc_id"))
+    val windows = base
+      .filter(size(col("t")) >= SpanW)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $SpanW), " +
+          s"i -> md5(array_join(slice(t, i + 1, $SpanW), ' ')))"))
+        .as(Seq("pos", "h")))
+    val removals = windows
+      .withColumn("n_occ", count(lit(1)).over(overHash))
+      .withColumn("rn", row_number().over(byFirst))
+      .filter(col("n_occ") > 1 && col("rn") > 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(CAST(pos AS BIGINT), CAST(pos AS BIGINT) + ${SpanW - 1})"))
+          .as("rp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("rp"))).as("rps"))
+    base
+      .join(removals, Seq("doc_id"), "left")
+      .withColumn("rps", coalesce(col("rps"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("rps")).cast("long").as("n_removed"),
+        (size(col("t")) - size(col("rps"))).cast("long").as("n_kept"),
+        md5(expr("array_join(filter(t, (x, i) -> " +
+          "NOT array_contains(rps, CAST(i AS BIGINT))), ' ')")).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val spanRemovalSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(range(len(t) - $SpanW + 1)) AS pos, t
+       |  FROM toks WHERE len(t) >= $SpanW),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(t[pos + 1:pos + $SpanW], ' ')) AS h
+       |  FROM w),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h) AS n_occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM h),
+       |rem AS (
+       |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $SpanW)) AS rp
+       |  FROM occ WHERE n_occ > 1 AND rn > 1),
+       |ragg AS (SELECT doc_id, list(rp ORDER BY rp) AS rps FROM rem GROUP BY 1),
+       |k AS (
+       |  SELECT toks.doc_id, t, coalesce(rps, []) AS rps
+       |  FROM toks LEFT JOIN ragg ON toks.doc_id = ragg.doc_id)
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(rps) AS BIGINT) AS n_removed,
+       |  CAST(len(t) - len(rps) AS BIGINT) AS n_kept,
+       |  md5(coalesce(array_to_string(
+       |    list_filter(t, (x, i) -> NOT list_contains(rps, i - 1)), ' '), ''))
+       |    AS kept_hash
+       |FROM k ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- hybrid retrieval (RRF)
 
   /** Each hybrid query pairs a BM25 term set ([[Bm25Queries]], by name)
@@ -1923,6 +2009,7 @@ object TextOps {
     "q_bm25_serve" -> (bm25Serve(_, _)),
     "q_hybrid_search" -> (hybridSearch(_, _)),
     "q_dup_spans" -> (dupSpans(_, _)),
+    "q_span_removal" -> (spanRemoval(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
@@ -1954,6 +2041,7 @@ object TextOps {
     "q_bm25_serve" -> bm25SearchSql,
     "q_hybrid_search" -> hybridSearchSql,
     "q_dup_spans" -> dupSpansSql,
+    "q_span_removal" -> spanRemovalSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,

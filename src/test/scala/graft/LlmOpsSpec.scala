@@ -725,6 +725,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("spanRemoval keeps the canonical first occurrence, cleans the rest") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ten = (1 to 10).map(i => s"c$i").mkString(" ")
+    withDocs(
+      1L -> ten,                                   // canonical copy
+      2L -> ten,                                   // duplicate: fully removed
+      3L -> ((1 to 12).map(i => s"u$i").mkString(" "))) { dir => // untouched
+      val out = TextOps.spanRemoval(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_removed"), r.getAs[Long]("n_kept"),
+            r.getAs[String]("kept_hash"))).toMap
+      assert(out(1L) == ((0L, 10L, md5hex(ten))),
+        s"the lower-id canonical copy must survive intact: ${out(1L)}")
+      assert(out(2L) == ((10L, 0L, md5hex(""))),
+        s"the duplicate copy must clean to empty: ${out(2L)}")
+      assert(out(3L)._1 == 0L && out(3L)._2 == 12L,
+        s"a unique doc must be untouched: ${out(3L)}")
+    }
+  }
+
   test("hybridSearch: rrf is exactly the sum of its leg contributions") {
     val dir = "/root/testdata/sf0.001"
     val out = TextOps.hybridSearch(spark, dir).collect()
