@@ -134,6 +134,25 @@ object VectorFunctions {
       s"trigram_counts expects (text, array<string> literal), got ${exprs.length} args")
   }
 
+  // the vocab must be a literal at plan time (the segmentation table is
+  // compiled once per expression) — same acceptance as trigramBuilder
+  private[functions] val wordpieceBuilder: Seq[Expression] => Expression = {
+    case Seq(toksExpr, arr) =>
+      val vocab = arr match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
+          if elems.forall(e => e.foldable && e.dataType == org.apache.spark.sql.types.StringType) =>
+          elems.map(_.eval(null).toString)
+        case lit: Literal if lit.dataType.isInstanceOf[ArrayType] =>
+          lit.value.asInstanceOf[ArrayData].toArray[Any](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"wordpiece_toks vocab must be a literal array of strings, got $other")
+      }
+      WordPieceTokens(toksExpr, vocab)
+    case exprs => throw new IllegalArgumentException(
+      s"wordpiece_toks expects (tokens, array<string> literal), got ${exprs.length} args")
+  }
+
   /** Imperative registration for embedded use (tests, Verify/Bench mains):
     * makes `expr("vec_dot(a, b)")` / `expr("winnow_fps(t, 8, 4)")`
     * resolvable on an existing session.
@@ -153,6 +172,8 @@ object VectorFunctions {
       "trigram_counts", trigramBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimate", cmsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wordpiece_toks", wordpieceBuilder, "built-in")
   }
 }
 
@@ -189,5 +210,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       VectorFunctions.cmsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("wordpiece_toks"),
+      new ExpressionInfo(classOf[WordPieceTokens].getName, "wordpiece_toks"),
+      VectorFunctions.wordpieceBuilder))
   }
 }

@@ -1927,6 +1927,84 @@ object TextOps {
        |ORDER BY query, rank""".stripMargin
   }
 
+  // ---------------------------------------------- subword tokenization
+
+  /** Literal subword vocabulary (2-5 char pieces of the corpus's own
+    * lexicon) — inlined into BOTH engines like every model artifact here
+    * (the planesFor discipline). Deliberately prefix-ambiguous ("ta" vs
+    * "tab", "wi"/"win"/"wind") so greedy LONGEST-match is genuinely
+    * exercised: a shortest-match or order-dependent bug changes the
+    * segmentation and fails the checksum.
+    */
+  private val WpVocab: Seq[String] = Seq(
+    "ta", "ble", "tab", "le", "wi", "nd", "ow", "win", "dow", "sp", "ar",
+    "spark", "me", "rge", "mer", "ge", "so", "rt", "ba", "tch", "ha", "sh",
+    "va", "lue", "pa", "rt", "ro", "sc", "an", "ke", "ag", "li", "ne",
+    "sl", "fa", "st", "qu", "ery", "jo", "in", "the", "val", "wind",
+    "str", "eam")
+
+  /** Subword tokenization — applying a trained WordPiece/BPE-style
+    * vocabulary to the corpus (the step between raw text and token ids in
+    * every training pipeline; vocab TRAINING is a corpus aggregation,
+    * vocab APPLICATION is this). Greedy longest-match per word with
+    * single-char fallback (no <unk>: segmentation is total), via the
+    * native codegen'd [[graft.functions.WordPieceTokens]] kernel — SQL
+    * cannot spell iterated longest-prefix consumption (the DuckDB oracle
+    * needs a recursive CTE), so this is the custom-Expression case, and a
+    * row-local pure map at 100 TB. Emits per-doc word/subtoken counts,
+    * fertility (subtokens per word — THE tokenizer-quality metric), and
+    * md5 over the flattened sub-token stream so the exact segmentation is
+    * compared, not just counts. The output exchange sits below the kernel
+    * (M4 idiom).
+    */
+  def subwordTokenize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val vlit = WpVocab.map(v => s"'$v'").mkString(", ")
+    docs(s, dir)
+      .repartitionByRange(col("doc_id"))
+      .withColumn("t", toks(col("text")))
+      .withColumn("st", expr(s"wordpiece_toks(t, array($vlit))"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        size(col("st")).cast("long").as("n_subtokens"),
+        (size(col("st")).cast("double") / size(col("t"))).as("fertility"),
+        md5(array_join(col("st"), " ")).as("tok_checksum"))
+      .sortWithinPartitions("doc_id")
+  }
+
+  private val subwordTokenizeSql = {
+    val vlist = WpVocab.map(v => s"('$v')").mkString(", ")
+    s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vlist)),
+       |toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |words AS (
+       |  SELECT doc_id, i AS wpos, t[i] AS word
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+       |seg AS (
+       |  SELECT doc_id, wpos, word, 0 AS p, CAST([] AS VARCHAR[]) AS st
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wpos, word, p + len(best) AS p,
+       |    list_append(st, best) AS st
+       |  FROM (
+       |    SELECT doc_id, wpos, word, p, st,
+       |      coalesce(
+       |        (SELECT v FROM vocab
+       |         WHERE v = substring(word, p + 1, len(v))
+       |         ORDER BY len(v) DESC LIMIT 1),
+       |        substring(word, p + 1, 1)) AS best
+       |    FROM seg WHERE p < len(word))),
+       |done AS (SELECT doc_id, wpos, st FROM seg WHERE p = len(word)),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(len(st)) AS n_subtokens,
+       |    md5(array_to_string(flatten(list(st ORDER BY wpos)), ' '))
+       |      AS tok_checksum
+       |  FROM done GROUP BY 1)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_subtokens AS BIGINT) AS n_subtokens,
+       |  CAST(n_subtokens AS DOUBLE) / n_words AS fertility, tok_checksum
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------- hashed linear quality scoring
 
   private val QcBuckets = 64
@@ -2010,6 +2088,7 @@ object TextOps {
     "q_hybrid_search" -> (hybridSearch(_, _)),
     "q_dup_spans" -> (dupSpans(_, _)),
     "q_span_removal" -> (spanRemoval(_, _)),
+    "q_subword_tokenize" -> (subwordTokenize(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
@@ -2042,6 +2121,7 @@ object TextOps {
     "q_hybrid_search" -> hybridSearchSql,
     "q_dup_spans" -> dupSpansSql,
     "q_span_removal" -> spanRemovalSql,
+    "q_subword_tokenize" -> subwordTokenizeSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,

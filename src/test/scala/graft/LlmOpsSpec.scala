@@ -776,6 +776,65 @@ class LlmOpsSpec extends SparkSpec {
       "no doc fused from both legs — the join keys are misaligned")
   }
 
+  test("wordpiece_toks segments by greedy LONGEST match with char fallback") {
+    import graft.functions.WordPieceTable
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val table = new WordPieceTable(Array("ta", "tab", "le", "wind", "ow",
+      "win", "str", "eam", "ke"))
+    def seg(words: String*): Seq[String] = {
+      val in = new GenericArrayData(
+        words.map(w => UTF8String.fromString(w)).toArray[Any])
+      table.segmentAll(in).toArray[AnyRef](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    }
+    // "tab" (3) must beat "ta" (2); fallback single chars for gaps
+    assert(seg("table") == Seq("tab", "le"))
+    assert(seg("window") == Seq("wind", "ow"))
+    assert(seg("stream") == Seq("str", "eam"))
+    assert(seg("key") == Seq("ke", "y"))
+    assert(seg("zzz") == Seq("z", "z", "z"))
+    assert(seg("table", "key") == Seq("tab", "le", "ke", "y"))
+  }
+
+  test("subwordTokenize matches an independent greedy reimplementation") {
+    // independent Scala greedy segmenter over the production vocab,
+    // applied to inline docs; the operator's checksum must reproduce it
+    val vocab = Seq("ta", "ble", "tab", "le", "wi", "nd", "ow", "win",
+      "dow", "sp", "ar", "spark", "me", "rge", "mer", "ge", "so", "rt",
+      "ba", "tch", "ha", "sh", "va", "lue", "pa", "rt", "ro", "sc", "an",
+      "ke", "ag", "li", "ne", "sl", "fa", "st", "qu", "ery", "jo", "in",
+      "the", "val", "wind", "str", "eam")
+    val vs = vocab.toSet
+    val mx = vocab.map(_.length).max
+    def seg(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var p = 0
+      while (p < w.length) {
+        val tok = (math.min(mx, w.length - p) to 2 by -1).iterator
+          .map(l => w.substring(p, p + l)).find(vs.contains)
+          .getOrElse(w.substring(p, p + 1))
+        out += tok; p += tok.length
+      }
+      out.toSeq
+    }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Seq(1L -> "Table  WINDOW stream key", 2L -> "spark merge batch zq")
+    withDocs(texts: _*) { dir =>
+      val out = TextOps.subwordTokenize(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_subtokens"), r.getAs[String]("tok_checksum"))).toMap
+      texts.foreach { case (id, text) =>
+        val words = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+        val st = words.flatMap(seg)
+        assert(out(id) == ((st.length.toLong, md5hex(st.mkString(" ")))),
+          s"doc $id: expected ${st.mkString("|")}")
+      }
+    }
+  }
+
   test("qualityClassifier matches an independent per-token recomputation") {
     // independent reimplementation: JVM md5 + 60-bit prefix parse, the
     // same weight derivation re-done from its spec (not the object's val)

@@ -888,6 +888,23 @@ class PlanSpec extends SparkSpec {
       s"the range exchange must sit below the scoring fold:\n$plan")
   }
 
+  test("subwordTokenize is a pure map on the codegen'd kernel") {
+    // vocab application at 100 TB must not shuffle: the segmentation is
+    // row-local via the native expression, and the only exchange is the
+    // gate's doc order, sitting BELOW the kernel (M4 idiom)
+    val plan = graft.operators.TextOps.subwordTokenize(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("wordpiece_toks"),
+      s"segmentation must run through the native kernel:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1 && plan.contains("rangepartitioning"),
+      s"expected exactly the output-order range exchange, got $exchanges:\n$plan")
+    val kernelAt = plan.indexOf("wordpiece_toks")
+    val exchangeAt = plan.indexOf("rangepartitioning")
+    assert(kernelAt >= 0 && kernelAt < exchangeAt,
+      s"the range exchange must sit below the segmentation kernel:\n$plan")
+  }
+
   test("hybridSearch fuses stored-index legs without re-tokenizing") {
     // both legs must come from their serving shapes: the sparse leg off
     // the stored postings (no Generate anywhere — tokenization happened
