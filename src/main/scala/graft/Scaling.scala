@@ -51,8 +51,8 @@ object Scaling {
     for (corpusBound <- Seq(15000L, 20000L)) {
       spark.sharedState.cacheManager.clearCache()
       System.gc(); Thread.sleep(150); System.gc()
-      val p = operators.Similarity
-        .embedDecontaminateSliced(spark, dir, eval, corpusBound, 0.30)
+      val p = operators.Similarity.embedDecontaminateSliced(
+        spark, dir, eval, corpusBound, operators.Similarity.DecontamCosine)
       val t0 = System.nanoTime()
       val nCands = p.candidates.count()
       val tCand = (System.nanoTime() - t0) / 1e9
@@ -60,7 +60,11 @@ object Scaling {
       val nOut = p.result.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t1) / 1e9
       p.corpus.unpersist(blocking = false)
-      println(f"""{"probe":"decontam_eval10k","corpus":${corpusBound - eval},"candidates":$nCands,"flagged":$nOut,"cand_sec":$tCand%.3f,"score_sec":$sec%.3f}""")
+      // Locale.ROOT: the f-interpolator renders "1,234" on comma-decimal
+      // locales and the JSON line stops parsing (the Bench.scala lesson)
+      val (tc, ts) = ("%.3f".formatLocal(java.util.Locale.ROOT, tCand),
+        "%.3f".formatLocal(java.util.Locale.ROOT, sec))
+      println(s"""{"probe":"decontam_eval10k","corpus":${corpusBound - eval},"candidates":$nCands,"flagged":$nOut,"cand_sec":$tc,"score_sec":$ts}""")
     }
   }
 
@@ -70,7 +74,8 @@ object Scaling {
     val t0 = System.nanoTime()
     val n = df.queryExecution.toRdd.count()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n}""")
+    val s3 = "%.3f".formatLocal(java.util.Locale.ROOT, sec)
+    println(s"""{"probe":"$label","sec":$s3,"rows":$n}""")
   }
 
   private def probeTimes(spark: SparkSession, dir: String): Unit = {
@@ -148,7 +153,8 @@ object Scaling {
         .filter(col("vec_b") - col("vec_a") === offset && col("vec_a") < planted)
         .count()
       val analytic = 1.0 - math.pow(1.0 - math.pow(pBit, bits), bands)
-      println(f"""{"planted_recall":"${bands}x$bits","found":$found,"planted":$planted,"analytic":$analytic%.4f}""")
+      val a4 = "%.4f".formatLocal(java.util.Locale.ROOT, analytic)
+      println(s"""{"planted_recall":"${bands}x$bits","found":$found,"planted":$planted,"analytic":$a4}""")
     }
   }
 
@@ -175,6 +181,7 @@ object Scaling {
       .count().orderBy("cos_decile")
       .collect().map(r => s""""0.${r.getLong(0)}":${r.getLong(1)}""")
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"ground_truth_deciles":${gt.mkString("{", ",", "}")},"sec":$sec%.1f}""")
+    val s1 = "%.1f".formatLocal(java.util.Locale.ROOT, sec)
+    println(s"""{"ground_truth_deciles":${gt.mkString("{", ",", "}")},"sec":$s1}""")
   }
 }

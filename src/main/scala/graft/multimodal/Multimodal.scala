@@ -604,6 +604,22 @@ object Multimodal {
     * TYPE_BYTE_INDEXED over an identity gray palette (index i → rgb
     * (i,i,i)), so the stored color table maps every input byte to itself.
     */
+  // per-document codec cost hoisted out of the mapPartitions hot loop:
+  // the identity palette is immutable and shared; writer/reader instances
+  // are NOT thread-safe but ARE reusable after reset(), so each executor
+  // thread keeps one (bounded by thread count) instead of paying the SPI
+  // registry lookup + allocation once per document
+  private val GrayIcm = {
+    val gray = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+  }
+  private val GifWriterTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+  private val GifReaderTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+
   def encodeGifGray(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
     require(frames.nonEmpty, "no frames to encode")
     // measured JDK codec quirk (jshell probe, JDK 17): any GIF written at
@@ -614,22 +630,20 @@ object Multimodal {
     require(h >= 5, s"JDK GIF codec corrupts images under 5 rows (h=$h)")
     frames.foreach(f => require(f.length == w * h,
       s"frame length ${f.length} != ${w}x$h"))
-    val gray = Array.tabulate(256)(_.toByte)
-    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
     val bos = new java.io.ByteArrayOutputStream()
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = GifWriterTl.get()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       frames.foreach { px =>
         val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, GrayIcm)
         img.getRaster.setDataElements(0, 0, w, h, px)
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.reset(); ios.close() }
     bos.toByteArray
   }
 
@@ -640,7 +654,7 @@ object Multimodal {
     * frames flow into [[imageFeatureVector]]/[[resizePixels]] unchanged.
     */
   def decodeGifFrames(bytes: Array[Byte]): Seq[RgbImage] = {
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val reader = GifReaderTl.get()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -668,7 +682,7 @@ object Multimodal {
         }
         RgbImage(w, h, out)
       }
-    } finally { reader.dispose(); iis.close() }
+    } finally { reader.reset(); iis.close() }
   }
 
   private val GifFrameW = 8
@@ -693,7 +707,11 @@ object Multimodal {
     import s.implicits._
     val frameLen = GifFrameW * GifFrameH
     Tables.load(s, dir, "documents")
-      .filter(col("text").rlike("^[ -~]*$") && length(col("text")) >= frameLen)
+      // \A..\z, not ^..$: Java's $ matches BEFORE a final line terminator,
+      // so "abc\n" would pass here yet fail the oracle's RE2 '^..$' (which
+      // is \A..\z-strict) — a cross-engine row-count flap on any document
+      // with a trailing newline
+      .filter(col("text").rlike("\\A[ -~]*\\z") && length(col("text")) >= frameLen)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>

@@ -348,12 +348,28 @@ object EventWindows {
     val ckpt = ephemeralCheckpoint()
     try body(ckpt.toString)
     finally {
+      // best-effort, and NEVER failing the already-green gate: state-store
+      // maintenance threads may still mutate the tree after
+      // awaitTermination, which can throw from the lazy walk ITERATION
+      // (UncheckedIOException), not just from the per-path deletes — so
+      // the whole sweep is fenced, and a second pass catches files a
+      // maintenance thread recreated mid-walk (residue on the shared
+      // tmpfs would otherwise accumulate across reps)
       import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(ckpt)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-      finally walk.close()
+      def sweep(): Unit = {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(p =>
+            try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+        finally walk.close()
+      }
+      try {
+        sweep()
+        if (java.nio.file.Files.exists(ckpt)) sweep()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"ephemeral checkpoint cleanup incomplete: $e")
+      }
     }
   }
 

@@ -279,7 +279,7 @@ object Similarity {
   // looser than NearDupCosine on purpose: decontamination errs toward
   // recall (dropping a training doc is cheap; leaking an eval doc is not),
   // and the fixture then exercises multi-hit counts + the argmax tie path
-  private val DecontamCosine = 0.30
+  private[graft] val DecontamCosine = 0.30
 
   /** Embedding-space DECONTAMINATION — the cross-corpus form of
     * [[embedNearDup]] and the vector counterpart of the n-gram
@@ -898,6 +898,19 @@ object Similarity {
     * oracle SQL as literals, so the served result is exact-compared.
     */
   def annPqServe(s: SparkSession, dir: String): DataFrame = {
+    val (out, corpus) = annPqServeLazy(s, dir)
+    // materialize the k·queries result, then release the corpus cache —
+    // the embedDecontaminate discipline (under graft.Verify nothing else
+    // ever clears caches)
+    val res = out.localCheckpoint()
+    corpus.unpersist(blocking = false)
+    res
+  }
+
+  /** The lazy serving plan + the cached corpus it reranks against — split
+    * out so PlanSpec can pin the serving shape (the public gate's
+    * localCheckpoint plan is just an RDD scan). */
+  def annPqServeLazy(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val root = pqBuildIndex(s, dir)
     val cb = s.read.parquet(s"$root/codebooks").collect()
       .map(r => (r.getAs[Int]("m"), r.getAs[Int]("cid"),
@@ -907,7 +920,8 @@ object Similarity {
     val corpus = emb(s, dir)
       .withColumn("nn", expr("vec_dot(v, v)"))
       .cache()
-    pqAdcRerank(corpus, pqFrame(s, cb), s.read.parquet(s"$root/codes"))
+    (pqAdcRerank(corpus, pqFrame(s, cb), s.read.parquet(s"$root/codes")),
+      corpus)
   }
 
   private def annPqSql: String = annPqSqlFor(lastPq)
@@ -1040,6 +1054,15 @@ object Similarity {
     * doubly-approximate result is still exact-compared.
     */
   def annIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val (out, corpus) = annIvfPqServeLazy(s, dir)
+    val res = out.localCheckpoint()
+    corpus.unpersist(blocking = false)
+    res
+  }
+
+  /** Lazy plan + cached corpus — the [[annPqServeLazy]] split, for the
+    * same PlanSpec-pin vs cache-release reasons. */
+  def annIvfPqServeLazy(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val root = ivfpqBuildIndex(s, dir)
     val cents = s.read.parquet(s"$root/centroids").collect()
       .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](r.fieldIndex("cv"))))
@@ -1068,7 +1091,7 @@ object Similarity {
       .withColumn("crank", row_number().over(w2))
       .filter(col("crank") <= PqCand)
       .select(col("qid"), col("vec_id").as("nid"))
-    rerankTopK(shortlist, corpus, AnnK)
+    (rerankTopK(shortlist, corpus, AnnK), corpus)
   }
 
   private def annIvfPqServeSql: String = {
@@ -1201,10 +1224,21 @@ object Similarity {
     * both sides on cell at corpus scale — either way keyed, never a
     * corpus² loop; PlanSpec pins it) → map-side cosine filter →
     * per-victim count agg. The assigned frame is cached because both join
-    * sides read it (session-lived like embedNearDup's; Bench's settle
-    * sweep reclaims it between queries).
+    * sides read it; the public gate localCheckpoints its (tiny) result
+    * and RELEASES the cache (the embedDecontaminate discipline — under
+    * graft.Verify nothing else ever clears caches).
     */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (out, assigned) = semanticDedupLazy(s, dir)
+    val res = out.localCheckpoint()
+    assigned.unpersist(blocking = false)
+    res
+  }
+
+  /** The lazy dedup plan + the cached assignment frame both pair sides
+    * read — split out so PlanSpec can pin the inner plan shape (the
+    * public gate's localCheckpoint plan is just an RDD scan). */
+  def semanticDedupLazy(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val corpus = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)"))
     val cb = trainCodebook(s, dir)
     lastSem = Some(cb)
@@ -1228,7 +1262,7 @@ object Similarity {
       .groupBy(col("vec_b").as("vec_id"), col("cell"))
       .agg(count(lit(1)).as("n_closer"))
       .orderBy("vec_id")
-    dropped
+    (dropped, assigned)
   }
 
   private def semanticDedupSql: String = {

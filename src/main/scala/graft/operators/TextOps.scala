@@ -976,7 +976,8 @@ object TextOps {
     val values = MixSharesBp
       .map { case (src, bp) => s"('$src', $bp)" }.mkString(", ")
     s"""WITH shares AS (
-       |  SELECT source, bp, bp * $MixBudget // 10000 AS quota
+       |  SELECT source, bp,
+       |    CAST(bp * $MixBudget // 10000 AS BIGINT) AS quota
        |  FROM (VALUES $values) t(source, bp)),
        |h AS (
        |  SELECT d.doc_id, d.source, quota, ${h60Sql("d.doc_id")} AS h
@@ -2040,8 +2041,7 @@ object TextOps {
     */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val wArr = QcWeights.mkString(", ")
-    val bucket = s"CAST(CAST(conv(substring(md5(x), 1, 15), 16, 10) " +
-      s"AS BIGINT) % $QcBuckets AS INT)"
+    val bucket = s"CAST(${hash60Sql("x")} % $QcBuckets AS INT)"
     docs(s, dir)
       .repartitionByRange(col("doc_id"))
       .withColumn("t", toks(col("text")))
@@ -2056,8 +2056,7 @@ object TextOps {
 
   private val qualityClassifierSql = {
     val wArr = QcWeights.mkString(", ")
-    val bucket = "CAST(CAST(CAST('0x' || substring(md5(x), 1, 15) " +
-      s"AS UBIGINT) AS BIGINT) % $QcBuckets AS INT)"
+    val bucket = s"CAST(${duckHash60("x")} % $QcBuckets AS INT)"
     s"""WITH toks AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
        |scored AS (

@@ -90,8 +90,11 @@ class PlanSpec extends SparkSpec {
       Array.tabulate(64)(d => if (d == i % 5) 1.0f else 0.0f), i % 5))
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$tmp/embeddings.parquet")
-    val plan = graft.operators.Similarity.semanticDedup(spark, tmp)
-      .queryExecution.executedPlan.toString
+    // the Lazy variant: the public gate localCheckpoints (an RDD-scan
+    // plan) and releases the cache — the join shape lives in the inner plan
+    val (out, assigned) = graft.operators.Similarity.semanticDedupLazy(spark, tmp)
+    val plan = out.queryExecution.executedPlan.toString
+    assigned.unpersist(blocking = false)
     // corpus x centroids must broadcast the k-row centroid side; the
     // candidate stage must be an equi-join co-located on cell (the
     // sum-of-occupancy^2 bound), never a loop over corpus^2
@@ -718,8 +721,9 @@ class PlanSpec extends SparkSpec {
     // is the retrain-per-query cost the split exists to remove. (k-means
     // itself is a driver-side loop of separate jobs; its absence from the
     // ONE serving plan is exactly this pin.)
-    val plan = graft.operators.Similarity.annPqServe(spark, dir)
-      .queryExecution.executedPlan.toString
+    val (out, corpus) = graft.operators.Similarity.annPqServeLazy(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    corpus.unpersist(blocking = false)
     assert(plan.contains("pqidx"),
       s"serving must read the stored PQ index:\n$plan")
     assert(!plan.contains("arank"),
@@ -730,8 +734,9 @@ class PlanSpec extends SparkSpec {
     // the combined index: serving must scan the ivfpqidx artifact, never
     // re-encode (no arank window), and the codes scan must be keyed on the
     // cell PARTITION column — the nprobe-as-partition-pruning layout
-    val plan = graft.operators.Similarity.annIvfPqServe(spark, dir)
-      .queryExecution.executedPlan.toString
+    val (out, corpus) = graft.operators.Similarity.annIvfPqServeLazy(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    corpus.unpersist(blocking = false)
     assert(plan.contains("ivfpqidx"),
       s"serving must read the stored IVF-PQ index:\n$plan")
     assert(!plan.contains("arank"),
