@@ -22,6 +22,10 @@ object WarehouseQueries {
     * (F→1 committed, O→0 promised, P→2), amount = o_totalprice,
     * credit party = customer, debit party = order bucket.
     */
+  /** Test access to the transfer mapping (PlanSpec's MV contrast plan). */
+  def transferShapeFor(s: SparkSession, dir: String): DataFrame =
+    transferShape(s, dir)
+
   private def transferShape(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders").select(
       lit("T").as("tenant"),
@@ -59,7 +63,37 @@ object WarehouseQueries {
       |  o_orderdate AS value_date
       |FROM orders""".stripMargin
 
+  /** Build the balance pre-agg once per JVM (standing in for the upsert
+    * sink maintaining it incrementally at ingest), then run `body` on the
+    * SAME declarative balance query with the [[graft.plans.BalanceMvRewrite]]
+    * optimizer rule active — the rule swaps the lake-wide aggregate for a
+    * scan of the maintained table. Public so PlanSpec can pin the rewritten
+    * plan; the gate materializes inside the scope (the rule set is read at
+    * optimization time, not DataFrame construction).
+    */
+  def withBalanceMv[T](s: SparkSession, dir: String)(body: DataFrame => T): T = {
+    val root = JournalGate.buildPerJvm(JournalGate.fixtureRoot("balmv", dir)) { tmp =>
+      // RAW sum type (no (38,18) cast): the rule substitutes the Sum node
+      // itself, so the stored column must carry the Sum's exact type —
+      // every wrapper cast in the query re-applies above the substitution
+      Warehouse.balanceChanges(transferShape(s, dir))
+        .groupBy(col("tenant"), col("name"))
+        .agg(sum(col("amount")).as("balance"))
+        .write.parquet(s"$tmp/balances")
+    }
+    graft.plans.BalanceMvRewrite.withRewrite(s, s"$root/balances") {
+      body(Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir)))
+        .withColumn("balance", col("balance").cast("double"))
+        .orderBy("tenant", "name"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 through the MV rewrite: the same declarative aggregate, answered
+    // from the maintained pre-agg by the optimizer rule — values must be
+    // indistinguishable from q_balance (same oracle)
+    "q_balance_mv" -> ((s, dir) => withBalanceMv(s, dir)(_.localCheckpoint())),
+
     // B6 unpivot (stack) + A1 grouped SUM with coalesce-to-zero semantics.
     "q_balance" -> ((s, dir) => {
       // DECIMAL sum inside (order-independent), DOUBLE at the output edge so
@@ -234,6 +268,15 @@ object WarehouseQueries {
        |  SELECT DISTINCT debit_tenant AS tenant, debit_name AS name FROM t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_balance_mv" ->
+      s"""WITH t AS ($transferShapeSql),
+         |changes AS (
+         |  SELECT tenant, credit_name AS name, amount FROM t WHERE status = 1
+         |  UNION ALL
+         |  SELECT tenant, debit_name AS name, -amount FROM t WHERE status = 1
+         |)
+         |SELECT tenant, name, CAST(SUM(amount) AS DOUBLE) AS balance
+         |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_balance" ->
       s"""WITH t AS ($transferShapeSql),
          |changes AS (

@@ -796,6 +796,34 @@ class PlanSpec extends SparkSpec {
     } finally { dim.unpersist(blocking = false); () }
   }
 
+  test("balance MV rule swaps the lake aggregate for the pre-agg scan") {
+    // the one custom Rule[LogicalPlan] in the engine (SURVEY §7's named
+    // candidate): under the rule the SAME declarative balance query must
+    // plan as a scan of the maintained pre-agg — no stack unpivot, no
+    // aggregate over the transfer lake; without it, the normal aggregate.
+    // Values must be indistinguishable (the oracle gate checks vs DuckDB;
+    // here the two plans are compared row-for-row directly).
+    val (planWith, rowsWith) =
+      graft.operators.WarehouseQueries.withBalanceMv(spark, dir) { df =>
+        (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+      }
+    assert(planWith.contains("balmv"),
+      s"under the rule the plan must read the materialized balances:\n$planWith")
+    assert(!planWith.contains("HashAggregate"),
+      s"the lake-wide aggregate must be gone:\n$planWith")
+    assert(!planWith.contains("stack"),
+      s"the unpivot must be gone:\n$planWith")
+    val without = graft.warehouse.Warehouse.balances(
+      graft.warehouse.Warehouse.balanceChanges(
+        graft.operators.WarehouseQueries.transferShapeFor(spark, dir)))
+      .withColumn("balance", col("balance").cast("double"))
+      .orderBy("tenant", "name")
+    assert(without.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "without the rule the normal aggregate must plan")
+    assert(rowsWith == without.collect().toSeq,
+      "rewritten and direct plans must produce identical rows")
+  }
+
   test("q1 partial-aggregates below its exchange; shipdate reaches the scan") {
     // the canonical scan-heavy aggregate: the map side must collapse each
     // partition to |groups| rows BEFORE the exchange (4 groups vs 6B rows
