@@ -417,6 +417,59 @@ object EventWindows {
     s.table(sink)
   }
 
+  /** Two-batch CORPUS ingest fixture: batch 1 = the crawl (the documents
+    * table as-is), batch 2 = a re-crawl of the same pages — identical
+    * text under fresh doc_ids (offset past the id space), which is what a
+    * recurring crawler actually delivers: new row identity, duplicate
+    * CONTENT. Key-dedup can't help; content-hash dedup must.
+    */
+  private def corpusIngestInput(s: SparkSession, dir: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot("corpusingest", dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val docs = graft.Tables.load(s, dir, "documents")
+      // fixture-build-time action (the twoBatchInput discipline): the
+      // offset must clear the id space at any corpus size
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val t0 = System.currentTimeMillis() - 120000
+      writeSingleParquet(tmp, docs, "00_crawl.parquet", t0)
+      writeSingleParquet(tmp,
+        docs.withColumn("doc_id", col("doc_id") + lit(off)),
+        "01_recrawl.parquet", t0 + 60000)
+    }
+
+  /** Streaming corpus ingest with CONTENT dedup — the continuous-crawl
+    * front door of a training-data pipeline: documents arrive as files,
+    * each micro-batch drops every document whose normalized-text md5 was
+    * already admitted (cross-batch state), so a re-crawl contributes
+    * nothing. The gate aggregates the admitted sink per source; a leaked
+    * duplicate doubles a count (and shifts the id sum, since re-crawled
+    * rows carry fresh ids) against the batch oracle — which is just the
+    * documents table itself, because admit-first-occurrence over
+    * (crawl ++ re-crawl) IS the original crawl. At 100 TB the unbounded
+    * hash state would swap to `dropDuplicatesWithinWatermark` keyed on
+    * the same digest (the q_stream_dedup_bounded contract, over crawl
+    * time instead of event time).
+    */
+  def streamCorpusIngest(s: SparkSession, dir: String): DataFrame = {
+    val input = corpusIngestInput(s, dir)
+    val sunk = streamTwoBatches(s, input, "q_stream_corpus_ingest_sink")(st =>
+      graft.streaming.EventStream.dedupByKey(
+        st.withColumn("text_hash",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))),
+        Seq("text_hash")))
+    sunk.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+      .orderBy("source")
+  }
+
+  private val streamCorpusIngestSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Streaming dedup under the oracle: the whole events table is delivered
     * TWICE (two micro-batches, an at-least-once replay);
     * [[graft.streaming.EventStream.dedupByKey]] must suppress every row of
@@ -840,6 +893,7 @@ object EventWindows {
     "q_stream_session" -> (streamSession(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_dedup_bounded" -> (streamDedupBounded(_, _)),
+    "q_stream_corpus_ingest" -> (streamCorpusIngest(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
     "q_stream_tws" -> (streamTransformWithState(_, _)),
     "q_stream_stream_join" -> (streamStreamJoin(_, _)),
@@ -860,6 +914,7 @@ object EventWindows {
     "q_stream_session" -> streamSessionSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_dedup_bounded" -> streamDedupSql,
+    "q_stream_corpus_ingest" -> streamCorpusIngestSql,
     "q_stream_custom_state" -> streamCustomStateSql,
     "q_stream_tws" -> streamCustomStateSql,
     "q_stream_stream_join" -> streamStreamJoinSql,

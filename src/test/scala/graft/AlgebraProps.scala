@@ -83,4 +83,61 @@ object AlgebraProps extends Properties("graft.algebra") {
         .filter(col("amount") =!= -1).count()
       perKey == 0 && incomingWon == 0
     }
+
+  // ---- greedy subword segmentation (the wordpiece_toks kernel) --------
+  // pure JVM kernel, no Spark jobs: properties are cheap, run the default
+  // 100 trials by generating fresh vocab+words per trial
+
+  private val genPiece: Gen[String] = for {
+    n <- Gen.choose(1, 4)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  private val genVocabAndWords: Gen[(List[String], List[String])] = for {
+    vocab <- Gen.listOfN(12, genPiece).map(_.distinct)
+    words <- Gen.listOfN(8, for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString)
+  } yield (vocab, words)
+
+  private def segment(vocab: List[String], words: List[String]): List[List[String]] = {
+    val table = new graft.functions.WordPieceTable(vocab.toArray)
+    val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      words.map(w => org.apache.spark.unsafe.types.UTF8String.fromString(w)).toArray[Any])
+    val flat = table.segmentAll(in).toArray[AnyRef](
+      org.apache.spark.sql.types.StringType).map(_.toString).toList
+    // re-split the flattened stream back per word by consuming lengths
+    words.foldLeft((flat, List.empty[List[String]])) { case ((rest, acc), w) =>
+      var taken = List.empty[String]; var len = 0; var r = rest
+      while (len < w.length) { taken = taken :+ r.head; len += r.head.length; r = r.tail }
+      (r, acc :+ taken)
+    }._2
+  }
+
+  property("segmentation concatenates back to the input, totally") =
+    forAll(genVocabAndWords) { case (vocab, words) =>
+      segment(vocab, words).zip(words)
+        .forall { case (toks, w) => toks.mkString == w }
+    }
+
+  property("every emitted token is in-vocab or a single char") =
+    forAll(genVocabAndWords) { case (vocab, words) =>
+      val vs = vocab.toSet
+      segment(vocab, words).flatten
+        .forall(t => vs.contains(t) || t.length == 1)
+    }
+
+  property("greedy: no emitted token admits a longer vocab match at its position") =
+    forAll(genVocabAndWords) { case (vocab, words) =>
+      val vs = vocab.toSet
+      val maxLen = (1 :: vocab.map(_.length)).max
+      segment(vocab, words).zip(words).forall { case (toks, w) =>
+        toks.foldLeft((0, true)) { case ((p, ok), t) =>
+          val longer = ((t.length + 1) to math.min(maxLen, w.length - p))
+            .exists(l => vs.contains(w.substring(p, p + l)))
+          (p + t.length, ok && !longer)
+        }._2
+      }
+    }
 }
