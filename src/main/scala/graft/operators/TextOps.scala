@@ -2006,6 +2006,60 @@ object TextOps {
        |FROM perdoc ORDER BY doc_id""".stripMargin
   }
 
+  private val BpeTopPairs = 32
+
+  /** BPE merge-candidate mining — TRAINING round 1 of the byte-pair
+    * tokenizer (Sennrich et al. 2016): the most frequent ADJACENT symbol
+    * pair across the corpus is the first merge; iterating (merge, then
+    * recount) produces the merge table whose frozen form
+    * [[subwordTokenize]] applies. The full training loop is a driver-side
+    * iteration of exactly this aggregation (the trainCodebook/Lloyd's
+    * discipline); the gate pins one round's exact counts, which is the
+    * shape every round repeats.
+    *
+    * Plan shape at 100 TB: word frequencies first (one shuffle,
+    * vocabulary-bounded output — the corpus token stream collapses to
+    * |vocab| rows before any character work), then char-pair explode over
+    * DISTINCT words weighted by frequency, then a second agg keyed on a
+    * charset²-BOUNDED domain — so the final global rank window runs on a
+    * few hundred rows no matter the corpus size, and both aggregations
+    * combine map-side.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("pair"))
+    docs(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wfreq"), explode(expr(
+        "transform(sequence(0, length(word) - 2), " +
+          "i -> substring(word, i + 1, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wfreq")).as("n_occurrences"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BpeTopPairs)
+      .select(col("rank"), col("pair"), col("n_occurrences"))
+      .orderBy("rank")
+  }
+
+  private val bpePairsSql =
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS wfreq FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT substring(word, i + 1, 2) AS pair, wfreq
+       |  FROM words, unnest(range(len(word) - 1)) AS u(i)
+       |  WHERE len(word) >= 2),
+       |agg AS (
+       |  SELECT pair, CAST(sum(wfreq) AS BIGINT) AS n_occurrences
+       |  FROM pairs GROUP BY 1),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+       |  FROM agg)
+       |SELECT rank, pair, n_occurrences FROM r WHERE rank <= $BpeTopPairs
+       |ORDER BY rank""".stripMargin
+
   // ------------------------------------- hashed linear quality scoring
 
   private val QcBuckets = 64
@@ -2088,6 +2142,7 @@ object TextOps {
     "q_dup_spans" -> (dupSpans(_, _)),
     "q_span_removal" -> (spanRemoval(_, _)),
     "q_subword_tokenize" -> (subwordTokenize(_, _)),
+    "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
@@ -2121,6 +2176,7 @@ object TextOps {
     "q_dup_spans" -> dupSpansSql,
     "q_span_removal" -> spanRemovalSql,
     "q_subword_tokenize" -> subwordTokenizeSql,
+    "q_bpe_pairs" -> bpePairsSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
