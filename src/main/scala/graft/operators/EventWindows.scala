@@ -427,6 +427,20 @@ object EventWindows {
     JournalGate.buildPerJvm(JournalGate.fixtureRoot("corpusingest", dir)) { tmp =>
       java.nio.file.Files.createDirectories(tmp)
       val docs = graft.Tables.load(s, dir, "documents")
+      // the oracle identity ("admit-first over crawl ++ re-crawl IS the
+      // crawl") requires batch 1 itself to be content-duplicate-free —
+      // true of the testdata (see TextOps.dedupExact), asserted HERE so a
+      // future fixture with real duplicates fails at build with the cause,
+      // not at the gate with a confusing count mismatch (within-batch
+      // dropDuplicates picks nondeterministically)
+      val (nDocs, nHashes) = {
+        val r = docs.agg(count(lit(1)),
+          countDistinct(md5(TextOps.norm(col("text"))))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(nDocs == nHashes,
+        s"corpus-ingest fixture needs a duplicate-free crawl batch: " +
+          s"$nDocs docs but $nHashes distinct content hashes")
       // fixture-build-time action (the twoBatchInput discipline): the
       // offset must clear the id space at any corpus size
       val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
@@ -454,8 +468,7 @@ object EventWindows {
     val input = corpusIngestInput(s, dir)
     val sunk = streamTwoBatches(s, input, "q_stream_corpus_ingest_sink")(st =>
       graft.streaming.EventStream.dedupByKey(
-        st.withColumn("text_hash",
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))),
+        st.withColumn("text_hash", md5(TextOps.norm(col("text")))),
         Seq("text_hash")))
     sunk.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

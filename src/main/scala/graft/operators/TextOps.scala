@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace-collapsed lowercase view of a text column — the dedup
-    * normalization key. */
-  private def norm(c: Column): Column =
+    * normalization key. `private[operators]` so the streaming corpus
+    * ingest dedups on the SAME canonical digest as the batch exact-dedup
+    * family (a drifted copy would silently diverge the two). */
+  private[operators] def norm(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
   /** Tokens of the normalized text (single spaces guaranteed by norm). */

@@ -71,7 +71,17 @@ object WarehouseQueries {
     * plan; the gate materializes inside the scope (the rule set is read at
     * optimization time, not DataFrame construction).
     */
-  def withBalanceMv[T](s: SparkSession, dir: String)(body: DataFrame => T): T = {
+  def withBalanceMv[T](s: SparkSession, dir: String)(body: DataFrame => T): T =
+    withBalanceMvScope(s, dir) {
+      body(Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir)))
+        .withColumn("balance", col("balance").cast("double"))
+        .orderBy("tenant", "name"))
+    }
+
+  /** The MV build + rule scope alone — PlanSpec's negative pins plan
+    * OTHER balance-family queries under the rule and assert they are NOT
+    * rewritten (the soundness half of the contract). */
+  def withBalanceMvScope[T](s: SparkSession, dir: String)(body: => T): T = {
     val root = JournalGate.buildPerJvm(JournalGate.fixtureRoot("balmv", dir)) { tmp =>
       // RAW sum type (no (38,18) cast): the rule substitutes the Sum node
       // itself, so the stored column must carry the Sum's exact type —
@@ -81,10 +91,14 @@ object WarehouseQueries {
         .agg(sum(col("amount")).as("balance"))
         .write.parquet(s"$tmp/balances")
     }
-    graft.plans.BalanceMvRewrite.withRewrite(s, s"$root/balances") {
-      body(Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir)))
-        .withColumn("balance", col("balance").cast("double"))
-        .orderBy("tenant", "name"))
+    // the canonical frame registers the lake the MV answers for: the
+    // rule's sameResult fingerprint rejects sliced/filtered/re-sourced
+    // variants (balanceOf, balancesFor, date slices) instead of silently
+    // widening them to all-time all-account totals
+    val canonical =
+      Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir)))
+    graft.plans.BalanceMvRewrite.withRewrite(s, s"$root/balances", canonical) {
+      body
     }
   }
 

@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, NamedExpression, Stack}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LogicalPlan, Project}
@@ -21,21 +22,35 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * what an optimizer rule is for: callers keep the declarative form (and
   * correctness if the rule is absent), the rewrite swaps the plan.
   *
-  * Matching is deliberately CONSERVATIVE — all three must hold or the
-  * plan is left untouched:
-  *   - an Aggregate grouping on exactly (tenant, name) attributes,
-  *   - whose single aggregate function is SUM over an `amount` attribute,
-  *   - whose subtree contains the balance-changes signature: a Generate
-  *     whose generator is the `stack` unpivot reading `credit_name` (the
-  *     [[graft.warehouse.Warehouse.balanceChanges]] shape).
+  * Matching is SOUND, not just conservative — the rewrite fires only when
+  * the aggregate provably computes what the MV stores, and silently skips
+  * otherwise (a skipped rewrite costs a lake scan; a wrong one corrupts
+  * answers):
+  *   - an Aggregate grouping on exactly (tenant, name) attributes whose
+  *     single aggregate is a plain SUM over `amount` — no DISTINCT, no
+  *     FILTER clause (those live on the AggregateExpression wrapper and
+  *     change semantics);
+  *   - only Project nodes between the Aggregate and the `stack` unpivot
+  *     Generate — an intervening Filter (balanceOf's per-account slice) or
+  *     Join (balancesFor's page restriction) means the query aggregates a
+  *     SUBSET, which the full-lake MV cannot answer;
+  *   - the plan BELOW the Generate is `sameResult` with the registered
+  *     source subtree captured when the rule was built — a date-sliced or
+  *     re-sourced lake is a different aggregate, caught by Catalyst's own
+  *     semantic comparison (the cache-lookup machinery), not by fragile
+  *     structural guesses.
   * The replacement substitutes the `Sum` node itself with the pre-agg
-  * scan's balance column (stored at the Sum's OWN decimal type — exact,
-  * no cast) and the grouping attributes with the scan's key columns,
+  * scan's balance column (stored at the Sum's OWN decimal type — a type
+  * drift skips the rewrite rather than inserting a semantics-changing
+  * Cast) and the grouping attributes with the scan's key columns,
   * re-aliasing top-level attributes onto the Aggregate's exprIds — so
   * whatever wrappers the optimizer collapsed into the aggregate list
   * (the gate's decimal→double output cast, CollapseProject is free to
   * merge it) re-apply unchanged above the substituted column, and parent
-  * operators (ORDER BY, filters) are untouched.
+  * operators (ORDER BY, filters) are untouched. The MV relation is read
+  * once per rule instance; each match emits a fresh-exprId copy
+  * (`newInstance`), never repeated driver-side file listings on the
+  * query-planning path.
   *
   * Activation: [[BalanceMvRewrite.withRewrite]] scopes the rule through
   * `spark.experimental.extraOptimizations` (the runtime hook — it runs in
@@ -44,59 +59,97 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `SparkSessionExtensions.injectOptimizerRule` next to GraftExtensions'
   * function registrations.
   */
-case class BalanceMvRewrite(spark: SparkSession, mvPath: String)
+case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
+                            expectedBelowGenerate: LogicalPlan)
     extends Rule[LogicalPlan] {
 
-  private def isBalanceAggregate(agg: Aggregate): Boolean = {
-    val groupNames = agg.groupingExpressions.collect { case a: Attribute => a.name }
-    val aggFns = agg.aggregateExpressions.flatMap(_.collect {
-      case ae: AggregateExpression => ae.aggregateFunction
-    })
-    groupNames == Seq("tenant", "name") &&
-      agg.groupingExpressions.length == 2 &&
-      aggFns.length == 1 && (aggFns.head match {
-        case Sum(a: Attribute, _) => a.name == "amount"
-        case _ => false
-      })
+  // read once per rule instance; newInstance() per match keeps exprIds
+  // fresh without re-listing the MV directory during planning
+  @transient private lazy val mvRelation: LogicalPlan =
+    spark.read.parquet(mvPath).queryExecution.analyzed
+
+  private def freshMv(): LogicalPlan = mvRelation match {
+    case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+    case other => other
   }
 
-  private def readsBalanceChanges(plan: LogicalPlan): Boolean =
-    plan.collectFirst {
-      case g: Generate if g.generator.isInstanceOf[Stack] &&
-          g.generator.references.exists(_.name == "credit_name") => g
-    }.isDefined
+  private def balanceSum(agg: Aggregate): Option[AggregateExpression] = {
+    val groupNames = agg.groupingExpressions.collect { case a: Attribute => a.name }
+    val aggExprs = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (groupNames == Seq("tenant", "name") &&
+      agg.groupingExpressions.length == 2 &&
+      aggExprs.length == 1) {
+      val ae = aggExprs.head
+      val plainSumOfAmount = !ae.isDistinct && ae.filter.isEmpty &&
+        (ae.aggregateFunction match {
+          case Sum(a: Attribute, _) => a.name == "amount"
+          case _ => false
+        })
+      if (plainSumOfAmount) Some(ae) else None
+    } else None
+  }
+
+  /** The unpivot Generate reached through PROJECTS ONLY — an intervening
+    * Filter/Join means the aggregate runs on a subset of the lake. */
+  private def generateBelowProjects(plan: LogicalPlan): Option[Generate] =
+    plan match {
+      case g: Generate => Some(g)
+      case p: Project => generateBelowProjects(p.child)
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate
-        if isBalanceAggregate(agg) && readsBalanceChanges(agg.child) =>
-      val mv = spark.read.parquet(mvPath).queryExecution.analyzed
-      val Seq(mvTenant, mvName, mvBal) = mv.output
-      val keyMap = agg.groupingExpressions.collect { case a: Attribute => a }
-        .map(_.exprId).zip(Seq(mvTenant, mvName)).toMap
-      val projList = agg.aggregateExpressions.map { ne =>
-        val sub = ne.transform {
-          case ae: AggregateExpression =>
-            require(mvBal.dataType == ae.dataType,
-              s"balance MV stores ${mvBal.dataType}, the Sum is " +
-                s"${ae.dataType} — a Cast would change summation semantics")
-            mvBal
-          case a: AttributeReference if keyMap.contains(a.exprId) =>
-            keyMap(a.exprId)
+    case agg: Aggregate =>
+      val rewrite = for {
+        ae <- balanceSum(agg)
+        g <- generateBelowProjects(agg.child)
+        if g.generator.isInstanceOf[Stack] &&
+          g.generator.references.exists(_.name == "credit_name") &&
+          g.child.sameResult(expectedBelowGenerate)
+        mv = freshMv()
+        if mv.output.length == 3 &&
+          mv.output(2).dataType == ae.dataType // type drift ⇒ skip, no Cast
+      } yield {
+        val Seq(mvTenant, mvName, mvBal) = mv.output
+        val keyMap = agg.groupingExpressions.collect { case a: Attribute => a }
+          .map(_.exprId).zip(Seq(mvTenant, mvName)).toMap
+        val projList = agg.aggregateExpressions.map { ne =>
+          val sub = ne.transform {
+            case inner: AggregateExpression => mvBal
+            case a: AttributeReference if keyMap.contains(a.exprId) =>
+              keyMap(a.exprId)
+          }
+          sub match {
+            // a bare grouping attribute became the MV's column: re-alias it
+            // onto the original output exprId so parents keep resolving
+            case a: Attribute if a.exprId != ne.exprId =>
+              Alias(a, ne.name)(exprId = ne.exprId)
+            case n: NamedExpression => n
+            case other => Alias(other, ne.name)(exprId = ne.exprId)
+          }
         }
-        sub match {
-          // a bare grouping attribute became the MV's column: re-alias it
-          // onto the original output exprId so parents keep resolving
-          case a: Attribute if a.exprId != ne.exprId =>
-            Alias(a, ne.name)(exprId = ne.exprId)
-          case n: NamedExpression => n
-          case other => Alias(other, ne.name)(exprId = ne.exprId)
-        }
+        Project(projList, mv): LogicalPlan
       }
-      Project(projList, mv)
+      rewrite.getOrElse(agg)
   }
 }
 
 object BalanceMvRewrite {
+
+  /** Build a rule bound to a registered source: `canonical` is the
+    * declarative balance query over the SAME lake the MV was derived
+    * from; its below-Generate subtree becomes the semantic fingerprint
+    * every candidate must `sameResult`-match. */
+  def forSource(s: SparkSession, mvPath: String,
+                canonical: DataFrame): BalanceMvRewrite = {
+    val below = canonical.queryExecution.optimizedPlan.collectFirst {
+      case g: Generate if g.generator.isInstanceOf[Stack] => g.child
+    }.getOrElse(throw new IllegalArgumentException(
+      "canonical balance plan carries no stack unpivot"))
+    BalanceMvRewrite(s, mvPath, below)
+  }
 
   /** Run `body` with the rewrite active, restoring the previous
     * experimental rule set after. Anything the caller wants optimized
@@ -104,9 +157,11 @@ object BalanceMvRewrite {
     * (localCheckpoint/collect) inside `body` — extraOptimizations is read
     * lazily at optimization time, not at DataFrame construction.
     */
-  def withRewrite[T](s: SparkSession, mvPath: String)(body: => T): T = {
+  def withRewrite[T](s: SparkSession, mvPath: String, canonical: DataFrame)
+                    (body: => T): T = {
     val prev = s.experimental.extraOptimizations
-    s.experimental.extraOptimizations = prev :+ BalanceMvRewrite(s, mvPath)
+    s.experimental.extraOptimizations =
+      prev :+ forSource(s, mvPath, canonical)
     try body finally s.experimental.extraOptimizations = prev
   }
 }

@@ -824,6 +824,42 @@ class PlanSpec extends SparkSpec {
       "rewritten and direct plans must produce identical rows")
   }
 
+  test("balance MV rule is sound: sliced/joined/distinct variants stay unrewritten") {
+    // the rewrite may fire ONLY on the full-lake plain-sum aggregate —
+    // a wrong rewrite silently widens a scoped query to all-time
+    // all-account totals, which is why each of these must keep its
+    // HashAggregate and never touch the MV
+    import graft.warehouse.Warehouse
+    val shape = graft.operators.WarehouseQueries.transferShapeFor(spark, dir)
+    graft.operators.WarehouseQueries.withBalanceMvScope(spark, dir) {
+      // balanceOf: per-account Filter between Aggregate and the unpivot
+      val one = Warehouse.balanceOf(shape, "T", "a1")
+        .queryExecution.executedPlan.toString
+      assert(one.contains("HashAggregate") && !one.contains("balmv"),
+        s"a per-account slice must NOT read the full-lake MV:\n$one")
+      // balancesFor: page-key semi join below the aggregate
+      val page = Warehouse.balancesFor(shape,
+        Seq(("T", "a1"), ("T", "a2")).toDF("tenant", "name"))
+        .queryExecution.executedPlan.toString
+      assert(page.contains("HashAggregate") && !page.contains("balmv"),
+        s"a page-scoped aggregate must NOT read the full-lake MV:\n$page")
+      // DISTINCT lives on the AggregateExpression wrapper — different sum
+      val dist = Warehouse.balanceChanges(shape)
+        .groupBy(col("tenant"), col("name"))
+        .agg(sum_distinct(col("amount")).as("balance"))
+        .queryExecution.executedPlan.toString
+      assert(dist.contains("HashAggregate") && !dist.contains("balmv"),
+        s"SUM(DISTINCT) must NOT be answered by the plain-sum MV:\n$dist")
+      // a date-sliced lake below the unpivot fails the sameResult
+      // fingerprint even though nothing sits between Aggregate and Generate
+      val sliced = Warehouse.balances(Warehouse.balanceChanges(
+        shape.filter(col("value_date") < lit("1995-01-01").cast("timestamp"))))
+        .queryExecution.executedPlan.toString
+      assert(sliced.contains("HashAggregate") && !sliced.contains("balmv"),
+        s"a date-sliced aggregate must NOT read the all-time MV:\n$sliced")
+    }
+  }
+
   test("q1 partial-aggregates below its exchange; shipdate reaches the scan") {
     // the canonical scan-heavy aggregate: the map side must collapse each
     // partition to |groups| rows BEFORE the exchange (4 groups vs 6B rows
