@@ -427,20 +427,6 @@ object EventWindows {
     JournalGate.buildPerJvm(JournalGate.fixtureRoot("corpusingest", dir)) { tmp =>
       java.nio.file.Files.createDirectories(tmp)
       val docs = graft.Tables.load(s, dir, "documents")
-      // the oracle identity ("admit-first over crawl ++ re-crawl IS the
-      // crawl") requires batch 1 itself to be content-duplicate-free —
-      // true of the testdata (see TextOps.dedupExact), asserted HERE so a
-      // future fixture with real duplicates fails at build with the cause,
-      // not at the gate with a confusing count mismatch (within-batch
-      // dropDuplicates picks nondeterministically)
-      val (nDocs, nHashes) = {
-        val r = docs.agg(count(lit(1)),
-          countDistinct(md5(TextOps.norm(col("text"))))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      require(nDocs == nHashes,
-        s"corpus-ingest fixture needs a duplicate-free crawl batch: " +
-          s"$nDocs docs but $nHashes distinct content hashes")
       // fixture-build-time action (the twoBatchInput discipline): the
       // offset must clear the id space at any corpus size
       val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
@@ -455,14 +441,18 @@ object EventWindows {
     * front door of a training-data pipeline: documents arrive as files,
     * each micro-batch drops every document whose normalized-text md5 was
     * already admitted (cross-batch state), so a re-crawl contributes
-    * nothing. The gate aggregates the admitted sink per source; a leaked
-    * duplicate doubles a count (and shifts the id sum, since re-crawled
-    * rows carry fresh ids) against the batch oracle — which is just the
-    * documents table itself, because admit-first-occurrence over
-    * (crawl ++ re-crawl) IS the original crawl. At 100 TB the unbounded
-    * hash state would swap to `dropDuplicatesWithinWatermark` keyed on
-    * the same digest (the q_stream_dedup_bounded contract, over crawl
-    * time instead of event time).
+    * nothing. The gate's output is SURVIVOR-INVARIANT on purpose: when
+    * the crawl itself carries content duplicates (sf0.1 does: 5000 docs,
+    * 4992 distinct texts), within-batch dropDuplicates picks an arbitrary
+    * winner per hash — so the gate reports only hash-SET facts (admitted
+    * row count, distinct-hash count, a mod-summed portable hash-of-hash
+    * checksum) plus the re-crawl leak counter (admitted rows with
+    * post-offset ids; batch 1 fills the state, so every batch-2 row must
+    * drop). A leaked duplicate raises n_rows above n_distinct_hashes AND
+    * trips n_recrawl_rows; a lost document shifts the checksum. At 100 TB
+    * the unbounded hash state would swap to
+    * `dropDuplicatesWithinWatermark` keyed on the same digest (the
+    * q_stream_dedup_bounded contract, over crawl time).
     */
   def streamCorpusIngest(s: SparkSession, dir: String): DataFrame = {
     val input = corpusIngestInput(s, dir)
@@ -470,18 +460,27 @@ object EventWindows {
       graft.streaming.EventStream.dedupByKey(
         st.withColumn("text_hash", md5(TextOps.norm(col("text")))),
         Seq("text_hash")))
-    sunk.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).cast("long").as("sum_chars"),
-        sum(col("doc_id")).cast("long").as("sum_ids"))
-      .orderBy("source")
+    val offFrame = graft.Tables.load(s, dir, "documents")
+      .agg((max(col("doc_id")) + 1).as("off"))
+    sunk.crossJoin(broadcast(offFrame))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("text_hash")).as("n_distinct_hashes"),
+        sum(pmod(TextOps.h60("text_hash"), lit(1000000007L)))
+          .as("content_checksum"),
+        sum(when(col("doc_id") >= col("off"), 1L).otherwise(0L))
+          .as("n_recrawl_rows"))
   }
 
   private val streamCorpusIngestSql =
-    """SELECT source, count(*) AS n_docs,
-      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""WITH h AS (
+       |  SELECT DISTINCT md5(${TextOps.normSql}) AS text_hash
+       |  FROM documents)
+       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_hashes,
+       |  CAST(sum(${TextOps.h60Sql("text_hash")} % 1000000007) AS BIGINT)
+       |    AS content_checksum,
+       |  CAST(0 AS BIGINT) AS n_recrawl_rows
+       |FROM h""".stripMargin
 
   /** Streaming dedup under the oracle: the whole events table is delivered
     * TWICE (two micro-batches, an at-least-once replay);

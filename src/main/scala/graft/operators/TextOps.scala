@@ -38,7 +38,7 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private[operators] val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
   // ---------------------------------------------------------------- dedup
 
