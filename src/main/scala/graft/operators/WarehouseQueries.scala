@@ -102,11 +102,50 @@ object WarehouseQueries {
     }
   }
 
+  private val MvIncrCut = "1998-01-01 00:00:00"
+
+  /** Incremental MV MAINTENANCE, executed — the ingest half of the
+    * [[graft.plans.BalanceMvRewrite]] story ("the upsert sink maintains
+    * the aggregate incrementally"), no longer just claimed: the balances
+    * of everything before [[MvIncrCut]] are the STORED base (built once
+    * per JVM, read back from parquet), the newer transfers aggregate into
+    * a delta, and maintenance is one coalesced full-outer merge on
+    * (tenant, name) — the declarative spelling of a lakehouse MERGE INTO.
+    * At 100 TB the scan cost is the DELTA (the date bound reaches the
+    * lake scan; the base side is |accounts| pre-aggregated rows), which
+    * is the whole point of maintaining instead of recomputing. Decimal
+    * addition of the two exact sums is exact, so the gate shares
+    * q_balance's oracle verbatim.
+    */
+  def balanceMvIncrement(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(MvIncrCut).cast("timestamp")
+    val root = JournalGate.buildPerJvm(JournalGate.fixtureRoot("balmvincr", dir)) { tmp =>
+      Warehouse.balanceChanges(
+          transferShape(s, dir).filter(col("value_date") < cut))
+        .groupBy(col("tenant"), col("name"))
+        .agg(sum(col("amount")).as("balance"))
+        .write.parquet(s"$tmp/base")
+    }
+    val zero = lit(0).cast(DecimalType(28, 4))
+    val base = s.read.parquet(s"$root/base")
+      .select(col("tenant"), col("name"), col("balance").as("b0"))
+    val delta = Warehouse.balanceChanges(
+        transferShape(s, dir).filter(col("value_date") >= cut))
+      .groupBy(col("tenant"), col("name"))
+      .agg(sum(col("amount")).as("b1"))
+    base.join(delta, Seq("tenant", "name"), "full_outer")
+      .select(col("tenant"), col("name"),
+        (coalesce(col("b0"), zero) + coalesce(col("b1"), zero))
+          .cast("double").as("balance"))
+      .orderBy("tenant", "name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 through the MV rewrite: the same declarative aggregate, answered
     // from the maintained pre-agg by the optimizer rule — values must be
     // indistinguishable from q_balance (same oracle)
     "q_balance_mv" -> ((s, dir) => withBalanceMv(s, dir)(_.localCheckpoint())),
+    "q_balance_mv_incr" -> (balanceMvIncrement(_, _)),
 
     // B6 unpivot (stack) + A1 grouped SUM with coalesce-to-zero semantics.
     "q_balance" -> ((s, dir) => {
@@ -281,25 +320,24 @@ object WarehouseQueries {
        |  UNION
        |  SELECT DISTINCT debit_tenant AS tenant, debit_name AS name FROM t)""".stripMargin
 
+  // ONE spelling of the full-lake balance oracle — q_balance computes it
+  // directly, q_balance_mv through the optimizer rewrite, and
+  // q_balance_mv_incr from stored-base + delta: all three must agree with
+  // the same SQL, which is the point of the gates
+  private val balanceSql =
+    s"""WITH t AS ($transferShapeSql),
+       |changes AS (
+       |  SELECT tenant, credit_name AS name, amount FROM t WHERE status = 1
+       |  UNION ALL
+       |  SELECT tenant, debit_name AS name, -amount FROM t WHERE status = 1
+       |)
+       |SELECT tenant, name, CAST(SUM(amount) AS DOUBLE) AS balance
+       |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_balance_mv" ->
-      s"""WITH t AS ($transferShapeSql),
-         |changes AS (
-         |  SELECT tenant, credit_name AS name, amount FROM t WHERE status = 1
-         |  UNION ALL
-         |  SELECT tenant, debit_name AS name, -amount FROM t WHERE status = 1
-         |)
-         |SELECT tenant, name, CAST(SUM(amount) AS DOUBLE) AS balance
-         |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_balance" ->
-      s"""WITH t AS ($transferShapeSql),
-         |changes AS (
-         |  SELECT tenant, credit_name AS name, amount FROM t WHERE status = 1
-         |  UNION ALL
-         |  SELECT tenant, debit_name AS name, -amount FROM t WHERE status = 1
-         |)
-         |SELECT tenant, name, CAST(SUM(amount) AS DOUBLE) AS balance
-         |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_balance_mv" -> balanceSql,
+    "q_balance_mv_incr" -> balanceSql,
+    "q_balance" -> balanceSql,
     "q_transfers_page" ->
       s"""WITH t AS ($transferShapeSql)
          |SELECT tenant, transaction, transfer, status, credit_tenant, credit_name,

@@ -824,6 +824,22 @@ class PlanSpec extends SparkSpec {
       "rewritten and direct plans must produce identical rows")
   }
 
+  test("incremental MV maintenance aggregates only the delta slice") {
+    // the stored base is |accounts| pre-aggregated rows; the lake is
+    // scanned ONLY for transfers past the cut (bound pushed to the scan),
+    // and the single aggregate pair in the plan is the delta's — at 100 TB
+    // the maintenance cost is the delta, which is the point
+    val plan = graft.operators.WarehouseQueries
+      .balanceMvIncrement(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("balmvincr"),
+      s"maintenance must read the stored base:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length == 2,
+      s"only the delta may aggregate (one partial+final pair):\n$plan")
+    assert(plan.contains("o_orderdate"),
+      s"the cut bound must reach the lake scan:\n$plan")
+  }
+
   test("balance MV rule is sound: sliced/joined/distinct variants stay unrewritten") {
     // the rewrite may fire ONLY on the full-lake plain-sum aggregate —
     // a wrong rewrite silently widens a scoped query to all-time
