@@ -86,9 +86,7 @@ object WarehouseQueries {
       // RAW sum type (no (38,18) cast): the rule substitutes the Sum node
       // itself, so the stored column must carry the Sum's exact type —
       // every wrapper cast in the query re-applies above the substitution
-      Warehouse.balanceChanges(transferShape(s, dir))
-        .groupBy(col("tenant"), col("name"))
-        .agg(sum(col("amount")).as("balance"))
+      rawBalancePreAgg(transferShape(s, dir), "balance")
         .write.parquet(s"$tmp/balances")
     }
     // the canonical frame registers the lake the MV answers for: the
@@ -117,22 +115,32 @@ object WarehouseQueries {
     * addition of the two exact sums is exact, so the gate shares
     * q_balance's oracle verbatim.
     */
+  /** ONE spelling of the raw (tenant, name) → SUM(amount) pre-agg all the
+    * MV artifacts share — base, delta, and the rewrite-rule's stored table
+    * must carry the same type or they silently drift apart. */
+  private def rawBalancePreAgg(transfers: DataFrame, as: String): DataFrame =
+    Warehouse.balanceChanges(transfers)
+      .groupBy(col("tenant"), col("name"))
+      .agg(sum(col("amount")).as(as))
+
   def balanceMvIncrement(s: SparkSession, dir: String): DataFrame = {
     val cut = lit(MvIncrCut).cast("timestamp")
     val root = JournalGate.buildPerJvm(JournalGate.fixtureRoot("balmvincr", dir)) { tmp =>
-      Warehouse.balanceChanges(
-          transferShape(s, dir).filter(col("value_date") < cut))
-        .groupBy(col("tenant"), col("name"))
-        .agg(sum(col("amount")).as("balance"))
+      rawBalancePreAgg(
+          transferShape(s, dir).filter(col("value_date") < cut), "balance")
         .write.parquet(s"$tmp/base")
     }
     val zero = lit(0).cast(DecimalType(28, 4))
     val base = s.read.parquet(s"$root/base")
       .select(col("tenant"), col("name"), col("balance").as("b0"))
-    val delta = Warehouse.balanceChanges(
-        transferShape(s, dir).filter(col("value_date") >= cut))
-      .groupBy(col("tenant"), col("name"))
-      .agg(sum(col("amount")).as("b1"))
+    // the slices must PARTITION the lake under SQL null semantics: a plain
+    // >= cut would drop NULL-dated transfers from BOTH sides (IsNotNull
+    // rides the pushed bound) while q_balance and the shared oracle count
+    // them — nulls route to the delta (at ingest, an undated transfer is
+    // "new"); the testdata never produces one, the contract shouldn't care
+    val delta = rawBalancePreAgg(
+      transferShape(s, dir)
+        .filter(col("value_date") >= cut || col("value_date").isNull), "b1")
     base.join(delta, Seq("tenant", "name"), "full_outer")
       .select(col("tenant"), col("name"),
         (coalesce(col("b0"), zero) + coalesce(col("b1"), zero))

@@ -836,8 +836,12 @@ class PlanSpec extends SparkSpec {
       s"maintenance must read the stored base:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length == 2,
       s"only the delta may aggregate (one partial+final pair):\n$plan")
-    assert(plan.contains("o_orderdate"),
-      s"the cut bound must reach the lake scan:\n$plan")
+    // the PUSHED predicate, not mere column presence (o_orderdate appears
+    // in ReadSchema/Filter regardless): a blocked pushdown reads the lake
+    // and filters above it — the exact 100 TB regression this pins
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") ||
+      plan.contains("Or(GreaterThanOrEqual(o_orderdate"),
+      s"the cut bound must be PUSHED into the lake scan:\n$plan")
   }
 
   test("balance MV rule is sound: sliced/joined/distinct variants stay unrewritten") {
