@@ -1757,13 +1757,27 @@ object TextOps {
     * indexed filter() fold. Raw rows are exchanged below the md5 kernel
     * (the M4 idiom).
     */
-  def spanRemoval(s: SparkSession, dir: String): DataFrame = {
+  def spanRemoval(s: SparkSession, dir: String): DataFrame =
+    cleanedDocs(s, dir)
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("rps")).cast("long").as("n_removed"),
+        (size(col("t")) - size(col("rps"))).cast("long").as("n_kept"),
+        md5(array_join(col("kt"), " ")).as("kept_hash"))
+      .orderBy("doc_id")
+
+  /** The span-cleaning STAGE shared by [[spanRemoval]] (which reports it)
+    * and [[curationPipeline]] (which consumes the cleaned tokens
+    * downstream): per doc, the original tokens `t`, the sorted removal
+    * positions `rps`, and the kept tokens `kt`, alongside the metadata
+    * columns the pipeline groups by. */
+  private def cleanedDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val overHash = Window.partitionBy(col("h"))
     val byFirst = Window.partitionBy(col("h"))
       .orderBy(col("doc_id"), col("pos"))
     val base = docs(s, dir)
-      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"), col("source"), col("lang"), toks(col("text")).as("t"))
       .repartition(col("doc_id"))
     val windows = base
       .filter(size(col("t")) >= SpanW)
@@ -1783,13 +1797,8 @@ object TextOps {
     base
       .join(removals, Seq("doc_id"), "left")
       .withColumn("rps", coalesce(col("rps"), expr("CAST(array() AS ARRAY<BIGINT>)")))
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        size(col("rps")).cast("long").as("n_removed"),
-        (size(col("t")) - size(col("rps"))).cast("long").as("n_kept"),
-        md5(expr("array_join(filter(t, (x, i) -> " +
-          "NOT array_contains(rps, CAST(i AS BIGINT))), ' ')")).as("kept_hash"))
-      .orderBy("doc_id")
+      .withColumn("kt", expr(
+        "filter(t, (x, i) -> NOT array_contains(rps, CAST(i AS BIGINT)))"))
   }
 
   private val spanRemovalSql =
@@ -1821,6 +1830,116 @@ object TextOps {
        |    list_filter(t, (x, i) -> NOT list_contains(rps, i - 1)), ' '), ''))
        |    AS kept_hash
        |FROM k ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- curation pipeline (E2E)
+
+  private val PipeMinKept = 5
+
+  /** End-to-end corpus CURATION PIPELINE — the operators composed the way
+    * a curation run actually chains them, in ONE plan: span-clean
+    * ([[spanRemoval]]'s stage: duplicated windows removed, canonical copy
+    * kept) → length + hashed-linear-classifier quality gate (the
+    * [[qualityClassifier]] model over the CLEANED tokens) → exact dedup of
+    * the cleaned text (min-doc_id survivor) → per-source funnel report
+    * (docs in, past cleaning, past quality, unique, tokens out). The
+    * composite is the point: stages hand off columns inside one Catalyst
+    * plan (cleaned tokens flow from the span stage into the classifier
+    * fold and the dedup hash without materializing between), and every
+    * count is an exact integer so the chained semantics — not just each
+    * stage alone — hash-compare against one chained oracle.
+    *
+    * Plan shape at 100 TB: the span stage's one hash shuffle + doc rejoin
+    * (see [[spanRemoval]]), a pure-map scoring fold, one dedup shuffle on
+    * the cleaned-text digest, and two small per-source aggregates. A
+    * surviving duplicate, a mis-scored doc, or a wrong survivor shifts a
+    * count or the token sum.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wArr = QcWeights.mkString(", ")
+    val bucket = s"CAST(${hash60Sql("x")} % $QcBuckets AS INT)"
+    val scored = cleanedDocs(s, dir)
+      .withColumn("n_kept", size(col("kt")).cast("long"))
+      .withColumn("score", expr(s"aggregate(kt, CAST(0 AS BIGINT), " +
+        s"(acc, x) -> acc + element_at(array($wArr), $bucket + 1))"))
+      .withColumn("pass_clean", col("n_kept") >= PipeMinKept)
+      .withColumn("pass_quality", col("pass_clean") && col("score") > 0)
+    val byHash = Window.partitionBy(col("kept_hash")).orderBy(col("doc_id"))
+    val unique = scored.filter(col("pass_quality"))
+      .withColumn("kept_hash", md5(array_join(col("kt"), " ")))
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") === 1)
+    val stageCounts = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("pass_clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_quality"))
+    val uniqueCounts = unique.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("n_kept")).as("n_tokens_out"))
+    stageCounts.join(uniqueCounts, Seq("source"), "left")
+      .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
+      .withColumn("n_tokens_out", coalesce(col("n_tokens_out"), lit(0L)))
+      .orderBy("source")
+  }
+
+  // lazy: QcWeights is declared later in the object body — a strict val
+  // here would initialize against a null and NPE at class load
+  private lazy val curationPipelineSql = {
+    val wArr = QcWeights.mkString(", ")
+    val bucket = s"CAST(${duckHash60("x")} % $QcBuckets AS INT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split($normSql, ' ') AS t
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(range(len(t) - $SpanW + 1)) AS pos, t
+       |  FROM toks WHERE len(t) >= $SpanW),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(t[pos + 1:pos + $SpanW], ' ')) AS h
+       |  FROM w),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h) AS n_occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM h),
+       |rem AS (
+       |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $SpanW)) AS rp
+       |  FROM occ WHERE n_occ > 1 AND rn > 1),
+       |ragg AS (SELECT doc_id, list(rp ORDER BY rp) AS rps FROM rem GROUP BY 1),
+       |c AS (
+       |  SELECT toks.doc_id, toks.source,
+       |    list_filter(t, (x, i) -> NOT list_contains(coalesce(rps, []), i - 1)) AS kt
+       |  FROM toks LEFT JOIN ragg ON toks.doc_id = ragg.doc_id),
+       |sc AS (
+       |  SELECT doc_id, source, kt, CAST(len(kt) AS BIGINT) AS n_kept,
+       |    CASE WHEN len(kt) = 0 THEN 0 ELSE
+       |      list_reduce(list_transform(kt, x -> ([$wArr])[$bucket + 1]),
+       |        (a, b) -> a + b) END AS score
+       |  FROM c),
+       |flags AS (
+       |  SELECT *, n_kept >= $PipeMinKept AS pass_clean,
+       |    n_kept >= $PipeMinKept AND score > 0 AS pass_quality
+       |  FROM sc),
+       |u AS (
+       |  SELECT source, n_kept,
+       |    row_number() OVER (PARTITION BY md5(array_to_string(kt, ' '))
+       |                       ORDER BY doc_id) AS rn2
+       |  FROM flags WHERE pass_quality),
+       |su AS (
+       |  SELECT source, count(*) AS n_unique,
+       |    CAST(sum(n_kept) AS BIGINT) AS n_tokens_out
+       |  FROM u WHERE rn2 = 1 GROUP BY 1),
+       |st AS (
+       |  SELECT source, count(*) AS n_in,
+       |    CAST(sum(CASE WHEN pass_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |    CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+       |  FROM flags GROUP BY 1)
+       |SELECT st.source, n_in, n_clean, n_quality,
+       |  CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+       |  CAST(coalesce(n_tokens_out, 0) AS BIGINT) AS n_tokens_out
+       |FROM st LEFT JOIN su ON st.source = su.source
+       |ORDER BY st.source""".stripMargin
+  }
 
   // --------------------------------------------- hybrid retrieval (RRF)
 
@@ -2143,6 +2262,7 @@ object TextOps {
     "q_hybrid_search" -> (hybridSearch(_, _)),
     "q_dup_spans" -> (dupSpans(_, _)),
     "q_span_removal" -> (spanRemoval(_, _)),
+    "q_curation_pipeline" -> (curationPipeline(_, _)),
     "q_subword_tokenize" -> (subwordTokenize(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
@@ -2177,6 +2297,7 @@ object TextOps {
     "q_hybrid_search" -> hybridSearchSql,
     "q_dup_spans" -> dupSpansSql,
     "q_span_removal" -> spanRemovalSql,
+    "q_curation_pipeline" -> curationPipelineSql,
     "q_subword_tokenize" -> subwordTokenizeSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_quality_classifier" -> qualityClassifierSql,
