@@ -27,27 +27,34 @@ final class WordPieceTable(vocab: Array[String]) extends Serializable {
   private val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
 
   /** Segment every word of `words` greedily, flattening the sub-tokens in
-    * word order. Callable from generated Java (codegen reference obj). */
+    * word order. Null elements (the input array type may carry
+    * containsNull) contribute no tokens — the output stays null-free,
+    * matching the declared `containsNull = false`. The no-match fallback
+    * consumes a full CODE POINT, so a non-BMP character is emitted as its
+    * intact surrogate pair (valid UTF-8), never split. Callable from
+    * generated Java (codegen reference obj). */
   def segmentAll(words: ArrayData): ArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
     var i = 0
     val n = words.numElements()
     while (i < n) {
-      val w = words.getUTF8String(i).toString
-      var p = 0
-      while (p < w.length) {
-        var l = math.min(maxLen, w.length - p)
-        var tok: String = null
-        while (l > 1 && tok == null) {
-          val cand = w.substring(p, p + l)
-          if (set.contains(cand)) tok = cand
-          l -= 1
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i).toString
+        var p = 0
+        while (p < w.length) {
+          var l = math.min(maxLen, w.length - p)
+          var tok: String = null
+          while (l > 1 && tok == null) {
+            val cand = w.substring(p, p + l)
+            if (set.contains(cand)) tok = cand
+            l -= 1
+          }
+          // length-1 vocab hits and the single-char fallback coincide on
+          // BMP input; beyond the BMP the fallback takes the whole pair
+          if (tok == null) tok = w.substring(p, p + Character.charCount(w.codePointAt(p)))
+          out.add(UTF8String.fromString(tok))
+          p += tok.length
         }
-        // length-1 vocab hits and the single-char fallback coincide: the
-        // emitted token is the character either way
-        if (tok == null) tok = w.substring(p, p + 1)
-        out.add(UTF8String.fromString(tok))
-        p += tok.length
       }
       i += 1
     }

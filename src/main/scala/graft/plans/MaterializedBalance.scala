@@ -30,10 +30,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     single aggregate is a plain SUM over `amount` — no DISTINCT, no
   *     FILTER clause (those live on the AggregateExpression wrapper and
   *     change semantics);
-  *   - only Project nodes between the Aggregate and the `stack` unpivot
-  *     Generate — an intervening Filter (balanceOf's per-account slice) or
-  *     Join (balancesFor's page restriction) means the query aggregates a
-  *     SUBSET, which the full-lake MV cannot answer;
+  *   - only pure attribute pass-through Project nodes between the
+  *     Aggregate and the `stack` unpivot Generate — an intervening Filter
+  *     (balanceOf's per-account slice) or Join (balancesFor's page
+  *     restriction) means the query aggregates a SUBSET, and a COMPUTING
+  *     or renaming Project (`-amount AS amount`, swapped tenant/name
+  *     aliases) means it aggregates a different expression; both block
+  *     the rewrite;
   *   - the plan BELOW the Generate is `sameResult` with the registered
   *     source subtree captured when the rule was built — a date-sliced or
   *     re-sourced lake is a different aggregate, caught by Catalyst's own
@@ -91,12 +94,26 @@ case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
     } else None
   }
 
-  /** The unpivot Generate reached through PROJECTS ONLY — an intervening
-    * Filter/Join means the aggregate runs on a subset of the lake. */
+  /** A Project that only forwards attributes (bare Attribute, or an Alias
+    * of an Attribute that keeps its name). A COMPUTING Project — e.g.
+    * `-amount AS amount`, or a rename swapping tenant/name — would satisfy
+    * the name-only Sum check while changing the aggregate's meaning, so
+    * any such node must block the rewrite. */
+  private def passThroughProject(p: Project): Boolean =
+    p.projectList.forall {
+      case _: Attribute => true
+      case Alias(a: Attribute, name) => a.name == name
+      case _ => false
+    }
+
+  /** The unpivot Generate reached through pass-through PROJECTS ONLY — an
+    * intervening Filter/Join means the aggregate runs on a subset of the
+    * lake; a computing/renaming Project means it aggregates a different
+    * expression (both unanswerable from the full-lake MV). */
   private def generateBelowProjects(plan: LogicalPlan): Option[Generate] =
     plan match {
       case g: Generate => Some(g)
-      case p: Project => generateBelowProjects(p.child)
+      case p: Project if passThroughProject(p) => generateBelowProjects(p.child)
       case _ => None
     }
 

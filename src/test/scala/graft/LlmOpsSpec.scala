@@ -795,6 +795,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(seg("key") == Seq("ke", "y"))
     assert(seg("zzz") == Seq("z", "z", "z"))
     assert(seg("table", "key") == Seq("tab", "le", "ke", "y"))
+    // null array elements contribute nothing (containsNull inputs are
+    // legal; the output stays null-free as declared)
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("table"), null,
+        UTF8String.fromString("key")))
+    assert(table.segmentAll(withNull).toArray[AnyRef](
+      org.apache.spark.sql.types.StringType).map(_.toString).toSeq ==
+      Seq("tab", "le", "ke", "y"))
+    // the no-match fallback consumes a whole code point: a non-BMP char
+    // (surrogate pair in Java chars) is emitted intact, never split into
+    // two invalid half-surrogate tokens
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(seg(s"a${emoji}b") == Seq("a", emoji, "b"))
   }
 
   test("subwordTokenize matches an independent greedy reimplementation") {

@@ -877,6 +877,27 @@ class PlanSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(sliced.contains("HashAggregate") && !sliced.contains("balmv"),
         s"a date-sliced aggregate must NOT read the all-time MV:\n$sliced")
+      // a COMPUTING Project between Aggregate and Generate (-amount AS
+      // amount) satisfies the name-only Sum check and the below-Generate
+      // fingerprint, but aggregates a different expression — the
+      // pass-through-Project guard must block it
+      val negated = Warehouse.balanceChanges(shape)
+        .withColumn("amount", -col("amount"))
+        .groupBy(col("tenant"), col("name"))
+        .agg(sum(col("amount")).as("balance"))
+        .queryExecution.executedPlan.toString
+      assert(negated.contains("HashAggregate") && !negated.contains("balmv"),
+        s"a computing Project must NOT be answered by the MV:\n$negated")
+      // a key-swapping rename keeps both names present but transposes the
+      // grouping — equally blocked by the pass-through guard
+      val swapped = Warehouse.balanceChanges(shape)
+        .select(col("name").as("tenant"), col("tenant").as("name"),
+          col("amount"))
+        .groupBy(col("tenant"), col("name"))
+        .agg(sum(col("amount")).as("balance"))
+        .queryExecution.executedPlan.toString
+      assert(swapped.contains("HashAggregate") && !swapped.contains("balmv"),
+        s"a key-swapping rename must NOT be answered by the MV:\n$swapped")
     }
   }
 
@@ -921,8 +942,9 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftOuter"),
       s"q13 must preserve order-less customers:\n$plan")
-    assert(plan.contains("o_orderpriority") &&
-      plan.indexOf("o_orderpriority", plan.indexOf("PushedFilters")) >= 0,
+    val pushedAt = plan.indexOf("PushedFilters")
+    assert(pushedAt >= 0, s"no PushedFilters in the q13 plan:\n$plan")
+    assert(plan.indexOf("o_orderpriority", pushedAt) >= 0,
       s"the priority filter must reach the orders scan:\n$plan")
   }
 
