@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -828,8 +828,9 @@ object Similarity {
     * the broadcast codebooks and itself broadcast to the scoring pass.
     * Shared by the flat-PQ and IVF-PQ serving tails.
     */
-  private def queryDistanceTables(corpus: DataFrame, cbf: DataFrame): DataFrame = {
-    val qd = subVectors(corpus.filter(col("vec_id") < NumQueries))
+  private def queryDistanceTables(corpus: DataFrame, cbf: DataFrame,
+                                  qFilter: Column = col("vec_id") < NumQueries): DataFrame = {
+    val qd = subVectors(corpus.filter(qFilter))
       .join(broadcast(cbf), "m")
       .withColumn("d2", col("ss") + col("cc") - lit(2.0) * expr("vec_dot(sub, cv)"))
     qd.groupBy(col("vec_id").as("qid"), col("m"))
@@ -1062,7 +1063,19 @@ object Similarity {
 
   /** Lazy plan + cached corpus — the [[annPqServeLazy]] split, for the
     * same PlanSpec-pin vs cache-release reasons. */
-  def annIvfPqServeLazy(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def annIvfPqServeLazy(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfPqServeCore(s, dir, col("vec_id") < NumQueries, AnnK)
+
+  /** The stored-index probe for an EXTERNAL query set — the dense leg a
+    * hybrid retrieval stack issues (TextOps.hybridSearchIndexed rides
+    * this): same partition-pruned nprobe/ADC/rerank plan as the gate,
+    * restricted to the caller's query ids and top-`k`. */
+  private[graft] def ivfPqServeTopKLazy(s: SparkSession, dir: String,
+      qids: Seq[Long], k: Int): (DataFrame, DataFrame) =
+    ivfPqServeCore(s, dir, col("vec_id").isin(qids: _*), k)
+
+  private def ivfPqServeCore(s: SparkSession, dir: String,
+      qFilter: Column, k: Int): (DataFrame, DataFrame) = {
     val root = ivfpqBuildIndex(s, dir)
     val cents = s.read.parquet(s"$root/centroids").collect()
       .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](r.fieldIndex("cv"))))
@@ -1074,14 +1087,14 @@ object Similarity {
     lastIvfPq = Some((cents, cb))
     val corpus = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)")).cache()
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val probes = corpus.filter(col("vec_id") < NumQueries)
+    val probes = corpus.filter(qFilter)
       .join(broadcast(centroidFrame(s, cents)))
       .withColumn("ccos",
         expr("vec_dot(v, cv)") / (sqrt(col("nn")) * sqrt(col("nc"))))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") <= NProbe)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
-    val qdt = queryDistanceTables(corpus, pqFrame(s, cb))
+    val qdt = queryDistanceTables(corpus, pqFrame(s, cb), qFilter)
     val w2 = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
     val shortlist = s.read.parquet(s"$root/codes")
       .join(broadcast(probes), "cell")
@@ -1091,10 +1104,16 @@ object Similarity {
       .withColumn("crank", row_number().over(w2))
       .filter(col("crank") <= PqCand)
       .select(col("qid"), col("vec_id").as("nid"))
-    (rerankTopK(shortlist, corpus, AnnK), corpus)
+    (rerankTopK(shortlist, corpus, k), corpus)
   }
 
-  private def annIvfPqServeSql: String = {
+  private def annIvfPqServeSql: String =
+    ivfPqServeSqlFor(s"vec_id < $NumQueries", AnnK)
+
+  /** [[annIvfPqServeSql]] parameterized over the query-id predicate and
+    * top-k — so the hybrid gate's oracle replays the SAME stored
+    * centroids/codebooks for its external query set. */
+  private[graft] def ivfPqServeSqlFor(qPred: String, k: Long): String = {
     val (cents, cb) = lastIvfPq.getOrElse((
       Seq.tabulate(NCells, Dim)((_, _) => 0.0),
       Seq.tabulate(PqM * PqK)(i => (i / PqK, i % PqK, Seq.fill(PqSubDim)(0.0)))))
@@ -1128,7 +1147,7 @@ object Similarity {
        |cassigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE crank = 1),
        |probes AS (
        |  SELECT vec_id AS qid, cid AS cell FROM ranked_cells
-       |  WHERE crank <= $NProbe AND vec_id < $NumQueries),
+       |  WHERE crank <= $NProbe AND $qPred),
        |cb AS (
        |  SELECT m, cid, cv,
        |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cc
@@ -1158,7 +1177,7 @@ object Similarity {
        |  FROM passigned WHERE arank = 1 GROUP BY vec_id),
        |qdm AS (
        |  SELECT vec_id AS qid, m, list(d2 ORDER BY cid) AS darr
-       |  FROM d WHERE vec_id < $NumQueries GROUP BY 1, 2),
+       |  FROM d WHERE $qPred GROUP BY 1, 2),
        |qdt AS (SELECT qid, list(darr ORDER BY m) AS dt FROM qdm GROUP BY 1),
        |ivf_cand AS (
        |  SELECT p.qid, a.vec_id
@@ -1188,7 +1207,7 @@ object Similarity {
        |  SELECT qid, nid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
        |  FROM scored)
-       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
+       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
   }
 

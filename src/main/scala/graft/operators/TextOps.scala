@@ -1992,6 +1992,16 @@ object TextOps {
       .withColumn("dense_rank", row_number().over(wd).cast("long"))
       .filter(col("dense_rank") <= Bm25TopK)
       .select(col("query"), col("vec_id").as("doc_id"), col("dense_rank"))
+    rrfFuse(sparse, dense)
+  }
+
+  /** The reciprocal-rank-fusion tail shared by [[hybridSearch]] and
+    * [[hybridSearchIndexed]]: ONE spelling of the integer-exact RRF
+    * arithmetic, so the indexed dense leg cannot diverge from the
+    * brute-force gate's fusion semantics. Both inputs are
+    * top-k-bounded (≤ Bm25TopK rows per query per leg). */
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wf = Window.partitionBy(col("query"))
       .orderBy(col("rrf").desc, col("doc_id"))
     sparse.join(dense, Seq("query", "doc_id"), "full_outer")
@@ -2004,6 +2014,78 @@ object TextOps {
         coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
         coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
       .orderBy("query", "rank")
+  }
+
+  /** Hybrid retrieval where BOTH legs serve from their stored indexes —
+    * the deployed-stack read path: the sparse leg is [[bm25Serve]] (stored
+    * postings, term predicate pushed to the scan), the dense leg rides the
+    * stored IVF-PQ index ([[Similarity.ivfPqServeTopKLazy]]: top-NProbe
+    * cells against broadcast centroids → partition-pruned codes read →
+    * ADC shortlist → exact re-rank), and fusion is the SAME RRF arithmetic
+    * as [[hybridSearch]].
+    *
+    * vs [[hybridSearch]]: that gate's dense leg is exact brute-force
+    * cosine — a per-query-batch corpus scan, kept as the recall baseline.
+    * Here the only corpus-wide work is the ADC fold over ~NProbe/NCells of
+    * the stored codes; at 100 TB the lake is never re-scanned per query
+    * batch on either leg. The result legitimately differs from
+    * q_hybrid_search where IVF-PQ recall differs from exact — the oracle
+    * replays the stored centroids+codebooks as literals (the X60
+    * discipline), so the approximate dense leg is still exact-compared.
+    */
+  def hybridSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (out, corpus) = hybridSearchIndexedLazy(s, dir)
+    val res = out.localCheckpoint()
+    corpus.unpersist(blocking = false)
+    res
+  }
+
+  /** Lazy plan + cached corpus — the annPqServeLazy split, so PlanSpec can
+    * pin the serving shape before localCheckpoint hides it. */
+  private[graft] def hybridSearchIndexedLazy(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val sparse = bm25Serve(s, dir)
+      .select(col("query"), col("doc_id"), col("rank").as("bm25_rank"))
+    val (dtop, corpus) = Similarity.ivfPqServeTopKLazy(
+      s, dir, HybridQueryVec.map(_._2), Bm25TopK.toInt)
+    val qv = HybridQueryVec.toDF("query", "qid")
+    val dense = dtop.join(broadcast(qv), "qid")
+      .select(col("query"), col("nid").as("doc_id"),
+        col("rank").as("dense_rank"))
+    (rrfFuse(sparse, dense), corpus)
+  }
+
+  /** def, not val: the oracle embeds the centroids/codebooks read back
+    * from the stored index while the query ran. */
+  private def hybridSearchIndexedSql: String = {
+    val qids = HybridQueryVec.map(_._2)
+    val qvRows = HybridQueryVec
+      .map { case (q, v) => s"('$q', $v)" }.mkString(", ")
+    val ivfSql = Similarity.ivfPqServeSqlFor(
+      s"vec_id IN (${qids.mkString(", ")})", Bm25TopK)
+    s"""WITH bm AS ($bm25SearchSql),
+       |ivf AS ($ivfSql),
+       |qv AS (SELECT * FROM (VALUES $qvRows) AS v(query, qid)),
+       |dtop AS (
+       |  SELECT qv.query, ivf.nid AS doc_id, ivf.rank
+       |  FROM ivf JOIN qv ON qv.qid = ivf.qid),
+       |fused AS (
+       |  SELECT coalesce(bm.query, dtop.query) AS query,
+       |    coalesce(bm.doc_id, dtop.doc_id) AS doc_id,
+       |    CAST(coalesce(bm.rank, 0) AS BIGINT) AS bm25_rank,
+       |    CAST(coalesce(dtop.rank, 0) AS BIGINT) AS dense_rank,
+       |    CAST(coalesce(floor(1e9 / ($RrfK + bm.rank)), 0) +
+       |         coalesce(floor(1e9 / ($RrfK + dtop.rank)), 0) AS BIGINT) AS rrf
+       |  FROM bm FULL OUTER JOIN dtop
+       |    ON bm.query = dtop.query AND bm.doc_id = dtop.doc_id),
+       |fr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query
+       |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+       |SELECT query, rank, doc_id, rrf, bm25_rank, dense_rank
+       |FROM fr WHERE rank <= $Bm25TopK
+       |ORDER BY query, rank""".stripMargin
   }
 
   private val hybridSearchSql = {
@@ -2260,6 +2342,7 @@ object TextOps {
     "q_bm25_search" -> (bm25Search(_, _)),
     "q_bm25_serve" -> (bm25Serve(_, _)),
     "q_hybrid_search" -> (hybridSearch(_, _)),
+    "q_hybrid_search_indexed" -> (hybridSearchIndexed(_, _)),
     "q_dup_spans" -> (dupSpans(_, _)),
     "q_span_removal" -> (spanRemoval(_, _)),
     "q_curation_pipeline" -> (curationPipeline(_, _)),
@@ -2280,7 +2363,10 @@ object TextOps {
     "q_simhash_neardup" -> (simhashNearDup(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)))
 
-  val oracles: Map[String, String] = Map(
+  /** def, not val: q_hybrid_search_indexed's oracle embeds the stored-index
+    * centroids/codebooks captured while the queries ran (Verify dumps
+    * oracle SQL after running them — the Similarity.oracles discipline). */
+  def oracles: Map[String, String] = Map(
     "q_repetition" -> repetitionSql,
     "q_pii_redact" -> piiRedactSql,
     "q_contamination" -> contaminationSql,
@@ -2295,6 +2381,7 @@ object TextOps {
     "q_bm25_search" -> bm25SearchSql,
     "q_bm25_serve" -> bm25SearchSql,
     "q_hybrid_search" -> hybridSearchSql,
+    "q_hybrid_search_indexed" -> hybridSearchIndexedSql,
     "q_dup_spans" -> dupSpansSql,
     "q_span_removal" -> spanRemovalSql,
     "q_curation_pipeline" -> curationPipelineSql,

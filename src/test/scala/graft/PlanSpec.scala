@@ -759,6 +759,43 @@ class PlanSpec extends SparkSpec {
       s"the literal query-term filter must reach the postings scan:\n$plan")
   }
 
+  test("indexed hybrid search serves BOTH legs from stored indexes") {
+    // the serving-path capstone: the ONE fused plan must read the stored
+    // BM25 postings AND the stored IVF-PQ codes; no corpus re-tokenization
+    // (the only Generates allowed are the bounded subvector expansion of
+    // the 3 query vectors for the ADC distance tables), no corpus
+    // re-encoding (arank), and the dense leg must join the codes on the
+    // cell partition column — the brute-force per-query corpus cosine
+    // scan of q_hybrid_search must be GONE
+    val (out, corpus) = graft.operators.TextOps
+      .hybridSearchIndexedLazy(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    corpus.unpersist(blocking = false)
+    assert(plan.contains("bm25idx"),
+      s"the sparse leg must read the stored postings:\n$plan")
+    assert(plan.contains("ivfpqidx"),
+      s"the dense leg must read the stored IVF-PQ index:\n$plan")
+    assert(!plan.contains("arank"),
+      s"the dense leg must not re-encode the corpus:\n$plan")
+    assert(plan.contains("In(term"),
+      s"the literal query-term filter must reach the postings scan:\n$plan")
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(plan).isDefined ||
+      "dynamicpruning".r.findFirstIn(plan).isDefined,
+      s"codes must join/prune on the cell partition column:\n$plan")
+    // no corpus-wide dense scoring: q_hybrid_search's brute-force leg is a
+    // per-query row_number window over cosine of the FULL corpus; here
+    // cosine may only appear in the bounded shortlist re-rank (candidates
+    // ≤ PqCand per query), which sits above the cell-pruned codes read —
+    // pinned by the rerank window ordering on cosine appearing AFTER the
+    // cell join in the plan tree rendering (children print below parents)
+    val cosineWinAt = "cosine#\\d+L? DESC".r.findFirstMatchIn(plan)
+      .map(_.start).getOrElse(-1)
+    val cellJoinAt = plan.indexOf("cell")
+    assert(cosineWinAt >= 0 && cellJoinAt > cosineWinAt,
+      s"the cosine re-rank must sit ABOVE the cell-pruned read " +
+        s"(bounded shortlist), not over the raw corpus:\n$plan")
+  }
+
   test("stream-static cached: micro-batch broadcasts the materialized dim") {
     // the q_stream_static_join_cached shape (SCALING.md mitigation): the
     // static aggregate is cached+materialized before the stream starts, so
