@@ -1676,15 +1676,25 @@ object TextOps {
     * single-node by construction — this fixed-W window-hash reduction is
     * what production corpus pipelines distribute.
     */
-  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    spansOf(docs(s, dir)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= SpanW)
+      .repartition(col("doc_id")))
+      .orderBy("doc_id", "span_start")
+
+  /** The span-detection KERNEL over any (doc_id, t) token frame — shared
+    * by [[dupSpans]] (round 1 over the raw corpus) and [[spanConverge]]
+    * (round 2 over the CLEANED corpus): window-hash, count-over-hash
+    * duplicate marking (the one hash shuffle per round), island merge.
+    * Callers exchange the raw rows below this kernel (the M4 idiom). */
+  private def spansOf(tokens: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val overHash = Window.partitionBy(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val run = byDoc.rowsBetween(Window.unboundedPreceding, 0)
-    docs(s, dir)
-      .withColumn("t", toks(col("text")))
+    tokens
       .filter(size(col("t")) >= SpanW)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(t) - $SpanW), " +
           s"i -> md5(array_join(slice(t, i + 1, $SpanW), ' ')))"))
@@ -1702,7 +1712,6 @@ object TextOps {
       .withColumn("span_len", col("span_end") - col("span_start") + 1)
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("span_len"), col("n_windows"))
-      .orderBy("doc_id", "span_start")
   }
 
   private val dupSpansSql =
@@ -1797,8 +1806,15 @@ object TextOps {
     base
       .join(removals, Seq("doc_id"), "left")
       .withColumn("rps", coalesce(col("rps"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      // kept positions via array_except (hash-set build over rps, one probe
+      // per position): O(n_tokens + n_removed) per document — a filter()
+      // with per-position array_contains(rps, i) is O(n_tokens · n_removed),
+      // quadratic exactly on the heavily-duplicated long documents this
+      // operator exists to clean
       .withColumn("kt", expr(
-        "filter(t, (x, i) -> NOT array_contains(rps, CAST(i AS BIGINT)))"))
+        "transform(array_except(sequence(CAST(0 AS BIGINT), " +
+          "CAST(size(t) - 1 AS BIGINT)), rps), " +
+          "p -> element_at(t, CAST(p + 1 AS INT)))"))
   }
 
   private val spanRemovalSql =
@@ -1830,6 +1846,115 @@ object TextOps {
        |    list_filter(t, (x, i) -> NOT list_contains(rps, i - 1)), ' '), ''))
        |    AS kept_hash
        |FROM k ORDER BY doc_id""".stripMargin
+
+  /** Two rounds of the Lee et al. detect→remove loop — the LOOP-UNTIL-DRY
+    * evidence [[dupSpans]]/[[spanRemoval]] individually can't give: round
+    * 1 tallies the raw corpus's duplicated spans, the corpus is cleaned
+    * (canonical-survivor removal), and round 2 re-runs the SAME detection
+    * kernel on the CLEANED tokens. Removal at window grain is not
+    * idempotent by construction — deleting a gap splices new token
+    * adjacencies, and those new W-windows can collide — so round 2's
+    * count is the measured residual, which a production loop iterates to
+    * zero. The gate emits both rounds' exact tallies; the oracle replays
+    * the full two-round chain.
+    *
+    * Plan shape at 100 TB: exactly one count-over-hash shuffle per round
+    * (the [[spansOf]] kernel both rounds share), plus round 2's cleaning
+    * rejoin — per-round cost is [[spanRemoval]]'s, and rounds beyond the
+    * second shrink with the residual. */
+  def spanConverge(s: SparkSession, dir: String): DataFrame = {
+    val round1 = spansOf(docs(s, dir)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= SpanW)
+      .repartition(col("doc_id")))
+    val round2 = spansOf(cleanedDocs(s, dir)
+      .select(col("doc_id"), col("kt").as("t")))
+    def tally(spans: DataFrame, round: Long): DataFrame =
+      spans.agg(
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(col("n_windows")), lit(0L)).as("n_windows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        coalesce(sum(col("span_len")), lit(0L)).as("span_tokens"))
+        .select(lit(round).as("round"), col("n_spans"),
+          col("n_windows"), col("n_docs"), col("span_tokens"))
+    tally(round1, 1L).union(tally(round2, 2L)).orderBy("round")
+  }
+
+  private val spanConvergeSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(range(len(t) - $SpanW + 1)) AS pos, t
+       |  FROM toks WHERE len(t) >= $SpanW),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(t[pos + 1:pos + $SpanW], ' ')) AS h
+       |  FROM w),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h) AS n_occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM h),
+       |g1 AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM occ WHERE n_occ > 1),
+       |i1 AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM g1),
+       |s1 AS (
+       |  SELECT doc_id, count(*) AS n_windows,
+       |    max(pos) - min(pos) + $SpanW AS span_len
+       |  FROM i1 GROUP BY doc_id, island),
+       |t1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS round, count(*) AS n_spans,
+       |    CAST(coalesce(sum(n_windows), 0) AS BIGINT) AS n_windows,
+       |    count(DISTINCT doc_id) AS n_docs,
+       |    CAST(coalesce(sum(span_len), 0) AS BIGINT) AS span_tokens
+       |  FROM s1),
+       |rem AS (
+       |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $SpanW)) AS rp
+       |  FROM occ WHERE n_occ > 1 AND rn > 1),
+       |ragg AS (SELECT doc_id, list(rp ORDER BY rp) AS rps FROM rem GROUP BY 1),
+       |k AS (
+       |  SELECT toks.doc_id,
+       |    list_filter(t, (x, i) -> NOT list_contains(coalesce(rps, []), i - 1)) AS t
+       |  FROM toks LEFT JOIN ragg ON toks.doc_id = ragg.doc_id),
+       |w2 AS (
+       |  SELECT doc_id, unnest(range(len(t) - $SpanW + 1)) AS pos, t
+       |  FROM k WHERE len(t) >= $SpanW),
+       |h2 AS (
+       |  SELECT doc_id, pos,
+       |    md5(array_to_string(t[pos + 1:pos + $SpanW], ' ')) AS h
+       |  FROM w2),
+       |d2 AS (
+       |  SELECT doc_id, pos FROM
+       |    (SELECT *, count(*) OVER (PARTITION BY h) AS n_occ FROM h2)
+       |  WHERE n_occ > 1),
+       |g2 AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM d2),
+       |i2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM g2),
+       |s2 AS (
+       |  SELECT doc_id, count(*) AS n_windows,
+       |    max(pos) - min(pos) + $SpanW AS span_len
+       |  FROM i2 GROUP BY doc_id, island),
+       |t2 AS (
+       |  SELECT CAST(2 AS BIGINT) AS round, count(*) AS n_spans,
+       |    CAST(coalesce(sum(n_windows), 0) AS BIGINT) AS n_windows,
+       |    count(DISTINCT doc_id) AS n_docs,
+       |    CAST(coalesce(sum(span_len), 0) AS BIGINT) AS span_tokens
+       |  FROM s2)
+       |SELECT * FROM t1 UNION ALL SELECT * FROM t2 ORDER BY round""".stripMargin
 
   // ------------------------------------------- curation pipeline (E2E)
 
@@ -2161,9 +2286,13 @@ object TextOps {
     * compared, not just counts. The output exchange sits below the kernel
     * (M4 idiom).
     */
-  def subwordTokenize(s: SparkSession, dir: String): DataFrame = {
+  def subwordTokenize(s: SparkSession, dir: String): DataFrame =
+    subwordTokenizeWith(s, dir, WpVocab)
+
+  private def subwordTokenizeWith(s: SparkSession, dir: String,
+                                  vocab: Seq[String]): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val vlit = WpVocab.map(v => s"'$v'").mkString(", ")
+    val vlit = vocab.map(v => s"'$v'").mkString(", ")
     docs(s, dir)
       .repartitionByRange(col("doc_id"))
       .withColumn("t", toks(col("text")))
@@ -2176,8 +2305,13 @@ object TextOps {
       .sortWithinPartitions("doc_id")
   }
 
-  private val subwordTokenizeSql = {
-    val vlist = WpVocab.map(v => s"('$v')").mkString(", ")
+  private val subwordTokenizeSql = subwordTokenizeSqlFor(WpVocab)
+
+  private def subwordTokenizeSqlFor(vocab0: Seq[String]): String = {
+    // a not-yet-trained vocab (gate not run this JVM) still needs
+    // parseable SQL; the gate is red in that case regardless
+    val vocab = if (vocab0.isEmpty) Seq("zz") else vocab0
+    val vlist = vocab.map(v => s"('$v')").mkString(", ")
     s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vlist)),
        |toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
        |words AS (
@@ -2263,6 +2397,141 @@ object TextOps {
        |SELECT rank, pair, n_occurrences FROM r WHERE rank <= $BpeTopPairs
        |ORDER BY rank""".stripMargin
 
+  // --------------------------------------------- BPE training (full loop)
+
+  private val BpeMerges = 8
+
+  /** Merge sequence trained by the latest [[bpeTrainMerges]] run, captured
+    * for the oracles (the lastPq/lastIvfPq discipline) and memoized so
+    * [[subwordTokenizeTrained]] applies a vocab without retraining. */
+  @volatile private var lastBpeTrained: Option[Seq[(String, String, Long)]] = None
+
+  /** The full BPE training loop (Sennrich et al. 2016), the driver-side
+    * iteration [[bpePairs]]' scaladoc names: each round ONE corpus-free
+    * aggregation (the words frame is vocabulary-bounded after the single
+    * corpus shuffle) finds the most frequent adjacent symbol pair, the
+    * driver collects exactly that one row (the Lloyd's discipline —
+    * bounded model state, never data), and the merge is applied and the
+    * next round recounts.
+    *
+    * Symbol sequences are SENTINEL STRINGS, not arrays: a word's symbols
+    * are rendered `||s1||s2||…||` and a merge (l, r) is
+    * `replace(syms, '|l||r|', '|lr|')` — left-to-right non-overlapping
+    * string replacement IS the BPE greedy merge semantics ("aaa" under
+    * (a,a) → [aa, a]), both engines implement replace() identically, and
+    * the corpus charset ([a-z0-9_]) cannot collide with the sentinel.
+    * This keeps merge application a codegen'd scalar op instead of an
+    * array fold SQL cannot spell.
+    *
+    * Plan shape at 100 TB: the corpus is shuffled ONCE (word-frequency
+    * agg); every round after operates on the |vocab|-bounded frame
+    * (localCheckpointed so round k's plan does not re-derive rounds
+    * 1..k-1), pair counts combine map-side on a domain bounded by
+    * |symbols|², and the driver holds one (pair, count) row per round.
+    */
+  private[graft] def bpeTrainMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] = {
+    var words = docs(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+      .withColumn("syms", concat(lit("||"),
+        array_join(filter(split(col("word"), ""), x => x =!= ""), "||"),
+        lit("||")))
+      .select("wfreq", "syms")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to BpeMerges) {
+      val top = words
+        .select(col("wfreq"),
+          filter(split(col("syms"), "\\|\\|"), x => x =!= "").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("wfreq"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), i -> " +
+            "struct(element_at(sy, i + 1) AS l, element_at(sy, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("wfreq")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
+        .collect()
+      val (l, r, n) = (top.head.getAs[String]("lhs"),
+        top.head.getAs[String]("rhs"), top.head.getAs[Long]("n"))
+      merges += ((l, r, n))
+      words = words.withColumn("syms",
+        replace(col("syms"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        .localCheckpoint()
+    }
+    val out = merges.result()
+    lastBpeTrained = Some(out)
+    out
+  }
+
+  /** The trained merge table as the gate's output: (round, lhs, rhs,
+    * merged, n_occurrences). The oracle REPLAYS the sequence: for each
+    * round k it applies merges 1..k-1 (captured as literals) to the
+    * corpus in DuckDB and recomputes the argmax pair — so every round's
+    * aggregation is independently verified, not just echoed. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrainMerges(s, dir).zipWithIndex
+      .map { case ((l, r, n), i) => (i + 1L, l, r, l + r, n) }
+      .toDF("round", "lhs", "rhs", "merged", "n_occurrences")
+      .orderBy("round")
+  }
+
+  /** def, not val: embeds the merge sequence captured while the queries
+    * ran. Each round's CTE rebuilds the symbol strings with the PREVIOUS
+    * rounds' merges applied as nested replace() literals, then recounts
+    * pairs and takes the argmax under the same (count DESC, lhs, rhs)
+    * tie-break — the full training trajectory is re-derived in SQL. */
+  private def bpeTrainSql: String = {
+    val merges = lastBpeTrained.getOrElse(
+      Seq.fill(BpeMerges)((" ", " ", 0L)))
+    def symsExpr(k: Int): String =
+      merges.take(k - 1).foldLeft(
+        "'||' || regexp_replace(word, '(.)', '\\1||', 'g')") {
+        case (acc, (l, r, _)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
+      }
+    val rounds = (1 to BpeMerges).map { k =>
+      s"""r$k AS (
+         |  SELECT CAST($k AS BIGINT) AS round, lhs, rhs,
+         |    lhs || rhs AS merged, n AS n_occurrences
+         |  FROM (
+         |    SELECT sy[i] AS lhs, sy[i + 1] AS rhs,
+         |      CAST(sum(wfreq) AS BIGINT) AS n
+         |    FROM (
+         |      SELECT wfreq,
+         |        list_filter(string_split(${symsExpr(k)}, '||'),
+         |                    x -> x != '') AS sy
+         |      FROM words),
+         |      unnest(range(1, len(sy))) AS u(i)
+         |    GROUP BY 1, 2
+         |    ORDER BY n DESC, lhs, rhs LIMIT 1))""".stripMargin
+    }
+    val union = (1 to BpeMerges).map(k => s"SELECT * FROM r$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  GROUP BY 1),
+       |${rounds.mkString(",\n")}
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
+  /** [[subwordTokenize]] over the CORPUS-TRAINED vocabulary — the closed
+    * train→apply loop: the merge products of [[bpeTrainMerges]] become
+    * the greedy longest-match table the codegen'd kernel applies (vocab
+    * memoized per JVM, so the gate times the apply, not the training —
+    * the serve half of the train/serve split). */
+  def subwordTokenizeTrained(s: SparkSession, dir: String): DataFrame =
+    subwordTokenizeWith(s, dir,
+      lastBpeTrained.getOrElse(bpeTrainMerges(s, dir))
+        .map { case (l, r, _) => l + r }.distinct)
+
+  /** def, not val: the recursive-CTE oracle over the TRAINED vocab. */
+  private def subwordTokenizeTrainedSql: String =
+    subwordTokenizeSqlFor(lastBpeTrained.getOrElse(Nil)
+      .map { case (l, r, _) => l + r }.distinct)
+
   // ------------------------------------- hashed linear quality scoring
 
   private val QcBuckets = 64
@@ -2345,9 +2614,12 @@ object TextOps {
     "q_hybrid_search_indexed" -> (hybridSearchIndexed(_, _)),
     "q_dup_spans" -> (dupSpans(_, _)),
     "q_span_removal" -> (spanRemoval(_, _)),
+    "q_span_converge" -> (spanConverge(_, _)),
     "q_curation_pipeline" -> (curationPipeline(_, _)),
     "q_subword_tokenize" -> (subwordTokenize(_, _)),
+    "q_subword_tokenize_trained" -> (subwordTokenizeTrained(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
+    "q_bpe_train" -> (bpeTrain(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
@@ -2384,9 +2656,12 @@ object TextOps {
     "q_hybrid_search_indexed" -> hybridSearchIndexedSql,
     "q_dup_spans" -> dupSpansSql,
     "q_span_removal" -> spanRemovalSql,
+    "q_span_converge" -> spanConvergeSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_subword_tokenize" -> subwordTokenizeSql,
+    "q_subword_tokenize_trained" -> subwordTokenizeTrainedSql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,

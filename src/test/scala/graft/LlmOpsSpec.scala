@@ -747,6 +747,37 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("spanConverge: round 2 detects the PLANTED residual splice duplicates") {
+    // removal at window grain is not idempotent: deleting a duplicated
+    // middle splices new token adjacencies. Planted: docs 3 and 4 share
+    // a 4-token prefix k1..k4 and suffix k5..k8 separated by DIFFERENT
+    // duplicated 8-grams (whose canonical homes are docs 1 and 2), so
+    // round 1 sees no k-window at all, removal splices both docs to
+    // k1..k8, and round 2 must find exactly that new duplicate pair
+    val d = (1 to 8).map(i => s"d$i").mkString(" ")
+    val e = (1 to 8).map(i => s"e$i").mkString(" ")
+    val kPre = (1 to 4).map(i => s"k$i").mkString(" ")
+    val kSuf = (5 to 8).map(i => s"k$i").mkString(" ")
+    withDocs(
+      1L -> d,                      // canonical home of d1..d8
+      2L -> e,                      // canonical home of e1..e8
+      3L -> s"$kPre $d $kSuf",      // cleans to k1..k8
+      4L -> s"$kPre $e $kSuf") { dir => // cleans to k1..k8 too
+      val out = TextOps.spanConverge(spark, dir).collect()
+        .map(r => r.getAs[Long]("round") ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("n_windows"),
+            r.getAs[Long]("n_docs"), r.getAs[Long]("span_tokens"))).toMap
+      // round 1: the d-pair (docs 1,3) and e-pair (docs 2,4) — 4 spans of
+      // one window each, 8 tokens per span
+      assert(out(1L) == ((4L, 4L, 4L, 32L)),
+        s"round 1 must see exactly the planted cross-doc 8-grams: $out")
+      // round 2: the spliced k1..k8 windows in docs 3 and 4 — invisible
+      // to round 1, found only by re-running detection on cleaned text
+      assert(out(2L) == ((2L, 2L, 2L, 16L)),
+        s"round 2 must find exactly the planted splice residual: $out")
+    }
+  }
+
   test("hybridSearch: rrf is exactly the sum of its leg contributions") {
     val dir = "/root/testdata/sf0.001"
     val out = TextOps.hybridSearch(spark, dir).collect()
@@ -808,6 +839,53 @@ class LlmOpsSpec extends SparkSpec {
     // two invalid half-surrogate tokens
     val emoji = new String(Character.toChars(0x1F600))
     assert(seg(s"a${emoji}b") == Seq("a", emoji, "b"))
+  }
+
+  test("bpeTrainMerges reproduces an independent in-memory BPE reference") {
+    // symbol-VECTOR reference (no sentinel-string trick): greedy
+    // left-to-right non-overlapping merge application, argmax by
+    // (count DESC, lhs, rhs) — the exact Sennrich et al. procedure
+    def applyMerge(v: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == l && v(i + 1) == r) { b += (l + r); i += 2 }
+        else { b += v(i); i += 1 }
+      }
+      b.result()
+    }
+    def refBpe(texts: Seq[String], n: Int): Seq[(String, String, Long)] = {
+      var cur: Seq[(Vector[String], Long)] = texts
+        .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).toSeq
+        .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- cur; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), k) => (-k, a, b) }
+        out += ((l, r, c))
+        cur = cur.map { case (v, f) => applyMerge(v, l, r) -> f }
+      }
+      out.result()
+    }
+    val texts = Seq(
+      "the stream then the stream there",
+      "streaming the streams they stream",
+      "other weather together the them",
+      "this that the other stream flows")
+    withDocs(texts.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }: _*) { dir =>
+      val got = TextOps.bpeTrainMerges(spark, dir)
+      assert(got == refBpe(texts, got.size),
+        s"trained merges diverge from the reference:\n$got")
+      // the trajectory must be genuinely multi-round on this corpus: some
+      // later merge consumes an earlier merge's product (e.g. t+h → th,
+      // th+e → the), or the corpus is too trivial to exercise the loop
+      val products = got.map { case (l, r, _) => l + r }.toSet
+      assert(got.exists { case (l, r, _) =>
+        products.contains(l) || products.contains(r) },
+        s"no merge builds on a previous round's product:\n$got")
+    }
   }
 
   test("subwordTokenize matches an independent greedy reimplementation") {
