@@ -176,6 +176,24 @@ final class GraphQLExecutor(
         else page
       RootPlan(f.outputName, df, nodes, list = true)
 
+    // Reporting root (extension §2x, no reference analog): the FULL
+    // per-account balance report for a tenant — the one query surface that
+    // legitimately spells the lake-wide aggregate. Deliberately the
+    // DECLARATIVE form (balances ∘ balanceChanges, tenant filter ABOVE the
+    // aggregate on its grouping key): a serving session with the
+    // BalanceMvRewrite rule installed (HttpEdge does when the sync pass
+    // maintained `balances/`) answers it from |accounts| pre-aggregated
+    // rows; without the rule the same plan falls back to the lake scan —
+    // callers keep correctness either way, which is the MV contract.
+    case "balances" =>
+      val a = new Args(f, Set("tenant"))
+      val t = a.str("tenant")
+      val df = graft.warehouse.Warehouse.balances(
+        graft.warehouse.Warehouse.balanceChanges(transferTable()))
+        .filter(col("tenant") === lit(t))
+        .orderBy("name")
+      RootPlan(f.outputName, df, balanceNodes(requireSel(f)), list = true)
+
     case "transfers" =>
       val a = new Args(f, Set("tenant", "currency", "status",
         "amount_lt", "amount_lte", "amount_gt", "amount_gte",
@@ -271,6 +289,23 @@ final class GraphQLExecutor(
     }
     (needBalance, nodes)
   }
+
+  /** `balances` row shape: (tenant, name, balance) — the pre-agg's own
+    * columns, NOT the account dimension (no currency/format here). */
+  private def balanceNodes(sel: List[Field]): List[Node] =
+    sel.map { c =>
+      c.name match {
+        case "__typename" => constLeaf(c, "account_balance")
+        case "tenant" => Obj(c.outputName, Some("tenant"),
+          tenantNodes(requireSel(c), "tenant"))
+        case "name" => leaf(c, "name", fmtString)
+        case "balance" => leaf(c, "balance", fmtDecimal)
+        case other =>
+          throw AnalysisError(
+            s"Field '$other' does not exist on type 'account_balance'",
+            c.line, c.column)
+      }
+    }
 
   private def tenantNodes(sel: List[Field], nameCol: String): List[Node] =
     sel.map { c =>

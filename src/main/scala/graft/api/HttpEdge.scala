@@ -76,7 +76,60 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
   def refresh(): Unit = {
     planCache.synchronized(planCache.clear())
     gqlCache.synchronized(gqlCache.clear())
+    installMvRule() // re-bind to the refreshed MV artifact + lake listing
   }
+
+  // ---- balance-MV rewrite on the serving path --------------------------
+  //
+  // M10 deployed: when the sync pass maintained `$warehouseDir/balances`
+  // (Warehouse.sync does on every transfer-appending pass), the edge
+  // installs BalanceMvRewrite on its session, so the declarative full-lake
+  // balance report (`/balances`, GraphQL `balances`) plans as a scan of
+  // |accounts| pre-aggregated rows instead of aggregating the transfer
+  // lake per request. extraOptimizations is the runtime form of the
+  // cluster deployment (`spark.sql.extensions=graft.functions
+  // .GraftExtensions` + the spark.graft.balance.{mv,lake}Path confs —
+  // GraftExtensions injects the same conf-bound rule at session build).
+  // Scoped point lookups and pages keep their balanceOf/balancesFor plans:
+  // the rule's soundness checks decline subset aggregates by design.
+  private var mvRule: Option[graft.plans.BalanceMvRewrite] = None
+
+  private def installMvRule(): Unit = synchronized {
+    mvRule.foreach { r =>
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq r)
+    }
+    mvRule = None
+    val mvPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/balances")
+    val exists = mvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(mvPath)
+    if (exists) {
+      val rule = graft.plans.BalanceMvRewrite.forSource(spark, mvPath.toString,
+        Warehouse.balances(Warehouse.balanceChanges(table("transfer"))))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+      mvRule = Some(rule)
+    }
+  }
+
+  private def uninstallMvRule(): Unit = synchronized {
+    mvRule.foreach { r =>
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq r)
+    }
+    mvRule = None
+  }
+
+  /** The full per-tenant balance report — the declarative lake aggregate
+    * the MV rule answers from the pre-agg when installed. The tenant
+    * filter sits ABOVE the aggregate (on its grouping key), so the
+    * rewritten plan is a filtered MV scan.
+    */
+  private def balancesDf(tenant: String): DataFrame =
+    Warehouse.balances(Warehouse.balanceChanges(table("transfer")))
+      .filter(col("tenant") === lit(tenant))
+      .withColumn("balance", col("balance").cast("double"))
+      .orderBy("name")
 
   /** Injective key: components are re-encoded so decoded values containing
     * '&'/'=' cannot collide with genuinely distinct parameter sets.
@@ -343,6 +396,13 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
           t, n)))
     }
     handle("/transfers") { p => json(cached(cacheKey("/transfers", p))(transfersDf(p))) }
+    // the full per-tenant balance report (extension §2x): the declarative
+    // lake aggregate, answered from the maintained MV when the rule is
+    // installed (see installMvRule) — the one route that would otherwise
+    // aggregate the whole transfer lake per request
+    handle("/balances") { p =>
+      json(cached(cacheKey("/balances", p))(balancesDf(required(p, "tenant"))))
+    }
     server.createContext("/graphql", (ex: HttpExchange) => handleGraphql(ex))
     // the reference serves a GraphiQL UI next to the endpoint
     // (GraphQLRouter.scala:66-73); self-contained equivalent, no CDN assets
@@ -358,6 +418,7 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     // concurrent Spark jobs (FIFO-scheduled). Pool ≈ the reference's DB
     // connection pool, not one-thread-per-request.
     server.setExecutor(pool)
+    installMvRule()
     server.start()
     this
   }
@@ -403,6 +464,7 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
   }
 
   def stop(): Unit = {
+    uninstallMvRule()
     server.stop(0)
     pool.shutdown()
   }

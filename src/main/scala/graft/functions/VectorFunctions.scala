@@ -214,5 +214,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("wordpiece_toks"),
       new ExpressionInfo(classOf[WordPieceTokens].getName, "wordpiece_toks"),
       VectorFunctions.wordpieceBuilder))
+    // the engine's one custom optimizer rule, conf-bound: sessions built
+    // with spark.graft.balance.mvPath + spark.graft.balance.lakePath answer
+    // the declarative full-lake balance aggregate from the maintained
+    // pre-agg (see graft.plans.BalanceMvRewrite.fromConf — a no-op rule
+    // when the confs are absent, so the extension is safe to install
+    // everywhere)
+    ext.injectOptimizerRule(graft.plans.BalanceMvRewrite.fromConf)
   }
 }

@@ -117,11 +117,10 @@ object WarehouseQueries {
     */
   /** ONE spelling of the raw (tenant, name) → SUM(amount) pre-agg all the
     * MV artifacts share — base, delta, and the rewrite-rule's stored table
-    * must carry the same type or they silently drift apart. */
+    * must carry the same type or they silently drift apart (now hosted at
+    * [[Warehouse.balancePreAgg]], where the sync path maintains it). */
   private def rawBalancePreAgg(transfers: DataFrame, as: String): DataFrame =
-    Warehouse.balanceChanges(transfers)
-      .groupBy(col("tenant"), col("name"))
-      .agg(sum(col("amount")).as(as))
+    Warehouse.balancePreAgg(transfers).withColumnRenamed("balance", as)
 
   def balanceMvIncrement(s: SparkSession, dir: String): DataFrame = {
     val cut = lit(MvIncrCut).cast("timestamp")

@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, NamedExpression, Stack}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, ExprId, Expression, NamedExpression, Stack}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Materialized-view rewrite for the warehouse balance aggregate — the one
@@ -30,13 +30,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     single aggregate is a plain SUM over `amount` — no DISTINCT, no
   *     FILTER clause (those live on the AggregateExpression wrapper and
   *     change semantics);
-  *   - only pure attribute pass-through Project nodes between the
-  *     Aggregate and the `stack` unpivot Generate — an intervening Filter
-  *     (balanceOf's per-account slice) or Join (balancesFor's page
-  *     restriction) means the query aggregates a SUBSET, and a COMPUTING
-  *     or renaming Project (`-amount AS amount`, swapped tenant/name
-  *     aliases) means it aggregates a different expression; both block
-  *     the rewrite;
+  *   - only pure attribute pass-through Projects and GROUP-KEY-ONLY
+  *     Filters between the Aggregate and the `stack` unpivot Generate. A
+  *     filter on the grouping keys commutes with the aggregate, so the MV
+  *     answers it by re-applying the same condition on its key columns
+  *     (the tenant-scoped balance report lands here: Catalyst pushes the
+  *     key filter below the Aggregate onto the Generate's output). Any
+  *     OTHER intervening node blocks the rewrite: a non-key Filter (a
+  *     date slice) or Join (balancesFor's page restriction) means the
+  *     query aggregates a SUBSET of the lake's ROWS, and a COMPUTING or
+  *     renaming Project (`-amount AS amount`, swapped tenant/name
+  *     aliases) means it aggregates a different expression. (balanceOf
+  *     additionally filters the transfer SCAN, which the sameResult
+  *     fingerprint below rejects regardless of its key filter.)
   *   - the plan BELOW the Generate is `sameResult` with the registered
   *     source subtree captured when the rule was built — a date-sliced or
   *     re-sourced lake is a different aggregate, caught by Catalyst's own
@@ -106,22 +112,37 @@ case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
       case _ => false
     }
 
-  /** The unpivot Generate reached through pass-through PROJECTS ONLY — an
-    * intervening Filter/Join means the aggregate runs on a subset of the
-    * lake; a computing/renaming Project means it aggregates a different
-    * expression (both unanswerable from the full-lake MV). */
-  private def generateBelowProjects(plan: LogicalPlan): Option[Generate] =
+  /** The unpivot Generate reached through pass-through Projects and
+    * GROUP-KEY-ONLY Filters, whose conditions are collected — a filter
+    * whose condition touches only the aggregate's grouping attributes
+    * commutes with the aggregate (aggregate-then-filter-on-keys ≡
+    * filter-on-keys-then-aggregate, keys partition the input), so the MV
+    * answers it by re-applying the SAME condition on its key columns.
+    * This is the shape Catalyst itself produces for a tenant-scoped
+    * balance report: the optimizer pushes the key filter below the
+    * Aggregate, where it parks on the Generate's output (it references
+    * generated columns, so it can't sink further). Any OTHER intervening
+    * node — a non-key Filter (a date slice), a Join (a page semi join), a
+    * computing Project — still blocks the rewrite. */
+  private def generateBelow(plan: LogicalPlan, groupIds: Set[ExprId],
+      conds: Seq[Expression]): Option[(Generate, Seq[Expression])] =
     plan match {
-      case g: Generate => Some(g)
-      case p: Project if passThroughProject(p) => generateBelowProjects(p.child)
+      case g: Generate => Some((g, conds))
+      case p: Project if passThroughProject(p) =>
+        generateBelow(p.child, groupIds, conds)
+      case f: Filter if f.condition.deterministic &&
+          f.condition.references.forall(a => groupIds.contains(a.exprId)) =>
+        generateBelow(f.child, groupIds, conds :+ f.condition)
       case _ => None
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
+      val groupIds = agg.groupingExpressions
+        .collect { case a: Attribute => a.exprId }.toSet
       val rewrite = for {
         ae <- balanceSum(agg)
-        g <- generateBelowProjects(agg.child)
+        (g, keyConds) <- generateBelow(agg.child, groupIds, Nil)
         if g.generator.isInstanceOf[Stack] &&
           g.generator.references.exists(_.name == "credit_name") &&
           g.child.sameResult(expectedBelowGenerate)
@@ -132,6 +153,15 @@ case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
         val Seq(mvTenant, mvName, mvBal) = mv.output
         val keyMap = agg.groupingExpressions.collect { case a: Attribute => a }
           .map(_.exprId).zip(Seq(mvTenant, mvName)).toMap
+        // collected key filters re-apply on the MV's key columns (the
+        // commuted form); physical planning pushes them into the MV scan
+        val source: LogicalPlan =
+          if (keyConds.isEmpty) mv
+          else Filter(
+            keyConds.reduceLeft(And).transform {
+              case a: AttributeReference if keyMap.contains(a.exprId) =>
+                keyMap(a.exprId)
+            }, mv)
         val projList = agg.aggregateExpressions.map { ne =>
           val sub = ne.transform {
             case inner: AggregateExpression => mvBal
@@ -147,7 +177,7 @@ case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
             case other => Alias(other, ne.name)(exprId = ne.exprId)
           }
         }
-        Project(projList, mv): LogicalPlan
+        Project(projList, source): LogicalPlan
       }
       rewrite.getOrElse(agg)
   }
@@ -167,6 +197,53 @@ object BalanceMvRewrite {
       "canonical balance plan carries no stack unpivot"))
     BalanceMvRewrite(s, mvPath, below)
   }
+
+  /** Conf keys for the [[fromConf]] deployment form. */
+  val MvPathConf = "spark.graft.balance.mvPath"
+  val LakePathConf = "spark.graft.balance.lakePath"
+
+  /** The `injectOptimizerRule` deployment form (installed by
+    * GraftExtensions): a rule bound to the session's
+    * `spark.graft.balance.mvPath` (the maintained pre-agg) and
+    * `spark.graft.balance.lakePath` (the transfer lake the MV answers
+    * for, from which the canonical fingerprint derives). With either conf
+    * absent the rule is a PASS-THROUGH — the extension is safe to install
+    * on every session. The inner rule binds LAZILY on first use (session
+    * confs are not yet readable when extensions run) and is rebuilt if
+    * the confs change.
+    */
+  def fromConf(session: SparkSession): Rule[LogicalPlan] =
+    new Rule[LogicalPlan] {
+      @transient private var bound: Option[(String, String, BalanceMvRewrite)] = None
+      // binding runs the optimizer on the canonical plan, which re-enters
+      // this rule — a pass-through during the build breaks the recursion
+      // (the canonical's own full-lake aggregate must stay unrewritten
+      // anyway: it IS the fingerprint source)
+      @transient private var binding = false
+      override def apply(plan: LogicalPlan): LogicalPlan = {
+        if (binding) return plan
+        val mv = session.conf.getOption(MvPathConf)
+        val lake = session.conf.getOption(LakePathConf)
+        (mv, lake) match {
+          case (Some(m), Some(l)) =>
+            val rule = bound match {
+              case Some((bm, bl, r)) if bm == m && bl == l => r
+              case _ =>
+                binding = true
+                val r =
+                  try forSource(session, m,
+                    graft.warehouse.Warehouse.balances(
+                      graft.warehouse.Warehouse.balanceChanges(
+                        session.read.parquet(l))))
+                  finally binding = false
+                bound = Some((m, l, r))
+                r
+            }
+            rule(plan)
+          case _ => plan
+        }
+      }
+    }
 
   /** Run `body` with the rewrite active, restoring the previous
     * experimental rule set after. Anything the caller wants optimized

@@ -86,6 +86,19 @@ object Warehouse {
       .groupBy(col("tenant"), col("name"))
       .agg(sum(col("amount")).cast(DecimalType(38, 18)).as("balance"))
 
+  /** The (tenant, name) → SUM(amount) pre-aggregate at the Sum's OWN
+    * type — the stored artifact [[graft.plans.BalanceMvRewrite]]
+    * substitutes for the lake-wide aggregate (the rule's type check
+    * requires the stored column to carry exactly the Sum's result type;
+    * wrapper casts in queries re-apply above the substitution). ONE
+    * spelling shared by the sync-path maintenance, the MV gates, and the
+    * incremental-merge gate.
+    */
+  def balancePreAgg(transfers: DataFrame): DataFrame =
+    balanceChanges(transfers)
+      .groupBy(col("tenant"), col("name"))
+      .agg(sum(col("amount")).as("balance"))
+
   /** Point-lookup balance for ONE account. The generic path (`balances ∘
     * balanceChanges` then filter) leaves the (tenant, name) predicate
     * ABOVE the `stack` unpivot — Catalyst cannot infer the credit/debit
@@ -167,6 +180,11 @@ object Warehouse {
         fs.rename(tablePath("account_old"), tablePath("account"))
       fs.delete(tablePath("account_old"), true)
       fs.delete(tablePath("account_new"), true)
+      // same recovery for the balance-MV swap below
+      if (!fs.exists(tablePath("balances")) && fs.exists(tablePath("balances_old")))
+        fs.rename(tablePath("balances_old"), tablePath("balances"))
+      fs.delete(tablePath("balances_old"), true)
+      fs.delete(tablePath("balances_new"), true)
     }
 
     def readOr(name: String, empty: => DataFrame): DataFrame = {
@@ -265,6 +283,26 @@ object Warehouse {
       fs.rename(tablePath("account"), tablePath("account_old"))
       fs.rename(tablePath("account_new"), tablePath("account"))
       fs.delete(tablePath("account_old"), true)
+    }
+    // M10 at ingest, executed: the sync pass maintains the balance
+    // pre-agg the BalanceMvRewrite optimizer rule serves from
+    // (`$warehouseDir/balances`), so API sessions installing the rule
+    // answer full-lake balance reports from |accounts| rows. On plain
+    // parquet the refresh derives the MV from the CURRENT transfer table
+    // (always crash-consistent — the swap recovery above mirrors the
+    // account table's); at 100 TB under a transactional table format the
+    // refresh becomes the q_balance_mv_incr delta MERGE, whose cost is
+    // this pass's appended transfers, not the lake.
+    locally {
+      val fs = tablePath("balances").getFileSystem(hconf)
+      if (nTransfers > 0 || !fs.exists(tablePath("balances"))) {
+        balancePreAgg(readOr("transfer", discovered.limit(0)))
+          .write.mode("overwrite").parquet(s"$warehouseDir/balances_new")
+        if (fs.exists(tablePath("balances")))
+          fs.rename(tablePath("balances"), tablePath("balances_old"))
+        fs.rename(tablePath("balances_new"), tablePath("balances"))
+        fs.delete(tablePath("balances_old"), true)
+      }
     }
     events.unpersist()
     // A2 transport: the observed counters leave the process in the

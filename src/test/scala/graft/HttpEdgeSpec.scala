@@ -104,6 +104,83 @@ class HttpEdgeSpec extends SparkSpec {
       assert(c3 == 400 && e3.contains("bad value_date_gt"))
     }
   }
+  test("balance MV serves the /balances report; scoped lookups stay unrewritten") {
+    val wh = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, fixture(), wh)
+    // the sync pass maintains the pre-agg the serving rule reads
+    assert(new java.io.File(s"$wh/balances").exists,
+      "sync must maintain the balance pre-agg artifact")
+    val edge = new HttpEdge(spark, wh, port = 0).start()
+    try {
+      val port = edge.boundPort
+      // REST report: the full per-tenant balance dump, MV-answered
+      val (rc, rep) = get(port, "/balances?tenant=TENANT")
+      assert(rc == 200 && rep.contains("\"name\":\"CREDIT\"") &&
+        rep.contains("\"balance\":1.0") && rep.contains("\"balance\":-1.0"),
+        s"/balances: $rep")
+      // GraphQL root field over the same declarative aggregate
+      val q = java.net.URLEncoder.encode(
+        """{ balances(tenant: "TENANT") { name balance __typename } }""", "UTF-8")
+      val (gc, g) = get(port, s"/graphql?query=$q")
+      assert(gc == 200 && g.contains("\"name\":\"CREDIT\"") &&
+        g.contains("\"balance\":1") && g.contains("\"balance\":-1") &&
+        g.contains("\"__typename\":\"account_balance\""), s"/graphql: $g")
+      // the rule is installed on the serving session while the edge runs:
+      // a GraphQL balance request's compiled plan must SCAN the MV — no
+      // lake-wide aggregate anywhere in it
+      val exec = new graft.api.GraphQLExecutor(
+        () => spark.read.parquet(s"$wh/tenant"),
+        () => spark.read.parquet(s"$wh/account"),
+        () => spark.read.parquet(s"$wh/transfer"))
+      val plan = exec.plans("""{ balances(tenant: "TENANT") { name balance } }""")
+        .head.df.queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate") && plan.contains("balances"),
+        s"the GraphQL balance report must scan the maintained MV:\n$plan")
+      // scoped shapes keep their plans (the rule's soundness declines):
+      // the point lookup still aggregates its scan-filtered slice
+      val pointPlan = Warehouse
+        .balanceOf(spark.read.parquet(s"$wh/transfer"), "TENANT", "CREDIT")
+        .queryExecution.executedPlan.toString
+      assert(pointPlan.contains("HashAggregate"),
+        s"the point lookup must keep its scan-filter aggregate:\n$pointPlan")
+    } finally edge.stop()
+    // stop() uninstalls: the same declarative report now aggregates the lake
+    val after = Warehouse.balances(Warehouse.balanceChanges(
+      spark.read.parquet(s"$wh/transfer")))
+      .queryExecution.executedPlan.toString
+    assert(after.contains("HashAggregate"),
+      s"after stop() the rule must be gone:\n$after")
+  }
+
+  test("conf-bound extension rule answers the lake aggregate from the MV") {
+    // the GraftExtensions/injectOptimizerRule deployment form: fromConf is
+    // a pass-through until both confs are set, then rewrites like the
+    // scoped rule. Exercised through extraOptimizations on the shared
+    // session (extensions themselves bind at session build).
+    val wh = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, fixture(), wh)
+    val rule = graft.plans.BalanceMvRewrite.fromConf(spark)
+    val report = Warehouse.balances(Warehouse.balanceChanges(
+      spark.read.parquet(s"$wh/transfer")))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ rule
+    try {
+      // confs absent -> pass-through
+      assert(report.queryExecution.executedPlan.toString.contains("HashAggregate"))
+      spark.conf.set(graft.plans.BalanceMvRewrite.MvPathConf, s"$wh/balances")
+      spark.conf.set(graft.plans.BalanceMvRewrite.LakePathConf, s"$wh/transfer")
+      val p = Warehouse.balances(Warehouse.balanceChanges(
+        spark.read.parquet(s"$wh/transfer")))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("HashAggregate") && p.contains("balances"),
+        s"with both confs set the rule must rewrite:\n$p")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      spark.conf.unset(graft.plans.BalanceMvRewrite.MvPathConf)
+      spark.conf.unset(graft.plans.BalanceMvRewrite.LakePathConf)
+    }
+  }
+
   test("concurrent requests over the pooled edge; plan cache reuses shapes") {
     val wh = Files.createTempDirectory("wh").toString
     Warehouse.sync(spark, fixture(), wh)

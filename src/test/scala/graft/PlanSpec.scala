@@ -935,6 +935,20 @@ class PlanSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(swapped.contains("HashAggregate") && !swapped.contains("balmv"),
         s"a key-swapping rename must NOT be answered by the MV:\n$swapped")
+      // POSITIVE: a GROUP-KEY filter commutes with the aggregate — the
+      // tenant-scoped balance report (the /balances serving shape, whose
+      // key filter Catalyst pushes below the Aggregate onto the Generate
+      // output) must still rewrite, with the filter re-applied on (and
+      // pushed into) the MV scan
+      val keyed = Warehouse.balances(Warehouse.balanceChanges(shape))
+        .filter(col("tenant") === "T")
+      val keyedPlan = keyed.queryExecution.executedPlan.toString
+      assert(keyedPlan.contains("balmv") && !keyedPlan.contains("HashAggregate"),
+        s"a key-filtered report must be answered by the MV:\n$keyedPlan")
+      assert(keyedPlan.contains("EqualTo(tenant,T)"),
+        s"the key filter must reach the MV scan:\n$keyedPlan")
+      // value parity of the keyed rewrite vs the unrewritten aggregate is
+      // covered end-to-end by HttpEdgeSpec's /balances fixture assertions
     }
   }
 
