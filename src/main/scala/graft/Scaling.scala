@@ -37,7 +37,38 @@ object Scaling {
     if (on("planted")) probePlantedRecall(spark, dir)
     if (on("truth")) probeGroundTruth(spark, dir)
     if (mode == "decontam") probeDecontam(spark, dir)
+    if (mode == "sized") probeSizedDecade(spark, dir)
     spark.stop()
+  }
+
+  /** The SIZED-family decade point (r13 verdict #2): run the near-dup at
+    * the bandBits the occupancy rule picks for THIS dataset's own n —
+    * `bandBits = round(log2(n / 32))` (target per-bucket occupancy ~32,
+    * the level the 16×6 family has at the 2k-vector sf0.1 table) — so the
+    * sf0.1→sf1 comparison measures the PRODUCTION sizing contract
+    * (occupancy held flat as n grows), not a fixed bucket space. 3 cold
+    * reps, median printed as one JSON line.
+    */
+  private def probeSizedDecade(spark: SparkSession, dir: String): Unit = {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val bits = math.max(1,
+      math.round(math.log(n / 32.0) / math.log(2.0)).toInt)
+    def run() = operators.Similarity
+      .embedNearDupSized(spark, dir, 16, bits, 0.45)
+      .queryExecution.toRdd.count()
+    run(): Unit // warmup
+    val times = (1 to 3).map { _ =>
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(150); System.gc()
+      val t0 = System.nanoTime()
+      val rows = run()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val med = times.map(_._1).sorted.apply(1)
+    println(s"""{"probe":"embed_neardup_sized","n":$n,"bands":16,""" +
+      s""""bandBits":$bits,"sec":${s3(med)},"rows":${times.head._2},""" +
+      s""""reps":[${times.map(t => s3(t._1)).mkString(",")}]}""")
   }
 
   /** Decontamination at benchmark eval scale (r12 verdict #5): eval set

@@ -611,21 +611,33 @@ object TextOps {
       .localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).cache()
-    var changed = 1L
+    // Convergence witness: labels only ever DECREASE under min-propagation,
+    // so the label SUM strictly decreases on any change and is stationary
+    // exactly at the fixpoint — one tiny aggregate over the cached frame
+    // per round (which also fills next's cache), where a next-vs-old
+    // change-count join was a second full action per round (r13 bench
+    // flagged the loop's per-round cost; this removes half of it)
+    def lblSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("lbl"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = lblSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 25) {
+    while (!converged && rounds < 25) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("lbl"))
       val next = labels.union(prop)
         .groupBy("v").agg(min(col("lbl")).as("lbl"))
         .cache()
-      changed = next.as("n").join(labels.as("o"), "v")
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      val nextSum = lblSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       rounds += 1
     }
-    require(changed == 0, s"components did not converge in $rounds rounds")
+    require(converged, s"components did not converge in $rounds rounds")
     // hand back a self-contained materialized frame and release everything
     // the loop pinned (edge blocks + the last round's cache) — under
     // graft.Verify, which never clears caches, the loop state would
