@@ -174,6 +174,19 @@ object WarehouseQueries {
         .withColumn("status_word", Api.statusWord(col("status")))
     }),
 
+    // L1 keyset continuation under the oracle: the page strictly after
+    // cursor (transaction, transfer) with the same filter set as
+    // q_transfers_page — the O(page) deep-scan path whose `after`
+    // predicate must reach the scan (PlanSpec pins the pushdown).
+    "q_transfers_keyset" -> ((s, dir) => {
+      Api.transfersAfter(transferShape(s, dir), "T",
+          Api.TransferArgs(status = Some(1),
+            amountGte = Some(BigDecimal(1000)), amountLt = Some(BigDecimal(150000))),
+          after = Some(("20000", "20000")), limit = 50)
+        .withColumn("amount", col("amount").cast("double"))
+        .withColumn("status_word", Api.statusWord(col("status")))
+    }),
+
     // J3/E1 insert-only merge: rows of `discovered` absent from `existing`
     // (left_anti on the key) — here "already known" = orders before 1997.
     "q_merge_new_rows" -> ((s, dir) => {
@@ -355,6 +368,18 @@ object WarehouseQueries {
          |FROM t
          |WHERE status = 1 AND amount >= 1000 AND amount < 150000
          |ORDER BY transaction, transfer LIMIT 50 OFFSET 10""".stripMargin,
+    "q_transfers_keyset" ->
+      s"""WITH t AS ($transferShapeSql)
+         |SELECT tenant, transaction, transfer, status, credit_tenant, credit_name,
+         |  debit_tenant, debit_name, CAST(amount AS DOUBLE) AS amount,
+         |  currency, value_date,
+         |  CASE status WHEN 1 THEN 'committed' WHEN 2 THEN 'rollbacked'
+         |    ELSE 'promised' END AS status_word
+         |FROM t
+         |WHERE status = 1 AND amount >= 1000 AND amount < 150000
+         |  AND (transaction > '20000'
+         |       OR (transaction = '20000' AND transfer > '20000'))
+         |ORDER BY transaction, transfer LIMIT 50""".stripMargin,
     "q_merge_new_rows" ->
       s"""WITH t AS ($transferShapeSql)
          |SELECT tenant, transaction, transfer, status, credit_tenant, credit_name,

@@ -45,6 +45,29 @@ class PlanSpec extends SparkSpec {
       s"scan must prune to the referenced columns:\n$scan")
   }
 
+  test("keyset cursor predicate reaches the transfer scan") {
+    // the O(page) deep-scan contract, over a STORED transfer table (the
+    // serving shape — the oracle gate's TPC-H mapping computes
+    // `transaction` from o_orderkey, so nothing can push there): the
+    // strictly-after disjunction must reach the parquet scan (row-group
+    // skipping on transaction stats), and the page must plan as a
+    // TakeOrderedAndProject, never a global sort past the cursor
+    val tmp = java.nio.file.Files.createTempDirectory("ks").toString
+    graft.operators.WarehouseQueries.transferShapeFor(spark, dir)
+      .write.mode("overwrite").parquet(s"$tmp/transfer")
+    val plan = graft.api.Api.transfersAfter(
+        spark.read.parquet(s"$tmp/transfer"), "T",
+        graft.api.Api.TransferArgs(status = Some(1)),
+        after = Some(("20000", "20000")), limit = 50)
+      .queryExecution.executedPlan.toString
+    // plan rendering truncates long PushedFilters lists — match the
+    // stable prefix of the pushed disjunction
+    assert(plan.contains("Or(GreaterThan(trans"),
+      s"the cursor bound must be PUSHED into the scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the page must be a top-k, not a global sort:\n$plan")
+  }
+
   test("tenant-partitioned layout prunes partitions for tenant-scoped queries") {
     val wh = java.nio.file.Files.createTempDirectory("whp").toString
     Seq(("A", "t1", "x1"), ("B", "t2", "x2"), ("C", "t3", "x3"))
