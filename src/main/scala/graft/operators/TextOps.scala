@@ -2451,7 +2451,8 @@ object TextOps {
       .select("wfreq", "syms")
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String, Long)]
-    for (_ <- 1 to BpeMerges) {
+    var exhausted = false
+    for (_ <- 1 to BpeMerges if !exhausted) {
       val top = words
         .select(col("wfreq"),
           filter(split(col("syms"), "\\|\\|"), x => x =!= "").as("sy"))
@@ -2464,12 +2465,18 @@ object TextOps {
         .agg(sum(col("wfreq")).as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1)
         .collect()
-      val (l, r, n) = (top.head.getAs[String]("lhs"),
-        top.head.getAs[String]("rhs"), top.head.getAs[Long]("n"))
-      merges += ((l, r, n))
-      words = words.withColumn("syms",
-        replace(col("syms"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
-        .localCheckpoint()
+      top.headOption match {
+        // a tiny corpus can run out of adjacent pairs before BpeMerges
+        // rounds (every word a single symbol): stop with the merges found
+        case None => exhausted = true
+        case Some(row) =>
+          val (l, r, n) = (row.getAs[String]("lhs"),
+            row.getAs[String]("rhs"), row.getAs[Long]("n"))
+          merges += ((l, r, n))
+          words = words.withColumn("syms",
+            replace(col("syms"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+            .localCheckpoint()
+      }
     }
     val out = merges.result()
     lastBpeTrained = Some(out)
@@ -2495,14 +2502,18 @@ object TextOps {
     * pairs and takes the argmax under the same (count DESC, lhs, rhs)
     * tie-break — the full training trajectory is re-derived in SQL. */
   private def bpeTrainSql: String = {
-    val merges = lastBpeTrained.getOrElse(
-      Seq.fill(BpeMerges)((" ", " ", 0L)))
+    val merges = lastBpeTrained.filter(_.nonEmpty).getOrElse(
+      Seq.fill(BpeMerges)(("_", "_", 0L)))
     def symsExpr(k: Int): String =
       merges.take(k - 1).foldLeft(
         "'||' || regexp_replace(word, '(.)', '\\1||', 'g')") {
         case (acc, (l, r, _)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
       }
-    val rounds = (1 to BpeMerges).map { k =>
+    // replay exactly the CAPTURED trajectory length (a pair-exhausted tiny
+    // corpus trains fewer than BpeMerges rounds; extra oracle rounds would
+    // emit rows the gate's output lacks)
+    val nRounds = merges.length
+    val rounds = (1 to nRounds).map { k =>
       s"""r$k AS (
          |  SELECT CAST($k AS BIGINT) AS round, lhs, rhs,
          |    lhs || rhs AS merged, n AS n_occurrences
@@ -2518,7 +2529,7 @@ object TextOps {
          |    GROUP BY 1, 2
          |    ORDER BY n DESC, lhs, rhs LIMIT 1))""".stripMargin
     }
-    val union = (1 to BpeMerges).map(k => s"SELECT * FROM r$k")
+    val union = (1 to nRounds).map(k => s"SELECT * FROM r$k")
       .mkString("\nUNION ALL ")
     s"""WITH words AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM (

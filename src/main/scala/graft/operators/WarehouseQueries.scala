@@ -152,6 +152,17 @@ object WarehouseQueries {
     // from the maintained pre-agg by the optimizer rule — values must be
     // indistinguishable from q_balance (same oracle)
     "q_balance_mv" -> ((s, dir) => withBalanceMv(s, dir)(_.localCheckpoint())),
+    // the r14 soundness extension end-to-end: a GROUP-KEY filter above
+    // the declarative aggregate (Catalyst pushes it below the Aggregate
+    // onto the Generate output) must still rewrite AND answer correctly —
+    // the /balances serving shape under the oracle
+    "q_balance_mv_keyed" -> ((s, dir) => withBalanceMvScope(s, dir) {
+      Warehouse.balances(Warehouse.balanceChanges(transferShape(s, dir)))
+        .filter(col("tenant") === "T")
+        .withColumn("balance", col("balance").cast("double"))
+        .orderBy("tenant", "name")
+        .localCheckpoint()
+    }),
     "q_balance_mv_incr" -> (balanceMvIncrement(_, _)),
 
     // B6 unpivot (stack) + A1 grouped SUM with coalesce-to-zero semantics.
@@ -356,6 +367,10 @@ object WarehouseQueries {
 
   val oracles: Map[String, String] = Map(
     "q_balance_mv" -> balanceSql,
+    // the fixture's only tenant is 'T', so the keyed report equals the
+    // full one — the gate's value is that the REWRITTEN (key-filtered,
+    // PlanSpec-pinned) plan must reproduce it exactly
+    "q_balance_mv_keyed" -> balanceSql,
     "q_balance_mv_incr" -> balanceSql,
     "q_balance" -> balanceSql,
     "q_transfers_page" ->

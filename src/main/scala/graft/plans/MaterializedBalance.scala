@@ -214,12 +214,14 @@ object BalanceMvRewrite {
     */
   def fromConf(session: SparkSession): Rule[LogicalPlan] =
     new Rule[LogicalPlan] {
-      @transient private var bound: Option[(String, String, BalanceMvRewrite)] = None
+      @transient @volatile private var bound: Option[(String, String, BalanceMvRewrite)] = None
       // binding runs the optimizer on the canonical plan, which re-enters
       // this rule — a pass-through during the build breaks the recursion
       // (the canonical's own full-lake aggregate must stay unrewritten
-      // anyway: it IS the fingerprint source)
-      @transient private var binding = false
+      // anyway: it IS the fingerprint source). Volatile: concurrent
+      // queries may race the bind; the loser sees a pass-through once
+      // (falls back to the lake scan — correct, just unrewritten)
+      @transient @volatile private var binding = false
       override def apply(plan: LogicalPlan): LogicalPlan = {
         if (binding) return plan
         val mv = session.conf.getOption(MvPathConf)
