@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   *   GET /account?tenant=&name=               (includes computed balance)
   *   GET /transfers?tenant=&currency=&status=&amount_lt|lte|gt|gte=&
   *       value_date_lt|lte|gt|gte=&limit=&offset=&resolve=true|false
+  *   GET /balances?tenant=                     (full per-tenant balance
+  *       report — MV-answered when the sync-maintained pre-agg exists)
   *
   *   POST/GET /graphql                       → the GraphQL surface (see
   *       GraphQLExecutor; selection sets drive the plans)

@@ -2619,6 +2619,135 @@ object TextOps {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------- n-gram LM perplexity filter (CCNet)
+
+  /** Per-bigram negative-log-prob grain: each −ln p floors to an integer
+    * at 1e6 BEFORE the per-doc sum, so the document key is an exact
+    * order-free BIGINT sum (a double Σln would be partition-order
+    * nondeterministic AND libm-divergent cross-engine; at this grain the
+    * two engines' ln() must disagree within ~1e-10 of a floor boundary
+    * to flap a single term — the bm25 floor discipline, applied per term
+    * so the SUM stays integer-exact). */
+  private val PplGrain = 1e6
+  /** Keep documents whose MEAN per-bigram nll is under this many grain
+    * units — the CCNet head/middle cut re-expressed as an integer
+    * compare `nll_key < T · n_bigrams` (no division, exact). */
+  private val PplKeepMeanNll = 3_400_000L
+
+  /** n-gram LM perplexity filtering — the CCNet quality gate (Wenzek et
+    * al. 2020, arXiv:1911.00359: score every document with a language
+    * model, keep the low-perplexity head): a Laplace-smoothed BIGRAM LM
+    * is trained on the md5-hash 80% train split (the X22 portable split)
+    * and scores the WHOLE corpus — P(w2|w1) = (c(w1,w2)+1)/(ctx(w1)+V),
+    * ctx = bigram-context counts, V = the train vocabulary (distinct
+    * words of the train bigrams); unseen contexts fall back to the
+    * uniform 1/V floor via the left joins' coalesce(0). The per-doc key is Σ floor(−ln p · 1e6) — see
+    * [[PplGrain]] — and keep = key < [[PplKeepMeanNll]] · n_bigrams,
+    * the integer spelling of a mean-perplexity threshold (production
+    * tunes T on a held-out sample; terciles need a global sort, a
+    * threshold is a pure map).
+    *
+    * Plan shape at 100 TB: ONE bigram explode+shuffle builds c2; the
+    * context counts c1 and the vocabulary size V derive from c2's NARROW
+    * |bigram types| output (the bm25 tf/dlen/df discipline — the corpus
+    * token stream shuffles exactly once for training; at scale the count
+    * tables are a STORED index like the bm25 postings — train once,
+    * serve many; the in-plan form gates the math). Scoring is a second
+    * corpus pass with two equi-joins keyed on the n-gram, V a 1-row
+    * broadcast, and the per-doc aggregate an exact integer sum that
+    * combines map-side.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val (out, c2) = lmPerplexityLazy(s, dir)
+    // materialize, then release the count-table cache (the contamination
+    // discipline: under graft.Verify nothing else ever clears caches)
+    val res = out.localCheckpoint()
+    c2.unpersist(blocking = false)
+    res
+  }
+
+  /** Lazy plan + the cached count table it trains from — split out so
+    * PlanSpec can pin the scan shape before localCheckpoint hides it. */
+  private[graft] def lmPerplexityLazy(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val toksDf = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
+    // zip_with over the two shifted slices: no rows for 1-token docs (a
+    // sequence(0, size-2) would DESCEND on size=1 and fabricate pairs)
+    val bi = toksDf.select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val isTrain = pmod(h60("doc_id"), lit(100L)) < 80
+    // ONE corpus-wide shuffle builds c2, CACHED: c1 (context counts), V
+    // (train vocabulary = distinct words in train bigrams), and the
+    // scoring join all read the narrow |bigram types| cache — without it
+    // each consumer re-derives the corpus explode (measured: 6 parquet
+    // scans instead of 3)
+    val c2 = bi.filter(isTrain).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .cache()
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = c2.select(col("w1").as("w"))
+      .union(c2.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    val scored = bi
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("term", floor(-log(
+        (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(PplGrain))
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("nll_key"))
+    val out = toksDf.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_key"), lit(0L)).as("nll_key"))
+      .withColumn("nll_mean",
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(col("nll_key").cast("double") / col("n_bigrams")))
+      .withColumn("keep", col("n_bigrams") > 0L &&
+        col("nll_key") < lit(PplKeepMeanNll) * col("n_bigrams"))
+      .orderBy("doc_id")
+    (out, c2)
+  }
+
+  private val lmPerplexitySql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS u(i)
+       |  WHERE len(t) >= 2),
+       |train AS (SELECT * FROM bi WHERE ${h60Sql("doc_id")} % 100 < 80),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |v AS (
+       |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+       |    SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
+       |scored AS (
+       |  SELECT bi.doc_id,
+       |    CAST(floor(-ln((coalesce(c2.c2, 0) + 1.0)
+       |      / (coalesce(c1.c1, 0) + v.v)) * ${PplGrain}) AS BIGINT) AS term
+       |  FROM bi
+       |  LEFT JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+       |  LEFT JOIN c1 ON bi.w1 = c1.w1
+       |  CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(term) AS nll_key
+       |  FROM scored GROUP BY 1)
+       |SELECT toks.doc_id,
+       |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(nll_key, 0) AS BIGINT) AS nll_key,
+       |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+       |    ELSE CAST(nll_key AS DOUBLE) / n_bigrams END AS nll_mean,
+       |  coalesce(n_bigrams, 0) > 0
+       |    AND coalesce(nll_key, 0) < $PplKeepMeanNll * n_bigrams AS keep
+       |FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+       |ORDER BY toks.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (repetition(_, _)),
     "q_pii_redact" -> (piiRedact(_, _)),
@@ -2644,6 +2773,7 @@ object TextOps {
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_bpe_train" -> (bpeTrain(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
+    "q_lm_perplexity" -> (lmPerplexity(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
@@ -2686,6 +2816,7 @@ object TextOps {
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_quality_classifier" -> qualityClassifierSql,
+    "q_lm_perplexity" -> lmPerplexitySql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_heavy_hitters" -> heavyHittersSql,

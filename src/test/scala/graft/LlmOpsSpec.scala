@@ -841,6 +841,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(seg(s"a${emoji}b") == Seq("a", emoji, "b"))
   }
 
+  test("lmPerplexity matches an independent bigram-LM reimplementation") {
+    // Laplace bigram LM trained on the md5 80% split, scored corpus-wide,
+    // per-bigram floor(-ln p * 1e6) summed per doc — recomputed here from
+    // scratch (own md5 split, own counts, own math)
+    // ids 6 and 9 hash OUTSIDE the 80% train split (h60 % 100 = 86, 95),
+    // so the LM provably scores docs it never trained on
+    val texts = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the log",
+      3L -> "a completely different sentence here today",
+      4L -> "the cat sat on the mat again and again",
+      6L -> "the cat sat on the log",
+      9L -> "zq xv qq zz yy xx")
+    withDocs(texts: _*) { dir =>
+      val out = TextOps.lmPerplexity(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_key"),
+            r.getAs[Boolean]("keep"))).toMap
+      def h60(id: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      val docWords = texts.map { case (id, t) => id -> t.split(" ").toSeq }
+      val trainDocs = docWords.filter { case (id, _) => h60(id) % 100 < 80 }
+      assert(trainDocs.size < texts.size && trainDocs.nonEmpty,
+        "fixture must split non-trivially or the train/score distinction is untested")
+      val trainBi = trainDocs.flatMap { case (_, w) =>
+        w.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+      val c2 = trainBi.groupBy(identity).map { case (k, g) => k -> g.size }
+      val c1 = trainBi.groupBy(_._1).map { case (k, g) => k -> g.size }
+      val v = trainDocs.flatMap(_._2).distinct.size.toDouble
+      docWords.foreach { case (id, w) =>
+        val terms = w.sliding(2).filter(_.size == 2).map { p =>
+          val pr = (c2.getOrElse((p(0), p(1)), 0) + 1.0) /
+            (c1.getOrElse(p(0), 0) + v)
+          math.floor(-math.log(pr) * 1e6).toLong
+        }.toSeq
+        val key = terms.sum
+        assert(out(id) == ((terms.size.toLong, key,
+          terms.nonEmpty && key < 3400000L * terms.size)),
+          s"doc $id diverges: got ${out(id)}, want (${terms.size}, $key)")
+      }
+      // the unseen-heavy doc must score strictly worse than a doc made of
+      // trained bigrams — the property that makes the filter a filter
+      val mean = (id: Long) => out(id)._2.toDouble / out(id)._1
+      assert(mean(9L) > mean(1L),
+        s"unseen-heavy text must carry higher perplexity: ${mean(9L)} vs ${mean(1L)}")
+    }
+  }
+
   test("bpeTrainMerges reproduces an independent in-memory BPE reference") {
     // symbol-VECTOR reference (no sentinel-string trick): greedy
     // left-to-right non-overlapping merge application, argmax by

@@ -45,6 +45,29 @@ class PlanSpec extends SparkSpec {
       s"scan must prune to the referenced columns:\n$scan")
   }
 
+  test("lmPerplexity: one train pass, one scoring pass, id-only rejoin") {
+    // the corpus may be read exactly three times — the training bigram
+    // explode, the scoring bigram explode, and the doc-universe rejoin —
+    // and the rejoin must prune to doc_id alone (a full-row third scan of
+    // a 100 TB lake just for the id universe is the regression this pins)
+    val (out, c2) = graft.operators.TextOps.lmPerplexityLazy(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    c2.unpersist(blocking = false)
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring joins must stay equi-joins:\n$plan")
+    val ims = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(ims >= 3,
+      s"c1/V/scoring must read the cached count table ($ims consumers):\n$plan")
+    // each InMemoryTableScan renders its fill plan (one FileScan) inline;
+    // the scans that actually run outside the one cache fill are the
+    // scoring explode and the doc-universe rejoin
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans - ims <= 2,
+      s"expected scoring + id-rejoin reads only, found $scans scans / $ims cached:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"the doc-universe rejoin must read doc_id only:\n$plan")
+  }
+
   test("keyset cursor predicate reaches the transfer scan") {
     // the O(page) deep-scan contract, over a STORED transfer table (the
     // serving shape — the oracle gate's TPC-H mapping computes
