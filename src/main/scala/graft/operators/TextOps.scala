@@ -2671,12 +2671,7 @@ object TextOps {
   private[graft] def lmPerplexityLazy(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val toksDf = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
-    // zip_with over the two shifted slices: no rows for 1-token docs (a
-    // sequence(0, size-2) would DESCEND on size=1 and fabricate pairs)
-    val bi = toksDf.select(col("doc_id"), explode(expr(
-        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
-          "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = bigramsOf(toksDf)
     val isTrain = pmod(h60("doc_id"), lit(100L)) < 80
     // ONE corpus-wide shuffle builds c2, CACHED: c1 (context counts), V
     // (train vocabulary = distinct words in train bigrams), and the
@@ -2690,6 +2685,16 @@ object TextOps {
     val v = c2.select(col("w1").as("w"))
       .union(c2.select(col("w2").as("w")))
       .agg(countDistinct(col("w")).cast("double").as("v"))
+    (lmScore(toksDf, bi, c2, c1, v), c2)
+  }
+
+  /** The scoring tail shared by [[lmPerplexityLazy]] (counts built
+    * in-plan) and [[lmPerplexityServe]] (counts read off the stored
+    * index): ONE spelling of the Laplace math and the integer-grain key,
+    * so the stored-index path cannot diverge from the gate the oracle
+    * checks (the bm25Score discipline). */
+  private def lmScore(toksDf: DataFrame, bi: DataFrame, c2: DataFrame,
+                      c1: DataFrame, v: DataFrame): DataFrame = {
     val scored = bi
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -2700,7 +2705,7 @@ object TextOps {
         .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("nll_key"))
-    val out = toksDf.select(col("doc_id"))
+    toksDf.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -2711,7 +2716,54 @@ object TextOps {
       .withColumn("keep", col("n_bigrams") > 0L &&
         col("nll_key") < lit(PplKeepMeanNll) * col("n_bigrams"))
       .orderBy("doc_id")
-    (out, c2)
+  }
+
+  /** The per-doc (doc_id, w1, w2) bigram stream — zip_with over the two
+    * shifted slices (no rows for 1-token docs; a sequence(0, size-2)
+    * would DESCEND on size=1 and fabricate pairs). */
+  private def bigramsOf(toksDf: DataFrame): DataFrame =
+    toksDf.select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Materialize the LM count tables ONCE per JVM — the CCNet deployment
+    * shape executed: the LM trains on a reference corpus once (here the
+    * md5 80% split) and every incoming crawl batch is scored against the
+    * STORED counts; c1 and V are derived from the stored c2 and persisted
+    * too, so serving owes the training pass nothing (the bm25BuildIndex
+    * discipline; the bench warmup absorbs the build, timed reps measure
+    * pure filtering). */
+  def lmBuildIndex(s: SparkSession, dir: String): String = {
+    import JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("lmidx", dir)) { tmp =>
+      val toksDf = docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      bigramsOf(toksDf)
+        .filter(pmod(h60("doc_id"), lit(100L)) < 80)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .write.parquet(s"$tmp/c2")
+      val stored = s.read.parquet(s"$tmp/c2")
+      stored.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+        .write.parquet(s"$tmp/c1")
+      stored.select(col("w1").as("w"))
+        .union(stored.select(col("w2").as("w")))
+        .agg(countDistinct(col("w")).cast("double").as("v"))
+        .write.parquet(s"$tmp/v")
+    }.toString
+  }
+
+  /** LM perplexity SERVING from the stored counts — the per-batch filter
+    * path of a deployed curation stack: no training aggregation anywhere
+    * in the plan; the corpus pass joins the stored n-gram tables and
+    * sums integer grains. Same scoring tail, same oracle as
+    * q_lm_perplexity: the stored index provably answers identically. */
+  def lmPerplexityServe(s: SparkSession, dir: String): DataFrame = {
+    val root = lmBuildIndex(s, dir)
+    val toksDf = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
+    lmScore(toksDf, bigramsOf(toksDf),
+      s.read.parquet(s"$root/c2"), s.read.parquet(s"$root/c1"),
+      s.read.parquet(s"$root/v"))
   }
 
   private val lmPerplexitySql =
@@ -2774,6 +2826,7 @@ object TextOps {
     "q_bpe_train" -> (bpeTrain(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_lm_perplexity" -> (lmPerplexity(_, _)),
+    "q_lm_perplexity_serve" -> (lmPerplexityServe(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
@@ -2817,6 +2870,7 @@ object TextOps {
     "q_bpe_train" -> bpeTrainSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_lm_perplexity" -> lmPerplexitySql,
+    "q_lm_perplexity_serve" -> lmPerplexitySql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_heavy_hitters" -> heavyHittersSql,

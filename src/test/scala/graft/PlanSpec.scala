@@ -68,6 +68,23 @@ class PlanSpec extends SparkSpec {
       s"the doc-universe rejoin must read doc_id only:\n$plan")
   }
 
+  test("LM perplexity serving reads the stored counts — no training aggregation") {
+    // the per-batch filter path: counts come off the lmidx artifact; the
+    // only aggregate in the plan is the per-doc integer sum (one
+    // partial+final pair) — a (w1, w2)-keyed count aggregation here would
+    // mean the LM retrains per batch, the cost the split exists to remove
+    val plan = graft.operators.TextOps.lmPerplexityServe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("lmidx"),
+      s"serving must read the stored count tables:\n$plan")
+    // the per-doc n_bigrams count is a legitimate partial_count; what must
+    // be ABSENT is any aggregate KEYED on the n-gram columns (a rebuild)
+    assert("HashAggregate\\(keys=\\[w1".r.findFirstIn(plan).isEmpty,
+      s"serving must not rebuild the count tables:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"serving needs no cache — the stored tables ARE the reuse:\n$plan")
+  }
+
   test("keyset cursor predicate reaches the transfer scan") {
     // the O(page) deep-scan contract, over a STORED transfer table (the
     // serving shape — the oracle gate's TPC-H mapping computes
