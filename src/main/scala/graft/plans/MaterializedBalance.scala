@@ -185,16 +185,29 @@ case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
 
 object BalanceMvRewrite {
 
+  /** While ANY canonical fingerprint is being captured (its optimization
+    * re-enters every installed rule), all conf-bound instances pass
+    * through. Without this, two installed instances (e.g. the extension
+    * injection next to a manual install) bind through each other's
+    * canonical plans — and a bound instance would REWRITE the other's
+    * canonical mid-capture, destroying the Generate the fingerprint needs.
+    * Volatile: a concurrent-query race costs one unrewritten (still
+    * correct) plan. */
+  @volatile private var capturing = false
+
   /** Build a rule bound to a registered source: `canonical` is the
     * declarative balance query over the SAME lake the MV was derived
     * from; its below-Generate subtree becomes the semantic fingerprint
     * every candidate must `sameResult`-match. */
   def forSource(s: SparkSession, mvPath: String,
                 canonical: DataFrame): BalanceMvRewrite = {
-    val below = canonical.queryExecution.optimizedPlan.collectFirst {
-      case g: Generate if g.generator.isInstanceOf[Stack] => g.child
-    }.getOrElse(throw new IllegalArgumentException(
-      "canonical balance plan carries no stack unpivot"))
+    capturing = true
+    val below =
+      try canonical.queryExecution.optimizedPlan.collectFirst {
+        case g: Generate if g.generator.isInstanceOf[Stack] => g.child
+      }.getOrElse(throw new IllegalArgumentException(
+        "canonical balance plan carries no stack unpivot"))
+      finally capturing = false
     BalanceMvRewrite(s, mvPath, below)
   }
 
@@ -215,15 +228,13 @@ object BalanceMvRewrite {
   def fromConf(session: SparkSession): Rule[LogicalPlan] =
     new Rule[LogicalPlan] {
       @transient @volatile private var bound: Option[(String, String, BalanceMvRewrite)] = None
-      // binding runs the optimizer on the canonical plan, which re-enters
-      // this rule — a pass-through during the build breaks the recursion
-      // (the canonical's own full-lake aggregate must stay unrewritten
-      // anyway: it IS the fingerprint source). Volatile: concurrent
-      // queries may race the bind; the loser sees a pass-through once
-      // (falls back to the lake scan — correct, just unrewritten)
-      @transient @volatile private var binding = false
       override def apply(plan: LogicalPlan): LogicalPlan = {
-        if (binding) return plan
+        // binding runs the optimizer on the canonical plan, which
+        // re-enters every installed instance — the object-level
+        // `capturing` guard makes them ALL pass through during any
+        // capture (the canonical's own full-lake aggregate must stay
+        // unrewritten: it IS the fingerprint source)
+        if (capturing) return plan
         val mv = session.conf.getOption(MvPathConf)
         val lake = session.conf.getOption(LakePathConf)
         (mv, lake) match {
@@ -231,13 +242,10 @@ object BalanceMvRewrite {
             val rule = bound match {
               case Some((bm, bl, r)) if bm == m && bl == l => r
               case _ =>
-                binding = true
-                val r =
-                  try forSource(session, m,
-                    graft.warehouse.Warehouse.balances(
-                      graft.warehouse.Warehouse.balanceChanges(
-                        session.read.parquet(l))))
-                  finally binding = false
+                val r = forSource(session, m,
+                  graft.warehouse.Warehouse.balances(
+                    graft.warehouse.Warehouse.balanceChanges(
+                      session.read.parquet(l))))
                 bound = Some((m, l, r))
                 r
             }

@@ -140,4 +140,49 @@ object AlgebraProps extends Properties("graft.algebra") {
         }._2
       }
     }
+
+  // ---- BPE sentinel-string merge (the q_bpe_train kernel claim) --------
+  // The training loop's load-bearing identity: applying a merge (l, r) to
+  // the '||'-sentinel rendering of a symbol sequence via left-to-right
+  // non-overlapping string replace() IS the greedy BPE merge on the
+  // sequence itself ("aaa" under (a,a) -> [aa, a]). Both engines implement
+  // replace() with those semantics, which is what makes the merge a
+  // codegen'd scalar op — so the identity deserves a property, not just
+  // the corpus example.
+
+  private val genSym: Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+  } yield cs.mkString
+
+  private val genSeqAndMerge: Gen[(List[String], String, String)] = for {
+    syms <- Gen.listOfN(10, genSym).map(_.take(10))
+    n <- Gen.choose(1, 10)
+    l <- genSym
+    r <- genSym
+  } yield (syms.take(n), l, r)
+
+  private def vectorMerge(v: List[String], l: String, r: String): List[String] = {
+    val b = List.newBuilder[String]; var i = 0
+    while (i < v.length) {
+      if (i + 1 < v.length && v(i) == l && v(i + 1) == r) { b += (l + r); i += 2 }
+      else { b += v(i); i += 1 }
+    }
+    b.result()
+  }
+
+  private def sentinel(v: List[String]): String = v.mkString("||", "||", "||")
+
+  property("sentinel replace() == greedy left-to-right BPE merge") =
+    forAll(genSeqAndMerge) { case (syms, l, r) =>
+      val viaString = sentinel(syms).replace(s"|$l||$r|", s"|$l$r|")
+      viaString == sentinel(vectorMerge(syms, l, r))
+    }
+
+  property("self-merge (a,a) never overlaps: runs halve, remainder survives") =
+    forAll(Gen.choose(1, 12), genSym) { (n, a) =>
+      val merged = sentinel(List.fill(n)(a)).replace(s"|$a||$a|", s"|$a$a|")
+      val want = List.fill(n / 2)(a + a) ++ (if (n % 2 == 1) List(a) else Nil)
+      merged == sentinel(want)
+    }
 }

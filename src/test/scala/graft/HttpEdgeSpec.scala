@@ -152,33 +152,37 @@ class HttpEdgeSpec extends SparkSpec {
       s"after stop() the rule must be gone:\n$after")
   }
 
-  test("conf-bound extension rule answers the lake aggregate from the MV") {
-    // the GraftExtensions/injectOptimizerRule deployment form: fromConf is
-    // a pass-through until both confs are set, then rewrites like the
-    // scoped rule. Exercised through extraOptimizations on the shared
-    // session (extensions themselves bind at session build).
+  test("a GraftExtensions session injects the functions AND the conf-bound rule") {
+    // the actual cluster deployment path: the shared test session is BUILT
+    // with spark.sql.extensions=graft.functions.GraftExtensions (see
+    // SparkSpec — extensions are static conf, applied where the
+    // SparkContext is created). newSession() rebuilds SessionState from
+    // the same extensions with a FRESH function registry, so (a) the
+    // injected functions must resolve there without any register() call
+    // (the temp-function path other suites exercise would mask this on
+    // the parent session), and (b) setting the two balance confs must
+    // activate the injected optimizer rule for that session alone.
     val wh = Files.createTempDirectory("wh").toString
     Warehouse.sync(spark, fixture(), wh)
-    val rule = graft.plans.BalanceMvRewrite.fromConf(spark)
-    val report = Warehouse.balances(Warehouse.balanceChanges(
-      spark.read.parquet(s"$wh/transfer")))
-    val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ rule
-    try {
-      // confs absent -> pass-through
-      assert(report.queryExecution.executedPlan.toString.contains("HashAggregate"))
-      spark.conf.set(graft.plans.BalanceMvRewrite.MvPathConf, s"$wh/balances")
-      spark.conf.set(graft.plans.BalanceMvRewrite.LakePathConf, s"$wh/transfer")
-      val p = Warehouse.balances(Warehouse.balanceChanges(
+    val s2 = spark.newSession()
+    assert(s2.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0) == 11.0,
+      "extension-injected functions must resolve on a fresh session")
+    s2.conf.set(graft.plans.BalanceMvRewrite.MvPathConf, s"$wh/balances")
+    s2.conf.set(graft.plans.BalanceMvRewrite.LakePathConf, s"$wh/transfer")
+    val plan = graft.warehouse.Warehouse.balances(
+      graft.warehouse.Warehouse.balanceChanges(
+        s2.read.parquet(s"$wh/transfer")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && plan.contains("balances"),
+      s"the extension-injected rule must answer from the MV:\n$plan")
+    // the confs are session-scoped: the SHARED session stays unrewritten
+    val shared = graft.warehouse.Warehouse.balances(
+      graft.warehouse.Warehouse.balanceChanges(
         spark.read.parquet(s"$wh/transfer")))
-        .queryExecution.executedPlan.toString
-      assert(!p.contains("HashAggregate") && p.contains("balances"),
-        s"with both confs set the rule must rewrite:\n$p")
-    } finally {
-      spark.experimental.extraOptimizations = prev
-      spark.conf.unset(graft.plans.BalanceMvRewrite.MvPathConf)
-      spark.conf.unset(graft.plans.BalanceMvRewrite.LakePathConf)
-    }
+      .queryExecution.executedPlan.toString
+    assert(shared.contains("HashAggregate"),
+      s"the rule must not leak across sessions:\n$shared")
   }
 
   test("concurrent requests over the pooled edge; plan cache reuses shapes") {
