@@ -2800,6 +2800,88 @@ object TextOps {
        |FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
        |ORDER BY toks.doc_id""".stripMargin
 
+  // ------------------------------------ per-source KL domain drift
+
+  /** Per-source distribution DRIFT against the corpus — the monitoring
+    * operator a production pipeline runs between crawls (a source whose
+    * token distribution diverges from the mix is re-weighted or
+    * investigated; the distribution-level companion of [[corpusMix]]'s
+    * quota resampling): KL(p_source ‖ p_corpus) over unigram
+    * distributions. Exactness discipline: the gate emits n_s·KL·1e6
+    * summed as Σ_w c_s(w) · floor(ln((c_s(w)·n)/(c(w)·n_s)) · 1e6) — an
+    * integer × integer product per word, so the per-source key is an
+    * exact order-free BIGINT sum (the [[lmPerplexity]] grain discipline;
+    * the ln argument is a ratio of exact integer products, < 2^53 at
+    * gate scale — at 100 TB the spelling becomes a ln difference and
+    * the same grain). kl_mean = key / (n_s · 1e6) is the per-token KL
+    * estimate, one correctly-rounded division.
+    *
+    * Plan shape at 100 TB: ONE corpus shuffle builds the (source, word)
+    * counts, CACHED; the per-source totals, corpus word counts, and the
+    * grand total all derive from that narrow |source×word types| table
+    * (the lmPerplexity/c2 lesson — without the cache each consumer
+    * re-derives the corpus explode); the scoring join and the per-source
+    * integer sum combine map-side; output is |sources| rows.
+    */
+  def domainDrift(s: SparkSession, dir: String): DataFrame = {
+    val sw = docs(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("csw"))
+      .cache()
+    val totS = sw.groupBy(col("source"))
+      .agg(sum(col("csw")).as("ns"), count(lit(1)).as("n_distinct"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("csw")).as("cw"))
+    val tot = sw.agg(sum(col("csw")).as("n"))
+    val out = sw
+      .join(cw, "w")
+      .join(totS, "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", col("csw") *
+        floor(log((col("csw") * col("n")).cast("double") /
+          (col("cw") * col("ns")).cast("double")) * lit(PplGrain))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("term")).as("kl_key"))
+      .join(totS, "source")
+      .select(col("source"), col("ns").as("n_tokens"),
+        col("n_distinct"), col("kl_key"),
+        (col("kl_key").cast("double") /
+          (col("ns").cast("double") * lit(PplGrain))).as("kl_mean"))
+      .orderBy("source")
+      .localCheckpoint()
+    sw.unpersist(blocking = false)
+    out
+  }
+
+  private val domainDriftSql =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split($normSql, ' ')) AS w
+       |  FROM documents),
+       |sw AS (
+       |  SELECT source, w, count(*) AS csw FROM toks GROUP BY 1, 2),
+       |tot_s AS (
+       |  SELECT source, CAST(sum(csw) AS BIGINT) AS ns,
+       |    count(*) AS n_distinct
+       |  FROM sw GROUP BY 1),
+       |cw AS (SELECT w, CAST(sum(csw) AS BIGINT) AS cw FROM sw GROUP BY 1),
+       |tot AS (SELECT CAST(sum(csw) AS BIGINT) AS n FROM sw),
+       |terms AS (
+       |  SELECT sw.source,
+       |    csw * CAST(floor(ln(CAST(csw * n AS DOUBLE)
+       |      / CAST(cw * ns AS DOUBLE)) * ${PplGrain}) AS BIGINT) AS term
+       |  FROM sw
+       |  JOIN cw ON sw.w = cw.w
+       |  JOIN tot_s ON sw.source = tot_s.source
+       |  CROSS JOIN tot),
+       |agg AS (
+       |  SELECT source, CAST(sum(term) AS BIGINT) AS kl_key
+       |  FROM terms GROUP BY 1)
+       |SELECT agg.source, ns AS n_tokens,
+       |  CAST(n_distinct AS BIGINT) AS n_distinct, kl_key,
+       |  CAST(kl_key AS DOUBLE) / (CAST(ns AS DOUBLE) * ${PplGrain}) AS kl_mean
+       |FROM agg JOIN tot_s ON agg.source = tot_s.source
+       |ORDER BY agg.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (repetition(_, _)),
     "q_pii_redact" -> (piiRedact(_, _)),
@@ -2827,6 +2909,7 @@ object TextOps {
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_lm_perplexity" -> (lmPerplexity(_, _)),
     "q_lm_perplexity_serve" -> (lmPerplexityServe(_, _)),
+    "q_domain_drift" -> (domainDrift(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
     "q_heavy_hitters" -> (heavyHitters(_, _)),
@@ -2871,6 +2954,7 @@ object TextOps {
     "q_quality_classifier" -> qualityClassifierSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_lm_perplexity_serve" -> lmPerplexitySql,
+    "q_domain_drift" -> domainDriftSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_heavy_hitters" -> heavyHittersSql,

@@ -841,6 +841,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(seg(s"a${emoji}b") == Seq("a", emoji, "b"))
   }
 
+  test("domainDrift matches an independent KL recomputation; drifted source tops") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "the quick brown fox rests under the old tree", "web"),
+      (3L, "the lazy dog jumps over the quick brown fox", "books"),
+      (4L, "the old tree rests over the quick brown fox", "books"),
+      (5L, "zq xv qq zz yy xx ww vv uu tt", "spam"))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn(
+        "lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.domainDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("kl_key"))).toMap
+    // independent reference: unigram counts, n_s·KL·1e6 as the exact
+    // integer sum of csw * floor(ln((csw·n)/(cw·ns))·1e6)
+    val toks = rows.map { case (_, t, src) => src -> t.split(" ").toSeq }
+    val csw = toks.flatMap { case (s, ws) => ws.map((s, _)) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val ns = toks.groupBy(_._1).map { case (s, g) => s -> g.flatMap(_._2).size.toLong }
+    val cw = csw.groupBy(_._1._2).map { case (w, g) => w -> g.values.sum }
+    val n = ns.values.sum
+    ns.keys.foreach { s =>
+      val terms = csw.collect { case ((`s`, w), c) =>
+        c * math.floor(math.log((c * n).toDouble / (cw(w) * ns(s))) * 1e6).toLong }
+      val distinct = csw.keys.count(_._1 == s).toLong
+      assert(out(s) == ((ns(s), distinct, terms.sum)),
+        s"source $s diverges: got ${out(s)}, want (${ns(s)}, $distinct, ${terms.sum})")
+    }
+    // the vocabulary-disjoint source must dominate the drift ranking
+    val meanKl = (s: String) => out(s)._3.toDouble / out(s)._1
+    assert(meanKl("spam") > meanKl("web") && meanKl("spam") > meanKl("books"),
+      s"the drifted source must score highest: ${out.map { case (k, v) => k -> meanKl(k) }}")
+  }
+
   test("lmPerplexity matches an independent bigram-LM reimplementation") {
     // Laplace bigram LM trained on the md5 80% split, scored corpus-wide,
     // per-bigram floor(-ln p * 1e6) summed per doc — recomputed here from
