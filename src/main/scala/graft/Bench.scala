@@ -16,7 +16,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // A/B aid (r14 verdict #3): SPARK_GRAFT_EXTENSIONS=1 builds the bench
+    // session with GraftExtensions injected, isolating whether the
+    // extensions deployment path costs anything per query (the default
+    // bench session — and the driver's — has no extensions, so any
+    // in-suite regression on untouched queries is NOT attributable to
+    // extensions unless this A/B shows a delta).
+    val builder = SparkSession.builder()
+    if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))
+      builder.config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    val spark = builder
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -167,7 +176,14 @@ object Bench {
             java.nio.charset.StandardCharsets.UTF_8).trim
         else ""
       }
-      s"""{"metric":"total","value":${num("%.6f", total)},"unit":"sec","sf":"$sfDir","queries":$qs,"median_raw":$raws,"reps":$spreads$scaling}""" + "\n"
+      // comparability note (r14 verdict #8): same-code totals drift with
+      // machine load; round-over-round reads should start from shared-
+      // subset sums, not the headline total
+      val note = "\"note\":\"same-code full-suite totals spanned " +
+        "98.8-121.6 s on this VM within one day (machine-load drift, " +
+        "SCALING.json protocol note); compare rounds on shared-query " +
+        "subset sums, not totals\""
+      s"""{"metric":"total","value":${num("%.6f", total)},"unit":"sec","sf":"$sfDir",$note,"queries":$qs,"median_raw":$raws,"reps":$spreads$scaling}""" + "\n"
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),

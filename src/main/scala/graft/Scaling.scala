@@ -38,6 +38,7 @@ object Scaling {
     if (on("truth")) probeGroundTruth(spark, dir)
     if (mode == "decontam") probeDecontam(spark, dir)
     if (mode == "sized") probeSizedDecade(spark, dir)
+    if (mode == "incr") probeIncrementalDedup(spark, dir)
     spark.stop()
   }
 
@@ -51,8 +52,8 @@ object Scaling {
     */
   private def probeSizedDecade(spark: SparkSession, dir: String): Unit = {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    val bits = math.max(1,
-      math.round(math.log(n / 32.0) / math.log(2.0)).toInt)
+    // one spelling of the rule, shared with the q_embed_neardup_sized gate
+    val bits = operators.Similarity.sizedBandBits(n)
     def run() = operators.Similarity
       .embedNearDupSized(spark, dir, 16, bits, 0.45)
       .queryExecution.toRdd.count()
@@ -68,6 +69,46 @@ object Scaling {
     val med = times.map(_._1).sorted.apply(1)
     println(s"""{"probe":"embed_neardup_sized","n":$n,"bands":16,""" +
       s""""bandBits":$bits,"sec":${s3(med)},"rows":${times.head._2},""" +
+      s""""reps":[${times.map(t => s3(t._1)).mkString(",")}]}""")
+  }
+
+  /** Incremental-dedup serve under the eval-fixed protocol (r14 verdict
+    * #1): the BATCH is pinned to sf0.1's 20% slice while the HISTORY index
+    * is built from `dir` — run once with dir=/root/testdata/sf0.1 and once
+    * with dir=bench_sf1 and the ratio is "what does 10× more lake cost a
+    * fixed crawl batch". The index build is untimed (it is the once-per-
+    * lake job); timed reps cover batch signing + band probe + verify.
+    */
+  private def probeIncrementalDedup(spark: SparkSession, dir: String): Unit = {
+    import operators.TextOps
+    val idx = java.nio.file.Files.createTempDirectory("mhidx_probe").toString
+    TextOps.writeMinhashIndex(spark,
+      TextOps.shinglesOf(spark,
+          spark.read.parquet(s"$dir/documents.parquet"))
+        .filter(TextOps.isHistoryDoc),
+      idx)
+    val batchDocs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+    def run() = {
+      val batchSh = TextOps.shinglesOf(spark, batchDocs)
+        .filter(!TextOps.isHistoryDoc).cache()
+      val n = TextOps.serveDedupIncremental(spark, batchSh, idx)
+        .queryExecution.toRdd.count()
+      batchSh.unpersist(blocking = false)
+      n
+    }
+    run(): Unit // warmup
+    val times = (1 to 3).map { _ =>
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(150); System.gc()
+      val t0 = System.nanoTime()
+      val rows = run()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val med = times.map(_._1).sorted.apply(1)
+    println(s"""{"probe":"dedup_incremental","hist_dir":"$dir",""" +
+      s""""sec":${s3(med)},"rows":${times.head._2},""" +
       s""""reps":[${times.map(t => s3(t._1)).mkString(",")}]}""")
   }
 

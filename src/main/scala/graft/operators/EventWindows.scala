@@ -482,6 +482,60 @@ object EventWindows {
        |  CAST(0 AS BIGINT) AS n_recrawl_rows
        |FROM h""".stripMargin
 
+  /** Fixture for the BOUNDED-state corpus ingest: the crawl carries a
+    * CRAWL TIMESTAMP (doc_id-derived, spread over 12 h), the re-crawl
+    * arrives one hour after the newest original. With a 24 h dedup
+    * horizon every original's state is still alive when its re-crawl
+    * lands (the replay-inside-horizon discipline of
+    * [[dedupBoundedInput]]), so every batch-2 row must be suppressed BY
+    * STATE — while the state itself now expires 24 h of stream time after
+    * each document, the form that survives an unbounded crawl. */
+  private def corpusIngestBoundedInput(s: SparkSession, dir: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot("corpusingestbnd", dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val docs = graft.Tables.load(s, dir, "documents")
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val crawl = docs.withColumn("crawl_ts", expr(
+        "timestampadd(SECOND, CAST((doc_id % 72) * 600 AS BIGINT), " +
+          "timestamp'2024-01-15 00:00:00')"))
+      val recrawl = docs
+        .withColumn("doc_id", col("doc_id") + lit(off))
+        .withColumn("crawl_ts",
+          expr("timestamp'2024-01-15 13:00:00'"))
+      val t0 = System.currentTimeMillis() - 120000
+      writeSingleParquet(tmp, crawl, "00_crawl.parquet", t0)
+      writeSingleParquet(tmp, recrawl, "01_recrawl.parquet", t0 + 60000)
+    }
+
+  /** [[streamCorpusIngest]] with BOUNDED state (r14 verdict #7) — the
+    * `dropDuplicatesWithinWatermark`-on-digest form the unbounded gate's
+    * scaladoc promised: content-hash dedup state now expires once the
+    * crawl-time watermark passes a document's admission by the 24 h
+    * horizon, so a year-long crawl holds a day of state, not every hash
+    * ever admitted. The fixture guarantees the re-crawl lands above the
+    * watermark AND inside every original's horizon, so suppression is
+    * provably cross-batch STATE (not late-row filtering); the gate emits
+    * the same survivor-invariant hash-set facts as the unbounded form and
+    * shares its oracle. State EXPIRY (the re-admission trade beyond the
+    * horizon) is pinned by the EventStreamSpec lifecycle test.
+    */
+  def streamCorpusIngestBounded(s: SparkSession, dir: String): DataFrame = {
+    val input = corpusIngestBoundedInput(s, dir)
+    val sunk = streamTwoBatches(s, input, "q_stream_corpus_ingest_bounded_sink")(st =>
+      graft.streaming.EventStream.dedupByKeyBounded(
+        st.withColumn("text_hash", md5(TextOps.norm(col("text")))),
+        Seq("text_hash"), "crawl_ts", "24 hours"))
+    val offFrame = graft.Tables.load(s, dir, "documents")
+      .agg((max(col("doc_id")) + 1).as("off"))
+    sunk.crossJoin(broadcast(offFrame))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("text_hash")).as("n_distinct_hashes"),
+        sum(pmod(TextOps.h60("text_hash"), lit(1000000007L)))
+          .as("content_checksum"),
+        sum(when(col("doc_id") >= col("off"), 1L).otherwise(0L))
+          .as("n_recrawl_rows"))
+  }
+
   /** Streaming dedup under the oracle: the whole events table is delivered
     * TWICE (two micro-batches, an at-least-once replay);
     * [[graft.streaming.EventStream.dedupByKey]] must suppress every row of
@@ -906,6 +960,7 @@ object EventWindows {
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_dedup_bounded" -> (streamDedupBounded(_, _)),
     "q_stream_corpus_ingest" -> (streamCorpusIngest(_, _)),
+    "q_stream_corpus_ingest_bounded" -> (streamCorpusIngestBounded(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
     "q_stream_tws" -> (streamTransformWithState(_, _)),
     "q_stream_stream_join" -> (streamStreamJoin(_, _)),
@@ -927,6 +982,7 @@ object EventWindows {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_dedup_bounded" -> streamDedupSql,
     "q_stream_corpus_ingest" -> streamCorpusIngestSql,
+    "q_stream_corpus_ingest_bounded" -> streamCorpusIngestSql,
     "q_stream_custom_state" -> streamCustomStateSql,
     "q_stream_tws" -> streamCustomStateSql,
     "q_stream_stream_join" -> streamStreamJoinSql,

@@ -256,6 +256,46 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Target per-band bucket occupancy for [[sizedBandBits]] — the level the
+    * 16×6 family has at the 2k-vector sf0.1 table (2000 / 2^6 ≈ 31), i.e.
+    * the occupancy the parity gates were implicitly tuned to. */
+  private[graft] val SizedTargetOccupancy = 32.0
+
+  /** The occupancy rule: `bandBits = round(log2(n / targetOccupancy))`.
+    * Each added bit halves expected per-bucket occupancy and quarters
+    * per-bucket candidate PAIRS, so holding occupancy flat as n grows is
+    * what keeps the bucket join linear (measured: 7.98× wall at 10×
+    * vectors under this rule vs 48.7× for the fixed 16×6 family —
+    * SCALING.json). One spelling, shared by the gate and the
+    * `graft.Scaling sized` decade probe. */
+  private[graft] def sizedBandBits(n: Long): Int =
+    math.max(1, math.round(
+      math.log(n / SizedTargetOccupancy) / math.log(2.0)).toInt)
+
+  /** bandBits chosen by the latest [[embedNearDupAutoSized]] run, captured
+    * for the oracle builder (the lastTrained discipline: the oracle must
+    * replay the SAME family the gate ran — at sf0.01's 500 vectors the
+    * rule picks 4 bits, at sf0.1's 2000 it reproduces the parity 6). */
+  @volatile private var lastSizedBits: Int = BandBits
+
+  /** [[embedNearDupSized]] at the bandBits the occupancy rule picks for
+    * THIS corpus's own n — the form users should actually run, now under
+    * the same exact-compare oracle as the fixed parity families (r14
+    * verdict #2: the production contract was previously held only by an
+    * occupancy property and a scaling probe). The count() that sizes the
+    * family is parquet-footer metadata, not a corpus scan; the chosen
+    * bits are captured so the oracle replays plane-for-plane at the same
+    * family. */
+  def embedNearDupAutoSized(s: SparkSession, dir: String): DataFrame = {
+    val bits = sizedBandBits(Tables.load(s, dir, "embeddings").count())
+    lastSizedBits = bits
+    embedNearDupSized(s, dir, AnnBands, bits, NearDupCosine)
+  }
+
+  /** def, not a val: embeds the bandBits captured while the query ran. */
+  private def embedNearDupSizedSql: String =
+    embedNearDupSqlFor(AnnBands, lastSizedBits, NearDupCosine)
+
   /** (vec_id, band, sig) signature table — shared by annLsh/embedNearDup.
     * private[graft] so LlmOpsSpec can measure bucket occupancy directly.
     */
@@ -1402,10 +1442,14 @@ object Similarity {
     "q_ann_pq_serve" -> (annPqServe(_, _)),
     "q_embed_neardup" -> (embedNearDup(_, _)),
     "q_embed_decontam" -> (embedDecontaminate(_, _)),
-    // the sf1 scaling fix (SCALING.md), oracle-gated at a non-default
-    // family: 16 bands × 8 bits shrinks per-bucket occupancy 4× — the
-    // knob that keeps candidate pairs linear as the corpus grows
+    // PARITY PIN: a second FIXED family (16 bands × 8 bits) so the knob
+    // itself is oracle-exercised at a non-default setting; like
+    // q_embed_neardup it does NOT track the corpus — the production form
+    // is q_embed_neardup_sized below
     "q_embed_neardup_wide" -> (embedNearDupSized(_, _, 16, 8, NearDupCosine)),
+    // the occupancy-rule form users should run (bandBits sized to n) —
+    // the one whose decade point is the GATE row in SCALING.json
+    "q_embed_neardup_sized" -> (embedNearDupAutoSized(_, _)),
     "q_semantic_dedup" -> (semanticDedup(_, _)),
     "q_ann_ivfpq_serve" -> (annIvfPqServe(_, _)))
 
@@ -1424,6 +1468,7 @@ object Similarity {
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_decontam" -> embedDecontaminateSql,
     "q_embed_neardup_wide" -> embedNearDupSqlFor(16, 8, NearDupCosine),
+    "q_embed_neardup_sized" -> embedNearDupSizedSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_ann_ivfpq_serve" -> annIvfPqServeSql)
 }

@@ -281,9 +281,15 @@ object TextOps {
     * pushdown clones (first-occurrence order and the <3-token skip are
     * pinned identical by LlmOpsSpec parity tests).
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(s, docs(s, dir))
+
+  /** [[shingles]] over any (doc_id, text) frame — private[graft] so the
+    * Scaling incremental-dedup probe can build history/batch sides from
+    * different table instances through the same kernel. */
+  private[graft] def shinglesOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    docs(s, dir)
+    docsDf
       .withColumn("n", norm(col("text")))
       .select(col("doc_id"), expr("word_shingles(n, 3, true)").as("s"))
       .filter(size(col("s")) > 0)
@@ -335,13 +341,7 @@ object TextOps {
     // all-sentinel sig (empty array through the kernel) can never reach
     // the band join and false-bucket with other empty docs
     val sigs = sh.select(col("doc_id"), expr("minhash_sig(s)").as("sig"))
-
-    val bandCols = (0 until bands).map { b =>
-      hash((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(r => col("sig").getItem(r)): _*)
-    }
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val banded = bandKeysOf(sigs, bands, rowsPerBand)
 
     val x = banded.toDF("doc_a", "band", "sig")
     val y = banded.toDF("doc_b", "band", "sig")
@@ -352,6 +352,20 @@ object TextOps {
     jaccardVerify(candidates, sh, threshold)
   }
 
+  /** (doc_id, band, sig) LSH bucket keys from a MinHash signature frame —
+    * the ONE spelling of the banding, shared by the in-plan self-join
+    * gates and [[minhashBuildIndex]] (so the stored index buckets exactly
+    * the way a fresh batch's probe side does). */
+  private def bandKeysOf(sigs: DataFrame, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(r => col("sig").getItem(r)): _*)
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+  }
+
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs against
     * their distinct shingle sets — the shared tail of the approximate
     * (MinHash) and exact (prefix-filter) near-dup joins. The length-ratio
@@ -359,9 +373,17 @@ object TextOps {
     * candidates BEFORE the O(|a|+|b|) set intersection.
     */
   private def jaccardVerify(candidates: DataFrame, sets: DataFrame,
-                            threshold: Double = JaccardThreshold): DataFrame = {
-    val sa = sets.toDF("doc_a", "sa")
-    val sb = sets.toDF("doc_b", "sb")
+                            threshold: Double = JaccardThreshold): DataFrame =
+    jaccardVerifySplit(candidates, sets, sets, threshold)
+
+  /** Two-sided [[jaccardVerify]]: the candidate sides may read their
+    * shingle sets from DIFFERENT stores — incremental dedup verifies a
+    * fresh batch's in-hand sets against the STORED history sets. */
+  private def jaccardVerifySplit(candidates: DataFrame, setsA: DataFrame,
+                                 setsB: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val sa = setsA.toDF("doc_a", "sa")
+    val sb = setsB.toDF("doc_b", "sb")
     val inter = size(array_intersect(col("sa"), col("sb")))
     val union = size(col("sa")) + size(col("sb")) - inter
     candidates
@@ -390,6 +412,113 @@ object TextOps {
        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE)/un AS jaccard
        |FROM pairs WHERE CAST(inter AS DOUBLE)/un >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------- incremental near-dup against a STORED signature index
+
+  /** History/batch split for the incremental dedup gate: the md5-hash 80%
+    * of documents is the LAKE already ingested and deduplicated (its band
+    * signatures live in the stored index), the other 20% plays the fresh
+    * crawl batch (the X22 portable-split family, so both engines agree on
+    * the membership). */
+  private[graft] def isHistoryDoc = pmod(h60("doc_id"), lit(100L)) < 80
+
+  /** Materialize the MinHash signature index ONCE per JVM — the missing
+    * serve-split of the dedup family (r14 verdict #1): a production
+    * pipeline signs the lake ONCE and then asks "is this new crawl batch a
+    * duplicate of anything already ingested?" every day, without ever
+    * re-signing history. Stored layout (the bm25BuildIndex discipline):
+    *   - `sets/`  — (doc_id, s): each history doc's distinct 3-gram
+    *     shingle set, the postings the exact-Jaccard verify reads;
+    *   - `bands/` — (doc_id, band, sig): the 32×4 LSH bucket keys derived
+    *     from the STORED sets (one [[bandKeysOf]] spelling with the
+    *     in-plan gates), what a batch probe joins against. At 100 TB the
+    *     bands table is bucketed BY (band, sig) on disk so a probe is a
+    *     co-located join, and sets/ is a point-lookup store.
+    * Rebuilt on each JVM's first use (index content is output of the code
+    * under test); bench's untimed warmup absorbs the build, timed reps
+    * measure pure probing.
+    */
+  def minhashBuildIndex(s: SparkSession, dir: String): String = {
+    import JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("mhidx", dir)) { tmp =>
+      writeMinhashIndex(s, shingles(s, dir).filter(isHistoryDoc), tmp.toString)
+    }.toString
+  }
+
+  /** Write the sets/bands layout for a history shingle frame — the build
+    * body of [[minhashBuildIndex]], callable with any history instance
+    * (the Scaling probe scales history while the gate's batch stays
+    * fixed). */
+  private[graft] def writeMinhashIndex(s: SparkSession, history: DataFrame,
+                                       tmp: String): Unit = {
+    history.write.parquet(s"$tmp/sets")
+    val stored = s.read.parquet(s"$tmp/sets")
+    bandKeysOf(stored.select(col("doc_id"),
+        expr("minhash_sig(s)").as("sig")), NumBands, RowsPerBand)
+      .write.parquet(s"$tmp/bands")
+  }
+
+  /** Incremental near-dup of a fresh batch AGAINST the stored index — the
+    * dedup operation that actually runs every crawl: the batch (20% split)
+    * computes its own signatures (the plan's ONE `minhash_sig` subtree — a
+    * pure map over the batch), probes the STORED band table, and exact-
+    * Jaccard-verifies candidates with the batch's in-hand sets against the
+    * STORED history sets. History is never re-shingled, re-signed, or even
+    * scanned: serve cost is the batch signature map plus candidate-bucket
+    * occupancy, independent of lake size under the banding's occupancy
+    * (measured: history 10×, fixed batch → ~flat serve, SCALING.json).
+    *
+    * Output contract: (batch_doc, hist_doc, jaccard ≥ 0.8) — which lake
+    * docs each new doc duplicates; the ingest decision (drop the batch
+    * doc) is a semi-join of the batch against these rows. The ORACLE is
+    * the exact all-pairs batch×history Jaccard (the minhashNearDup recall
+    * argument: planted dups sit far above the 32×4 family's ~0.42
+    * inflection, so LSH recall misses nothing at the 0.8 cut).
+    *
+    * Reference analog: none — data-warehouse ingests journal files with
+    * key-equality dedup only (services/data-warehouse/metrics update
+    * paths); this is §2x training-pipeline extension surface.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = minhashBuildIndex(s, dir)
+    serveDedupIncremental(s, shingles(s, dir).filter(!isHistoryDoc).cache(), root)
+  }
+
+  /** The probe tail of [[dedupIncremental]]: sign the (cached) batch
+    * shingle frame, probe the stored bands at `root`, exact-verify against
+    * the stored sets. */
+  private[graft] def serveDedupIncremental(s: SparkSession, batchSh: DataFrame,
+                                           root: String): DataFrame = {
+    val batchBands = bandKeysOf(
+      batchSh.select(col("doc_id"), expr("minhash_sig(s)").as("sig")),
+      NumBands, RowsPerBand)
+    val candidates = batchBands.toDF("doc_a", "band", "sig")
+      .join(s.read.parquet(s"$root/bands").toDF("doc_b", "band", "sig"),
+        Seq("band", "sig"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardVerifySplit(candidates, batchSh,
+        s.read.parquet(s"$root/sets"), JaccardThreshold)
+      .withColumnsRenamed(Map("doc_a" -> "batch_doc", "doc_b" -> "hist_doc"))
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t)-2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |b AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 >= 80),
+       |h AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 < 80),
+       |pairs AS (
+       |  SELECT b.doc_id AS batch_doc, h.doc_id AS hist_doc,
+       |    len(list_intersect(b.s, h.s)) AS inter,
+       |    len(b.s) + len(h.s) - len(list_intersect(b.s, h.s)) AS un
+       |  FROM b CROSS JOIN h)
+       |SELECT batch_doc, hist_doc, CAST(inter AS DOUBLE)/un AS jaccard
+       |FROM pairs WHERE CAST(inter AS DOUBLE)/un >= $JaccardThreshold
+       |ORDER BY batch_doc, hist_doc""".stripMargin
 
   // ------------------------------------------- exact n-gram Jaccard join
 
@@ -2540,6 +2669,167 @@ object TextOps {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------- BPE training with BATCHED merges
+
+  private val BpeBatchRounds = 3
+  private val BpeBatchK = 8
+
+  /** Per-round selected merge batches from the latest
+    * [[bpeTrainMergesBatched]] run, captured for the oracle. */
+  @volatile private var lastBpeBatched: Option[Seq[Seq[(String, String, Long)]]] = None
+
+  /** BPE training with COMPATIBLE-MERGE BATCHING (r14 verdict #6): the
+    * one-merge-per-aggregation loop of [[bpeTrainMerges]] costs a driver
+    * round-trip per vocabulary entry — a 32k vocab is 32k collects. Here
+    * each round's single aggregation returns the top-[[BpeBatchK]] pairs
+    * and the driver greedily admits every pair COMPATIBLE with those
+    * already admitted this round — compatible = the {lhs, rhs, merged}
+    * symbol triples are pairwise disjoint, so no admitted merge can
+    * consume or produce a symbol another one touches and sequential
+    * replace() application equals simultaneous application. Up to K
+    * merges per round-trip instead of 1; the deterministic conflict rule
+    * (scan in (count DESC, lhs, rhs) order) makes the batch a pure
+    * function of the counts, so the oracle can re-derive each admission
+    * as an argmax under the previously-admitted exclusion literals — and
+    * an extra "overflow" probe per round proves the gate admitted EVERY
+    * compatible pair (a remaining compatible row would emit a row the
+    * gate lacks and fail the compare).
+    *
+    * This is the standard batched-BPE trade: within a round, admitted
+    * pair counts are exact as-of round start (compatibility keeps them
+    * independent), while a pair CREATED by this round's merges waits for
+    * the next round — trajectory ≠ strict one-at-a-time BPE, but each
+    * driver round-trip now buys K vocabulary entries, the bound that
+    * matters at a 32k vocab ([[bpeTrainMerges]] stays as the gated
+    * strict-greedy parity form).
+    */
+  private[graft] def bpeTrainMergesBatched(
+      s: SparkSession, dir: String): Seq[Seq[(String, String, Long)]] = {
+    var words = docs(s, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+      .withColumn("syms", concat(lit("||"),
+        array_join(filter(split(col("word"), ""), x => x =!= ""), "||"),
+        lit("||")))
+      .select("wfreq", "syms")
+      .localCheckpoint()
+    val rounds = Seq.newBuilder[Seq[(String, String, Long)]]
+    var exhausted = false
+    for (_ <- 1 to BpeBatchRounds if !exhausted) {
+      val top = words
+        .select(col("wfreq"),
+          filter(split(col("syms"), "\\|\\|"), x => x =!= "").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("wfreq"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), i -> " +
+            "struct(element_at(sy, i + 1) AS l, element_at(sy, i + 2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("wfreq")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs")).limit(BpeBatchK)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        var used = Set.empty[String]
+        val sel = Seq.newBuilder[(String, String, Long)]
+        top.foreach { row =>
+          val (l, r, n) = (row.getAs[String]("lhs"),
+            row.getAs[String]("rhs"), row.getAs[Long]("n"))
+          if (!used(l) && !used(r) && !used(l + r)) {
+            sel += ((l, r, n)); used ++= Seq(l, r, l + r)
+          }
+        }
+        val selected = sel.result()
+        rounds += selected
+        words = selected.foldLeft(words) { case (df, (l, r, _)) =>
+          df.withColumn("syms",
+            replace(col("syms"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        }.localCheckpoint()
+      }
+    }
+    val out = rounds.result()
+    lastBpeBatched = Some(out)
+    out
+  }
+
+  /** The batched trajectory as the gate's output: (round, seq, lhs, rhs,
+    * merged, n_occurrences) — seq is the admission order within the
+    * round. */
+  def bpeTrainBatched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lastBpeBatched.getOrElse(bpeTrainMergesBatched(s, dir)).zipWithIndex
+      .flatMap { case (sel, ri) =>
+        sel.zipWithIndex.map { case ((l, r, n), si) =>
+          (ri + 1L, si + 1L, l, r, l + r, n)
+        }
+      }
+      .toDF("round", "seq", "lhs", "rhs", "merged", "n_occurrences")
+      .orderBy("round", "seq")
+  }
+
+  /** def, not a val: replays the captured batched trajectory. Round k's
+    * counts rebuild the symbol strings with every PRIOR round's merges
+    * applied as nested replace literals; admission i re-derives as the
+    * argmax over the top-K list under the exclusion literals of
+    * admissions 1..i−1, and the overflow probe (exclusions of ALL
+    * admissions) must come back empty. */
+  private def bpeTrainBatchedSql: String = {
+    val traj = lastBpeBatched.filter(_.nonEmpty)
+      .getOrElse(Seq(Seq(("_", "_", 0L))))
+    def symsExpr(k: Int): String =
+      traj.take(k - 1).flatten.foldLeft(
+        "'||' || regexp_replace(word, '(.)', '\\1||', 'g')") {
+        case (acc, (l, r, _)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
+      }
+    val parts = Seq.newBuilder[String]
+    val outs = Seq.newBuilder[String]
+    traj.zipWithIndex.foreach { case (sel, ri) =>
+      val k = ri + 1
+      parts += s"""ct$k AS (
+         |  SELECT sy[i] AS lhs, sy[i + 1] AS rhs,
+         |    CAST(sum(wfreq) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT wfreq,
+         |      list_filter(string_split(${symsExpr(k)}, '||'),
+         |                  x -> x != '') AS sy
+         |    FROM words),
+         |    unnest(range(1, len(sy))) AS u(i)
+         |  GROUP BY 1, 2
+         |  ORDER BY n DESC, lhs, rhs LIMIT $BpeBatchK)""".stripMargin
+      def exclOf(upTo: Int): String = sel.take(upTo)
+        .flatMap { case (l, r, _) => Seq(l, r, l + r) }.distinct
+        .map(x => s"'$x'").mkString(", ")
+      sel.indices.foreach { si =>
+        val where = if (si == 0) "true" else {
+          val e = exclOf(si)
+          s"lhs NOT IN ($e) AND rhs NOT IN ($e) AND (lhs || rhs) NOT IN ($e)"
+        }
+        parts += s"""s${k}_${si + 1} AS (
+           |  SELECT CAST($k AS BIGINT) AS round, CAST(${si + 1} AS BIGINT) AS seq,
+           |    lhs, rhs, lhs || rhs AS merged, n AS n_occurrences
+           |  FROM ct$k WHERE $where
+           |  ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin
+        outs += s"SELECT * FROM s${k}_${si + 1}"
+      }
+      val eAll = exclOf(sel.length)
+      parts += s"""ov$k AS (
+         |  SELECT CAST($k AS BIGINT) AS round, CAST(${sel.length + 1} AS BIGINT) AS seq,
+         |    lhs, rhs, lhs || rhs AS merged, n AS n_occurrences
+         |  FROM ct$k
+         |  WHERE lhs NOT IN ($eAll) AND rhs NOT IN ($eAll)
+         |    AND (lhs || rhs) NOT IN ($eAll)
+         |  ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin
+      outs += s"SELECT * FROM ov$k"
+    }
+    s"""WITH words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM (
+       |    SELECT unnest(string_split($normSql, ' ')) AS word FROM documents)
+       |  GROUP BY 1),
+       |${parts.result().mkString(",\n")}
+       |${outs.result().mkString("\nUNION ALL ")}
+       |ORDER BY round, seq""".stripMargin
+  }
+
   /** [[subwordTokenize]] over the CORPUS-TRAINED vocabulary — the closed
     * train→apply loop: the merge products of [[bpeTrainMerges]] become
     * the greedy longest-match table the codegen'd kernel applies (vocab
@@ -2588,8 +2878,16 @@ object TextOps {
     * of the compact scan's split count, and the partition-local sort
     * still yields the global order (measured sf0.1→sf1: 8.2× → ~linear).
     */
-  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val wArr = QcWeights.mkString(", ")
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassifierWith(s, dir, QcWeights.map(_.toLong))
+
+  /** The serving fold with the weight table exposed — one spelling for the
+    * literal parity table ([[QcWeights]]) and the TRAINED model
+    * ([[qcTrainTrajectory]]'s final round), so the trained serve path
+    * cannot diverge from the gate the oracle checks. */
+  private def qualityClassifierWith(s: SparkSession, dir: String,
+                                    weights: Seq[Long]): DataFrame = {
+    val wArr = weights.mkString(", ")
     val bucket = s"CAST(${hash60Sql("x")} % $QcBuckets AS INT)"
     docs(s, dir)
       .repartitionByRange(col("doc_id"))
@@ -2603,8 +2901,8 @@ object TextOps {
       .sortWithinPartitions("doc_id")
   }
 
-  private val qualityClassifierSql = {
-    val wArr = QcWeights.mkString(", ")
+  private def qualityClassifierSqlFor(weights: Seq[Long]): String = {
+    val wArr = weights.mkString(", ")
     val bucket = s"CAST(${duckHash60("x")} % $QcBuckets AS INT)"
     s"""WITH toks AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
@@ -2619,6 +2917,164 @@ object TextOps {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  private val qualityClassifierSql =
+    qualityClassifierSqlFor(QcWeights.map(_.toLong))
+
+  // ------------------ quality classifier TRAINING (batch perceptron)
+
+  private val QcTrainRounds = 4
+
+  /** The "curated reference" sources — the GPT-3/CCNet quality-classifier
+    * setup (Brown et al. 2020 §A; Wenzek et al. 2020): positives are
+    * documents from a trusted reference corpus, negatives the rest of the
+    * crawl, and the trained model then scores everything. Here the first
+    * five synthetic sources stand in for the curated side. */
+  private val QcRefSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** Per-round (weights-after-round, n_misclassified) trajectory trained
+    * by the latest [[qcTrainTrajectory]] run — captured for the oracle
+    * builder and memoized so [[qualityClassifierTrained]] serves without
+    * retraining (the lastBpeTrained discipline). */
+  @volatile private var lastQcTrained: Option[Seq[(Seq[Long], Long)]] = None
+
+  /** The closed train half of the X64 train→apply pair (r14 verdict #4):
+    * a deterministic BATCH perceptron over the hashed bag-of-buckets
+    * features — per round, score every document with the current weights
+    * (broadcast as literals), find the misclassified set, and apply the
+    * summed update `Δ_j = Σ_mis y·cnt_j`. INTEGER arithmetic end to end:
+    * the per-bucket update is an exact order-free BIGINT sum, so the
+    * whole trajectory is bit-reproducible in any engine (a float LR/SGD
+    * would be partition-order nondeterministic — same reason the serving
+    * fold uses integer weights).
+    *
+    * Plan shape at 100 TB: the corpus tokenizes ONCE into the narrow
+    * (doc, y, bucket, cnt) feature frame (≤ 64 rows per doc,
+    * localCheckpointed — the bpeTrainMerges discipline); each round is
+    * two map-side-combining aggregations over that frame plus one ≤
+    * 64-row collect — the driver holds the MODEL, never data. Rounds are
+    * a driver loop exactly like Lloyd's k-means and BPE training.
+    *
+    * Honesty note on the fixture: the synthetic corpus draws every
+    * source's text i.i.d., so the classes are not linearly separable and
+    * the trajectory settles into a deterministic 2-cycle (all-negative →
+    * all-positive predictions) rather than converging — exactly what a
+    * batch perceptron does on inseparable data. What the gate verifies is
+    * the distributed training MACHINERY (scoring, misclassified-set,
+    * integer update), which is label-distribution-independent.
+    */
+  private[graft] def qcTrainTrajectory(s: SparkSession,
+                                       dir: String): Seq[(Seq[Long], Long)] = {
+    val feats = docs(s, dir)
+      .select(col("doc_id"),
+        when(col("source").isin(QcRefSources: _*), 1L).otherwise(-1L).as("y"),
+        explode(toks(col("text"))).as("tok"))
+      .withColumn("bucket",
+        expr(s"CAST(${hash60Sql("tok")} % $QcBuckets AS INT)"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    var w = Seq.fill(QcBuckets)(0L)
+    val traj = Seq.newBuilder[(Seq[Long], Long)]
+    for (_ <- 1 to QcTrainRounds) {
+      val wArr = w.mkString(", ")
+      // bounded intermediate (≤ |docs| narrow rows), materialized once so
+      // the error count and the update read the same misclassified set
+      val mis = feats
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") *
+          expr(s"element_at(array($wArr), bucket + 1)")).as("score"))
+        .filter((col("y") === 1L && col("score") <= 0L) ||
+          (col("y") === -1L && col("score") > 0L))
+        .select("doc_id")
+        .localCheckpoint()
+      val nErr = mis.count()
+      val deltas = feats.join(mis, "doc_id")
+        .groupBy(col("bucket"))
+        .agg(sum(col("y") * col("cnt")).as("delta"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.zipWithIndex.map { case (wj, j) => wj + deltas.getOrElse(j, 0L) }
+      traj += ((w, nErr))
+    }
+    val out = traj.result()
+    lastQcTrained = Some(out)
+    out
+  }
+
+  private def qcTrainedOrRun(s: SparkSession, dir: String): Seq[(Seq[Long], Long)] =
+    lastQcTrained.getOrElse(qcTrainTrajectory(s, dir))
+
+  /** The training trajectory as the gate's output: (round, bucket,
+    * weight-after-round, n_errors). The oracle REPLAYS the loop
+    * round-by-round: for round k it scores with round k−1's CAPTURED
+    * weights as literals, re-derives the misclassified set and the
+    * per-bucket update in SQL, and rebuilds the round-k weight table — so
+    * every round's two aggregations are independently verified, not
+    * echoed. */
+  def qualityTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qcTrainedOrRun(s, dir).zipWithIndex.flatMap { case ((wRound, ne), i) =>
+      wRound.zipWithIndex.map { case (wt, b) => (i + 1L, b.toLong, wt, ne) }
+    }.toDF("round", "bucket", "weight", "n_errors").orderBy("round", "bucket")
+  }
+
+  /** [[qualityClassifier]] SERVING the corpus-trained model — the closed
+    * train→apply loop (the subwordTokenizeTrained twin): the final
+    * round's weight table feeds the SAME codegen'd fold the literal
+    * parity gate uses; the oracle replays serving with the captured
+    * weights as literals. */
+  def qualityClassifierTrained(s: SparkSession, dir: String): DataFrame =
+    qualityClassifierWith(s, dir, qcTrainedOrRun(s, dir).last._1)
+
+  /** def, not a val: replays the captured trajectory (see
+    * [[qualityTrain]]). */
+  private def qualityTrainSql: String = {
+    val traj = lastQcTrained.getOrElse(
+      Seq.fill(QcTrainRounds)((Seq.fill(QcBuckets)(0L), 0L)))
+    val refs = QcRefSources.map(x => s"'$x'").mkString(", ")
+    val rounds = traj.indices.map { i =>
+      val k = i + 1
+      val prevW = if (i == 0) Seq.fill(QcBuckets)(0L) else traj(i - 1)._1
+      val wArr = prevW.mkString(", ")
+      s"""mis$k AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, y,
+         |      CAST(sum(cnt * ([$wArr])[bucket + 1]) AS BIGINT) AS score
+         |    FROM feats GROUP BY 1, 2)
+         |  WHERE (y = 1 AND score <= 0) OR (y = -1 AND score > 0)),
+         |d$k AS (
+         |  SELECT bucket, CAST(sum(feats.y * feats.cnt) AS BIGINT) AS delta
+         |  FROM feats JOIN mis$k USING (doc_id) GROUP BY 1),
+         |r$k AS (
+         |  SELECT CAST($k AS BIGINT) AS round,
+         |    CAST(u.bucket AS BIGINT) AS bucket,
+         |    CAST(([$wArr])[u.bucket + 1] + coalesce(delta, 0) AS BIGINT)
+         |      AS weight,
+         |    (SELECT count(*) FROM mis$k) AS n_errors
+         |  FROM (SELECT unnest(range($QcBuckets)) AS bucket) u
+         |  LEFT JOIN d$k ON u.bucket = d$k.bucket)""".stripMargin
+    }
+    val union = traj.indices.map(i => s"SELECT * FROM r${i + 1}")
+      .mkString("\nUNION ALL ")
+    s"""WITH feats AS (
+       |  SELECT doc_id,
+       |    CASE WHEN source IN ($refs) THEN 1 ELSE -1 END AS y,
+       |    CAST(${duckHash60("tok")} % $QcBuckets AS INT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT doc_id, source, unnest(string_split($normSql, ' ')) AS tok
+       |    FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |${rounds.mkString(",\n")}
+       |$union
+       |ORDER BY round, bucket""".stripMargin
+  }
+
+  /** def, not a val: serving with the captured trained weights. */
+  private def qualityClassifierTrainedSql: String =
+    qualityClassifierSqlFor(lastQcTrained.map(_.last._1)
+      .getOrElse(Seq.fill(QcBuckets)(0L)))
+
   // ------------------------------- n-gram LM perplexity filter (CCNet)
 
   /** Per-bigram negative-log-prob grain: each −ln p floors to an integer
@@ -2631,7 +3087,11 @@ object TextOps {
   private val PplGrain = 1e6
   /** Keep documents whose MEAN per-bigram nll is under this many grain
     * units — the CCNet head/middle cut re-expressed as an integer
-    * compare `nll_key < T · n_bigrams` (no division, exact). */
+    * compare `nll_key < T · n_bigrams` (no division, exact). This literal
+    * is the PARITY setting for the q_lm_perplexity gates (fixed so their
+    * hashes stay comparable round-over-round); the production path
+    * derives T from a held-out split — [[lmCalibrated]], the executed
+    * calibration pass. */
   private val PplKeepMeanNll = 3_400_000L
 
   /** n-gram LM perplexity filtering — the CCNet quality gate (Wenzek et
@@ -2800,6 +3260,131 @@ object TextOps {
        |FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
        |ORDER BY toks.doc_id""".stripMargin
 
+  // -------------------------- LM threshold calibration (held-out split)
+
+  /** CCNet's head/middle percentile cuts: keep the lowest-perplexity p of
+    * the corpus. Calibrated on the md5 [80,90) held-out slice — disjoint
+    * from the [0,80) train split, so the thresholds are not fit on the
+    * LM's own training documents. */
+  private val LmCalibPs = Seq(0.3333, 0.6667)
+  private val LmCalibAcc = 1000
+
+  /** (p, T) thresholds calibrated by the latest [[lmCalibrated]] run,
+    * captured for the oracle builder (the lastBpeTrained discipline: the
+    * sketch VALUE is engine-specific, so the oracle replays the captured
+    * T as a literal and independently verifies its exact rank bound plus
+    * every count derived from it). */
+  @volatile private var lastLmCalib: Option[Seq[(Double, Long)]] = None
+
+  /** EXECUTED LM-threshold calibration (r14 verdict #5) — the held-out
+    * tuning pass the [[PplKeepMeanNll]] scaladoc used to only promise:
+    * score the corpus with the shared [[lmScore]] tail, take
+    * `approx_percentile` of the integer mean-nll key over the held-out
+    * split (a mergeable GK sketch — bounded memory, no global sort), and
+    * feed the calibrated T back through the same integer keep rule
+    * (`nll_key < T · n_bigrams` ⟺ `nll_key DIV n_bigrams < T` for
+    * integer T — the filter stays a pure exact map).
+    *
+    * Gate discipline (the q_percentiles_approx pattern): the sketch value
+    * is engine-specific, so T is COLLECTED (one bounded row — the Lloyd's
+    * discipline), captured for the oracle, and every emitted column is an
+    * exact integer/boolean consequence of that literal: per cut p the row
+    * carries (p, t_key, n_holdout, n_corpus, n_kept, ok) where `ok`
+    * verifies the engine-independent GUARANTEE — T's exact rank among the
+    * held-out keys sits within p·n ± (2n/acc + 2). DuckDB recomputes the
+    * ranks and counts from scratch; an out-of-band sketch value or a
+    * miscounted keep flips a cell and fails the gate.
+    *
+    * Plan shape at 100 TB: scoring is [[lmPerplexityLazy]]'s one-shuffle
+    * train + join pass; the scored frame is checkpointed once and every
+    * aggregate below it is a map-side-combining count over (doc_id-level)
+    * narrow rows; the calibration sketch runs on the held-out 10% only.
+    */
+  def lmCalibrated(s: SparkSession, dir: String): DataFrame = {
+    val (lazyScored, c2) = lmPerplexityLazy(s, dir)
+    val scored = lazyScored
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("n_bigrams"), col("nll_key"),
+        expr("nll_key DIV n_bigrams").as("mkey"))
+      .localCheckpoint()
+    c2.unpersist(blocking = false)
+    val holdout = scored
+      .filter(pmod(h60("doc_id"), lit(100L)).between(80, 89))
+    val ts = holdout
+      .agg(expr(s"approx_percentile(mkey, array(${LmCalibPs.map(_.toString + "D").mkString(",")}), $LmCalibAcc)"))
+      .head().getSeq[Long](0)
+    val calib = LmCalibPs.zip(ts)
+    lastLmCalib = Some(calib)
+
+    val corpusAgg = scored.agg(
+      count(lit(1)).as("n_corpus"),
+      calib.zipWithIndex.map { case ((_, t), i) =>
+        sum(when(col("nll_key") < lit(t) * col("n_bigrams"), 1L)
+          .otherwise(0L)).as(s"kept_$i")
+      }: _*)
+    val holdoutAgg = holdout.agg(
+      count(lit(1)).as("n_holdout"),
+      calib.zipWithIndex.flatMap { case ((_, t), i) => Seq(
+        sum(when(col("mkey") < t, 1L).otherwise(0L)).as(s"clt_$i"),
+        sum(when(col("mkey") <= t, 1L).otherwise(0L)).as(s"cle_$i"))
+      }: _*)
+    val joined = corpusAgg.crossJoin(holdoutAgg)
+    calib.zipWithIndex.map { case ((p, t), i) =>
+      val slack = col("n_holdout") * lit(2.0 / LmCalibAcc) + lit(2.0)
+      joined.select(lit(p).as("p"), lit(t).as("t_key"),
+        col("n_holdout"), col("n_corpus"), col(s"kept_$i").as("n_kept"),
+        (col(s"clt_$i") <= lit(p) * col("n_holdout") + slack &&
+          col(s"cle_$i") >= lit(p) * col("n_holdout") - slack).as("ok"))
+    }.reduce(_ unionAll _).orderBy("p")
+  }
+
+  /** def, not a val: embeds the (p, T) pairs captured while the query ran
+    * and re-derives every count and the rank guarantee from scratch. */
+  private def lmCalibratedSql: String = {
+    val calib = lastLmCalib.getOrElse(LmCalibPs.map((_, 0L)))
+    val perP = calib.map { case (p, t) =>
+      s"""SELECT CAST($p AS DOUBLE) AS p, CAST($t AS BIGINT) AS t_key,
+         |  n_holdout, n_corpus,
+         |  (SELECT count(*) FROM agg WHERE nll_key < $t * n_bigrams) AS n_kept,
+         |  ((SELECT count(*) FROM ho WHERE mkey < $t)
+         |      <= $p * n_holdout + n_holdout * ${2.0 / LmCalibAcc} + 2.0
+         |    AND (SELECT count(*) FROM ho WHERE mkey <= $t)
+         |      >= $p * n_holdout - n_holdout * ${2.0 / LmCalibAcc} - 2.0) AS ok
+         |FROM hs CROSS JOIN cs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS u(i)
+       |  WHERE len(t) >= 2),
+       |train AS (SELECT * FROM bi WHERE ${h60Sql("doc_id")} % 100 < 80),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |v AS (
+       |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+       |    SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
+       |terms AS (
+       |  SELECT bi.doc_id,
+       |    CAST(floor(-ln((coalesce(c2.c2, 0) + 1.0)
+       |      / (coalesce(c1.c1, 0) + v.v)) * ${PplGrain}) AS BIGINT) AS term
+       |  FROM bi
+       |  LEFT JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+       |  LEFT JOIN c1 ON bi.w1 = c1.w1
+       |  CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(term) AS BIGINT) AS nll_key
+       |  FROM terms GROUP BY 1),
+       |ho AS (
+       |  SELECT nll_key // n_bigrams AS mkey FROM agg
+       |  WHERE ${h60Sql("doc_id")} % 100 BETWEEN 80 AND 89),
+       |hs AS (SELECT count(*) AS n_holdout FROM ho),
+       |cs AS (SELECT count(*) AS n_corpus FROM agg)
+       |$perP
+       |ORDER BY p""".stripMargin
+  }
+
   // ------------------------------------ per-source KL domain drift
 
   /** Per-source distribution DRIFT against the corpus — the monitoring
@@ -2906,9 +3491,13 @@ object TextOps {
     "q_subword_tokenize_trained" -> (subwordTokenizeTrained(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_bpe_train" -> (bpeTrain(_, _)),
+    "q_bpe_train_batched" -> (bpeTrainBatched(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
+    "q_quality_train" -> (qualityTrain(_, _)),
+    "q_quality_classifier_trained" -> (qualityClassifierTrained(_, _)),
     "q_lm_perplexity" -> (lmPerplexity(_, _)),
     "q_lm_perplexity_serve" -> (lmPerplexityServe(_, _)),
+    "q_lm_calibrated" -> (lmCalibrated(_, _)),
     "q_domain_drift" -> (domainDrift(_, _)),
     "q_pack_sequences" -> (packSequences(_, _)),
     "q_vocab_topk" -> (vocabTopK(_, _)),
@@ -2919,6 +3508,7 @@ object TextOps {
     "q_lang_id" -> (langId(_, _)),
     "q_lang_ngram" -> (langNgram(_, _)),
     "q_minhash_neardup" -> (minhashNearDup(_, _)),
+    "q_dedup_incremental" -> (dedupIncremental(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_simhash_neardup" -> (simhashNearDup(_, _)),
@@ -2951,9 +3541,13 @@ object TextOps {
     "q_subword_tokenize_trained" -> subwordTokenizeTrainedSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_train_batched" -> bpeTrainBatchedSql,
     "q_quality_classifier" -> qualityClassifierSql,
+    "q_quality_train" -> qualityTrainSql,
+    "q_quality_classifier_trained" -> qualityClassifierTrainedSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_lm_perplexity_serve" -> lmPerplexitySql,
+    "q_lm_calibrated" -> lmCalibratedSql,
     "q_domain_drift" -> domainDriftSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_vocab_topk" -> vocabTopKSql,
@@ -2964,6 +3558,7 @@ object TextOps {
     "q_lang_id" -> langIdSql,
     "q_lang_ngram" -> langNgramSql,
     "q_minhash_neardup" -> minhashNearDupSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_ngram_jaccard" -> minhashNearDupSql,
     "q_token_count" -> tokenCountSql,
     "q_simhash_neardup" -> simhashNearDupSql,

