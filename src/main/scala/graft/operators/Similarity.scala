@@ -296,6 +296,81 @@ object Similarity {
   private def embedNearDupSizedSql: String =
     embedNearDupSqlFor(AnnBands, lastSizedBits, NearDupCosine)
 
+  /** History/batch split for the incremental embedding dedup (the
+    * TextOps.isHistoryDoc twin on vec_id). */
+  private def isHistoryVec =
+    pmod(TextOps.h60("vec_id"), lit(100L)) < 80
+
+  /** Materialize the SRP signature index ONCE per JVM — the vector-side
+    * twin of TextOps.minhashBuildIndex: a production pipeline signs the
+    * lake's embeddings once, and each new batch probes the stored
+    * buckets. Layout: `sig/` = (vec_id, band, sig) at the 16×6 parity
+    * family (one [[bandSignatures]] spelling with the in-plan gates);
+    * `vecs/` = (vec_id, v, nn), the vectors+norms the exact-cosine verify
+    * reads (at 100 TB: sig bucketed by (band, sig), vecs a point-lookup
+    * store). */
+  def srpBuildIndex(s: SparkSession, dir: String): String = {
+    import graft.operators.JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("srpidx", dir)) { tmp =>
+      emb(s, dir).filter(isHistoryVec)
+        .withColumn("nn", expr("vec_dot(v, v)"))
+        .write.parquet(s"$tmp/vecs")
+      bandSignatures(s.read.parquet(s"$tmp/vecs"))
+        .write.parquet(s"$tmp/sig")
+    }.toString
+  }
+
+  /** Incremental embedding near-dup of a fresh batch AGAINST the stored
+    * SRP index — the vector-side completion of the r15 incremental-dedup
+    * serve split (TextOps.dedupIncremental's twin): the batch (20% split)
+    * computes its own signatures (a pure map over the batch), probes the
+    * STORED sig table, and exact-cosine-verifies candidates against the
+    * STORED vectors. History embeddings are never re-signed or re-scanned;
+    * serve cost is the batch map plus bucket occupancy. The contract is
+    * embedNearDup's — "pairs the LSH family surfaces" — and the oracle
+    * replays the planes over both sides split the same way, so the result
+    * exact-compares.
+    */
+  def embedNearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = srpBuildIndex(s, dir)
+    val batch = emb(s, dir).filter(!isHistoryVec)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    val cands = bandSignatures(batch).toDF("batch_vec", "band", "sig")
+      .join(s.read.parquet(s"$root/sig").toDF("hist_vec", "band", "sig"),
+        Seq("band", "sig"))
+      .select("batch_vec", "hist_vec").distinct()
+    val hv = s.read.parquet(s"$root/vecs")
+      .toDF("hist_vec", "hv", "hn")
+    val bv = batch.toDF("batch_vec", "bv", "bn")
+    cands.join(bv, "batch_vec").join(hv, "hist_vec")
+      .withColumn("cosine",
+        expr("vec_dot(bv, hv)") / (sqrt(col("bn")) * sqrt(col("hn"))))
+      .filter(col("cosine") >= NearDupCosine)
+      .select("batch_vec", "hist_vec", "cosine")
+      .orderBy("batch_vec", "hist_vec")
+  }
+
+  private lazy val embedNearDupIncrementalSql = {
+    s"""${srpSigCtePrefix(AnnBands, BandBits)},
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id AS batch_vec, h.vec_id AS hist_vec
+       |  FROM sg b JOIN sg h ON b.band = h.band AND b.sig = h.sig
+       |  WHERE ${TextOps.h60Sql("b.vec_id")} % 100 >= 80
+       |    AND ${TextOps.h60Sql("h.vec_id")} % 100 < 80),
+       |scored AS (
+       |  SELECT batch_vec, hist_vec,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> bn.v[i+1] * hn.v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(bn.nn) * sqrt(hn.nn)) AS cosine
+       |  FROM cand
+       |  JOIN n bn ON bn.vec_id = cand.batch_vec
+       |  JOIN n hn ON hn.vec_id = cand.hist_vec)
+       |SELECT batch_vec, hist_vec, cosine FROM scored
+       |WHERE cosine >= $NearDupCosine
+       |ORDER BY batch_vec, hist_vec""".stripMargin
+  }
+
   /** (vec_id, band, sig) signature table — shared by annLsh/embedNearDup.
     * private[graft] so LlmOpsSpec can measure bucket occupancy directly.
     */
@@ -1450,6 +1525,7 @@ object Similarity {
     // the occupancy-rule form users should run (bandBits sized to n) —
     // the one whose decade point is the GATE row in SCALING.json
     "q_embed_neardup_sized" -> (embedNearDupAutoSized(_, _)),
+    "q_embed_neardup_incremental" -> (embedNearDupIncremental(_, _)),
     "q_semantic_dedup" -> (semanticDedup(_, _)),
     "q_ann_ivfpq_serve" -> (annIvfPqServe(_, _)))
 
@@ -1469,6 +1545,7 @@ object Similarity {
     "q_embed_decontam" -> embedDecontaminateSql,
     "q_embed_neardup_wide" -> embedNearDupSqlFor(16, 8, NearDupCosine),
     "q_embed_neardup_sized" -> embedNearDupSizedSql,
+    "q_embed_neardup_incremental" -> embedNearDupIncrementalSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_ann_ivfpq_serve" -> annIvfPqServeSql)
 }

@@ -501,6 +501,81 @@ object TextOps {
       .withColumnsRenamed(Map("doc_a" -> "batch_doc", "doc_b" -> "hist_doc"))
   }
 
+  /** The INGEST half of the incremental-dedup loop: probe, ACCEPT the
+    * batch docs that duplicate nothing, MERGE their signatures into the
+    * index, and prove effectively-once recognition — a second probe of
+    * the SAME batch against the updated index must flag every batch doc
+    * as a duplicate (accepted docs now match their own stored copy with
+    * Jaccard 1 — identical sets give identical signatures, so every band
+    * buckets them together and LSH cannot miss a self-match; originally-
+    * duplicate docs still match their history twin). This is the daily
+    * crawl cycle closed: decide → ingest → tomorrow's batch probes the
+    * grown lake.
+    *
+    * Index update is APPEND-ONLY on both tables — history is never
+    * re-shingled or re-signed; the merge writes a NEW index directory
+    * (write-new-then-swap, the Warehouse.sync discipline; at 100 TB the
+    * append is a partition add, not a rewrite). Contract note: the batch
+    * is deduplicated against the LAKE, not against itself — two copies
+    * arriving in the same batch are both accepted (within-batch dedup is
+    * minhashNearDup's job, run upstream); the second-pass count is
+    * insensitive to this (each copy then matches the other's stored
+    * signature as well as its own).
+    *
+    * Output: one row of exact counts the oracle re-derives from the
+    * all-pairs batch×history Jaccard — n_history, n_batch, n_dup_batch,
+    * n_accepted (= batch − dup), n_history_after (= history + accepted),
+    * n_second_pass_dup (= batch, the effectively-once witness).
+    */
+  def dedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = minhashBuildIndex(s, dir)
+    val batchSh = shingles(s, dir).filter(!isHistoryDoc).cache()
+    val dups = serveDedupIncremental(s, batchSh, root)
+      .select(col("batch_doc").as("doc_id")).distinct().cache()
+    val accepted = batchSh.join(dups, Seq("doc_id"), "left_anti").cache()
+    val updated = java.nio.file.Files
+      .createTempDirectory("mhidx_upd").toString
+    s.read.parquet(s"$root/sets").unionAll(accepted)
+      .write.parquet(s"$updated/sets")
+    s.read.parquet(s"$root/bands")
+      .unionAll(bandKeysOf(
+        accepted.select(col("doc_id"), expr("minhash_sig(s)").as("sig")),
+        NumBands, RowsPerBand))
+      .write.parquet(s"$updated/bands")
+    val second = serveDedupIncremental(s, batchSh, updated)
+      .select(col("batch_doc")).distinct()
+    s.read.parquet(s"$root/sets").agg(count(lit(1)).as("n_history"))
+      .crossJoin(batchSh.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
+      .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
+      .crossJoin(s.read.parquet(s"$updated/sets")
+        .agg(count(lit(1)).as("n_history_after")))
+      .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
+  }
+
+  private val dedupIndexUpdateSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t)-2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |b AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 >= 80),
+       |h AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 < 80),
+       |dup AS (
+       |  SELECT DISTINCT b.doc_id FROM b JOIN h ON
+       |    CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+       |      / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s)))
+       |      >= $JaccardThreshold)
+       |SELECT (SELECT count(*) FROM h) AS n_history,
+       |  (SELECT count(*) FROM b) AS n_batch,
+       |  (SELECT count(*) FROM dup) AS n_dup_batch,
+       |  (SELECT count(*) FROM b) - (SELECT count(*) FROM dup) AS n_accepted,
+       |  (SELECT count(*) FROM h) + (SELECT count(*) FROM b)
+       |    - (SELECT count(*) FROM dup) AS n_history_after,
+       |  (SELECT count(*) FROM b) AS n_second_pass_dup""".stripMargin
+
   private val dedupIncrementalSql =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
@@ -2757,7 +2832,9 @@ object TextOps {
     * round. */
   def bpeTrainBatched(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    lastBpeBatched.getOrElse(bpeTrainMergesBatched(s, dir)).zipWithIndex
+    // always retrain — the gate PRICES the batched loop, so its bench
+    // time is comparable against q_bpe_train's one-merge-per-round form
+    bpeTrainMergesBatched(s, dir).zipWithIndex
       .flatMap { case (sel, ri) =>
         sel.zipWithIndex.map { case ((l, r, n), si) =>
           (ri + 1L, si + 1L, l, r, l + r, n)
@@ -3013,7 +3090,9 @@ object TextOps {
     * echoed. */
   def qualityTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    qcTrainedOrRun(s, dir).zipWithIndex.flatMap { case ((wRound, ne), i) =>
+    // always retrain — the gate PRICES the training loop (the q_bpe_train
+    // discipline); only the serving gate reads the memoized trajectory
+    qcTrainTrajectory(s, dir).zipWithIndex.flatMap { case ((wRound, ne), i) =>
       wRound.zipWithIndex.map { case (wt, b) => (i + 1L, b.toLong, wt, ne) }
     }.toDF("round", "bucket", "weight", "n_errors").orderBy("round", "bucket")
   }
@@ -3509,6 +3588,7 @@ object TextOps {
     "q_lang_ngram" -> (langNgram(_, _)),
     "q_minhash_neardup" -> (minhashNearDup(_, _)),
     "q_dedup_incremental" -> (dedupIncremental(_, _)),
+    "q_dedup_index_update" -> (dedupIndexUpdate(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_simhash_neardup" -> (simhashNearDup(_, _)),
@@ -3559,6 +3639,7 @@ object TextOps {
     "q_lang_ngram" -> langNgramSql,
     "q_minhash_neardup" -> minhashNearDupSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_index_update" -> dedupIndexUpdateSql,
     "q_ngram_jaccard" -> minhashNearDupSql,
     "q_token_count" -> tokenCountSql,
     "q_simhash_neardup" -> simhashNearDupSql,
