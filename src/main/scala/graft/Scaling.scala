@@ -39,6 +39,7 @@ object Scaling {
     if (mode == "decontam") probeDecontam(spark, dir)
     if (mode == "sized") probeSizedDecade(spark, dir)
     if (mode == "incr") probeIncrementalDedup(spark, dir)
+    if (mode == "vincr") probeIncrementalVecDedup(spark, dir)
     spark.stop()
   }
 
@@ -108,6 +109,36 @@ object Scaling {
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val med = times.map(_._1).sorted.apply(1)
     println(s"""{"probe":"dedup_incremental","hist_dir":"$dir",""" +
+      s""""sec":${s3(med)},"rows":${times.head._2},""" +
+      s""""reps":[${times.map(t => s3(t._1)).mkString(",")}]}""")
+  }
+
+  /** The vector-side eval-fixed probe: batch pinned to sf0.1's 20% slice
+    * of embeddings, SRP index built from `dir`'s history at the
+    * occupancy-rule family recorded in its meta — run with sf0.1 and
+    * bench_sf1 to measure what 10× more indexed lake costs a fixed batch.
+    */
+  private def probeIncrementalVecDedup(spark: SparkSession, dir: String): Unit = {
+    import operators.Similarity
+    val idx = java.nio.file.Files.createTempDirectory("srpidx_probe").toString
+    Similarity.writeSrpIndex(spark,
+      spark.read.parquet(s"$dir/embeddings.parquet"), idx)
+    val batch = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def run() =
+      Similarity.serveVecDedupIncremental(spark, batch, idx)
+        .queryExecution.toRdd.count()
+    run(): Unit // warmup
+    val times = (1 to 3).map { _ =>
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(150); System.gc()
+      val t0 = System.nanoTime()
+      val rows = run()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val med = times.map(_._1).sorted.apply(1)
+    println(s"""{"probe":"embed_dedup_incremental","hist_dir":"$dir",""" +
       s""""sec":${s3(med)},"rows":${times.head._2},""" +
       s""""reps":[${times.map(t => s3(t._1)).mkString(",")}]}""")
   }

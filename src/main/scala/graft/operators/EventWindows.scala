@@ -536,6 +536,41 @@ object EventWindows {
           .as("n_recrawl_rows"))
   }
 
+  /** Fixture for the streaming index-probe gate: the 20%-split crawl
+    * batch delivered in two micro-batches (even doc_ids, then odd). */
+  private def dedupIndexStreamInput(s: SparkSession, dir: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot("dedupidxstream", dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val batch = graft.Tables.load(s, dir, "documents")
+        .filter(!TextOps.isHistoryDoc)
+      val t0 = System.currentTimeMillis() - 120000
+      writeSingleParquet(tmp, batch.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "00_even.parquet", t0)
+      writeSingleParquet(tmp, batch.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "01_odd.parquet", t0 + 60000)
+    }
+
+  /** The incremental-dedup serve path run INSIDE the streaming front door
+    * (r15; composes X75 with X67's micro-batch shape): crawl documents
+    * arrive as files, and every micro-batch probes the STORED MinHash
+    * index — shingle + sign (pure map), band join against the static
+    * index table, exact-Jaccard verify against the static history sets —
+    * emitting the duplicate pairs as they stream in. Stateless per batch
+    * apart from the within-batch pair dedup: stream-STATIC joins buffer
+    * nothing, so the state story is the index on disk, not the engine.
+    * The gate's output is IDENTICAL to the batch serve path's by
+    * construction (shared banding/verify spellings) and reuses
+    * q_dedup_incremental's oracle verbatim — the streaming and batch
+    * front doors provably answer the same question the same way.
+    */
+  def streamDedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    val root = TextOps.minhashBuildIndex(s, dir)
+    val input = dedupIndexStreamInput(s, dir)
+    streamTwoBatches(s, input, "q_stream_dedup_indexed_sink")(st =>
+      TextOps.streamProbeIndex(s, TextOps.shinglesOf(s, st), root))
+      .orderBy("batch_doc", "hist_doc")
+  }
+
   /** Streaming dedup under the oracle: the whole events table is delivered
     * TWICE (two micro-batches, an at-least-once replay);
     * [[graft.streaming.EventStream.dedupByKey]] must suppress every row of
@@ -961,6 +996,7 @@ object EventWindows {
     "q_stream_dedup_bounded" -> (streamDedupBounded(_, _)),
     "q_stream_corpus_ingest" -> (streamCorpusIngest(_, _)),
     "q_stream_corpus_ingest_bounded" -> (streamCorpusIngestBounded(_, _)),
+    "q_stream_dedup_indexed" -> (streamDedupIndexed(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
     "q_stream_tws" -> (streamTransformWithState(_, _)),
     "q_stream_stream_join" -> (streamStreamJoin(_, _)),
@@ -983,6 +1019,7 @@ object EventWindows {
     "q_stream_dedup_bounded" -> streamDedupSql,
     "q_stream_corpus_ingest" -> streamCorpusIngestSql,
     "q_stream_corpus_ingest_bounded" -> streamCorpusIngestSql,
+    "q_stream_dedup_indexed" -> TextOps.dedupIncrementalOracle,
     "q_stream_custom_state" -> streamCustomStateSql,
     "q_stream_tws" -> streamCustomStateSql,
     "q_stream_stream_join" -> streamStreamJoinSql,

@@ -304,21 +304,47 @@ object Similarity {
   /** Materialize the SRP signature index ONCE per JVM — the vector-side
     * twin of TextOps.minhashBuildIndex: a production pipeline signs the
     * lake's embeddings once, and each new batch probes the stored
-    * buckets. Layout: `sig/` = (vec_id, band, sig) at the 16×6 parity
-    * family (one [[bandSignatures]] spelling with the in-plan gates);
-    * `vecs/` = (vec_id, v, nn), the vectors+norms the exact-cosine verify
-    * reads (at 100 TB: sig bucketed by (band, sig), vecs a point-lookup
-    * store). */
+    * buckets. Layout: `meta/` = the (bands, bandBits) family the
+    * occupancy rule picked for the lake's OWN n at build time — recorded
+    * in the index so probe and index can never band differently; `sig/`
+    * = (vec_id, band, sig) at that family (one [[bandSignatures]]
+    * spelling with the in-plan gates); `vecs/` = (vec_id, v, nn), the
+    * vectors+norms the exact-cosine verify reads (at 100 TB: sig
+    * bucketed by (band, sig), vecs a point-lookup store). */
   def srpBuildIndex(s: SparkSession, dir: String): String = {
     import graft.operators.JournalGate.{buildPerJvm, fixtureRoot}
     buildPerJvm(fixtureRoot("srpidx", dir)) { tmp =>
-      emb(s, dir).filter(isHistoryVec)
-        .withColumn("nn", expr("vec_dot(v, v)"))
-        .write.parquet(s"$tmp/vecs")
-      bandSignatures(s.read.parquet(s"$tmp/vecs"))
-        .write.parquet(s"$tmp/sig")
+      writeSrpIndex(s, Tables.load(s, dir, "embeddings"), tmp.toString)
     }.toString
   }
+
+  /** The build body, callable with any raw (vec_id, embedding) instance
+    * (the Scaling vincr probe scales the indexed lake while the batch
+    * stays fixed). The history slice is the md5-80% split. */
+  private[graft] def writeSrpIndex(s: SparkSession, raw: DataFrame,
+                                   tmp: String): Unit = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    raw.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(isHistoryVec)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .write.parquet(s"$tmp/vecs")
+    val stored = s.read.parquet(s"$tmp/vecs")
+    // the family is FIXED at build time by the occupancy rule on the
+    // lake's own n and RECORDED in the index — every later batch probe
+    // reads it back, so index and probe can never band differently
+    // (the first measurement of this gate at the fixed 16×6 family ran
+    // 15.5× at the decade: per-bucket occupancy is the whole game)
+    val bits = sizedBandBits(stored.count())
+    Seq((AnnBands, bits)).toDF("bands", "band_bits")
+      .write.parquet(s"$tmp/meta")
+    bandSignatures(stored, AnnBands, bits).write.parquet(s"$tmp/sig")
+  }
+
+  /** bandBits recorded in the index probed by the latest
+    * [[embedNearDupIncremental]] run, captured for the oracle builder. */
+  @volatile private var lastSrpIdxBits: Int = BandBits
 
   /** Incremental embedding near-dup of a fresh batch AGAINST the stored
     * SRP index — the vector-side completion of the r15 incremental-dedup
@@ -333,10 +359,26 @@ object Similarity {
     */
   def embedNearDupIncremental(s: SparkSession, dir: String): DataFrame = {
     val root = srpBuildIndex(s, dir)
-    val batch = emb(s, dir).filter(!isHistoryVec)
+    serveVecDedupIncremental(s, Tables.load(s, dir, "embeddings"), root)
+  }
+
+  /** The probe tail, callable against any index root and raw batch
+    * source: signs the non-history slice at the family RECORDED in the
+    * index, probes the stored buckets, exact-cosine verifies. */
+  private[graft] def serveVecDedupIncremental(s: SparkSession, raw: DataFrame,
+                                              root: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val meta = s.read.parquet(s"$root/meta").head()
+    val (bands, bits) =
+      (meta.getAs[Int]("bands"), meta.getAs[Int]("band_bits"))
+    lastSrpIdxBits = bits
+    val batch = raw.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(!isHistoryVec)
       .withColumn("nn", expr("vec_dot(v, v)"))
       .cache()
-    val cands = bandSignatures(batch).toDF("batch_vec", "band", "sig")
+    val cands = bandSignatures(batch, bands, bits)
+      .toDF("batch_vec", "band", "sig")
       .join(s.read.parquet(s"$root/sig").toDF("hist_vec", "band", "sig"),
         Seq("band", "sig"))
       .select("batch_vec", "hist_vec").distinct()
@@ -351,8 +393,9 @@ object Similarity {
       .orderBy("batch_vec", "hist_vec")
   }
 
-  private lazy val embedNearDupIncrementalSql = {
-    s"""${srpSigCtePrefix(AnnBands, BandBits)},
+  /** def, not a val: replays the family recorded in the probed index. */
+  private def embedNearDupIncrementalSql = {
+    s"""${srpSigCtePrefix(AnnBands, lastSrpIdxBits)},
        |cand AS (
        |  SELECT DISTINCT b.vec_id AS batch_vec, h.vec_id AS hist_vec
        |  FROM sg b JOIN sg h ON b.band = h.band AND b.sig = h.sig

@@ -356,14 +356,14 @@ object TextOps {
     * the ONE spelling of the banding, shared by the in-plan self-join
     * gates and [[minhashBuildIndex]] (so the stored index buckets exactly
     * the way a fresh batch's probe side does). */
-  private def bandKeysOf(sigs: DataFrame, bands: Int,
-                         rowsPerBand: Int): DataFrame = {
+  private def bandKeysOf(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                         keep: Seq[Column] = Nil): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       hash((b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(r => col("sig").getItem(r)): _*)
     }
-    sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    sigs.select(col("doc_id") +: keep :+
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")): _*)
   }
 
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs against
@@ -384,17 +384,25 @@ object TextOps {
                                  threshold: Double): DataFrame = {
     val sa = setsA.toDF("doc_a", "sa")
     val sb = setsB.toDF("doc_b", "sb")
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val union = size(col("sa")) + size(col("sb")) - inter
     candidates
       .join(sa, "doc_a").join(sb, "doc_b")
-      .filter(least(size(col("sa")), size(col("sb"))).cast("double")
-        >= lit(threshold) * greatest(size(col("sa")), size(col("sb"))))
+      .filter(sizeRatioOk(col("sa"), col("sb"), threshold))
       .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") / union).as("jaccard"))
+        jaccardOf(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The ONE spelling of the exact-Jaccard math and its length-ratio
+    * prefilter — shared by the batch verify tail and the streaming probe
+    * so the two serve paths cannot diverge on a double. */
+  private def jaccardOf(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+  private def sizeRatioOk(a: Column, b: Column, threshold: Double): Column =
+    least(size(a), size(b)).cast("double") >=
+      lit(threshold) * greatest(size(a), size(b))
 
   private val minhashNearDupSql =
     s"""WITH toks AS (
@@ -527,14 +535,56 @@ object TextOps {
     * n_accepted (= batch − dup), n_history_after (= history + accepted),
     * n_second_pass_dup (= batch, the effectively-once witness).
     */
+  /** Streaming-safe single-pipeline spelling of the incremental probe —
+    * what [[serveDedupIncremental]] computes, restructured for a
+    * micro-batched source: the batch doc's shingle set RIDES THE FRAME
+    * end to end instead of being re-joined (the batch-path rejoin would
+    * be a stream-stream self-join, unavailable in append mode), so the
+    * whole plan is map → static band join → per-pair dedup → static set
+    * join → verify. Shares [[bandKeysOf]], [[jaccardOf]] and the ratio
+    * prefilter with the batch path, so the two serve paths provably
+    * compute the same doubles — the gate reuses q_dedup_incremental's
+    * oracle verbatim. The dropDuplicates state is per-(pair) but a doc's
+    * bands all emit within its own micro-batch, so the dedup never does
+    * cross-batch work. */
+  private[operators] def streamProbeIndex(s: SparkSession, batchSh: DataFrame,
+                                          root: String): DataFrame = {
+    val sigs = batchSh.select(col("doc_id"), col("s"),
+      expr("minhash_sig(s)").as("sig"))
+    bandKeysOf(sigs, NumBands, RowsPerBand, keep = Seq(col("s")))
+      .join(s.read.parquet(s"$root/bands").toDF("hist_doc", "band", "sig"),
+        Seq("band", "sig"))
+      .dropDuplicates(Seq("doc_id", "hist_doc"))
+      .join(s.read.parquet(s"$root/sets").toDF("hist_doc", "hs"), "hist_doc")
+      .filter(sizeRatioOk(col("s"), col("hs"), JaccardThreshold))
+      .select(col("doc_id").as("batch_doc"), col("hist_doc"),
+        jaccardOf(col("s"), col("hs")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** q_dedup_incremental's oracle, shared with the streaming gate. */
+  private[operators] def dedupIncrementalOracle: String = dedupIncrementalSql
+
+  private val lastUpdatedIndexDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
   def dedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
     val root = minhashBuildIndex(s, dir)
     val batchSh = shingles(s, dir).filter(!isHistoryDoc).cache()
     val dups = serveDedupIncremental(s, batchSh, root)
       .select(col("batch_doc").as("doc_id")).distinct().cache()
     val accepted = batchSh.join(dups, Seq("doc_id"), "left_anti").cache()
+    // fresh dir per call (the merged index is output under test); the
+    // PREVIOUS call's dir is reclaimed now — its lazy readers have long
+    // since executed — so bench reps don't accumulate index copies
+    lastUpdatedIndexDir.getAndSet(null) match {
+      case null => ()
+      case old => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(old)): Unit
+    }
     val updated = java.nio.file.Files
       .createTempDirectory("mhidx_upd").toString
+    lastUpdatedIndexDir.set(updated)
     s.read.parquet(s"$root/sets").unionAll(accepted)
       .write.parquet(s"$updated/sets")
     s.read.parquet(s"$root/bands")

@@ -846,6 +846,26 @@ class PlanSpec extends SparkSpec {
         s"($docScans scans / $ims cached):\n$plan")
   }
 
+  test("incremental embedding near-dup probes the stored SRP index — batch signed, history read") {
+    // the vector twin of the minhash pin: history signatures AND vectors
+    // come off the srpidx artifact; only the batch side computes
+    // signatures (its `dots` projection over the literal plane family).
+    // History re-signing would show as a second plane-projection subtree
+    // feeding the join's right side instead of a parquet read.
+    val plan = graft.operators.Similarity
+      .embedNearDupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("srpidx") && plan.contains("/sig") &&
+        plan.contains("/vecs"),
+      s"probe must read the stored signature and vector tables:\n$plan")
+    // the batch embeddings are cached once (sign + verify share the
+    // fill); the only embeddings.parquet scans are that inline fill
+    val ims = "InMemoryTableScan".r.findAllIn(plan).length
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(ims >= 1 && scans - ims <= 2,
+      s"history must come off the index ($scans scans / $ims cached):\n$plan")
+  }
+
   test("indexed hybrid search serves BOTH legs from stored indexes") {
     // the serving-path capstone: the ONE fused plan must read the stored
     // BM25 postings AND the stored IVF-PQ codes; no corpus re-tokenization
