@@ -55,9 +55,19 @@ object Scaling {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     // one spelling of the rule, shared with the q_embed_neardup_sized gate
     val bits = operators.Similarity.sizedBandBits(n)
-    def run() = operators.Similarity
-      .embedNearDupSized(spark, dir, 16, bits, 0.45)
-      .queryExecution.toRdd.count()
+    timedProbe(spark, "embed_neardup_sized",
+      Seq("n" -> n.toString, "bands" -> "16", "bandBits" -> bits.toString)) {
+      () => operators.Similarity
+        .embedNearDupSized(spark, dir, 16, bits, 0.45)
+        .queryExecution.toRdd.count()
+    }
+  }
+
+  /** Shared cold-rep protocol for the one-off probes (warmup, 3 reps with
+    * cache cleared and GC settled, median printed as one JSON line) — ONE
+    * spelling so every probe measures under the same discipline. */
+  private def timedProbe(spark: SparkSession, probe: String,
+                         fields: Seq[(String, String)])(run: () => Long): Unit = {
     run(): Unit // warmup
     val times = (1 to 3).map { _ =>
       spark.sharedState.cacheManager.clearCache()
@@ -68,8 +78,9 @@ object Scaling {
     }
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val med = times.map(_._1).sorted.apply(1)
-    println(s"""{"probe":"embed_neardup_sized","n":$n,"bands":16,""" +
-      s""""bandBits":$bits,"sec":${s3(med)},"rows":${times.head._2},""" +
+    val extra = fields.map { case (k, v) => s""""$k":$v,""" }.mkString
+    println(s"""{"probe":"$probe",$extra"sec":${s3(med)},""" +
+      s""""rows":${times.head._2},""" +
       s""""reps":[${times.map(t => s3(t._1)).mkString(",")}]}""")
   }
 
@@ -90,27 +101,16 @@ object Scaling {
       idx)
     val batchDocs = spark.read
       .parquet("/root/testdata/sf0.1/documents.parquet")
-    def run() = {
-      val batchSh = TextOps.shinglesOf(spark, batchDocs)
-        .filter(!TextOps.isHistoryDoc).cache()
-      val n = TextOps.serveDedupIncremental(spark, batchSh, idx)
-        .queryExecution.toRdd.count()
-      batchSh.unpersist(blocking = false)
-      n
+    timedProbe(spark, "dedup_incremental", Seq("hist_dir" -> s""""$dir"""")) {
+      () =>
+        val batchSh = TextOps.shinglesOf(spark, batchDocs)
+          .filter(!TextOps.isHistoryDoc).cache()
+        val n = TextOps.serveDedupIncremental(spark, batchSh, idx)
+          .queryExecution.toRdd.count()
+        batchSh.unpersist(blocking = false)
+        n
     }
-    run(): Unit // warmup
-    val times = (1 to 3).map { _ =>
-      spark.sharedState.cacheManager.clearCache()
-      System.gc(); Thread.sleep(150); System.gc()
-      val t0 = System.nanoTime()
-      val rows = run()
-      ((System.nanoTime() - t0) / 1e9, rows)
-    }
-    def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val med = times.map(_._1).sorted.apply(1)
-    println(s"""{"probe":"dedup_incremental","hist_dir":"$dir",""" +
-      s""""sec":${s3(med)},"rows":${times.head._2},""" +
-      s""""reps":[${times.map(t => s3(t._1)).mkString(",")}]}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx)): Unit
   }
 
   /** The vector-side eval-fixed probe: batch pinned to sf0.1's 20% slice
@@ -125,22 +125,12 @@ object Scaling {
       spark.read.parquet(s"$dir/embeddings.parquet"), idx)
     val batch = spark.read
       .parquet("/root/testdata/sf0.1/embeddings.parquet")
-    def run() =
+    timedProbe(spark, "embed_dedup_incremental",
+      Seq("hist_dir" -> s""""$dir"""")) { () =>
       Similarity.serveVecDedupIncremental(spark, batch, idx)
         .queryExecution.toRdd.count()
-    run(): Unit // warmup
-    val times = (1 to 3).map { _ =>
-      spark.sharedState.cacheManager.clearCache()
-      System.gc(); Thread.sleep(150); System.gc()
-      val t0 = System.nanoTime()
-      val rows = run()
-      ((System.nanoTime() - t0) / 1e9, rows)
     }
-    def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val med = times.map(_._1).sorted.apply(1)
-    println(s"""{"probe":"embed_dedup_incremental","hist_dir":"$dir",""" +
-      s""""sec":${s3(med)},"rows":${times.head._2},""" +
-      s""""reps":[${times.map(t => s3(t._1)).mkString(",")}]}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx)): Unit
   }
 
   /** Decontamination at benchmark eval scale (r12 verdict #5): eval set

@@ -460,6 +460,14 @@ object EventWindows {
       graft.streaming.EventStream.dedupByKey(
         st.withColumn("text_hash", md5(TextOps.norm(col("text")))),
         Seq("text_hash")))
+    ingestFacts(s, dir, sunk)
+  }
+
+  /** The survivor-invariant hash-set facts shared by the unbounded and
+    * bounded ingest gates — ONE spelling, so the two gates cannot drift
+    * apart from the oracle they share. */
+  private def ingestFacts(s: SparkSession, dir: String,
+                          sunk: DataFrame): DataFrame = {
     val offFrame = graft.Tables.load(s, dir, "documents")
       .agg((max(col("doc_id")) + 1).as("off"))
     sunk.crossJoin(broadcast(offFrame))
@@ -525,15 +533,7 @@ object EventWindows {
       graft.streaming.EventStream.dedupByKeyBounded(
         st.withColumn("text_hash", md5(TextOps.norm(col("text")))),
         Seq("text_hash"), "crawl_ts", "24 hours"))
-    val offFrame = graft.Tables.load(s, dir, "documents")
-      .agg((max(col("doc_id")) + 1).as("off"))
-    sunk.crossJoin(broadcast(offFrame))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("text_hash")).as("n_distinct_hashes"),
-        sum(pmod(TextOps.h60("text_hash"), lit(1000000007L)))
-          .as("content_checksum"),
-        sum(when(col("doc_id") >= col("off"), 1L).otherwise(0L))
-          .as("n_recrawl_rows"))
+    ingestFacts(s, dir, sunk)
   }
 
   /** Fixture for the streaming index-probe gate: the 20%-split crawl

@@ -567,6 +567,12 @@ object TextOps {
 
   private val lastUpdatedIndexDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
+  // the between-calls swap reclaims all but the FINAL merged index of the
+  // JVM; this hook reclaims that one too
+  sys.addShutdownHook {
+    Option(lastUpdatedIndexDir.get()).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }: Unit
 
   def dedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
     val root = minhashBuildIndex(s, dir)
@@ -3439,10 +3445,15 @@ object TextOps {
     c2.unpersist(blocking = false)
     val holdout = scored
       .filter(pmod(h60("doc_id"), lit(100L)).between(80, 89))
-    val ts = holdout
+    val tsRow = holdout
       .agg(expr(s"approx_percentile(mkey, array(${LmCalibPs.map(_.toString + "D").mkString(",")}), $LmCalibAcc)"))
-      .head().getSeq[Long](0)
-    val calib = LmCalibPs.zip(ts)
+      .head()
+    // approx_percentile over zero rows returns null — fail attributably
+    // rather than NPE if the md5 [80,90) slice happens to be empty
+    require(!tsRow.isNullAt(0),
+      "LM calibration found no documents in the held-out split — " +
+        "corpus too small for the md5 [80,90) slice")
+    val calib = LmCalibPs.zip(tsRow.getSeq[Long](0))
     lastLmCalib = Some(calib)
 
     val corpusAgg = scored.agg(
