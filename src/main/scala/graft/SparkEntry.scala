@@ -46,6 +46,7 @@ object SparkEntry {
       operators.Compaction.queries ++
       operators.RuntimeFilter.queries ++
       operators.SyncGate.queries ++
+      operators.Graph.queries ++
       multimodal.Multimodal.queries
 
   /** Shared SPARK_GRAFT_ONLY handling for the Verify/Bench mains:
@@ -85,5 +86,6 @@ object SparkEntry {
       operators.Compaction.oracles ++
       operators.RuntimeFilter.oracles ++
       operators.SyncGate.oracles ++
+      operators.Graph.oracles ++
       multimodal.Multimodal.oracles
 }

@@ -688,9 +688,19 @@ object Similarity {
     */
   def trainCodebook(s: SparkSession, dir: String): Seq[Seq[Double]] = {
     val corpus = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)")).cache()
-    var cents: Array[Seq[Double]] = corpus.filter(col("vec_id") < NCells)
+    val init: Array[Seq[Double]] = corpus.filter(col("vec_id") < NCells)
       .orderBy("vec_id").select("v").collect()
       .map(_.getSeq[Double](0))
+    trainCodebookOn(s, corpus, init)
+  }
+
+  /** The Lloyd's loop body over any (vec_id, v, nn) corpus instance and
+    * init — split out so the semantic-dedup index can fit its codebook on
+    * the HISTORY slice only (training on the batch would leak tomorrow's
+    * crawl into today's model). */
+  private def trainCodebookOn(s: SparkSession, corpus: DataFrame,
+                              init: Array[Seq[Double]]): Seq[Seq[Double]] = {
+    var cents: Array[Seq[Double]] = init
     for (_ <- 1 to KmeansIters) {
       val cdf = centroidFrame(s, cents.toSeq)
       val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
@@ -1419,14 +1429,7 @@ object Similarity {
     val corpus = emb(s, dir).withColumn("nn", expr("vec_dot(v, v)"))
     val cb = trainCodebook(s, dir)
     lastSem = Some(cb)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val assigned = corpus.join(broadcast(centroidFrame(s, cb)))
-      .withColumn("ccos",
-        expr("vec_dot(v, cv)") / (sqrt(col("nn")) * sqrt(col("nc"))))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nn"))
-      .cache()
+    val assigned = assignCells(corpus, centroidFrame(s, cb)).cache()
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nn").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
@@ -1440,6 +1443,133 @@ object Similarity {
       .agg(count(lit(1)).as("n_closer"))
       .orderBy("vec_id")
     (dropped, assigned)
+  }
+
+  /** Nearest-centroid assignment — ONE spelling of the argmax rule
+    * (cosine DESC, cid) shared by the in-plan gate, the index build, and
+    * the batch probe, so the three paths cannot cell a vector
+    * differently. */
+  private def assignCells(corpus: DataFrame, cdf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    corpus.join(broadcast(cdf))
+      .withColumn("ccos",
+        expr("vec_dot(v, cv)") / (sqrt(col("nn")) * sqrt(col("nc"))))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("v"), col("nn"))
+  }
+
+  /** Materialize the semantic-dedup cell index ONCE per JVM — the serve
+    * split of the SemDeDup family (the srpBuildIndex twin, cluster-scoped
+    * where SRP is hash-scoped): a production pipeline fits the k-means
+    * codebook on the LAKE once, assigns every lake vector to its cell
+    * once, and each new crawl batch then only assigns ITSELF and
+    * cosine-compares against the stored members of the cells it lands in.
+    * Layout: `cents/` = the (cid, cv, nc) codebook fit on the history
+    * slice (training on the batch would leak tomorrow's crawl into
+    * today's model); `members/` = (cell, vec_id, v, nn), partitioned BY
+    * cell on disk so a batch probe reads only the cells it occupies (at
+    * 100 TB: cell-partition pruning is the whole read story). */
+  def semBuildIndex(s: SparkSession, dir: String): String = {
+    import graft.operators.JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("semidx", dir)) { tmp =>
+      graft.functions.VectorFunctions.register(s)
+      val hist = emb(s, dir).filter(isHistoryVec)
+        .withColumn("nn", expr("vec_dot(v, v)")).cache()
+      val init: Array[Seq[Double]] = hist.orderBy("vec_id")
+        .limit(NCells).select("v").collect().map(_.getSeq[Double](0))
+      val cb = trainCodebookOn(s, hist, init)
+      centroidFrame(s, cb).write.parquet(s"$tmp/cents")
+      assignCells(hist, s.read.parquet(s"$tmp/cents"))
+        .write.partitionBy("cell").parquet(s"$tmp/members")
+      hist.unpersist(blocking = false)
+    }.toString
+  }
+
+  /** Codebook read off the index probed by the latest
+    * [[semanticDedupServe]] run, captured for the oracle builder (exact:
+    * parquet doubles round-trip bit-identically). */
+  @volatile private var lastSemServe: Option[Seq[Seq[Double]]] = None
+
+  /** Semantic near-dup of a fresh batch AGAINST the stored cell index —
+    * the SemDeDup operation a deployed pipeline runs per crawl (the
+    * dedupIncremental / embedNearDupIncremental triplet completed for
+    * the k-means family): the batch (md5 20% split) assigns ONLY itself
+    * to the STORED centroids (broadcast — a pure map + one rank window
+    * over the batch), joins the STORED members of exactly the cells it
+    * occupies, and keeps pairs at cosine ≥ θ. History is never
+    * re-trained, re-assigned, or re-scanned outside the probed cells.
+    *
+    * Output contract: (batch_vec, hist_vec, cell, cosine) — which lake
+    * vectors each new vector semantically duplicates; the oracle replays
+    * the stored codebook as literals, re-derives BOTH sides' assignments
+    * under the shared argmax rule, and exact-compares pairs and cosines.
+    */
+  def semanticDedupServe(s: SparkSession, dir: String): DataFrame = {
+    val root = semBuildIndex(s, dir)
+    val cdf = s.read.parquet(s"$root/cents")
+    lastSemServe = Some(cdf.orderBy("cid").collect()
+      .map(_.getSeq[Double](1)).toSeq)
+    val batch = emb(s, dir).filter(!isHistoryVec)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+    val bAssigned = assignCells(batch, cdf)
+      .select(col("vec_id").as("batch_vec"), col("cell"),
+        col("v").as("bv"), col("nn").as("bn"))
+    val members = s.read.parquet(s"$root/members")
+      .select(col("cell"), col("vec_id").as("hist_vec"),
+        col("v").as("hv"), col("nn").as("hn"))
+    bAssigned.join(members, "cell")
+      .withColumn("cosine",
+        expr("vec_dot(bv, hv)") / (sqrt(col("bn")) * sqrt(col("hn"))))
+      .filter(col("cosine") >= SemThreshold)
+      .select(col("batch_vec"), col("hist_vec"), col("cell"), col("cosine"))
+      .orderBy("batch_vec", "hist_vec")
+  }
+
+  /** def, not a val: replays the codebook read off the probed index. */
+  private def semanticDedupServeSql: String = {
+    val cb = lastSemServe.getOrElse(Seq.tabulate(NCells, Dim)((_, _) => 0.0))
+    val values = cb.zipWithIndex
+      .map { case (v, i) => s"($i, ${v.map(dlit).mkString("[", ", ", "]")})" }
+      .mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |c AS (
+       |  SELECT cid, cv,
+       |    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS nc
+       |  FROM (VALUES
+       |    $values) t(cid, cv)),
+       |scored_cells AS (
+       |  SELECT n.vec_id, c.cid,
+       |    list_reduce(list_transform(range($Dim), i -> n.v[i+1] * c.cv[i+1]),
+       |      (a, b) -> a + b) / (sqrt(n.nn) * sqrt(c.nc)) AS ccos
+       |  FROM n CROSS JOIN c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM scored_cells),
+       |assigned AS (
+       |  SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cell, n.v, n.nn
+       |  FROM ranked_cells r JOIN n ON n.vec_id = r.vec_id WHERE r.crank = 1),
+       |b AS (SELECT * FROM assigned
+       |  WHERE ${TextOps.h60Sql("vec_id")} % 100 >= 80),
+       |h AS (SELECT * FROM assigned
+       |  WHERE ${TextOps.h60Sql("vec_id")} % 100 < 80),
+       |pairs AS (
+       |  SELECT b.vec_id AS batch_vec, h.vec_id AS hist_vec, b.cell,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> b.v[i+1] * h.v[i+1]), (x, y) -> x + y)
+       |      / (sqrt(b.nn) * sqrt(h.nn)) AS cosine
+       |  FROM b JOIN h ON b.cell = h.cell)
+       |SELECT batch_vec, hist_vec, cell, cosine FROM pairs
+       |WHERE cosine >= $SemThreshold
+       |ORDER BY batch_vec, hist_vec""".stripMargin
   }
 
   private def semanticDedupSql: String = {
@@ -1570,6 +1700,7 @@ object Similarity {
     "q_embed_neardup_sized" -> (embedNearDupAutoSized(_, _)),
     "q_embed_neardup_incremental" -> (embedNearDupIncremental(_, _)),
     "q_semantic_dedup" -> (semanticDedup(_, _)),
+    "q_semantic_dedup_serve" -> (semanticDedupServe(_, _)),
     "q_ann_ivfpq_serve" -> (annIvfPqServe(_, _)))
 
   /** def, not val: q_ann_ivf_trained's oracle embeds the centroids trained
@@ -1590,5 +1721,6 @@ object Similarity {
     "q_embed_neardup_sized" -> embedNearDupSizedSql,
     "q_embed_neardup_incremental" -> embedNearDupIncrementalSql,
     "q_semantic_dedup" -> semanticDedupSql,
+    "q_semantic_dedup_serve" -> semanticDedupServeSql,
     "q_ann_ivfpq_serve" -> annIvfPqServeSql)
 }

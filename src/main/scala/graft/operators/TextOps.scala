@@ -2253,12 +2253,9 @@ object TextOps {
     */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wArr = QcWeights.mkString(", ")
-    val bucket = s"CAST(${hash60Sql("x")} % $QcBuckets AS INT)"
     val scored = cleanedDocs(s, dir)
       .withColumn("n_kept", size(col("kt")).cast("long"))
-      .withColumn("score", expr(s"aggregate(kt, CAST(0 AS BIGINT), " +
-        s"(acc, x) -> acc + element_at(array($wArr), $bucket + 1))"))
+      .withColumn("score", qcScoreExpr(QcWeights.map(_.toLong), "kt"))
       .withColumn("pass_clean", col("n_kept") >= PipeMinKept)
       .withColumn("pass_quality", col("pass_clean") && col("score") > 0)
     val byHash = Window.partitionBy(col("kept_hash")).orderBy(col("doc_id"))
@@ -2336,6 +2333,211 @@ object TextOps {
        |  CAST(coalesce(n_tokens_out, 0) AS BIGINT) AS n_tokens_out
        |FROM st LEFT JOIN su ON st.source = su.source
        |ORDER BY st.source""".stripMargin
+  }
+
+  // ---------------- incremental curation pipeline over STORED artifacts
+
+  /** The curation pipeline a deployed stack runs on EVERY crawl batch —
+    * [[curationPipeline]]'s incremental twin, every model and index read
+    * from storage, nothing trained or signed on the history side
+    * (X75/X73/X77/X71 composed end to end):
+    *
+    *   1. near-dup against the LAKE: the batch (md5 20% split) shingles
+    *      and signs ONLY itself and probes the stored MinHash band index
+    *      ([[minhashBuildIndex]] / [[serveDedupIncremental]] — the plan's
+    *      one `minhash_sig` subtree is batch-side);
+    *   2. quality gate: the TRAINED perceptron weights
+    *      ([[qcTrainTrajectory]]'s final round, memoized) broadcast as
+    *      literals through the shared [[qcScoreExpr]] fold — a pure map;
+    *   3. perplexity gate: the stored LM count tables ([[lmBuildIndex]])
+    *      score the batch through the shared [[lmScore]] tail at the
+    *      parity threshold — no training aggregation in the plan;
+    *   4. token accounting: survivors are tokenized with the TRAINED BPE
+    *      vocabulary ([[bpeTrainMerges]]' merge products through the
+    *      codegen'd `wordpiece_toks` kernel), the expensive kernel
+    *      running only on docs that passed every gate.
+    *
+    * Output is the per-source funnel (n_in → n_unique → n_quality →
+    * n_kept → n_subtokens_out), every count an exact integer, so the
+    * CHAINED semantics — stage handoffs included — hash-compare against
+    * one chained oracle that re-derives the dedup verdicts (all-pairs
+    * Jaccard), the quality scores (captured weights as literals), the LM
+    * keys (count tables rebuilt from the train split), and the subword
+    * segmentation (captured vocab, recursive longest-match CTE) from
+    * scratch in DuckDB.
+    *
+    * Plan shape at 100 TB: every per-history cost is paid ONCE at index/
+    * model build (the bench warmup absorbs it; timed reps measure pure
+    * serving); per batch the work is the batch signature map + band
+    * probe, two pure-map scoring folds, two bounded joins against stored
+    * n-gram counts, and two small per-source aggregates. Serve cost is
+    * proportional to the BATCH, independent of lake size (the X75
+    * eval-fixed measurement).
+    *
+    * Reference analog: none — §2x training-pipeline extension surface.
+    */
+  def curationPipelineServe(s: SparkSession, dir: String): DataFrame = {
+    val (out, flags, batch) = curationPipelineServeLazy(s, dir)
+    // tiny result; materialize, then release the caches (the
+    // embedDecontaminate discipline — Verify never clears caches)
+    val res = out.localCheckpoint()
+    flags.unpersist(blocking = false)
+    batch.unpersist(blocking = false)
+    res
+  }
+
+  /** The lazy serve plan + its two cached frames — split out so PlanSpec
+    * can pin the inner plan shape (the public gate's localCheckpoint plan
+    * is just an RDD scan; the [[semanticDedupLazy]] discipline). */
+  private[graft] def curationPipelineServeLazy(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(s)
+    val mhRoot = minhashBuildIndex(s, dir)
+    val lmRoot = lmBuildIndex(s, dir)
+    val weights = qcTrainedOrRun(s, dir).last._1
+    val vocab = lastBpeTrained.getOrElse(bpeTrainMerges(s, dir))
+      .map { case (l, r, _) => l + r }.distinct
+
+    val batch = docs(s, dir).filter(!isHistoryDoc)
+      .select(col("doc_id"), col("source"), col("text"))
+      .cache() // read by the shingle probe AND the token stages
+    val dups = serveDedupIncremental(s, shinglesOf(s, batch), mhRoot)
+      .select(col("batch_doc").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val toksDf = batch
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+    val lmKeep = lmScore(toksDf.select(col("doc_id"), col("t")),
+        bigramsOf(toksDf), s.read.parquet(s"$lmRoot/c2"),
+        s.read.parquet(s"$lmRoot/c1"), s.read.parquet(s"$lmRoot/v"),
+        ordered = false)
+      .select(col("doc_id"), col("keep").as("pass_lm"))
+    val flags = toksDf
+      .withColumn("score", qcScoreExpr(weights, "t"))
+      .join(dups, Seq("doc_id"), "left")
+      .join(lmKeep, Seq("doc_id"), "left")
+      .withColumn("uniq", !coalesce(col("is_dup"), lit(false)))
+      .withColumn("pass_q", col("uniq") && col("score") > 0)
+      .withColumn("kept", col("pass_q") && coalesce(col("pass_lm"), lit(false)))
+      .cache() // read by the funnel agg AND the survivor tokenization
+    val vlit = vocab.map(v => s"'$v'").mkString(", ")
+    val subCounts = flags.filter(col("kept"))
+      .withColumn("n_sub",
+        size(expr(s"wordpiece_toks(t, array($vlit))")).cast("long"))
+      .groupBy(col("source")).agg(sum(col("n_sub")).as("n_subtokens_out"))
+    val out = flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("pass_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .join(subCounts, Seq("source"), "left")
+      .withColumn("n_subtokens_out", coalesce(col("n_subtokens_out"), lit(0L)))
+      .orderBy("source")
+    (out, flags, batch)
+  }
+
+  /** def, not val: replays the captured trained weights and BPE vocab. */
+  private def curationPipelineServeSql: String = {
+    val weights = lastQcTrained.map(_.last._1)
+      .getOrElse(Seq.fill(QcBuckets)(0L))
+    val wArr = weights.mkString(", ")
+    val bucket = s"CAST(${duckHash60("x")} % $QcBuckets AS INT)"
+    val vocab0 = lastBpeTrained.getOrElse(Nil)
+      .map { case (l, r, _) => l + r }.distinct
+    val vocab = if (vocab0.isEmpty) Seq("zz") else vocab0
+    val vlist = vocab.map(v => s"('$v')").mkString(", ")
+    s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vlist)),
+       |toks AS (
+       |  SELECT doc_id, source, string_split($normSql, ' ') AS t
+       |  FROM documents),
+       |b AS (SELECT * FROM toks WHERE ${h60Sql("doc_id")} % 100 >= 80),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t)-2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |bsh AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 >= 80),
+       |hsh AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 < 80),
+       |dup AS (
+       |  SELECT DISTINCT bsh.doc_id FROM bsh JOIN hsh ON
+       |    CAST(len(list_intersect(bsh.s, hsh.s)) AS DOUBLE)
+       |      / (len(bsh.s) + len(hsh.s) - len(list_intersect(bsh.s, hsh.s)))
+       |      >= $JaccardThreshold),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(list_reduce(list_transform(t,
+       |      x -> ([$wArr])[$bucket + 1]), (a, b) -> a + b), 0)
+       |      AS BIGINT) AS score
+       |  FROM b),
+       |bi AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS u(i)
+       |  WHERE len(t) >= 2),
+       |train AS (SELECT * FROM bi WHERE ${h60Sql("doc_id")} % 100 < 80),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |v AS (
+       |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+       |    SELECT w1 AS w FROM c2 UNION SELECT w2 FROM c2)),
+       |bbi AS (SELECT * FROM bi WHERE ${h60Sql("doc_id")} % 100 >= 80),
+       |lmsc AS (
+       |  SELECT bbi.doc_id, count(*) AS n_bigrams,
+       |    sum(CAST(floor(-ln((coalesce(c2.c2, 0) + 1.0)
+       |      / (coalesce(c1.c1, 0) + v.v)) * ${PplGrain}) AS BIGINT))
+       |      AS nll_key
+       |  FROM bbi
+       |  LEFT JOIN c2 ON bbi.w1 = c2.w1 AND bbi.w2 = c2.w2
+       |  LEFT JOIN c1 ON bbi.w1 = c1.w1
+       |  CROSS JOIN v
+       |  GROUP BY 1),
+       |flags AS (
+       |  SELECT b.doc_id, b.source, b.t,
+       |    dup.doc_id IS NULL AS uniq,
+       |    dup.doc_id IS NULL AND q.score > 0 AS pass_q,
+       |    dup.doc_id IS NULL AND q.score > 0
+       |      AND coalesce(lmsc.n_bigrams, 0) > 0
+       |      AND coalesce(lmsc.nll_key, 0) < $PplKeepMeanNll * lmsc.n_bigrams
+       |      AS kept
+       |  FROM b
+       |  LEFT JOIN dup ON b.doc_id = dup.doc_id
+       |  JOIN q ON b.doc_id = q.doc_id
+       |  LEFT JOIN lmsc ON b.doc_id = lmsc.doc_id),
+       |words AS (
+       |  SELECT f.doc_id, i AS wpos, f.t[i] AS word
+       |  FROM flags f, unnest(range(1, len(f.t) + 1)) AS u(i)
+       |  WHERE f.kept),
+       |seg AS (
+       |  SELECT doc_id, wpos, word, 0 AS p, CAST([] AS VARCHAR[]) AS st
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wpos, word, p + len(best) AS p,
+       |    list_append(st, best) AS st
+       |  FROM (
+       |    SELECT doc_id, wpos, word, p, st,
+       |      coalesce(
+       |        (SELECT v FROM vocab
+       |         WHERE v = substring(word, p + 1, len(v))
+       |         ORDER BY len(v) DESC LIMIT 1),
+       |        substring(word, p + 1, 1)) AS best
+       |    FROM seg WHERE p < len(word))),
+       |done AS (SELECT doc_id, wpos, st FROM seg WHERE p = len(word)),
+       |sub AS (
+       |  SELECT doc_id, CAST(sum(len(st)) AS BIGINT) AS n_sub
+       |  FROM done GROUP BY 1),
+       |funnel AS (
+       |  SELECT source, count(*) AS n_in,
+       |    CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |    CAST(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_quality,
+       |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM flags GROUP BY 1),
+       |subsrc AS (
+       |  SELECT f.source, CAST(sum(s.n_sub) AS BIGINT) AS n_subtokens_out
+       |  FROM flags f JOIN sub s ON f.doc_id = s.doc_id
+       |  WHERE f.kept GROUP BY 1)
+       |SELECT funnel.source, n_in, n_unique, n_quality, n_kept,
+       |  CAST(coalesce(n_subtokens_out, 0) AS BIGINT) AS n_subtokens_out
+       |FROM funnel LEFT JOIN subsrc ON funnel.source = subsrc.source
+       |ORDER BY funnel.source""".stripMargin
   }
 
   // --------------------------------------------- hybrid retrieval (RRF)
@@ -3018,17 +3220,23 @@ object TextOps {
     * literal parity table ([[QcWeights]]) and the TRAINED model
     * ([[qcTrainTrajectory]]'s final round), so the trained serve path
     * cannot diverge from the gate the oracle checks. */
-  private def qualityClassifierWith(s: SparkSession, dir: String,
-                                    weights: Seq[Long]): DataFrame = {
+  /** The hashed-linear scoring fold over a token-array column — ONE
+    * spelling shared by the standalone classifier gates and the curation
+    * pipelines, so a composed stage cannot drift from the gated one. */
+  private def qcScoreExpr(weights: Seq[Long], tokCol: String): Column = {
     val wArr = weights.mkString(", ")
     val bucket = s"CAST(${hash60Sql("x")} % $QcBuckets AS INT)"
+    expr(s"aggregate($tokCol, CAST(0 AS BIGINT), " +
+      s"(acc, x) -> acc + element_at(array($wArr), $bucket + 1))")
+  }
+
+  private def qualityClassifierWith(s: SparkSession, dir: String,
+                                    weights: Seq[Long]): DataFrame = {
     docs(s, dir)
       .repartitionByRange(col("doc_id"))
       .withColumn("t", toks(col("text")))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-        expr(s"aggregate(t, CAST(0 AS BIGINT), " +
-          s"(acc, x) -> acc + element_at(array($wArr), $bucket + 1))")
-          .as("score"))
+        qcScoreExpr(weights, "t").as("score"))
       .withColumn("mean_score", col("score").cast("double") / col("n_tokens"))
       .withColumn("keep", col("score") > 0)
       .sortWithinPartitions("doc_id")
@@ -3289,7 +3497,8 @@ object TextOps {
     * so the stored-index path cannot diverge from the gate the oracle
     * checks (the bm25Score discipline). */
   private def lmScore(toksDf: DataFrame, bi: DataFrame, c2: DataFrame,
-                      c1: DataFrame, v: DataFrame): DataFrame = {
+                      c1: DataFrame, v: DataFrame,
+                      ordered: Boolean = true): DataFrame = {
     val scored = bi
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -3300,7 +3509,7 @@ object TextOps {
         .cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("nll_key"))
-    toksDf.select(col("doc_id"))
+    val scored2 = toksDf.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -3310,7 +3519,9 @@ object TextOps {
           .otherwise(col("nll_key").cast("double") / col("n_bigrams")))
       .withColumn("keep", col("n_bigrams") > 0L &&
         col("nll_key") < lit(PplKeepMeanNll) * col("n_bigrams"))
-      .orderBy("doc_id")
+    // the standalone gates order their output; a composed consumer
+    // (curationPipelineServe) re-joins on doc_id and skips the exchange
+    if (ordered) scored2.orderBy("doc_id") else scored2
   }
 
   /** The per-doc (doc_id, w1, w2) bigram stream — zip_with over the two
@@ -3627,6 +3838,7 @@ object TextOps {
     "q_span_removal" -> (spanRemoval(_, _)),
     "q_span_converge" -> (spanConverge(_, _)),
     "q_curation_pipeline" -> (curationPipeline(_, _)),
+    "q_curation_pipeline_serve" -> (curationPipelineServe(_, _)),
     "q_subword_tokenize" -> (subwordTokenize(_, _)),
     "q_subword_tokenize_trained" -> (subwordTokenizeTrained(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
@@ -3678,6 +3890,7 @@ object TextOps {
     "q_span_removal" -> spanRemovalSql,
     "q_span_converge" -> spanConvergeSql,
     "q_curation_pipeline" -> curationPipelineSql,
+    "q_curation_pipeline_serve" -> curationPipelineServeSql,
     "q_subword_tokenize" -> subwordTokenizeSql,
     "q_subword_tokenize_trained" -> subwordTokenizeTrainedSql,
     "q_bpe_pairs" -> bpePairsSql,

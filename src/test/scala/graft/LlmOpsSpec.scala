@@ -1112,4 +1112,36 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
   }
+  test("pagerank: integer fixpoint matches an independent replay; hubs outrank leaves") {
+    // supplier 1 links to customers 1-4 (hub), supplier 2 only to
+    // customer 1 (leaf): after any number of rounds the hub must
+    // out-rank the leaf, and every rank must equal an independent
+    // driver-side replay of the exact integer iteration (own adjacency,
+    // own arithmetic - the trajectory, not just the ordering)
+    val dir = java.nio.file.Files.createTempDirectory("pr").toString
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Graph.pagerank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val arcs = Seq("s1" -> "c1", "s1" -> "c2", "s1" -> "c3", "s1" -> "c4",
+      "s2" -> "c1").flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val outDeg = arcs.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val nodes = arcs.map(_._1).distinct
+    var rank = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 5) {
+      val inflow = arcs.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (srcN, _) => rank(srcN) / outDeg(srcN) }.sum
+      }
+      rank = nodes.map(n =>
+        n -> (150000000L + 85L * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got == rank, s"got $got, expected $rank")
+    assert(got("s1") > got("s2"))
+  }
+
 }

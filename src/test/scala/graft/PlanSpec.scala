@@ -846,6 +846,63 @@ class PlanSpec extends SparkSpec {
         s"($docScans scans / $ims cached):\n$plan")
   }
 
+  test("curation serve pipeline reads every model off storage - batch-only signing, no training") {
+    // the composed daily-batch path: the dedup leg reads the mhidx
+    // band/set tables, the perplexity leg reads the lmidx count tables,
+    // the quality weights and BPE vocab are broadcast literals - so the
+    // only minhash_sig subtree is the batch's own signature map, the
+    // trained-kernel call is the wordpiece fold, and no LM training
+    // aggregation (corpus bigram groupBy) appears anywhere in the plan.
+    val (out, flags, batch) =
+      graft.operators.TextOps.curationPipelineServeLazy(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // the flags frame is the single-rendered inner plan (the outer plan
+    // inlines its cache fill once per consumer, double-counting subtrees)
+    val flagsPlan = flags.queryExecution.executedPlan.toString
+    flags.unpersist(blocking = false)
+    batch.unpersist(blocking = false)
+    assert(flagsPlan.contains("mhidx") && flagsPlan.contains("lmidx"),
+      s"serve must read the stored dedup and LM indexes:\n$flagsPlan")
+    val sigs = "minhash_sig".r.findAllIn(flagsPlan).length
+    assert(sigs == 1,
+      s"exactly one batch-side minhash_sig subtree, found $sigs:\n$flagsPlan")
+    assert(plan.contains("wordpiece_toks"),
+      s"survivor accounting must apply the trained vocab kernel:\n$plan")
+    // every documents read is the batch cache's inline-rendered fill -
+    // a corpus-side scan would mean history is re-processed per batch
+    val docScans = "documents\\.parquet".r.findAllIn(flagsPlan).length
+    val ims = "InMemoryTableScan".r.findAllIn(flagsPlan).length
+    assert(ims >= 2 && docScans <= ims,
+      s"documents must come off the batch cache " +
+        s"($docScans doc scans / $ims cached):\n$plan")
+  }
+
+  test("semantic dedup serve assigns only the batch against the stored cell index") {
+    // the SemDeDup serve split: centroids and history members come off
+    // the semidx artifact; the only embeddings scan is the batch side's
+    // own assignment (broadcast codebook + rank window). A second
+    // embeddings scan or a k-means update aggregate would mean the lake
+    // is re-trained or re-assigned per crawl.
+    val plan = graft.operators.Similarity.semanticDedupServe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("semidx") && plan.contains("/cents") &&
+        plan.contains("/members"),
+      s"serve must read the stored codebook and member tables:\n$plan")
+    // the members read must be CELL-PRUNED by the batch's own cells (the
+    // 100 TB read story: a batch touching k cells reads k partitions of
+    // the lake, not the lake) - DPP renders the batch assignment a second
+    // time as its pruning subquery, so allow that one extra scan
+    assert(plan.contains("dynamicpruning"),
+      s"members must be partition-pruned by the batch's cells:\n$plan")
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).length
+    assert(embScans <= 2,
+      s"only the batch (+ its DPP subquery) may scan embeddings, " +
+        s"found $embScans scans:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+      s"the stored codebook must broadcast to the batch side:\n$plan")
+  }
+
   test("incremental embedding near-dup probes the stored SRP index — batch signed, history read") {
     // the vector twin of the minhash pin: history signatures AND vectors
     // come off the srpidx artifact; only the batch side computes
