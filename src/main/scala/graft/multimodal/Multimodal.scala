@@ -242,7 +242,11 @@ object Multimodal {
     * exact-pixel pins. Grayscale JPEGs replicate to RGB like PNG gray.
     */
   def decodeJpeg(bytes: Array[Byte]): RgbImage = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // hand ImageIO a MemoryCache stream: the InputStream overload wraps in
+    // a FileCache stream (disk temp file per decode) when useCache is on
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
     require(img != null, "ImageIO could not decode the JPEG stream")
     val w = img.getWidth; val h = img.getHeight
     require(w > 0 && h > 0, s"bad JPEG dimensions ${w}x$h")
@@ -632,7 +636,11 @@ object Multimodal {
       s"frame length ${f.length} != ${w}x$h"))
     val bos = new java.io.ByteArrayOutputStream()
     val writer = GifWriterTl.get()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // MemoryCache stream, NOT ImageIO.createImageOutputStream: the factory
+    // honors ImageIO.getUseCache() (true by default) and backs every call
+    // with a disk temp file — measured ~3 ms/image of create/delete churn
+    // that dominated the dhash decade probe. In-heap cache for an 8×8 GIF.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
@@ -655,7 +663,10 @@ object Multimodal {
     */
   def decodeGifFrames(bytes: Array[Byte]): Seq[RgbImage] = {
     val reader = GifReaderTl.get()
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCache stream for the same reason as the writer side: the
+    // ImageIO factory's default FileCache backing costs a disk temp file
+    // per decode call.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis)
@@ -791,11 +802,186 @@ object Multimodal {
       |  CAST(frame_ts AS INT) AS frame_ts, mime, n_bytes, out_w, out_h
       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------ image perceptual-hash near-dup (dHash+LSH)
+
+  private val DhRows = 8
+  private val DhCols = 8
+  private val DhBits = DhRows * (DhCols - 1) // 56
+  private val DhBands = 4
+  private val DhBandBits = DhBits / DhBands // 14
+  private val DhMaxHamming = 3
+
+  /** Image near-duplicate detection by difference hash over REALLY-decoded
+    * frames — the image-side dedup a multimodal training pipeline runs
+    * (the LAION-5B preprocessing shape: perceptual-hash every image, join
+    * on hash proximity, drop near-identical variants; Krawetz's dHash):
+    * each image becomes a [[DhBits]]-bit gradient signature (bit = left
+    * pixel brighter than its right neighbor, row-major). Output is the
+    * dedup EDGE LIST a consumer keeps canonicals from: one row per
+    * non-canonical image pointing at its cluster representative
+    * (hamming 0 — images whose signatures are IDENTICAL), plus one row
+    * per representative pair within hamming 1..[[DhMaxHamming]] (distinct
+    * but near signatures). hamming = 0 ⟺ exact edge by construction,
+    * since identical signatures share a cluster.
+    *
+    * The fixture is the [[gifFrameTable]] discipline taken one stage
+    * further: each printable-ASCII document's first 64 chars become an
+    * 8×8 gray frame, PLUS a brightness-shifted "re-crawl" variant
+    * (pixel+1, clamped at 126 — the classic near-dup a perceptual hash
+    * exists to catch and an exact content hash cannot: the GRADIENT is
+    * invariant under a brightness shift, so each original/variant pair
+    * shares a signature up to the few clamp-tie bits). Both variants go
+    * through the REAL GIF encode→decode round trip — the hash is computed
+    * from decoder-output pixels, not from the text — while the gray
+    * palette's exact round trip lets DuckDB re-derive every bit from the
+    * chars alone: a bit-exact cross-engine oracle over a real decode.
+    *
+    * The first cut of this operator emitted ALL image pairs at hamming ≤
+    * [[DhMaxHamming]] and measured **15.2× at the decade** (3.4 → 51.5 s,
+    * 5.9k → 859k rows): a 56-bit gradient signature of structured text
+    * SATURATES (measured 4.6k → 9.4k distinct hashes for 10× images, top
+    * cluster 72), so pairs-within-identical-hash is Σ C(n,2) — quadratic
+    * in cluster occupancy. The shipped shape routes identical-hash mass
+    * through ONE hash-cluster aggregation (map-side-combining `min` per
+    * dhash — the "exact dedup upstream" every pHash pipeline runs) into
+    * star edges (n−1 per cluster, ≤ one row per image, the per-image
+    * canonical ASSIGNMENT a dedup actually needs), and only DISTINCT
+    * signatures enter the band join (measured 0 / 16 rep pairs at the two
+    * scales). Decade after the reshape (and after routing the codec
+    * through MemoryCache ImageIO streams — see [[encodeGifGray]]):
+    * 1.32 → 5.16 s = 3.91×, the decode scan's own growth.
+    *
+    * The rep-pair candidate join is EXACT, not probabilistic (the
+    * ngramJaccard prefix-filter discipline): [[DhBands]] bands of
+    * [[DhBandBits]] bits — hamming ≤ 3 can touch at most 3 bands, so
+    * every qualifying pair shares at least one band verbatim (pigeonhole),
+    * and the band equi-join provably surfaces ALL of them; bit_count on
+    * the XOR then verifies exactly. Plan shape at 100 TB: decode+hash is
+    * one mapPartitions scan (no shuffle), the cluster agg is one shuffle
+    * of (dhash, id) pairs with partial min, the assignment join-back runs
+    * on AQE (the saturated rep table broadcasts), and the band join fans
+    * in over distinct signatures only. No reference analog (§2x extension
+    * surface).
+    */
+  def imageDhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frameLen = DhRows * DhCols
+    val hashes = Tables.load(s, dir, "documents")
+      .filter(col("text").rlike("\\A[ -~]*\\z") &&
+        length(col("text")) >= frameLen)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val base = java.util.Arrays.copyOf(
+            text.getBytes("US-ASCII"), frameLen)
+          val shifted = base.map(b => math.min(b + 1, 126).toByte)
+          Seq((id * 2, base), (id * 2 + 1, shifted)).map {
+            case (mediaId, frame) =>
+              val gif = encodeGifGray(Seq(frame), DhCols, DhRows)
+              val img = decodeGifFrames(gif).head
+              var h = 0L
+              var k = 0
+              while (k < DhBits) {
+                val r = k / (DhCols - 1)
+                val c = k % (DhCols - 1)
+                val left = img.pixels((r * DhCols + c) * 3) & 0xff
+                val right = img.pixels((r * DhCols + c + 1) * 3) & 0xff
+                if (left > right) h |= (1L << k)
+                k += 1
+              }
+              (mediaId, h)
+          }
+        }
+      }
+      .toDF("media_id", "dhash")
+      // narrow (id, hash) pairs feed BOTH the cluster agg and the
+      // assignment join-back: cache or pay the decode scan twice
+      // (measured 19.3 s → 2× the whole query at the decade probe)
+      .cache()
+    val clusters = hashes.groupBy("dhash").agg(min("media_id").as("rep"))
+    val exactEdges = hashes.join(clusters, "dhash")
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("media_a"), col("media_id").as("media_b"),
+        lit(0L).as("hamming"))
+    val bands = clusters.select(col("rep"), col("dhash"),
+        explode(expr(s"transform(sequence(0, ${DhBands - 1}), " +
+          s"b -> struct(b AS band, " +
+          s"shiftright(dhash, b * $DhBandBits) & ${(1 << DhBandBits) - 1} AS key))"))
+          .as("bk"))
+      .select(col("rep"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.toDF("media_a", "dhash_a", "band", "key")
+    val b = bands.toDF("media_b", "dhash_b", "band", "key")
+    val nearEdges = a.join(b, Seq("band", "key"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("dhash_a"), col("dhash_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(dhash_a ^ dhash_b)").cast("long"))
+      .filter(col("hamming") <= DhMaxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+    exactEdges.unionAll(nearEdges).orderBy("media_a", "media_b")
+  }
+
+  private val imageDhashNearDupSql = {
+    val frameLen = DhRows * DhCols
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= $frameLen),
+       |px AS (
+       |  SELECT doc_id * 2 AS media_id,
+       |    list_transform(range($frameLen),
+       |      i -> ord(substring(text, CAST(i + 1 AS INT), 1))) AS p
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1,
+       |    list_transform(range($frameLen),
+       |      i -> least(ord(substring(text, CAST(i + 1 AS INT), 1)) + 1, 126))
+       |  FROM d),
+       |h AS (
+       |  SELECT media_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($DhBits), k ->
+       |        CASE WHEN p[(k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 1]
+       |                  > p[(k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 2]
+       |             THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)),
+       |      (a, b) -> a + b) AS BIGINT) AS dhash
+       |  FROM px),
+       |clusters AS (
+       |  SELECT dhash, min(media_id) AS rep FROM h GROUP BY dhash),
+       |exact_edges AS (
+       |  SELECT c.rep AS media_a, h.media_id AS media_b,
+       |    CAST(0 AS BIGINT) AS hamming
+       |  FROM h JOIN clusters c ON h.dhash = c.dhash
+       |  WHERE h.media_id <> c.rep),
+       |bands AS (
+       |  SELECT rep, dhash, b,
+       |    (dhash >> CAST(b * $DhBandBits AS INT)) & ${(1 << DhBandBits) - 1} AS key
+       |  FROM clusters, unnest(range($DhBands)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.rep AS media_a, y.rep AS media_b,
+       |    x.dhash AS dhash_a, y.dhash AS dhash_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+       |near_edges AS (
+       |  SELECT media_a, media_b,
+       |    CAST(bit_count(xor(dhash_a, dhash_b)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(dhash_a, dhash_b)) <= $DhMaxHamming)
+       |SELECT media_a, media_b, hamming FROM exact_edges
+       |UNION ALL
+       |SELECT media_a, media_b, hamming FROM near_edges
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_frames" -> (frameTable(_, _)),
-    "q_gif_frames" -> (gifFrameTable(_, _)))
+    "q_gif_frames" -> (gifFrameTable(_, _)),
+    "q_image_dhash_neardup" -> (imageDhashNearDup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_frames" -> frameTableSql,
-    "q_gif_frames" -> gifFrameTableSql)
+    "q_gif_frames" -> gifFrameTableSql,
+    "q_image_dhash_neardup" -> imageDhashNearDupSql)
 }

@@ -1144,4 +1144,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(got("s1") > got("s2"))
   }
 
+  test("image dhash near-dup: brightness-shift invariant, gradient-sensitive") {
+    // doc 1 ramps up (dhash = all zero bits), doc 2 ramps down (all 56
+    // bits set): each original shares a signature with its planted
+    // brightness-shifted re-crawl twin - the invariance a perceptual hash
+    // exists for - so each twin pair collapses to one cluster and emits a
+    // hamming-0 star edge, while the two docs' opposite gradients stay 56
+    // bits apart and must NOT pair. doc 3 is doc 1 with its last two
+    // chars swapped - exactly one gradient bit flips (k=55), so its
+    // cluster rep pairs with doc 1's at hamming 1: the near-edge path.
+    // Every hash here went through the real GIF encode->decode round trip.
+    val up = (32 until 96).map(_.toChar).mkString
+    val down = (32 until 96).reverse.map(_.toChar).mkString
+    val upSwap = up.dropRight(2) + up.takeRight(2).reverse
+    withDocs(1L -> up, 2L -> down, 3L -> upSwap) { dir =>
+      val got = graft.multimodal.Multimodal.imageDhashNearDup(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((2L, 3L, 0L), (4L, 5L, 0L), (6L, 7L, 0L),
+        (2L, 6L, 1L)), s"got $got")
+    }
+  }
+
 }
