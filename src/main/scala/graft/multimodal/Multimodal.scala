@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column handling: images/audio/video as opaque `binary`
@@ -863,12 +863,19 @@ object Multimodal {
     * in over distinct signatures only. No reference analog (§2x extension
     * surface).
     */
-  def imageDhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** Decode+hash stage shared by the one-shot gate, the index build, and
+    * the incremental probe: each eligible document's 8×8 frame and its
+    * brightness-shifted re-crawl variant run the REAL GIF encode→decode
+    * round trip to (media_id, dhash). Pure map, no shuffle — callers
+    * cache when they fan out.
+    */
+  private[graft] def dhashHashes(s: SparkSession, dir: String,
+                                 docFilter: Column): DataFrame = {
     import s.implicits._
     val frameLen = DhRows * DhCols
-    val hashes = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .filter(col("text").rlike("\\A[ -~]*\\z") &&
-        length(col("text")) >= frameLen)
+        length(col("text")) >= frameLen && docFilter)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -895,22 +902,31 @@ object Multimodal {
         }
       }
       .toDF("media_id", "dhash")
-      // narrow (id, hash) pairs feed BOTH the cluster agg and the
-      // assignment join-back: cache or pay the decode scan twice
-      // (measured 19.3 s → 2× the whole query at the decade probe)
-      .cache()
+  }
+
+  /** Explode a hash frame into its [[DhBands]] (band, key) bucket rows —
+    * ONE banding spelling shared by the in-plan gate, the index build,
+    * and the probe, so index and probe can never band differently. */
+  private def dhashBands(hashes: DataFrame, idCol: String): DataFrame =
+    hashes.select(col(idCol), col("dhash"),
+        explode(expr(s"transform(sequence(0, ${DhBands - 1}), " +
+          s"b -> struct(b AS band, " +
+          s"shiftright(dhash, b * $DhBandBits) & ${(1 << DhBandBits) - 1} AS key))"))
+          .as("bk"))
+      .select(col(idCol), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+  def imageDhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    // narrow (id, hash) pairs feed BOTH the cluster agg and the
+    // assignment join-back: cache or pay the decode scan twice
+    // (measured 19.3 s → 2× the whole query at the decade probe)
+    val hashes = dhashHashes(s, dir, lit(true)).cache()
     val clusters = hashes.groupBy("dhash").agg(min("media_id").as("rep"))
     val exactEdges = hashes.join(clusters, "dhash")
       .filter(col("media_id") =!= col("rep"))
       .select(col("rep").as("media_a"), col("media_id").as("media_b"),
         lit(0L).as("hamming"))
-    val bands = clusters.select(col("rep"), col("dhash"),
-        explode(expr(s"transform(sequence(0, ${DhBands - 1}), " +
-          s"b -> struct(b AS band, " +
-          s"shiftright(dhash, b * $DhBandBits) & ${(1 << DhBandBits) - 1} AS key))"))
-          .as("bk"))
-      .select(col("rep"), col("dhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = dhashBands(clusters.select(col("rep"), col("dhash")), "rep")
     val a = bands.toDF("media_a", "dhash_a", "band", "key")
     val b = bands.toDF("media_b", "dhash_b", "band", "key")
     val nearEdges = a.join(b, Seq("band", "key"))
@@ -975,13 +991,125 @@ object Multimodal {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  // --------------- incremental image dedup against a STORED dHash index
+
+  /** Materialize the dHash cluster-band index ONCE per JVM — the
+    * image-side serve split (the minhashBuildIndex discipline applied to
+    * [[imageDhashNearDup]]): a production pipeline perceptual-hashes the
+    * image lake ONCE and then asks "which lake images does this new crawl
+    * batch duplicate?" every day, without ever re-decoding history.
+    * Stored layout: `bands/` — (hist_rep, dhash, band, key), the
+    * [[DhBands]] bucket rows of every DISTINCT history signature (the
+    * X87 cluster reshape baked into the index: hash-identical lake images
+    * are ONE stored row, so index size is bounded by signature diversity,
+    * which saturates, not by lake size). At 100 TB the bands table is
+    * bucketed BY (band, key) on disk so a probe is a co-located join.
+    * One [[dhashBands]] spelling with the in-plan gate and the probe —
+    * index and probe can never band differently by construction.
+    * Rebuilt on each JVM's first use (index content is output of the code
+    * under test); bench's untimed warmup absorbs the build, timed reps
+    * measure pure probing.
+    */
+  def dhashBuildIndex(s: SparkSession, dir: String): String = {
+    import graft.operators.JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("dhidx", dir)) { tmp =>
+      val clusters = dhashHashes(s, dir, graft.operators.TextOps.isHistoryDoc)
+        .groupBy("dhash").agg(min("media_id").as("rep"))
+      dhashBands(clusters.select(col("rep"), col("dhash")), "rep")
+        .write.parquet(s"$tmp/bands")
+    }.toString
+  }
+
+  /** Incremental image near-dup of a fresh crawl batch AGAINST the stored
+    * dHash index — the image-dedup operation that actually runs per
+    * crawl: the batch (20% md5 split, the shared isHistoryDoc spelling)
+    * decodes and hashes ONLY its own images (the plan's one GIF-decode
+    * mapPartitions subtree), probes the STORED cluster bands, and
+    * verifies with codegen'd bit_count on the stored signature — history
+    * is never re-decoded or even scanned. Serve cost = batch decode map +
+    * candidate-bucket occupancy, independent of lake size once signature
+    * diversity saturates (the X87 measurement).
+    *
+    * Output contract: (batch_media, hist_rep, hamming ≤ [[DhMaxHamming]])
+    * — which lake CLUSTER each new image duplicates (hamming 0 = the lake
+    * holds a pixel-gradient-identical image; 1..3 = a near variant); the
+    * ingest decision (drop the batch image) is a semi-join against these
+    * rows. The candidate join is exact by the same pigeonhole as the
+    * one-shot gate, so the oracle is the full all-pairs batch×cluster
+    * hamming in DuckDB with every bit re-derived from the chars.
+    * No reference analog (§2x extension surface).
+    */
+  def imageDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = dhashBuildIndex(s, dir)
+    val batch = dhashHashes(s, dir, !graft.operators.TextOps.isHistoryDoc)
+    dhashBands(batch, "media_id")
+      .toDF("batch_media", "dhash_b", "band", "key")
+      .join(s.read.parquet(s"$root/bands")
+        .toDF("hist_rep", "dhash_h", "band", "key"), Seq("band", "key"))
+      .select("batch_media", "hist_rep", "dhash_b", "dhash_h").distinct()
+      .withColumn("hamming",
+        expr("bit_count(dhash_b ^ dhash_h)").cast("long"))
+      .filter(col("hamming") <= DhMaxHamming)
+      .select(col("batch_media"), col("hist_rep"), col("hamming"))
+      .orderBy("batch_media", "hist_rep")
+  }
+
+  private def imageDedupIncrementalSql = {
+    val frameLen = DhRows * DhCols
+    val histSql = s"${graft.operators.TextOps.h60Sql("doc_id")} % 100 < 80"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, $histSql AS is_hist FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= $frameLen),
+       |px AS (
+       |  SELECT doc_id * 2 AS media_id, is_hist,
+       |    list_transform(range($frameLen),
+       |      i -> ord(substring(text, CAST(i + 1 AS INT), 1))) AS p
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, is_hist,
+       |    list_transform(range($frameLen),
+       |      i -> least(ord(substring(text, CAST(i + 1 AS INT), 1)) + 1, 126))
+       |  FROM d),
+       |h AS (
+       |  SELECT media_id, is_hist,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($DhBits), k ->
+       |        CASE WHEN p[(k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 1]
+       |                  > p[(k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 2]
+       |             THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)),
+       |      (a, b) -> a + b) AS BIGINT) AS dhash
+       |  FROM px),
+       |clusters AS (
+       |  SELECT dhash, min(media_id) AS hist_rep FROM h WHERE is_hist
+       |  GROUP BY dhash),
+       |hb AS (
+       |  SELECT hist_rep, dhash, b,
+       |    (dhash >> CAST(b * $DhBandBits AS INT)) & ${(1 << DhBandBits) - 1} AS key
+       |  FROM clusters, unnest(range($DhBands)) AS u(b)),
+       |bb AS (
+       |  SELECT media_id AS batch_media, dhash, b,
+       |    (dhash >> CAST(b * $DhBandBits AS INT)) & ${(1 << DhBandBits) - 1} AS key
+       |  FROM h, unnest(range($DhBands)) AS u(b) WHERE NOT is_hist),
+       |cand AS (
+       |  SELECT DISTINCT x.batch_media, y.hist_rep,
+       |    x.dhash AS dhash_b, y.dhash AS dhash_h
+       |  FROM bb x JOIN hb y ON x.b = y.b AND x.key = y.key)
+       |SELECT batch_media, hist_rep,
+       |  CAST(bit_count(xor(dhash_b, dhash_h)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(dhash_b, dhash_h)) <= $DhMaxHamming
+       |ORDER BY batch_media, hist_rep""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_frames" -> (frameTable(_, _)),
     "q_gif_frames" -> (gifFrameTable(_, _)),
-    "q_image_dhash_neardup" -> (imageDhashNearDup(_, _)))
+    "q_image_dhash_neardup" -> (imageDhashNearDup(_, _)),
+    "q_image_dedup_incremental" -> (imageDedupIncremental(_, _)))
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "q_multimodal_frames" -> frameTableSql,
     "q_gif_frames" -> gifFrameTableSql,
-    "q_image_dhash_neardup" -> imageDhashNearDupSql)
+    "q_image_dhash_neardup" -> imageDhashNearDupSql,
+    "q_image_dedup_incremental" -> imageDedupIncrementalSql)
 }

@@ -27,7 +27,7 @@ object JournalGate {
   /** Bounded deterministic slice: orders with key below this. */
   private val KeyBound = 1200
 
-  private[operators] def fixtureRoot(kind: String, dir: String): Path =
+  private[graft] def fixtureRoot(kind: String, dir: String): Path =
     Paths.get("/tmp", s"graft_journal_${kind}_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_"))
 
@@ -52,7 +52,7 @@ object JournalGate {
     * verify/bench run fresh output while warmup/timed runs share it.
     */
   private val builtThisJvm = new java.util.concurrent.ConcurrentHashMap[String, Path]()
-  private[operators] def buildPerJvm(root: Path)(write: Path => Unit): Path =
+  private[graft] def buildPerJvm(root: Path)(write: Path => Unit): Path =
     builtThisJvm.computeIfAbsent(root.toString, { _ =>
       org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
       val tmp = Paths.get(root.toString + ".building")

@@ -1176,9 +1176,9 @@ object TextOps {
     * assignment (splits, shards, sample order) that must be reproducible
     * across engines, which xxhash64/murmur are not.
     */
-  private[operators] def h60(keySql: String): Column =
+  private[graft] def h60(keySql: String): Column =
     expr(hash60Sql(s"CAST($keySql AS STRING)"))
-  private[operators] def h60Sql(keySql: String): String =
+  private[graft] def h60Sql(keySql: String): String =
     duckHash60(s"CAST($keySql AS VARCHAR)")
 
   /** Deterministic train/val/test split (80/10/10) keyed on the document

@@ -846,6 +846,24 @@ class PlanSpec extends SparkSpec {
         s"($docScans scans / $ims cached):\n$plan")
   }
 
+  test("incremental image dedup decodes only the batch and probes the stored dhash bands") {
+    // the per-crawl image serve path: history's cluster bands come off
+    // the dhidx artifact; the batch side carries the plan's ONE GIF
+    // decode+hash MapPartitions subtree. A second MapPartitions - or a
+    // second documents scan - would mean the lake is re-decoded per
+    // crawl, the cost the stored index exists to remove.
+    val plan = graft.multimodal.Multimodal.imageDedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dhidx") && plan.contains("/bands"),
+      s"probe must read the stored cluster-band table:\n$plan")
+    val decodes = "MapPartitions".r.findAllIn(plan).length
+    assert(decodes == 1,
+      s"exactly one batch-side decode subtree, found $decodes:\n$plan")
+    val docScans = "documents".r.findAllIn(plan).length
+    assert(docScans <= 1,
+      s"only the batch may scan documents ($docScans scans):\n$plan")
+  }
+
   test("curation serve pipeline reads every model off storage - batch-only signing, no training") {
     // the composed daily-batch path: the dedup leg reads the mhidx
     // band/set tables, the perplexity leg reads the lmidx count tables,
