@@ -916,29 +916,50 @@ object Multimodal {
       .select(col(idCol), col("dhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
 
-  def imageDhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    // narrow (id, hash) pairs feed BOTH the cluster agg and the
-    // assignment join-back: cache or pay the decode scan twice
-    // (measured 19.3 s → 2× the whole query at the decade probe)
-    val hashes = dhashHashes(s, dir, lit(true)).cache()
-    val clusters = hashes.groupBy("dhash").agg(min("media_id").as("rep"))
-    val exactEdges = hashes.join(clusters, "dhash")
+  /** Cluster-reshaped near-dup edge list over ≤64-bit perceptual hashes —
+    * the scale shape shared by the image (dHash) and audio (energy-delta
+    * fingerprint) dedup gates: ONE hash-cluster aggregation collapses
+    * hash-identical media into per-media canonical star edges (hamming 0,
+    * ≤1 row per media — never the quadratic within-cluster clique), and
+    * only DISTINCT hashes enter the exact pigeonhole band join for near
+    * edges at hamming 1..`maxHamming` (≤ `nBands` − 1 differing bits
+    * guarantee a shared band). Input schema (media_id, h). The hash frame
+    * feeds both the cluster agg and the assignment join-back, so it is
+    * cached here — or the caller's decode scan runs twice (measured 2×
+    * the whole query at the dhash decade probe).
+    */
+  private def perceptualEdges(hashes: DataFrame, nBands: Int,
+                              bandBits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
+    val h = hashes.toDF("media_id", "h").cache()
+    val clusters = h.groupBy("h").agg(min("media_id").as("rep"))
+    val exactEdges = h.join(clusters, "h")
       .filter(col("media_id") =!= col("rep"))
       .select(col("rep").as("media_a"), col("media_id").as("media_b"),
         lit(0L).as("hamming"))
-    val bands = dhashBands(clusters.select(col("rep"), col("dhash")), "rep")
-    val a = bands.toDF("media_a", "dhash_a", "band", "key")
-    val b = bands.toDF("media_b", "dhash_b", "band", "key")
+    val bands = clusters.select(col("rep"), col("h"),
+        explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> struct(b AS band, " +
+          s"shiftright(h, b * $bandBits) & ${(1 << bandBits) - 1} AS key))"))
+          .as("bk"))
+      .select(col("rep"), col("h"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.toDF("media_a", "h_a", "band", "key")
+    val b = bands.toDF("media_b", "h_b", "band", "key")
     val nearEdges = a.join(b, Seq("band", "key"))
       .filter(col("media_a") < col("media_b"))
-      .select(col("media_a"), col("media_b"), col("dhash_a"), col("dhash_b"))
+      .select(col("media_a"), col("media_b"), col("h_a"), col("h_b"))
       .distinct()
       .withColumn("hamming",
-        expr("bit_count(dhash_a ^ dhash_b)").cast("long"))
-      .filter(col("hamming") <= DhMaxHamming)
+        expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
       .select(col("media_a"), col("media_b"), col("hamming"))
     exactEdges.unionAll(nearEdges).orderBy("media_a", "media_b")
   }
+
+  def imageDhashNearDup(s: SparkSession, dir: String): DataFrame =
+    perceptualEdges(dhashHashes(s, dir, lit(true)),
+      DhBands, DhBandBits, DhMaxHamming)
 
   private val imageDhashNearDupSql = {
     val frameLen = DhRows * DhCols
@@ -1101,15 +1122,178 @@ object Multimodal {
        |ORDER BY batch_media, hist_rep""".stripMargin
   }
 
+  // ------------- audio perceptual-fingerprint near-dup (energy-delta sign)
+
+  private val FpWins = 16
+  private val FpWinLen = 4
+  private val FpSamples = FpWins * FpWinLen // 64
+  private val FpTrans = 14 // window transitions used (of 15; 14×2 = 28 divides into bands)
+  private val FpBits = FpTrans * 2 // 28: (low, high) band per transition
+  private val FpBands = 4
+  private val FpBandBits = FpBits / FpBands // 7
+  private val FpMaxHamming = 3
+
+  /** Encode mono 16-bit PCM as a minimal RIFF/WAVE file — the writer half
+    * of [[decodeWav]]'s chunk walk (44-byte canonical header + LE
+    * samples), so audio gates can run a REAL encode→decode round trip the
+    * way the GIF gates do. PCM16 is lossless: every sample round-trips
+    * bit-exactly through [[decodeWav]]'s `short / 32768f` normalization
+    * (dyadic rationals are exact in float32), which is what lets an
+    * integer fingerprint be computed from DECODER OUTPUT yet re-derived
+    * independently by the oracle.
+    */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(36 + dataLen).putInt(0x45564157) // RIFF size WAVE
+    bb.putInt(0x20746d66).putInt(16) // fmt
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+    bb.putShort(2).putShort(16) // block align, bits
+    bb.putInt(0x61746164).putInt(dataLen) // data
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** The [[FpBits]]-bit energy-delta fingerprint over decoded integer
+    * samples: the corpus is cut into [[FpWins]] windows of [[FpWinLen]]
+    * samples, each window carries a low band (even offsets) and a high
+    * band (odd offsets) energy — Σ sample² , exact integers — and bit
+    * 2w+b is "band b's energy RISES across transition w" (Haitsma &
+    * Kalker's robust-audio-hash bit rule, with the even/odd split
+    * standing in for the filterbank since the fixture has no spectral
+    * structure to separate). Signs of energy DELTAS are invariant under
+    * volume scaling (every energy scales by the same v², strict
+    * comparisons and ties both preserved) — the re-encode variation an
+    * audio fingerprint exists to catch and a content hash cannot.
+    */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    require(samples.length >= FpSamples, s"need $FpSamples samples")
+    var fp = 0L
+    var k = 0
+    while (k < FpBits) {
+      val w = k / 2
+      val band = k % 2
+      def e(win: Int): Long = {
+        val a = samples(win * FpWinLen + band).toLong
+        val b = samples(win * FpWinLen + band + 2).toLong
+        a * a + b * b
+      }
+      if (e(w + 1) > e(w)) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  /** Audio near-duplicate detection by perceptual fingerprint over
+    * REALLY-decoded PCM — the audio-side dedup a multimodal pipeline runs
+    * (the same role X87 plays for images): each printable-ASCII
+    * document's first [[FpSamples]] chars become a mono PCM16 waveform
+    * (sample = char code − 79, centered), PLUS a volume-doubled
+    * "re-encode" variant (the audio analog of X87's brightness shift:
+    * energy-delta SIGNS are invariant under gain, so each original/louder
+    * pair shares a fingerprint exactly, while a content hash differs).
+    * Both run the REAL WAV encode→decode round trip — the fingerprint is
+    * computed from [[decodeWav]] output samples, not from the text — and
+    * PCM16's exact round trip lets DuckDB re-derive every bit from the
+    * chars alone: the bit-exact cross-engine-oracle-over-a-real-codec
+    * discipline, now on the audio path.
+    *
+    * Output and scale shape are [[perceptualEdges]]: per-media canonical
+    * star edges for fingerprint-identical media + near edges between
+    * distinct fingerprints at hamming ≤ [[FpMaxHamming]] via the exact
+    * pigeonhole band join ([[FpBands]]×[[FpBandBits]]). Decode+fingerprint
+    * is one mapPartitions scan; everything downstream is the shared tail.
+    * No reference analog (§2x extension surface).
+    */
+  def audioFpNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.load(s, dir, "documents")
+      .filter(col("text").rlike("\\A[ -~]*\\z") &&
+        length(col("text")) >= FpSamples)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val codes = Array.tabulate(FpSamples)(i => text.charAt(i) - 79)
+          Seq((id * 2, 1), (id * 2 + 1, 2)).map { case (mediaId, vol) =>
+            val pcm = codes.map(c => (c * vol).toShort)
+            val wav = encodeWavPcm16(pcm, 8000)
+            val decoded = decodeWav(wav).samples
+              .map(f => math.round(f * 32768f))
+            (mediaId, audioFingerprint(decoded))
+          }
+        }
+      }
+      .toDF("media_id", "fp")
+    perceptualEdges(hashes, FpBands, FpBandBits, FpMaxHamming)
+  }
+
+  private val audioFpNearDupSql = {
+    // e(w, band) over the 1-based DuckDB list: p[4w+band+1]² + p[4w+band+3]²
+    def e(win: String, band: String) =
+      s"(p[($win) * $FpWinLen + ($band) + 1] * p[($win) * $FpWinLen + ($band) + 1]" +
+        s" + p[($win) * $FpWinLen + ($band) + 3] * p[($win) * $FpWinLen + ($band) + 3])"
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= $FpSamples),
+       |px AS (
+       |  SELECT doc_id * 2 AS media_id,
+       |    list_transform(range($FpSamples),
+       |      i -> ord(substring(text, CAST(i + 1 AS INT), 1)) - 79) AS p
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1,
+       |    list_transform(range($FpSamples),
+       |      i -> (ord(substring(text, CAST(i + 1 AS INT), 1)) - 79) * 2)
+       |  FROM d),
+       |h AS (
+       |  SELECT media_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($FpBits), k ->
+       |        CASE WHEN ${e("k // 2 + 1", "k % 2")} > ${e("k // 2", "k % 2")}
+       |             THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)),
+       |      (a, b) -> a + b) AS BIGINT) AS fp
+       |  FROM px),
+       |clusters AS (
+       |  SELECT fp, min(media_id) AS rep FROM h GROUP BY fp),
+       |exact_edges AS (
+       |  SELECT c.rep AS media_a, h.media_id AS media_b,
+       |    CAST(0 AS BIGINT) AS hamming
+       |  FROM h JOIN clusters c ON h.fp = c.fp
+       |  WHERE h.media_id <> c.rep),
+       |bands AS (
+       |  SELECT rep, fp, b,
+       |    (fp >> CAST(b * $FpBandBits AS INT)) & ${(1 << FpBandBits) - 1} AS key
+       |  FROM clusters, unnest(range($FpBands)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.rep AS media_a, y.rep AS media_b,
+       |    x.fp AS fp_a, y.fp AS fp_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.key = y.key AND x.rep < y.rep),
+       |near_edges AS (
+       |  SELECT media_a, media_b,
+       |    CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $FpMaxHamming)
+       |SELECT media_a, media_b, hamming FROM exact_edges
+       |UNION ALL
+       |SELECT media_a, media_b, hamming FROM near_edges
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_frames" -> (frameTable(_, _)),
     "q_gif_frames" -> (gifFrameTable(_, _)),
     "q_image_dhash_neardup" -> (imageDhashNearDup(_, _)),
-    "q_image_dedup_incremental" -> (imageDedupIncremental(_, _)))
+    "q_image_dedup_incremental" -> (imageDedupIncremental(_, _)),
+    "q_audio_fp_neardup" -> (audioFpNearDup(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_frames" -> frameTableSql,
     "q_gif_frames" -> gifFrameTableSql,
     "q_image_dhash_neardup" -> imageDhashNearDupSql,
-    "q_image_dedup_incremental" -> imageDedupIncrementalSql)
+    "q_image_dedup_incremental" -> imageDedupIncrementalSql,
+    "q_audio_fp_neardup" -> audioFpNearDupSql)
 }
