@@ -1207,28 +1207,9 @@ object Multimodal {
     * is one mapPartitions scan; everything downstream is the shared tail.
     * No reference analog (§2x extension surface).
     */
-  def audioFpNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hashes = Tables.load(s, dir, "documents")
-      .filter(col("text").rlike("\\A[ -~]*\\z") &&
-        length(col("text")) >= FpSamples)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          val codes = Array.tabulate(FpSamples)(i => text.charAt(i) - 79)
-          Seq((id * 2, 1), (id * 2 + 1, 2)).map { case (mediaId, vol) =>
-            val pcm = codes.map(c => (c * vol).toShort)
-            val wav = encodeWavPcm16(pcm, 8000)
-            val decoded = decodeWav(wav).samples
-              .map(f => math.round(f * 32768f))
-            (mediaId, audioFingerprint(decoded))
-          }
-        }
-      }
-      .toDF("media_id", "fp")
-    perceptualEdges(hashes, FpBands, FpBandBits, FpMaxHamming)
-  }
+  def audioFpNearDup(s: SparkSession, dir: String): DataFrame =
+    perceptualEdges(audioFpHashes(s, dir, lit(true)),
+      FpBands, FpBandBits, FpMaxHamming)
 
   private val audioFpNearDupSql = {
     // e(w, band) over the 1-based DuckDB list: p[4w+band+1]² + p[4w+band+3]²
@@ -1283,17 +1264,142 @@ object Multimodal {
        |ORDER BY media_a, media_b""".stripMargin
   }
 
+  /** The decode+fingerprint stage of [[audioFpNearDup]] with a document
+    * filter — shared by the one-shot gate, the index build, and the
+    * incremental probe (the [[dhashHashes]] discipline on the audio
+    * path). Pure map, no shuffle. */
+  private[graft] def audioFpHashes(s: SparkSession, dir: String,
+                                   docFilter: Column): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(col("text").rlike("\\A[ -~]*\\z") &&
+        length(col("text")) >= FpSamples && docFilter)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val codes = Array.tabulate(FpSamples)(i => text.charAt(i) - 79)
+          Seq((id * 2, 1), (id * 2 + 1, 2)).map { case (mediaId, vol) =>
+            val pcm = codes.map(c => (c * vol).toShort)
+            val wav = encodeWavPcm16(pcm, 8000)
+            val decoded = decodeWav(wav).samples
+              .map(f => math.round(f * 32768f))
+            (mediaId, audioFingerprint(decoded))
+          }
+        }
+      }
+      .toDF("media_id", "fp")
+  }
+
+  /** Explode a fingerprint frame into its [[FpBands]] (band, key) rows —
+    * one banding spelling for the audio gate, index build, and probe. */
+  private def audioFpBands(hashes: DataFrame, idCol: String): DataFrame =
+    hashes.select(col(idCol), col("fp"),
+        explode(expr(s"transform(sequence(0, ${FpBands - 1}), " +
+          s"b -> struct(b AS band, " +
+          s"shiftright(fp, b * $FpBandBits) & ${(1 << FpBandBits) - 1} AS key))"))
+          .as("bk"))
+      .select(col(idCol), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Materialize the audio fingerprint cluster-band index ONCE per JVM —
+    * the audio-side serve split ([[dhashBuildIndex]]'s discipline): the
+    * lake is decoded and fingerprinted once, `bands/` stores the bucket
+    * rows of every DISTINCT history fingerprint. */
+  def audioFpBuildIndex(s: SparkSession, dir: String): String = {
+    import graft.operators.JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("afidx", dir)) { tmp =>
+      val clusters = audioFpHashes(s, dir, graft.operators.TextOps.isHistoryDoc)
+        .groupBy("fp").agg(min("media_id").as("rep"))
+      audioFpBands(clusters.select(col("rep"), col("fp")), "rep")
+        .write.parquet(s"$tmp/bands")
+    }.toString
+  }
+
+  /** Incremental audio near-dup of a fresh crawl batch AGAINST the stored
+    * fingerprint index — [[imageDedupIncremental]]'s contract on the audio
+    * path: the batch decodes and fingerprints ONLY its own media (the
+    * plan's one WAV round-trip subtree), probes the stored cluster bands,
+    * verifies with codegen'd bit_count; history is never re-decoded.
+    * Output (batch_media, hist_rep, hamming ≤ [[FpMaxHamming]]). Exact by
+    * the same pigeonhole; oracle = all-pairs batch×cluster hamming with
+    * every bit re-derived from chars. */
+  def audioDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = audioFpBuildIndex(s, dir)
+    val batch = audioFpHashes(s, dir, !graft.operators.TextOps.isHistoryDoc)
+    audioFpBands(batch, "media_id")
+      .toDF("batch_media", "fp_b", "band", "key")
+      .join(s.read.parquet(s"$root/bands")
+        .toDF("hist_rep", "fp_h", "band", "key"), Seq("band", "key"))
+      .select("batch_media", "hist_rep", "fp_b", "fp_h").distinct()
+      .withColumn("hamming",
+        expr("bit_count(fp_b ^ fp_h)").cast("long"))
+      .filter(col("hamming") <= FpMaxHamming)
+      .select(col("batch_media"), col("hist_rep"), col("hamming"))
+      .orderBy("batch_media", "hist_rep")
+  }
+
+  private def audioDedupIncrementalSql = {
+    def e(win: String, band: String) =
+      s"(p[($win) * $FpWinLen + ($band) + 1] * p[($win) * $FpWinLen + ($band) + 1]" +
+        s" + p[($win) * $FpWinLen + ($band) + 3] * p[($win) * $FpWinLen + ($band) + 3])"
+    val histSql = s"${graft.operators.TextOps.h60Sql("doc_id")} % 100 < 80"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, $histSql AS is_hist FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= $FpSamples),
+       |px AS (
+       |  SELECT doc_id * 2 AS media_id, is_hist,
+       |    list_transform(range($FpSamples),
+       |      i -> ord(substring(text, CAST(i + 1 AS INT), 1)) - 79) AS p
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, is_hist,
+       |    list_transform(range($FpSamples),
+       |      i -> (ord(substring(text, CAST(i + 1 AS INT), 1)) - 79) * 2)
+       |  FROM d),
+       |h AS (
+       |  SELECT media_id, is_hist,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($FpBits), k ->
+       |        CASE WHEN ${e("k // 2 + 1", "k % 2")} > ${e("k // 2", "k % 2")}
+       |             THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)),
+       |      (a, b) -> a + b) AS BIGINT) AS fp
+       |  FROM px),
+       |clusters AS (
+       |  SELECT fp, min(media_id) AS hist_rep FROM h WHERE is_hist
+       |  GROUP BY fp),
+       |hb AS (
+       |  SELECT hist_rep, fp, b,
+       |    (fp >> CAST(b * $FpBandBits AS INT)) & ${(1 << FpBandBits) - 1} AS key
+       |  FROM clusters, unnest(range($FpBands)) AS u(b)),
+       |bb AS (
+       |  SELECT media_id AS batch_media, fp, b,
+       |    (fp >> CAST(b * $FpBandBits AS INT)) & ${(1 << FpBandBits) - 1} AS key
+       |  FROM h, unnest(range($FpBands)) AS u(b) WHERE NOT is_hist),
+       |cand AS (
+       |  SELECT DISTINCT x.batch_media, y.hist_rep,
+       |    x.fp AS fp_b, y.fp AS fp_h
+       |  FROM bb x JOIN hb y ON x.b = y.b AND x.key = y.key)
+       |SELECT batch_media, hist_rep,
+       |  CAST(bit_count(xor(fp_b, fp_h)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(fp_b, fp_h)) <= $FpMaxHamming
+       |ORDER BY batch_media, hist_rep""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_frames" -> (frameTable(_, _)),
     "q_gif_frames" -> (gifFrameTable(_, _)),
     "q_image_dhash_neardup" -> (imageDhashNearDup(_, _)),
     "q_image_dedup_incremental" -> (imageDedupIncremental(_, _)),
-    "q_audio_fp_neardup" -> (audioFpNearDup(_, _)))
+    "q_audio_fp_neardup" -> (audioFpNearDup(_, _)),
+    "q_audio_dedup_incremental" -> (audioDedupIncremental(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_frames" -> frameTableSql,
     "q_gif_frames" -> gifFrameTableSql,
     "q_image_dhash_neardup" -> imageDhashNearDupSql,
     "q_image_dedup_incremental" -> imageDedupIncrementalSql,
-    "q_audio_fp_neardup" -> audioFpNearDupSql)
+    "q_audio_fp_neardup" -> audioFpNearDupSql,
+    "q_audio_dedup_incremental" -> audioDedupIncrementalSql)
 }

@@ -864,6 +864,22 @@ class PlanSpec extends SparkSpec {
       s"only the batch may scan documents ($docScans scans):\n$plan")
   }
 
+  test("incremental audio dedup fingerprints only the batch and probes the stored fp bands") {
+    // the audio mirror of the image pin: history's cluster bands come off
+    // the afidx artifact; the batch side carries the plan's ONE WAV
+    // round-trip MapPartitions subtree and the only documents scan.
+    val plan = graft.multimodal.Multimodal.audioDedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("afidx") && plan.contains("/bands"),
+      s"probe must read the stored cluster-band table:\n$plan")
+    val decodes = "MapPartitions".r.findAllIn(plan).length
+    assert(decodes == 1,
+      s"exactly one batch-side decode subtree, found $decodes:\n$plan")
+    val docScans = "documents".r.findAllIn(plan).length
+    assert(docScans <= 1,
+      s"only the batch may scan documents ($docScans scans):\n$plan")
+  }
+
   test("curation serve pipeline reads every model off storage - batch-only signing, no training") {
     // the composed daily-batch path: the dedup leg reads the mhidx
     // band/set tables, the perplexity leg reads the lmidx count tables,
