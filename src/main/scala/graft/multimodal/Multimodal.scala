@@ -1387,13 +1387,184 @@ object Multimodal {
        |ORDER BY batch_media, hist_rep""".stripMargin
   }
 
+  // --------- video (multi-frame) near-dup: per-frame dHash sequences
+
+  private val VidMaxFrames = 4
+  private val VidMinFrames = 2
+
+  /** Video near-duplicate detection over REALLY-decoded multi-frame
+    * containers — the temporal extension of [[imageDhashNearDup]]: each
+    * eligible document's chars become [[VidMinFrames]]..[[VidMaxFrames]]
+    * 8×8 frames encoded into ONE animated GIF (plus the brightness-
+    * shifted re-crawl variant), the container decodes back through the
+    * real multi-frame reader, and the video signature is the ORDERED
+    * sequence of per-frame dHashes. Two videos are near-dups when they
+    * have the same frame count and EVERY aligned frame pair is within
+    * hamming ≤ [[DhMaxHamming]] — the aligned-frame rule every
+    * frame-signature video dedup starts from (Coskun et al.'s spatial/
+    * temporal hash framing).
+    *
+    * Scale shape — the X87 lesson applied temporally, twice:
+    * (1) signature-identical videos collapse through ONE sequence-cluster
+    * aggregation into per-media star edges (≤1 row per media);
+    * (2) near candidates between DISTINCT signatures come from a
+    * COMPOSITE band join: a qualifying pair's frame 0 differs by ≤3 bits
+    * (shares ≥1 of its 4 bands) AND frame 1 likewise, so the pair shares
+    * at least one of the 16 (band0-key, band1-key) COMPOSITE keys —
+    * still exact by the pigeonhole PRODUCT, while composite occupancy is
+    * the product of two frames' band occupancies, which tames the
+    * single-frame saturation that made the X87 first cut quadratic.
+    * Verify is per-frame bit_count over the zipped sequences (all ≤
+    * [[DhMaxHamming]]); output hamming is the total across frames.
+    * No reference analog (§2x extension surface).
+    */
+  def videoDhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frameLen = DhRows * DhCols
+    val minLen = VidMinFrames * frameLen
+    val hashes = Tables.load(s, dir, "documents")
+      .filter(col("text").rlike("\\A[ -~]*\\z") &&
+        length(col("text")) >= minLen)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val nFrames = math.min(VidMaxFrames, text.length / frameLen)
+          val base = (0 until nFrames).map(f =>
+            text.substring(f * frameLen, (f + 1) * frameLen)
+              .getBytes("US-ASCII"))
+          val shifted = base.map(_.map(b => math.min(b + 1, 126).toByte))
+          Seq((id * 2, base), (id * 2 + 1, shifted)).map {
+            case (mediaId, frames) =>
+              val gif = encodeGifGray(frames, DhCols, DhRows)
+              val decoded = decodeGifFrames(gif)
+              val fhs = decoded.map { img =>
+                var h = 0L
+                var k = 0
+                while (k < DhBits) {
+                  val r = k / (DhCols - 1)
+                  val c = k % (DhCols - 1)
+                  val left = img.pixels((r * DhCols + c) * 3) & 0xff
+                  val right = img.pixels((r * DhCols + c + 1) * 3) & 0xff
+                  if (left > right) h |= (1L << k)
+                  k += 1
+                }
+                h
+              }.toArray
+              (mediaId, nFrames, fhs)
+          }
+        }
+      }
+      .toDF("media_id", "n_frames", "fhs")
+      // feeds the sequence-cluster agg AND the assignment join-back
+      .cache()
+    val clusters = hashes.groupBy("n_frames", "fhs")
+      .agg(min("media_id").as("rep"))
+    val exactEdges = hashes.join(clusters, Seq("n_frames", "fhs"))
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("media_a"), col("media_id").as("media_b"),
+        lit(0L).as("hamming"))
+    val mask = (1 << DhBandBits) - 1
+    val keys = clusters.select(col("rep"), col("n_frames"), col("fhs"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, ${DhBands - 1}), b0 ->
+             |  transform(sequence(0, ${DhBands - 1}), b1 -> struct(
+             |    b0 AS b0,
+             |    shiftright(fhs[0], b0 * $DhBandBits) & $mask AS k0,
+             |    b1 AS b1,
+             |    shiftright(fhs[1], b1 * $DhBandBits) & $mask AS k1))))"""
+            .stripMargin)).as("ck"))
+      .select(col("rep"), col("n_frames"), col("fhs"),
+        col("ck.b0").as("b0"), col("ck.k0").as("k0"),
+        col("ck.b1").as("b1"), col("ck.k1").as("k1"))
+    val a = keys.toDF("media_a", "n_frames", "fhs_a", "b0", "k0", "b1", "k1")
+    val b = keys.toDF("media_b", "n_frames", "fhs_b", "b0", "k0", "b1", "k1")
+    val nearEdges = a.join(b, Seq("n_frames", "b0", "k0", "b1", "k1"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("fhs_a"), col("fhs_b"))
+      .distinct()
+      .withColumn("per", expr(
+        "zip_with(fhs_a, fhs_b, (x, y) -> bit_count(x ^ y))"))
+      .filter(expr(s"array_max(per) <= $DhMaxHamming"))
+      .withColumn("hamming",
+        expr("aggregate(per, 0L, (acc, x) -> acc + x)"))
+      .select(col("media_a"), col("media_b"), col("hamming"))
+    exactEdges.unionAll(nearEdges).orderBy("media_a", "media_b")
+  }
+
+  private val videoDhashNearDupSql = {
+    val frameLen = DhRows * DhCols
+    val minLen = VidMinFrames * frameLen
+    val mask = (1 << DhBandBits) - 1
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    least($VidMaxFrames, length(text) // $frameLen) AS n_frames
+       |  FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= $minLen),
+       |px AS (
+       |  SELECT doc_id * 2 AS media_id, n_frames,
+       |    list_transform(range(n_frames * $frameLen),
+       |      i -> ord(substring(text, CAST(i + 1 AS INT), 1))) AS p
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, n_frames,
+       |    list_transform(range(n_frames * $frameLen),
+       |      i -> least(ord(substring(text, CAST(i + 1 AS INT), 1)) + 1, 126))
+       |  FROM d),
+       |h AS (
+       |  SELECT media_id, n_frames,
+       |    list_transform(range(n_frames), f ->
+       |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range($DhBits), k ->
+       |          CASE WHEN p[f * $frameLen + (k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 1]
+       |                    > p[f * $frameLen + (k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 2]
+       |               THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)),
+       |        (a, b) -> a + b) AS BIGINT)) AS fhs
+       |  FROM px),
+       |clusters AS (
+       |  SELECT n_frames, fhs, min(media_id) AS rep FROM h
+       |  GROUP BY n_frames, fhs),
+       |exact_edges AS (
+       |  SELECT c.rep AS media_a, h.media_id AS media_b,
+       |    CAST(0 AS BIGINT) AS hamming
+       |  FROM h JOIN clusters c ON h.n_frames = c.n_frames AND h.fhs = c.fhs
+       |  WHERE h.media_id <> c.rep),
+       |keys AS (
+       |  SELECT rep, n_frames, fhs, b0, b1,
+       |    (fhs[1] >> CAST(b0 * $DhBandBits AS INT)) & $mask AS k0,
+       |    (fhs[2] >> CAST(b1 * $DhBandBits AS INT)) & $mask AS k1
+       |  FROM clusters,
+       |    unnest(range($DhBands)) AS u0(b0), unnest(range($DhBands)) AS u1(b1)),
+       |cand AS (
+       |  SELECT DISTINCT x.rep AS media_a, y.rep AS media_b,
+       |    x.fhs AS fhs_a, y.fhs AS fhs_b, x.n_frames AS n_frames
+       |  FROM keys x JOIN keys y
+       |    ON x.n_frames = y.n_frames AND x.b0 = y.b0 AND x.k0 = y.k0
+       |      AND x.b1 = y.b1 AND x.k1 = y.k1 AND x.rep < y.rep),
+       |verified AS (
+       |  SELECT media_a, media_b,
+       |    list_transform(range(n_frames),
+       |      f -> bit_count(xor(fhs_a[f + 1], fhs_b[f + 1]))) AS per
+       |  FROM cand),
+       |near_edges AS (
+       |  SELECT media_a, media_b,
+       |    CAST(list_sum(per) AS BIGINT) AS hamming
+       |  FROM verified WHERE list_max(per) <= $DhMaxHamming)
+       |SELECT media_a, media_b, hamming FROM exact_edges
+       |UNION ALL
+       |SELECT media_a, media_b, hamming FROM near_edges
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_frames" -> (frameTable(_, _)),
     "q_gif_frames" -> (gifFrameTable(_, _)),
     "q_image_dhash_neardup" -> (imageDhashNearDup(_, _)),
     "q_image_dedup_incremental" -> (imageDedupIncremental(_, _)),
     "q_audio_fp_neardup" -> (audioFpNearDup(_, _)),
-    "q_audio_dedup_incremental" -> (audioDedupIncremental(_, _)))
+    "q_audio_dedup_incremental" -> (audioDedupIncremental(_, _)),
+    "q_video_dhash_neardup" -> (videoDhashNearDup(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_frames" -> frameTableSql,
@@ -1401,5 +1572,6 @@ object Multimodal {
     "q_image_dhash_neardup" -> imageDhashNearDupSql,
     "q_image_dedup_incremental" -> imageDedupIncrementalSql,
     "q_audio_fp_neardup" -> audioFpNearDupSql,
-    "q_audio_dedup_incremental" -> audioDedupIncrementalSql)
+    "q_audio_dedup_incremental" -> audioDedupIncrementalSql,
+    "q_video_dhash_neardup" -> videoDhashNearDupSql)
 }

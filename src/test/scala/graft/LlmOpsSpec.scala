@@ -1190,4 +1190,24 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("video dhash near-dup: aligned-frame rule over the real multi-frame decode") {
+    // two-frame videos: doc 1 = up-ramp in both frames (both frame hashes
+    // all-zero), doc 2 = down-ramp twice (all-ones) - 112 bits apart,
+    // never pairs. Each brightness-shifted twin has identical per-frame
+    // gradients -> identical SEQUENCE -> hamming-0 star edge. doc 3
+    // shares frame 0 with doc 1 and flips exactly one gradient bit in
+    // frame 1, so the composite (band0, band1) keys still collide and the
+    // aligned-frame verify emits the pair at total hamming 1. Every
+    // signature here decoded a real 2-frame animated GIF.
+    val up = (32 until 96).map(_.toChar).mkString
+    val down = (32 until 96).reverse.map(_.toChar).mkString
+    val upSwap = up.dropRight(2) + up.takeRight(2).reverse
+    withDocs(1L -> (up + up), 2L -> (down + down), 3L -> (up + upSwap)) { dir =>
+      val got = graft.multimodal.Multimodal.videoDhashNearDup(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((2L, 3L, 0L), (4L, 5L, 0L), (6L, 7L, 0L),
+        (2L, 6L, 1L)), s"got $got")
+    }
+  }
+
 }
