@@ -880,6 +880,23 @@ class PlanSpec extends SparkSpec {
       s"only the batch may scan documents ($docScans scans):\n$plan")
   }
 
+  test("incremental video dedup decodes only the batch and probes the stored composite keys") {
+    // the temporal mirror of the image/audio pins: history's composite
+    // candidate keys come off the vdidx artifact; the batch side carries
+    // the plan's ONE multi-frame decode subtree and the only documents
+    // scan.
+    val plan = graft.multimodal.Multimodal.videoDedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vdidx") && plan.contains("/keys"),
+      s"probe must read the stored composite-key table:\n$plan")
+    val decodes = "MapPartitions".r.findAllIn(plan).length
+    assert(decodes == 1,
+      s"exactly one batch-side decode subtree, found $decodes:\n$plan")
+    val docScans = "documents".r.findAllIn(plan).length
+    assert(docScans <= 1,
+      s"only the batch may scan documents ($docScans scans):\n$plan")
+  }
+
   test("curation serve pipeline reads every model off storage - batch-only signing, no training") {
     // the composed daily-batch path: the dedup leg reads the mhidx
     // band/set tables, the perplexity leg reads the lmidx count tables,
