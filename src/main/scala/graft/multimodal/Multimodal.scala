@@ -1678,6 +1678,102 @@ object Multimodal {
        |ORDER BY batch_media, hist_rep""".stripMargin
   }
 
+  // ------------- cross-modality incremental curation funnel (daily batch)
+
+  /** The cross-MODALITY composition of the serve splits — the multimodal
+    * analog of the text curation pipeline (X84): one daily crawl batch is
+    * deduplicated against the lake on EVERY modality it carries, each leg
+    * probing its own STORED index (text MinHash bands+sets, image dHash
+    * cluster bands, audio fingerprint bands, video composite keys), and
+    * the output is the per-source ingest funnel n_in → n_after_text →
+    * n_after_image → n_after_audio → n_after_video — exact integers, the
+    * numbers an ingest dashboard actually shows.
+    *
+    * Shape: the four probes are INDEPENDENT plan branches over the same
+    * batch (each is its modality's PlanSpec-pinned batch-only serve path;
+    * nothing in the lake is re-signed or re-decoded), and the funnel is
+    * set algebra on their verdicts — a left join of the batch against
+    * four dup-doc sets and one aggregation, so composition adds no new
+    * scan of anything. A doc too short for a modality can never be
+    * flagged by it (the per-leg eligibility filters, replicated by the
+    * oracle). Serve cost = Σ per-modality batch probes, independent of
+    * lake size — the X84 eval-fixed claim, now holding across modalities.
+    *
+    * Oracle: the four modality oracles run UNCHANGED as nested
+    * subqueries (their own WITH scopes) and the funnel algebra is
+    * re-derived on top — so each leg's verdict handoff into the funnel is
+    * verified, not just the final counts' plausibility.
+    */
+  def multimodalCurationServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val batch = Tables.load(s, dir, "documents")
+      .filter(!TextOps.isHistoryDoc)
+      .select(col("doc_id"), col("source"))
+    def docSet(df: DataFrame, flag: String): DataFrame =
+      df.select(expr("shiftright(batch_media, 1)").as("doc_id"))
+        .distinct().withColumn(flag, lit(true))
+    val textDups = TextOps.dedupIncremental(s, dir)
+      .select(col("batch_doc").as("doc_id")).distinct()
+      .withColumn("t", lit(true))
+    val imgDups = docSet(imageDedupIncremental(s, dir), "i")
+    val audDups = docSet(audioDedupIncremental(s, dir), "a")
+    val vidDups = docSet(videoDedupIncremental(s, dir), "v")
+    batch.join(textDups, Seq("doc_id"), "left")
+      .join(imgDups, Seq("doc_id"), "left")
+      .join(audDups, Seq("doc_id"), "left")
+      .join(vidDups, Seq("doc_id"), "left")
+      .na.fill(false, Seq("t", "i", "a", "v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_after_text"),
+        sum(when(!col("t") && !col("i"), 1L).otherwise(0L))
+          .as("n_after_image"),
+        sum(when(!col("t") && !col("i") && !col("a"), 1L).otherwise(0L))
+          .as("n_after_audio"),
+        sum(when(!col("t") && !col("i") && !col("a") && !col("v"), 1L)
+          .otherwise(0L)).as("n_after_video"))
+      .orderBy("source")
+  }
+
+  private def multimodalCurationServeSql = {
+    val histSql = s"${graft.operators.TextOps.h60Sql("doc_id")} % 100 < 80"
+    s"""WITH batch AS (
+       |  SELECT doc_id, source FROM documents WHERE NOT ($histSql)),
+       |text_dups AS (
+       |  SELECT DISTINCT batch_doc AS doc_id FROM (
+       |${graft.operators.TextOps.dedupIncrementalOracle}
+       |  )),
+       |img_dups AS (
+       |  SELECT DISTINCT batch_media >> 1 AS doc_id FROM (
+       |$imageDedupIncrementalSql
+       |  )),
+       |aud_dups AS (
+       |  SELECT DISTINCT batch_media >> 1 AS doc_id FROM (
+       |$audioDedupIncrementalSql
+       |  )),
+       |vid_dups AS (
+       |  SELECT DISTINCT batch_media >> 1 AS doc_id FROM (
+       |$videoDedupIncrementalSql
+       |  )),
+       |flags AS (
+       |  SELECT b.source,
+       |    b.doc_id IN (SELECT doc_id FROM text_dups) AS t,
+       |    b.doc_id IN (SELECT doc_id FROM img_dups) AS i,
+       |    b.doc_id IN (SELECT doc_id FROM aud_dups) AS a,
+       |    b.doc_id IN (SELECT doc_id FROM vid_dups) AS v
+       |  FROM batch b)
+       |SELECT source, count(*) AS n_in,
+       |  CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_after_text,
+       |  CAST(sum(CASE WHEN NOT t AND NOT i THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_after_image,
+       |  CAST(sum(CASE WHEN NOT t AND NOT i AND NOT a THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_after_audio,
+       |  CAST(sum(CASE WHEN NOT t AND NOT i AND NOT a AND NOT v
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after_video
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_frames" -> (frameTable(_, _)),
     "q_gif_frames" -> (gifFrameTable(_, _)),
@@ -1686,7 +1782,8 @@ object Multimodal {
     "q_audio_fp_neardup" -> (audioFpNearDup(_, _)),
     "q_audio_dedup_incremental" -> (audioDedupIncremental(_, _)),
     "q_video_dhash_neardup" -> (videoDhashNearDup(_, _)),
-    "q_video_dedup_incremental" -> (videoDedupIncremental(_, _)))
+    "q_video_dedup_incremental" -> (videoDedupIncremental(_, _)),
+    "q_multimodal_curation_serve" -> (multimodalCurationServe(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_frames" -> frameTableSql,
@@ -1696,5 +1793,6 @@ object Multimodal {
     "q_audio_fp_neardup" -> audioFpNearDupSql,
     "q_audio_dedup_incremental" -> audioDedupIncrementalSql,
     "q_video_dhash_neardup" -> videoDhashNearDupSql,
-    "q_video_dedup_incremental" -> videoDedupIncrementalSql)
+    "q_video_dedup_incremental" -> videoDedupIncrementalSql,
+    "q_multimodal_curation_serve" -> multimodalCurationServeSql)
 }

@@ -563,7 +563,7 @@ object TextOps {
   }
 
   /** q_dedup_incremental's oracle, shared with the streaming gate. */
-  private[operators] def dedupIncrementalOracle: String = dedupIncrementalSql
+  private[graft] def dedupIncrementalOracle: String = dedupIncrementalSql
 
   private val lastUpdatedIndexDir =
     new java.util.concurrent.atomic.AtomicReference[String]()

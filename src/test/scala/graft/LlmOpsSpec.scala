@@ -1210,4 +1210,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal curation funnel: per-source counts are a monotone partition of the batch") {
+    // algebra invariants the chained oracle cannot state directly: each
+    // source's funnel is monotone non-increasing left to right, and the
+    // n_in column partitions exactly the 20% batch split of the corpus.
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.multimodal.Multimodal
+      .multimodalCurationServe(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = (1 to 5).map(r.getLong)
+      assert(f.zip(f.tail).forall { case (x, y) => x >= y } && f.last >= 0,
+        s"non-monotone funnel for ${r.getString(0)}: $f")
+    }
+    val batchTotal = graft.Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100 >= 80"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum == batchTotal,
+      s"n_in must partition the batch: ${rows.map(_.getLong(1)).sum} vs $batchTotal")
+  }
+
 }
