@@ -870,12 +870,19 @@ object Multimodal {
     * cache when they fan out.
     */
   private[graft] def dhashHashes(s: SparkSession, dir: String,
-                                 docFilter: Column): DataFrame = {
+                                 docFilter: Column): DataFrame =
+    dhashHashesOf(s, Tables.load(s, dir, "documents").filter(docFilter))
+
+  /** [[dhashHashes]] over a caller-supplied documents frame — the form the
+    * streaming front door feeds micro-batches through (the shinglesOf
+    * discipline); applies the eligibility filter itself so every door
+    * hashes identically. */
+  private[graft] def dhashHashesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val frameLen = DhRows * DhCols
-    Tables.load(s, dir, "documents")
+    docs
       .filter(col("text").rlike("\\A[ -~]*\\z") &&
-        length(col("text")) >= frameLen && docFilter)
+        length(col("text")) >= frameLen)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -1063,17 +1070,32 @@ object Multimodal {
   def imageDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val root = dhashBuildIndex(s, dir)
     val batch = dhashHashes(s, dir, !graft.operators.TextOps.isHistoryDoc)
-    dhashBands(batch, "media_id")
+    probeDhashIndex(s, batch, root).orderBy("batch_media", "hist_rep")
+  }
+
+  /** The probe tail of [[imageDedupIncremental]] — band the (streaming or
+    * batch) hash frame, join the stored cluster bands, verify with
+    * bit_count. Streaming-safe: the per-pair dedup is dropDuplicates (a
+    * media's bands all emit within its own micro-batch, so it never does
+    * cross-batch work), and the index join is stream-STATIC — nothing
+    * buffered, the state story is the index on disk. One spelling for
+    * both front doors, so they provably answer identically and share one
+    * oracle. */
+  private[graft] def probeDhashIndex(s: SparkSession, hashes: DataFrame,
+                                     root: String): DataFrame =
+    dhashBands(hashes, "media_id")
       .toDF("batch_media", "dhash_b", "band", "key")
       .join(s.read.parquet(s"$root/bands")
         .toDF("hist_rep", "dhash_h", "band", "key"), Seq("band", "key"))
-      .select("batch_media", "hist_rep", "dhash_b", "dhash_h").distinct()
+      .dropDuplicates(Seq("batch_media", "hist_rep"))
       .withColumn("hamming",
         expr("bit_count(dhash_b ^ dhash_h)").cast("long"))
       .filter(col("hamming") <= DhMaxHamming)
       .select(col("batch_media"), col("hist_rep"), col("hamming"))
-      .orderBy("batch_media", "hist_rep")
-  }
+
+  /** q_image_dedup_incremental's oracle, shared with the streaming gate. */
+  private[graft] def imageDedupIncrementalOracle: String =
+    imageDedupIncrementalSql
 
   private def imageDedupIncrementalSql = {
     val frameLen = DhRows * DhCols

@@ -571,6 +571,26 @@ object EventWindows {
       .orderBy("batch_doc", "hist_doc")
   }
 
+  /** The IMAGE incremental-dedup serve path run inside the streaming front
+    * door (r15; [[streamDedupIndexed]]'s shape on the perceptual-hash
+    * family): crawl documents arrive as files, every micro-batch decodes
+    * and dHashes ONLY its own images (the real GIF round trip inside the
+    * stream), probes the STORED cluster-band index via stream-static
+    * joins, and emits the (batch_media, hist_rep, hamming) verdicts as
+    * they stream in. Nothing buffered beyond the within-batch pair dedup;
+    * the state story is the index on disk. Output identical to
+    * q_image_dedup_incremental's by construction (one probeDhashIndex
+    * spelling) and the gate reuses its oracle verbatim.
+    */
+  def streamImageDedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val root = Multimodal.dhashBuildIndex(s, dir)
+    val input = dedupIndexStreamInput(s, dir)
+    streamTwoBatches(s, input, "q_stream_image_dedup_indexed_sink")(st =>
+      Multimodal.probeDhashIndex(s, Multimodal.dhashHashesOf(s, st), root))
+      .orderBy("batch_media", "hist_rep")
+  }
+
   /** Streaming dedup under the oracle: the whole events table is delivered
     * TWICE (two micro-batches, an at-least-once replay);
     * [[graft.streaming.EventStream.dedupByKey]] must suppress every row of
@@ -997,6 +1017,7 @@ object EventWindows {
     "q_stream_corpus_ingest" -> (streamCorpusIngest(_, _)),
     "q_stream_corpus_ingest_bounded" -> (streamCorpusIngestBounded(_, _)),
     "q_stream_dedup_indexed" -> (streamDedupIndexed(_, _)),
+    "q_stream_image_dedup_indexed" -> (streamImageDedupIndexed(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
     "q_stream_tws" -> (streamTransformWithState(_, _)),
     "q_stream_stream_join" -> (streamStreamJoin(_, _)),
@@ -1020,6 +1041,8 @@ object EventWindows {
     "q_stream_corpus_ingest" -> streamCorpusIngestSql,
     "q_stream_corpus_ingest_bounded" -> streamCorpusIngestSql,
     "q_stream_dedup_indexed" -> TextOps.dedupIncrementalOracle,
+    "q_stream_image_dedup_indexed" ->
+      graft.multimodal.Multimodal.imageDedupIncrementalOracle,
     "q_stream_custom_state" -> streamCustomStateSql,
     "q_stream_tws" -> streamCustomStateSql,
     "q_stream_stream_join" -> streamStreamJoinSql,
