@@ -1097,6 +1097,115 @@ object Multimodal {
   private[graft] def imageDedupIncrementalOracle: String =
     imageDedupIncrementalSql
 
+  private val lastUpdatedDhIndexDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  sys.addShutdownHook {
+    Option(lastUpdatedDhIndexDir.get()).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }: Unit
+
+  /** The INGEST half of the image dedup loop — [[graft.operators.TextOps
+    * .dedupIndexUpdate]]'s daily cycle on the perceptual index: probe,
+    * ACCEPT the batch images that duplicate nothing, merge their
+    * signatures into the index, and prove effectively-once recognition (a
+    * second probe of the SAME batch against the updated index must flag
+    * every batch image — accepted images now match their own stored
+    * cluster at hamming 0; original dups still match their history
+    * cluster).
+    *
+    * The merge is APPEND-ONLY by construction, more strongly than the
+    * text case: an accepted image's signature is ≥4 bits from every
+    * stored signature (hamming ≤3 would have made it a dup), so every
+    * accepted hash is a NEW cluster — existing cluster rows are never
+    * touched, their canonical reps never move, and the update is pure
+    * partition-append at 100 TB. Two accepted images sharing a hash merge
+    * into one new cluster (min-media rep) before the append.
+    *
+    * Output: one row of exact counts the oracle re-derives from all-pairs
+    * batch×history hamming — n_history_clusters, n_batch, n_dup_batch,
+    * n_accepted, n_new_clusters, n_clusters_after, n_second_pass_dup
+    * (= n_batch, the effectively-once witness).
+    */
+  def imageDedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = dhashBuildIndex(s, dir)
+    val batch =
+      dhashHashes(s, dir, !graft.operators.TextOps.isHistoryDoc).cache()
+    val dups = probeDhashIndex(s, batch, root)
+      .select(col("batch_media").as("media_id")).distinct().cache()
+    val accepted = batch.join(dups, Seq("media_id"), "left_anti").cache()
+    // fresh dir per call (the merged index is output under test); the
+    // previous call's dir is reclaimed now (its lazy readers have run)
+    lastUpdatedDhIndexDir.getAndSet(null) match {
+      case null => ()
+      case old => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(old)): Unit
+    }
+    val updated = java.nio.file.Files
+      .createTempDirectory("dhidx_upd").toString
+    lastUpdatedDhIndexDir.set(updated)
+    val newClusters = accepted.groupBy("dhash")
+      .agg(min("media_id").as("rep"))
+    s.read.parquet(s"$root/bands")
+      .unionAll(dhashBands(newClusters.select(col("rep"), col("dhash")),
+        "rep"))
+      .write.parquet(s"$updated/bands")
+    val second = probeDhashIndex(s, batch, updated)
+      .select(col("batch_media")).distinct()
+    s.read.parquet(s"$root/bands")
+      .agg((count(lit(1)) / DhBands).cast("long").as("n_history_clusters"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
+      .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
+      .crossJoin(newClusters.agg(count(lit(1)).as("n_new_clusters")))
+      .crossJoin(s.read.parquet(s"$updated/bands")
+        .agg((count(lit(1)) / DhBands).cast("long").as("n_clusters_after")))
+      .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
+  }
+
+  private def imageDedupIndexUpdateSql = {
+    val frameLen = DhRows * DhCols
+    val histSql = s"${graft.operators.TextOps.h60Sql("doc_id")} % 100 < 80"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, $histSql AS is_hist FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= $frameLen),
+       |px AS (
+       |  SELECT doc_id * 2 AS media_id, is_hist,
+       |    list_transform(range($frameLen),
+       |      i -> ord(substring(text, CAST(i + 1 AS INT), 1))) AS p
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, is_hist,
+       |    list_transform(range($frameLen),
+       |      i -> least(ord(substring(text, CAST(i + 1 AS INT), 1)) + 1, 126))
+       |  FROM d),
+       |h AS (
+       |  SELECT media_id, is_hist,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($DhBits), k ->
+       |        CASE WHEN p[(k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 1]
+       |                  > p[(k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 2]
+       |             THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)),
+       |      (a, b) -> a + b) AS BIGINT) AS dhash
+       |  FROM px),
+       |hist AS (SELECT DISTINCT dhash FROM h WHERE is_hist),
+       |b AS (SELECT media_id, dhash FROM h WHERE NOT is_hist),
+       |dup AS (
+       |  SELECT DISTINCT b.media_id FROM b JOIN hist x
+       |    ON bit_count(xor(b.dhash, x.dhash)) <= $DhMaxHamming),
+       |acc AS (
+       |  SELECT * FROM b WHERE media_id NOT IN (SELECT media_id FROM dup)),
+       |newc AS (SELECT DISTINCT dhash FROM acc)
+       |SELECT (SELECT count(*) FROM hist) AS n_history_clusters,
+       |  (SELECT count(*) FROM b) AS n_batch,
+       |  (SELECT count(*) FROM dup) AS n_dup_batch,
+       |  (SELECT count(*) FROM b) - (SELECT count(*) FROM dup) AS n_accepted,
+       |  (SELECT count(*) FROM newc) AS n_new_clusters,
+       |  (SELECT count(*) FROM hist) + (SELECT count(*) FROM newc)
+       |    AS n_clusters_after,
+       |  (SELECT count(*) FROM b) AS n_second_pass_dup""".stripMargin
+  }
+
   private def imageDedupIncrementalSql = {
     val frameLen = DhRows * DhCols
     val histSql = s"${graft.operators.TextOps.h60Sql("doc_id")} % 100 < 80"
@@ -1805,7 +1914,8 @@ object Multimodal {
     "q_audio_dedup_incremental" -> (audioDedupIncremental(_, _)),
     "q_video_dhash_neardup" -> (videoDhashNearDup(_, _)),
     "q_video_dedup_incremental" -> (videoDedupIncremental(_, _)),
-    "q_multimodal_curation_serve" -> (multimodalCurationServe(_, _)))
+    "q_multimodal_curation_serve" -> (multimodalCurationServe(_, _)),
+    "q_image_dedup_index_update" -> (imageDedupIndexUpdate(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_frames" -> frameTableSql,
@@ -1816,5 +1926,6 @@ object Multimodal {
     "q_audio_dedup_incremental" -> audioDedupIncrementalSql,
     "q_video_dhash_neardup" -> videoDhashNearDupSql,
     "q_video_dedup_incremental" -> videoDedupIncrementalSql,
-    "q_multimodal_curation_serve" -> multimodalCurationServeSql)
+    "q_multimodal_curation_serve" -> multimodalCurationServeSql,
+    "q_image_dedup_index_update" -> imageDedupIndexUpdateSql)
 }
