@@ -40,6 +40,7 @@ object Scaling {
     if (mode == "sized") probeSizedDecade(spark, dir)
     if (mode == "incr") probeIncrementalDedup(spark, dir)
     if (mode == "vincr") probeIncrementalVecDedup(spark, dir)
+    if (mode == "pincr") probeIncrementalImgDedup(spark, dir)
     spark.stop()
   }
 
@@ -128,6 +129,34 @@ object Scaling {
     timedProbe(spark, "embed_dedup_incremental",
       Seq("hist_dir" -> s""""$dir"""")) { () =>
       Similarity.serveVecDedupIncremental(spark, batch, idx)
+        .queryExecution.toRdd.count()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx)): Unit
+  }
+
+  /** The perceptual-index eval-fixed probe: batch pinned to sf0.1's 20%
+    * slice of documents, dHash cluster-band index built from `dir`'s
+    * history — run with sf0.1 and bench_sf1 to measure what 10× more
+    * indexed image lake costs a fixed crawl batch. The index build (the
+    * once-per-lake decode) is untimed; timed reps cover the batch decode
+    * map + band probe + bit_count verify.
+    */
+  private def probeIncrementalImgDedup(spark: SparkSession, dir: String): Unit = {
+    import graft.multimodal.Multimodal
+    import operators.TextOps
+    val idx = java.nio.file.Files.createTempDirectory("dhidx_probe").toString
+    Multimodal.writeDhashIndex(spark,
+      Multimodal.dhashHashesOf(spark,
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(TextOps.isHistoryDoc)),
+      idx)
+    val batchDocs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .filter(!TextOps.isHistoryDoc)
+    timedProbe(spark, "image_dedup_incremental",
+      Seq("hist_dir" -> s""""$dir"""")) { () =>
+      Multimodal.probeDhashIndex(spark,
+          Multimodal.dhashHashesOf(spark, batchDocs), idx)
         .queryExecution.toRdd.count()
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx)): Unit

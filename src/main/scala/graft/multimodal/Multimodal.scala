@@ -1041,11 +1041,21 @@ object Multimodal {
   def dhashBuildIndex(s: SparkSession, dir: String): String = {
     import graft.operators.JournalGate.{buildPerJvm, fixtureRoot}
     buildPerJvm(fixtureRoot("dhidx", dir)) { tmp =>
-      val clusters = dhashHashes(s, dir, graft.operators.TextOps.isHistoryDoc)
-        .groupBy("dhash").agg(min("media_id").as("rep"))
-      dhashBands(clusters.select(col("rep"), col("dhash")), "rep")
-        .write.parquet(s"$tmp/bands")
+      writeDhashIndex(s,
+        dhashHashes(s, dir, graft.operators.TextOps.isHistoryDoc),
+        tmp.toString)
     }.toString
+  }
+
+  /** Write the cluster-band layout for a history hash frame — the build
+    * body of [[dhashBuildIndex]], callable with any history instance (the
+    * Scaling eval-fixed probe scales history while the batch stays
+    * pinned). */
+  private[graft] def writeDhashIndex(s: SparkSession, history: DataFrame,
+                                     tmp: String): Unit = {
+    val clusters = history.groupBy("dhash").agg(min("media_id").as("rep"))
+    dhashBands(clusters.select(col("rep"), col("dhash")), "rep")
+      .write.parquet(s"$tmp/bands")
   }
 
   /** Incremental image near-dup of a fresh crawl batch AGAINST the stored
