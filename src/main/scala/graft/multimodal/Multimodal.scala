@@ -1265,13 +1265,19 @@ object Multimodal {
 
   // ------------- audio perceptual-fingerprint near-dup (energy-delta sign)
 
-  private val FpWins = 16
+  // Fingerprint geometry matches the image family's (56 bits, 4 bands ×
+  // 14): the first cut used 16 windows → 28 bits → 7-BIT band keys, and
+  // its incremental probe measured 21× at the decade — 128 buckets
+  // cannot discriminate a saturated signature space, the same occupancy
+  // failure as the fixed-family LSH. Doubling the window count restores
+  // 14-bit keys (16384 buckets) and the probe's ~3× decade.
+  private val FpWins = 32
   private val FpWinLen = 4
-  private val FpSamples = FpWins * FpWinLen // 64
-  private val FpTrans = 14 // window transitions used (of 15; 14×2 = 28 divides into bands)
-  private val FpBits = FpTrans * 2 // 28: (low, high) band per transition
+  private val FpSamples = FpWins * FpWinLen // 128
+  private val FpTrans = 28 // transitions used (of 31; 28×2 = 56 divides into bands)
+  private val FpBits = FpTrans * 2 // 56: (low, high) band per transition
   private val FpBands = 4
-  private val FpBandBits = FpBits / FpBands // 7
+  private val FpBandBits = FpBits / FpBands // 14
   private val FpMaxHamming = 3
 
   /** Encode mono 16-bit PCM as a minimal RIFF/WAVE file — the writer half
@@ -1410,11 +1416,17 @@ object Multimodal {
     * incremental probe (the [[dhashHashes]] discipline on the audio
     * path). Pure map, no shuffle. */
   private[graft] def audioFpHashes(s: SparkSession, dir: String,
-                                   docFilter: Column): DataFrame = {
+                                   docFilter: Column): DataFrame =
+    audioFpHashesOf(s, Tables.load(s, dir, "documents").filter(docFilter))
+
+  /** [[audioFpHashes]] over a caller-supplied documents frame — the form
+    * the streaming front door feeds micro-batches through; applies the
+    * eligibility filter itself so every door fingerprints identically. */
+  private[graft] def audioFpHashesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents")
+    docs
       .filter(col("text").rlike("\\A[ -~]*\\z") &&
-        length(col("text")) >= FpSamples && docFilter)
+        length(col("text")) >= FpSamples)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -1468,17 +1480,27 @@ object Multimodal {
   def audioDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val root = audioFpBuildIndex(s, dir)
     val batch = audioFpHashes(s, dir, !graft.operators.TextOps.isHistoryDoc)
-    audioFpBands(batch, "media_id")
+    probeAudioFpIndex(s, batch, root).orderBy("batch_media", "hist_rep")
+  }
+
+  /** The probe tail of [[audioDedupIncremental]] — streaming-safe for the
+    * same reasons as [[probeDhashIndex]]; one spelling for both front
+    * doors, which therefore share one oracle. */
+  private[graft] def probeAudioFpIndex(s: SparkSession, hashes: DataFrame,
+                                       root: String): DataFrame =
+    audioFpBands(hashes, "media_id")
       .toDF("batch_media", "fp_b", "band", "key")
       .join(s.read.parquet(s"$root/bands")
         .toDF("hist_rep", "fp_h", "band", "key"), Seq("band", "key"))
-      .select("batch_media", "hist_rep", "fp_b", "fp_h").distinct()
+      .dropDuplicates(Seq("batch_media", "hist_rep"))
       .withColumn("hamming",
         expr("bit_count(fp_b ^ fp_h)").cast("long"))
       .filter(col("hamming") <= FpMaxHamming)
       .select(col("batch_media"), col("hist_rep"), col("hamming"))
-      .orderBy("batch_media", "hist_rep")
-  }
+
+  /** q_audio_dedup_incremental's oracle, shared with the streaming gate. */
+  private[graft] def audioDedupIncrementalOracle: String =
+    audioDedupIncrementalSql
 
   private def audioDedupIncrementalSql = {
     def e(win: String, band: String) =
@@ -1565,13 +1587,18 @@ object Multimodal {
     * frames into ONE animated GIF, decodes back through the real
     * multi-frame reader, and emits the ordered frame-dHash sequence. */
   private[graft] def videoHashes(s: SparkSession, dir: String,
-                                 docFilter: Column): DataFrame = {
+                                 docFilter: Column): DataFrame =
+    videoHashesOf(s, Tables.load(s, dir, "documents").filter(docFilter))
+
+  /** [[videoHashes]] over a caller-supplied documents frame — the
+    * streaming-door form; applies the eligibility filter itself. */
+  private[graft] def videoHashesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val frameLen = DhRows * DhCols
     val minLen = VidMinFrames * frameLen
-    Tables.load(s, dir, "documents")
+    docs
       .filter(col("text").rlike("\\A[ -~]*\\z") &&
-        length(col("text")) >= minLen && docFilter)
+        length(col("text")) >= minLen)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -1741,20 +1768,30 @@ object Multimodal {
   def videoDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val root = videoBuildIndex(s, dir)
     val batch = videoHashes(s, dir, !graft.operators.TextOps.isHistoryDoc)
-    videoKeys(batch, "media_id")
+    probeVideoIndex(s, batch, root).orderBy("batch_media", "hist_rep")
+  }
+
+  /** The probe tail of [[videoDedupIncremental]] — streaming-safe for the
+    * same reasons as [[probeDhashIndex]]; one spelling for both front
+    * doors, which therefore share one oracle. */
+  private[graft] def probeVideoIndex(s: SparkSession, sigs: DataFrame,
+                                     root: String): DataFrame =
+    videoKeys(sigs, "media_id")
       .toDF("batch_media", "n_frames", "fhs_b", "b0", "k0", "b1", "k1")
       .join(s.read.parquet(s"$root/keys")
           .toDF("hist_rep", "n_frames", "fhs_h", "b0", "k0", "b1", "k1"),
         Seq("n_frames", "b0", "k0", "b1", "k1"))
-      .select("batch_media", "hist_rep", "fhs_b", "fhs_h").distinct()
+      .dropDuplicates(Seq("batch_media", "hist_rep"))
       .withColumn("per", expr(
         "zip_with(fhs_b, fhs_h, (x, y) -> bit_count(x ^ y))"))
       .filter(expr(s"array_max(per) <= $DhMaxHamming"))
       .withColumn("hamming",
         expr("aggregate(per, 0L, (acc, x) -> acc + x)"))
       .select(col("batch_media"), col("hist_rep"), col("hamming"))
-      .orderBy("batch_media", "hist_rep")
-  }
+
+  /** q_video_dedup_incremental's oracle, shared with the streaming gate. */
+  private[graft] def videoDedupIncrementalOracle: String =
+    videoDedupIncrementalSql
 
   private def videoDedupIncrementalSql = {
     val frameLen = DhRows * DhCols
@@ -1915,6 +1952,188 @@ object Multimodal {
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
   }
 
+  private val lastUpdatedAfIndexDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private val lastUpdatedVdIndexDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  sys.addShutdownHook {
+    Seq(lastUpdatedAfIndexDir, lastUpdatedVdIndexDir).foreach(r =>
+      Option(r.get()).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
+  }: Unit
+
+  private def freshUpdateDir(
+      ref: java.util.concurrent.atomic.AtomicReference[String],
+      prefix: String): String = {
+    ref.getAndSet(null) match {
+      case null => ()
+      case old => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(old)): Unit
+    }
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    ref.set(d)
+    d
+  }
+
+  /** [[imageDedupIndexUpdate]]'s daily cycle on the audio index — same
+    * append-only invariant (an accepted fingerprint is ≥4 bits from every
+    * stored one, so it always founds a NEW cluster) and the same
+    * effectively-once second-probe witness. */
+  def audioDedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = audioFpBuildIndex(s, dir)
+    val batch =
+      audioFpHashes(s, dir, !graft.operators.TextOps.isHistoryDoc).cache()
+    val dups = probeAudioFpIndex(s, batch, root)
+      .select(col("batch_media").as("media_id")).distinct().cache()
+    val accepted = batch.join(dups, Seq("media_id"), "left_anti").cache()
+    val updated = freshUpdateDir(lastUpdatedAfIndexDir, "afidx_upd")
+    val newClusters = accepted.groupBy("fp").agg(min("media_id").as("rep"))
+    s.read.parquet(s"$root/bands")
+      .unionAll(audioFpBands(newClusters.select(col("rep"), col("fp")),
+        "rep"))
+      .write.parquet(s"$updated/bands")
+    val second = probeAudioFpIndex(s, batch, updated)
+      .select(col("batch_media")).distinct()
+    s.read.parquet(s"$root/bands")
+      .agg((count(lit(1)) / FpBands).cast("long").as("n_history_clusters"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
+      .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
+      .crossJoin(newClusters.agg(count(lit(1)).as("n_new_clusters")))
+      .crossJoin(s.read.parquet(s"$updated/bands")
+        .agg((count(lit(1)) / FpBands).cast("long").as("n_clusters_after")))
+      .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
+  }
+
+  private def audioDedupIndexUpdateSql = {
+    def e(win: String, band: String) =
+      s"(p[($win) * $FpWinLen + ($band) + 1] * p[($win) * $FpWinLen + ($band) + 1]" +
+        s" + p[($win) * $FpWinLen + ($band) + 3] * p[($win) * $FpWinLen + ($band) + 3])"
+    val histSql = s"${graft.operators.TextOps.h60Sql("doc_id")} % 100 < 80"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, $histSql AS is_hist FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= $FpSamples),
+       |px AS (
+       |  SELECT doc_id * 2 AS media_id, is_hist,
+       |    list_transform(range($FpSamples),
+       |      i -> ord(substring(text, CAST(i + 1 AS INT), 1)) - 79) AS p
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, is_hist,
+       |    list_transform(range($FpSamples),
+       |      i -> (ord(substring(text, CAST(i + 1 AS INT), 1)) - 79) * 2)
+       |  FROM d),
+       |h AS (
+       |  SELECT media_id, is_hist,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($FpBits), k ->
+       |        CASE WHEN ${e("k // 2 + 1", "k % 2")} > ${e("k // 2", "k % 2")}
+       |             THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)),
+       |      (a, b) -> a + b) AS BIGINT) AS fp
+       |  FROM px),
+       |hist AS (SELECT DISTINCT fp FROM h WHERE is_hist),
+       |b AS (SELECT media_id, fp FROM h WHERE NOT is_hist),
+       |dup AS (
+       |  SELECT DISTINCT b.media_id FROM b JOIN hist x
+       |    ON bit_count(xor(b.fp, x.fp)) <= $FpMaxHamming),
+       |acc AS (
+       |  SELECT * FROM b WHERE media_id NOT IN (SELECT media_id FROM dup)),
+       |newc AS (SELECT DISTINCT fp FROM acc)
+       |SELECT (SELECT count(*) FROM hist) AS n_history_clusters,
+       |  (SELECT count(*) FROM b) AS n_batch,
+       |  (SELECT count(*) FROM dup) AS n_dup_batch,
+       |  (SELECT count(*) FROM b) - (SELECT count(*) FROM dup) AS n_accepted,
+       |  (SELECT count(*) FROM newc) AS n_new_clusters,
+       |  (SELECT count(*) FROM hist) + (SELECT count(*) FROM newc)
+       |    AS n_clusters_after,
+       |  (SELECT count(*) FROM b) AS n_second_pass_dup""".stripMargin
+  }
+
+  /** [[imageDedupIndexUpdate]]'s daily cycle on the video index. The
+    * append-only invariant holds at the SEQUENCE grain: an accepted
+    * video's frame-hash sequence differs from every stored one (an
+    * identical sequence is hamming 0 on every frame — a dup), so every
+    * accepted signature founds a new cluster row; composite keys append
+    * with it. */
+  def videoDedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = videoBuildIndex(s, dir)
+    val batch =
+      videoHashes(s, dir, !graft.operators.TextOps.isHistoryDoc).cache()
+    val dups = probeVideoIndex(s, batch, root)
+      .select(col("batch_media").as("media_id")).distinct().cache()
+    val accepted = batch.join(dups, Seq("media_id"), "left_anti").cache()
+    val updated = freshUpdateDir(lastUpdatedVdIndexDir, "vdidx_upd")
+    val newSigs = accepted.groupBy("n_frames", "fhs")
+      .agg(min("media_id").as("rep"))
+    s.read.parquet(s"$root/keys")
+      .unionAll(videoKeys(newSigs.select(col("rep"), col("n_frames"),
+        col("fhs")), "rep"))
+      .write.parquet(s"$updated/keys")
+    val second = probeVideoIndex(s, batch, updated)
+      .select(col("batch_media")).distinct()
+    val KeysPerSig = DhBands * DhBands
+    s.read.parquet(s"$root/keys")
+      .agg((count(lit(1)) / KeysPerSig).cast("long").as("n_history_clusters"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
+      .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
+      .crossJoin(newSigs.agg(count(lit(1)).as("n_new_clusters")))
+      .crossJoin(s.read.parquet(s"$updated/keys")
+        .agg((count(lit(1)) / KeysPerSig).cast("long").as("n_clusters_after")))
+      .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
+  }
+
+  private def videoDedupIndexUpdateSql = {
+    val frameLen = DhRows * DhCols
+    val minLen = VidMinFrames * frameLen
+    val histSql = s"${graft.operators.TextOps.h60Sql("doc_id")} % 100 < 80"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, $histSql AS is_hist,
+       |    least($VidMaxFrames, length(text) // $frameLen) AS n_frames
+       |  FROM documents
+       |  WHERE regexp_matches(text, '^[ -~]*$$')
+       |    AND length(text) >= $minLen),
+       |px AS (
+       |  SELECT doc_id * 2 AS media_id, n_frames, is_hist,
+       |    list_transform(range(n_frames * $frameLen),
+       |      i -> ord(substring(text, CAST(i + 1 AS INT), 1))) AS p
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, n_frames, is_hist,
+       |    list_transform(range(n_frames * $frameLen),
+       |      i -> least(ord(substring(text, CAST(i + 1 AS INT), 1)) + 1, 126))
+       |  FROM d),
+       |h AS (
+       |  SELECT media_id, n_frames, is_hist,
+       |    list_transform(range(n_frames), f ->
+       |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range($DhBits), k ->
+       |          CASE WHEN p[f * $frameLen + (k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 1]
+       |                    > p[f * $frameLen + (k // ${DhCols - 1}) * $DhCols + (k % ${DhCols - 1}) + 2]
+       |               THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)),
+       |        (a, b) -> a + b) AS BIGINT)) AS fhs
+       |  FROM px),
+       |hist AS (SELECT DISTINCT n_frames, fhs FROM h WHERE is_hist),
+       |b AS (SELECT media_id, n_frames, fhs FROM h WHERE NOT is_hist),
+       |dup AS (
+       |  SELECT DISTINCT b.media_id FROM b JOIN hist x
+       |    ON b.n_frames = x.n_frames
+       |    AND list_max(list_transform(range(b.n_frames),
+       |      f -> bit_count(xor(b.fhs[f + 1], x.fhs[f + 1])))) <= $DhMaxHamming),
+       |acc AS (
+       |  SELECT * FROM b WHERE media_id NOT IN (SELECT media_id FROM dup)),
+       |newc AS (SELECT DISTINCT n_frames, fhs FROM acc)
+       |SELECT (SELECT count(*) FROM hist) AS n_history_clusters,
+       |  (SELECT count(*) FROM b) AS n_batch,
+       |  (SELECT count(*) FROM dup) AS n_dup_batch,
+       |  (SELECT count(*) FROM b) - (SELECT count(*) FROM dup) AS n_accepted,
+       |  (SELECT count(*) FROM newc) AS n_new_clusters,
+       |  (SELECT count(*) FROM hist) + (SELECT count(*) FROM newc)
+       |    AS n_clusters_after,
+       |  (SELECT count(*) FROM b) AS n_second_pass_dup""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_frames" -> (frameTable(_, _)),
     "q_gif_frames" -> (gifFrameTable(_, _)),
@@ -1925,7 +2144,9 @@ object Multimodal {
     "q_video_dhash_neardup" -> (videoDhashNearDup(_, _)),
     "q_video_dedup_incremental" -> (videoDedupIncremental(_, _)),
     "q_multimodal_curation_serve" -> (multimodalCurationServe(_, _)),
-    "q_image_dedup_index_update" -> (imageDedupIndexUpdate(_, _)))
+    "q_image_dedup_index_update" -> (imageDedupIndexUpdate(_, _)),
+    "q_audio_dedup_index_update" -> (audioDedupIndexUpdate(_, _)),
+    "q_video_dedup_index_update" -> (videoDedupIndexUpdate(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_frames" -> frameTableSql,
@@ -1937,5 +2158,7 @@ object Multimodal {
     "q_video_dhash_neardup" -> videoDhashNearDupSql,
     "q_video_dedup_incremental" -> videoDedupIncrementalSql,
     "q_multimodal_curation_serve" -> multimodalCurationServeSql,
-    "q_image_dedup_index_update" -> imageDedupIndexUpdateSql)
+    "q_image_dedup_index_update" -> imageDedupIndexUpdateSql,
+    "q_audio_dedup_index_update" -> audioDedupIndexUpdateSql,
+    "q_video_dedup_index_update" -> videoDedupIndexUpdateSql)
 }

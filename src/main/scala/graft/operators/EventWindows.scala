@@ -591,6 +591,32 @@ object EventWindows {
       .orderBy("batch_media", "hist_rep")
   }
 
+  /** [[streamImageDedupIndexed]]'s shape on the audio path: micro-batches
+    * fingerprint only their own media through the real WAV round trip and
+    * probe the stored afidx bands via stream-static joins; shares
+    * q_audio_dedup_incremental's probe spelling and oracle. */
+  def streamAudioDedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val root = Multimodal.audioFpBuildIndex(s, dir)
+    val input = dedupIndexStreamInput(s, dir)
+    streamTwoBatches(s, input, "q_stream_audio_dedup_indexed_sink")(st =>
+      Multimodal.probeAudioFpIndex(s, Multimodal.audioFpHashesOf(s, st), root))
+      .orderBy("batch_media", "hist_rep")
+  }
+
+  /** [[streamImageDedupIndexed]]'s shape on the temporal path:
+    * micro-batches decode only their own multi-frame containers and join
+    * the stored vdidx composite keys; shares q_video_dedup_incremental's
+    * probe spelling and oracle. */
+  def streamVideoDedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val root = Multimodal.videoBuildIndex(s, dir)
+    val input = dedupIndexStreamInput(s, dir)
+    streamTwoBatches(s, input, "q_stream_video_dedup_indexed_sink")(st =>
+      Multimodal.probeVideoIndex(s, Multimodal.videoHashesOf(s, st), root))
+      .orderBy("batch_media", "hist_rep")
+  }
+
   /** Streaming dedup under the oracle: the whole events table is delivered
     * TWICE (two micro-batches, an at-least-once replay);
     * [[graft.streaming.EventStream.dedupByKey]] must suppress every row of
@@ -1018,6 +1044,8 @@ object EventWindows {
     "q_stream_corpus_ingest_bounded" -> (streamCorpusIngestBounded(_, _)),
     "q_stream_dedup_indexed" -> (streamDedupIndexed(_, _)),
     "q_stream_image_dedup_indexed" -> (streamImageDedupIndexed(_, _)),
+    "q_stream_audio_dedup_indexed" -> (streamAudioDedupIndexed(_, _)),
+    "q_stream_video_dedup_indexed" -> (streamVideoDedupIndexed(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
     "q_stream_tws" -> (streamTransformWithState(_, _)),
     "q_stream_stream_join" -> (streamStreamJoin(_, _)),
@@ -1043,6 +1071,10 @@ object EventWindows {
     "q_stream_dedup_indexed" -> TextOps.dedupIncrementalOracle,
     "q_stream_image_dedup_indexed" ->
       graft.multimodal.Multimodal.imageDedupIncrementalOracle,
+    "q_stream_audio_dedup_indexed" ->
+      graft.multimodal.Multimodal.audioDedupIncrementalOracle,
+    "q_stream_video_dedup_indexed" ->
+      graft.multimodal.Multimodal.videoDedupIncrementalOracle,
     "q_stream_custom_state" -> streamCustomStateSql,
     "q_stream_tws" -> streamCustomStateSql,
     "q_stream_stream_join" -> streamStreamJoinSql,

@@ -1167,20 +1167,20 @@ class LlmOpsSpec extends SparkSpec {
 
   test("audio fingerprint near-dup: volume-invariant, energy-delta-sensitive") {
     // doc 1's per-window sample value rises (w+2 in window w -> every
-    // window-energy transition rises -> all 28 bits set), doc 2's falls
-    // (all bits clear): each original shares a fingerprint with its
+    // used window-energy transition rises -> all 56 bits set), doc 2's
+    // falls (all bits clear): each original shares a fingerprint with its
     // volume-doubled re-encode twin EXACTLY (energies all scale by 4;
     // strict comparisons preserved) - the invariance an audio fingerprint
     // exists for - so each twin pair collapses to one cluster and emits a
-    // hamming-0 star edge, while the opposite energy ramps stay 28 bits
-    // apart and must NOT pair. doc 3 is doc 1 with window 14's odd (high
-    // band) samples dropped to 3 - Ehigh(14) falls below Ehigh(13), so
-    // exactly bit 27 flips and its rep pairs with doc 1's at hamming 1.
+    // hamming-0 star edge, while the opposite energy ramps stay 56 bits
+    // apart and must NOT pair. doc 3 is doc 1 with window 28's odd (high
+    // band) samples dropped to 3 - window 28 feeds ONLY transition 27, so
+    // exactly bit 55 flips and its rep pairs with doc 1's at hamming 1.
     // Every fingerprint here ran the real WAV encode->decode round trip.
-    val rise = (0 until 64).map(i => (81 + i / 4).toChar).mkString
-    val fall = (0 until 64).map(i => (96 - i / 4).toChar).mkString
+    val rise = (0 until 128).map(i => (81 + i / 4).toChar).mkString
+    val fall = (0 until 128).map(i => (112 - i / 4).toChar).mkString
     val riseDip = rise.zipWithIndex.map { case (c, i) =>
-      if (i == 57 || i == 59) 82.toChar else c
+      if (i == 113 || i == 115) 82.toChar else c
     }.mkString
     withDocs(1L -> rise, 2L -> fall, 3L -> riseDip) { dir =>
       val got = graft.multimodal.Multimodal.audioFpNearDup(spark, dir)
