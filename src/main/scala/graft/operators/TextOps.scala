@@ -3818,7 +3818,177 @@ object TextOps {
        |FROM agg JOIN tot_s ON agg.source = tot_s.source
        |ORDER BY agg.source""".stripMargin
 
+  // ------------------------------ DSIR importance-resampling selection
+
+  private val DsirBuckets = 256
+  private val DsirTopK = 100
+  private val DsirTarget = "src0"
+  private val DsirServeSlice = 7L
+  private val DsirServeK = 25
+
+  /** Per-doc hashed-unigram bucket counts — the ONE corpus explode+shuffle
+    * every DSIR consumer derives from (the lmPerplexity cached-count
+    * discipline): token → md5-60-bit hash → bucket ∈ [0, 256), counted per
+    * (doc, bucket). At 100 TB this is the only pass that touches the text;
+    * both n-gram models, the ratio table, and the scoring fold all read
+    * this narrow frame, and the two count models map-side-combine into
+    * ≤ |buckets| cells. */
+  private def dsirDocBuckets(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"), col("source"),
+        explode(toks(col("text"))).as("w"))
+      .withColumn("b", expr(s"CAST(${hash60Sql("w")} % $DsirBuckets AS INT)"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The DSIR model: per-bucket integer log-importance
+    * λ_b = ⌊ln p̂_target(b)·1e6⌋ − ⌊ln p̂_raw(b)·1e6⌋ with Laplace-smoothed
+    * hashed bag-of-unigrams estimates (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling" —
+    * the hashed n-gram importance-weight estimator of §3). Each λ_b floors
+    * to the [[PplGrain]] integer BEFORE any per-doc sum, so document
+    * scores are exact order-free BIGINT sums (the lmPerplexity grain
+    * discipline). The table is ≤ 256 rows — the model broadcasts as a
+    * hash-join build side and would live as a tiny stored artifact at
+    * scale ([[dsirBuildIndex]]). */
+  private def dsirLambda(dbc: DataFrame): DataFrame = {
+    val rc = dbc.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val tc = dbc.filter(col("source") === DsirTarget)
+      .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    val tot = dbc.agg(
+      sum(col("c")).cast("double").as("tr"),
+      sum(when(col("source") === DsirTarget, col("c")).otherwise(lit(0L)))
+        .cast("double").as("tt"))
+    rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (floor(log((coalesce(col("tc"), lit(0L)) + lit(1.0))
+            / (col("tt") + lit(DsirBuckets.toDouble))) * lit(PplGrain))
+          .cast("long")
+          - floor(log((col("rc") + lit(1.0))
+            / (col("tr") + lit(DsirBuckets.toDouble))) * lit(PplGrain))
+          .cast("long")).as("lam"))
+  }
+
+  /** Scoring tail shared by [[dsirSelect]] (model fit in-plan) and
+    * [[dsirServe]] (model read off the stored index) — one spelling of
+    * score = Σ_b c_b·λ_b and the deterministic top-k, so the serve path
+    * cannot diverge from the gate the oracle checks (the lmScore
+    * discipline). The top-k is orderBy+limit (TakeOrderedAndProject — a
+    * per-partition heap + driver merge, never a global sort); the rank
+    * window runs over the already-k-row frame. */
+  private def dsirScore(dbc: DataFrame, lam: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = dbc.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lam")).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** DSIR data selection, fit + select in one plan: estimate target
+    * (documents of source [[DsirTarget]]) and raw (whole corpus) hashed
+    * unigram models, score every document with the integer
+    * log-importance-weight sum, keep the top [[DsirTopK]] by
+    * (score DESC, doc_id) — the deterministic argmax-k form of the
+    * paper's Gumbel-top-k (production adds hash-derived Gumbel noise the
+    * way [[weightedSample]] derives its A-ES keys; the gate pins the
+    * noise-free ranking both engines agree on bit-exactly).
+    *
+    * Completes the data-SELECTION triad next to the hashed-linear quality
+    * classifier (X64) and the CCNet LM-perplexity filter (X73): all three
+    * standard selection methods now run as gates, sharing the md5-hash /
+    * integer-grain cross-engine discipline. */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val dbc = dsirDocBuckets(docs(s, dir)).cache()
+    val out = dsirScore(dbc, dsirLambda(dbc), DsirTopK).localCheckpoint()
+    dbc.unpersist(blocking = false)
+    out
+  }
+
+  /** Materialize the λ table ONCE per JVM — DSIR's deployment shape: the
+    * importance model is fit against a reference target/raw pair once and
+    * every crawl batch is scored against the STORED ratios (the
+    * lmBuildIndex discipline; ≤ 256 rows, so at scale this is the
+    * broadcast-side artifact of a daily selection job). */
+  def dsirBuildIndex(s: SparkSession, dir: String): String = {
+    import JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("dsiridx", dir)) { tmp =>
+      val dbc = dsirDocBuckets(docs(s, dir)).cache()
+      dsirLambda(dbc).write.parquet(s"$tmp/lam")
+      dbc.unpersist(blocking = false)
+    }.toString
+  }
+
+  /** DSIR SERVING from the stored λ table — the per-batch selection path:
+    * only the md5-slice "new batch" (h60(doc_id) % 10 = [[DsirServeSlice]])
+    * is tokenized and scored; no model-fitting aggregation anywhere in the
+    * plan. Same scoring tail; the oracle refits λ from the corpus
+    * (deterministic from the data alone), proving the stored index answers
+    * identically. */
+  def dsirServe(s: SparkSession, dir: String): DataFrame = {
+    val root = dsirBuildIndex(s, dir)
+    val batch = docs(s, dir)
+      .filter(pmod(h60("doc_id"), lit(10L)) === DsirServeSlice)
+    dsirScore(dsirDocBuckets(batch), s.read.parquet(s"$root/lam"), DsirServeK)
+  }
+
+  /** Shared CTE chain: corpus → hashed doc-bucket counts → target/raw
+    * count models → integer λ table → per-doc scores. */
+  private def dsirCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, source, string_split($normSql, ' ') AS t
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, source,
+       |    CAST(${duckHash60("w")} % $DsirBuckets AS INT) AS b
+       |  FROM toks, unnest(t) AS u(w)),
+       |dbc AS (SELECT doc_id, source, b, count(*) AS c
+       |        FROM tok GROUP BY 1, 2, 3),
+       |rc AS (SELECT b, CAST(sum(c) AS BIGINT) AS rc FROM dbc GROUP BY 1),
+       |tc AS (SELECT b, CAST(sum(c) AS BIGINT) AS tc FROM dbc
+       |       WHERE source = '$DsirTarget' GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tr,
+       |  CAST(sum(CASE WHEN source = '$DsirTarget' THEN c ELSE 0 END)
+       |    AS DOUBLE) AS tt
+       |  FROM dbc),
+       |lam AS (
+       |  SELECT rc.b,
+       |    CAST(floor(ln((coalesce(tc.tc, 0) + 1.0)
+       |      / (tt + $DsirBuckets)) * ${PplGrain}) AS BIGINT)
+       |  - CAST(floor(ln((rc.rc + 1.0)
+       |      / (tr + $DsirBuckets)) * ${PplGrain}) AS BIGINT) AS lam
+       |  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot)""".stripMargin
+
+  private def dsirSelectSql: String =
+    s"""WITH ${dsirCtes},
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(c * lam) AS BIGINT) AS score
+       |  FROM dbc JOIN lam ON dbc.b = lam.b GROUP BY 1)
+       |SELECT doc_id, n_tokens, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS rank
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
+
+  private def dsirServeSql: String =
+    s"""WITH ${dsirCtes},
+       |batch AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(c * lam) AS BIGINT) AS score
+       |  FROM dbc JOIN lam ON dbc.b = lam.b
+       |  WHERE ${h60Sql("doc_id")} % 10 = $DsirServeSlice
+       |  GROUP BY 1)
+       |SELECT doc_id, n_tokens, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS rank
+       |FROM batch ORDER BY score DESC, doc_id LIMIT $DsirServeK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_select" -> (dsirSelect(_, _)),
+    "q_dsir_serve" -> (dsirServe(_, _)),
     "q_repetition" -> (repetition(_, _)),
     "q_pii_redact" -> (piiRedact(_, _)),
     "q_contamination" -> (contamination(_, _)),
@@ -3871,6 +4041,8 @@ object TextOps {
     * centroids/codebooks captured while the queries ran (Verify dumps
     * oracle SQL after running them — the Similarity.oracles discipline). */
   def oracles: Map[String, String] = Map(
+    "q_dsir_select" -> dsirSelectSql,
+    "q_dsir_serve" -> dsirServeSql,
     "q_repetition" -> repetitionSql,
     "q_pii_redact" -> piiRedactSql,
     "q_contamination" -> contaminationSql,

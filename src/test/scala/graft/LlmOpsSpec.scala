@@ -1231,4 +1231,35 @@ class LlmOpsSpec extends SparkSpec {
       s"n_in must partition the batch: ${rows.map(_.getLong(1)).sum} vs $batchTotal")
   }
 
+  test("DSIR selection ranks target-vocabulary raw docs above disjoint ones") {
+    // planted importance signal: src0 is the target domain; two raw docs
+    // share its vocabulary, two use a disjoint one — the hashed
+    // log-ratio model must prefer the sharers (the paper's §3 premise).
+    // All hashes are md5-fixed, so the ranking is deterministic; a
+    // fixture change that flips it signals bucket-collision re-seeding,
+    // not a code defect.
+    val rows = Seq(
+      (1L, "alpha beta gamma delta alpha beta", "src0"),
+      (2L, "alpha gamma delta beta gamma", "src0"),
+      (11L, "alpha beta gamma delta", "srcX"),
+      (12L, "beta gamma alpha delta delta", "srcX"),
+      (21L, "zulu yankee xray whiskey victor", "srcX"),
+      (22L, "uniform tango sierra romeo quebec", "srcX"))
+    val dir = java.nio.file.Files.createTempDirectory("dsirdocs").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = TextOps.dsirSelect(spark, dir).collect()
+    val rank = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    for (sim <- Seq(11L, 12L); junk <- Seq(21L, 22L))
+      assert(rank(sim) < rank(junk),
+        s"target-vocabulary doc $sim must outrank disjoint doc $junk: $rank")
+    // ranks are a gap-free total order (score DESC, doc_id tiebreak)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to out.length).toSeq)
+  }
+
 }

@@ -85,6 +85,27 @@ class PlanSpec extends SparkSpec {
       s"serving needs no cache — the stored tables ARE the reuse:\n$plan")
   }
 
+  test("DSIR serving reads the stored λ table — no model refit, heap top-k") {
+    // the per-batch selection path: the importance model comes off the
+    // dsiridx artifact as a ≤256-row broadcast build side; the only
+    // aggregates allowed are the batch's (doc_id, source, b) bucket
+    // counts and the per-doc score sum — an aggregate keyed on the bucket
+    // ALONE is the λ refit the split exists to remove; the top-k must be
+    // a TakeOrderedAndProject (per-partition heap + driver merge), never
+    // a global sort of the scored batch
+    val plan = graft.operators.TextOps.dsirServe(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dsiridx"),
+      s"serving must read the stored importance table:\n$plan")
+    assert("HashAggregate\\(keys=\\[b#".r.findFirstIn(plan).isEmpty,
+      s"serving must not refit the per-bucket models:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the selection top-k must plan as a heap, not a global sort:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"expected the batch scan + the stored λ read only, found $scans:\n$plan")
+  }
+
   test("keyset cursor predicate reaches the transfer scan") {
     // the O(page) deep-scan contract, over a STORED transfer table (the
     // serving shape — the oracle gate's TPC-H mapping computes
