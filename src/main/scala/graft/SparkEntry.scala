@@ -47,6 +47,7 @@ object SparkEntry {
       operators.RuntimeFilter.queries ++
       operators.SyncGate.queries ++
       operators.Graph.queries ++
+      operators.Unigram.queries ++
       multimodal.Multimodal.queries
 
   /** Shared SPARK_GRAFT_ONLY handling for the Verify/Bench mains:
@@ -87,5 +88,6 @@ object SparkEntry {
       operators.RuntimeFilter.oracles ++
       operators.SyncGate.oracles ++
       operators.Graph.oracles ++
+      operators.Unigram.oracles ++
       multimodal.Multimodal.oracles
 }

@@ -1,0 +1,350 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer TRAINING — the SentencePiece algorithm
+  * family (Kudo 2018, arXiv:1804.10959: seed a large candidate vocabulary,
+  * alternate EM re-estimation of piece probabilities with Viterbi
+  * segmentation, prune low-utility pieces), implemented as the hard-EM
+  * (Viterbi-EM) variant so every step is exact integer arithmetic. With
+  * the greedy-merge BPE loop (TextOps.bpeTrain/bpeTrainBatched) this
+  * closes the SECOND of the two classic subword-training algorithms — EM
+  * pruning vs merge growing — under one cross-engine discipline. No
+  * reference analog (§2x training-pipeline extension surface).
+  *
+  * Determinism is the design:
+  *   - piece costs are integer grains, cost(p) = −⌊ln p̂(p)·1e6⌋ (the
+  *     lmPerplexity [[TextOps]] PplGrain discipline) — the ONLY float op
+  *     is the ln at re-estimation, floored before anything downstream;
+  *   - segmentation is min-plus Viterbi DP over INTEGER costs — min and +
+  *     on BIGINTs are bit-exact in any engine, so both engines derive
+  *     identical optimal costs, identical optimal-path piece sets, and
+  *     identical prune decisions (ties in the DP mark ALL optimal paths —
+  *     a backtrace-order rule would be engine-private; "every piece
+  *     occurrence on any optimal path" is engine-free);
+  *   - seed and prune ranks tie-break on the piece string.
+  *
+  * Plan shape at 100 TB: the corpus tokenizes ONCE into word occurrences;
+  * ALL training runs on the DISTINCT-WORD table (vocabulary-bounded —
+  * the word-level amortization every real tokenizer trainer uses: Zipf
+  * makes |distinct words| ≪ |tokens|). The per-word Viterbi is a pure
+  * columnar fold (two `aggregate` higher-order expressions over a
+  * ≤13-slot integer array) against the vocabulary broadcast as a one-row
+  * map literal; usage counting is one explode of ≤48 candidate slots per
+  * word + a map-side-combining sum keyed on ≤|vocab| pieces. Each round
+  * is therefore ONE narrow shuffle over the word table; the corpus is
+  * never re-read after the word count. Words are truncated to [[MaxLen]]
+  * chars (both engines, documented) so the DP is a fixed-size fold.
+  */
+object Unigram {
+
+  private val MaxLen = 12 // word truncation: DP is a fixed 13-slot fold
+  private val MaxPiece = 4 // candidate pieces are 1..4 chars
+  private val SeedMulti = 160 // multi-char seed candidates (top by count)
+  private val KeepMulti = 80 // multi-char slots surviving each prune
+  private val Rounds = 2 // hard-EM rounds (DP → usage → re-estimate+prune)
+  private val Grain = 1e6
+  private val Inf = 1000000000000000L // min-plus infinity; 12·costMax ≪ this
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** (doc_id, wt) word occurrences, truncated to [[MaxLen]] chars. */
+  private def docWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(split(TextOps.norm(col("text")), " ")).as("w"))
+      .select(col("doc_id"), expr(s"substring(w, 1, $MaxLen)").as("wt"))
+
+  private def wordsOf(docTok: DataFrame): DataFrame =
+    docTok.groupBy(col("wt")).agg(count(lit(1)).as("f"))
+
+  /** Seed vocabulary: every 1..[[MaxPiece]]-char substring of every
+    * distinct word, occurrence-weighted; all single chars (never pruned —
+    * they guarantee segmentability, the SentencePiece character-coverage
+    * rule) plus the top [[SeedMulti]] multi-char candidates. */
+  private def seedVocab(words: DataFrame): DataFrame = {
+    val pcnt = words.filter(length(col("wt")) >= 1)
+      .select(explode(expr(
+        s"flatten(transform(sequence(1, length(wt)), i -> " +
+          s"transform(sequence(1, least($MaxPiece, length(wt) - i + 1)), " +
+          s"l -> substring(wt, i, l))))")).as("piece"), col("f"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .localCheckpoint()
+    val chars = pcnt.filter(length(col("piece")) === 1)
+    val multi = pcnt.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(SeedMulti)
+    val v0n = chars.unionByName(multi)
+    val tot = v0n.agg(sum(col("cnt")).cast("double").as("tot"))
+    v0n.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (-floor(log(col("cnt").cast("double") / col("tot")) * lit(Grain)))
+          .cast("long").as("cost"))
+      .localCheckpoint()
+  }
+
+  /** Forward+backward integer Viterbi over each word, vocabulary supplied
+    * as a broadcast one-row map literal: dpf[i] = cheapest segmentation of
+    * the first i chars, dpb[i] = cheapest segmentation of the suffix from
+    * i, total = dpf[len]. Pure fold — no join, no shuffle. The
+    * `slice(sequence(...), 1, length(wt))` spelling keeps zero-length
+    * words off the DESCENDING-sequence trap. */
+  private def dpFrames(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val vm = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("cost"))))
+        .as("vm"))
+    val inf = s"CAST($Inf AS BIGINT)"
+    val initF = s"transform(sequence(0, $MaxLen), " +
+      s"k -> IF(k = 0, CAST(0 AS BIGINT), $inf))"
+    val stepF = (1 to MaxPiece).map { l =>
+      s"IF(i >= $l, element_at(acc, i - $l + 1) + " +
+        s"coalesce(element_at(vm, substring(wt, i - $l + 1, $l)), $inf), $inf)"
+    }.mkString("least(", ", ", ")")
+    val dpfExpr = s"aggregate(slice(sequence(1, $MaxLen), 1, length(wt)), " +
+      s"$initF, (acc, i) -> transform(acc, (v, k) -> IF(k = i, $stepF, v)))"
+    val initB = s"transform(sequence(0, $MaxLen), " +
+      s"k -> IF(k = length(wt), CAST(0 AS BIGINT), $inf))"
+    val stepB = (1 to MaxPiece).map { l =>
+      s"IF(i + $l <= length(wt), element_at(acc, i + $l + 1) + " +
+        s"coalesce(element_at(vm, substring(wt, i + 1, $l)), $inf), $inf)"
+    }.mkString("least(", ", ", ")")
+    val dpbExpr =
+      s"aggregate(reverse(slice(sequence(0, ${MaxLen - 1}), 1, length(wt))), " +
+        s"$initB, (acc, i) -> transform(acc, (v, k) -> IF(k = i, $stepB, v)))"
+    words.crossJoin(broadcast(vm))
+      .withColumn("dpf", expr(dpfExpr))
+      .withColumn("dpb", expr(dpbExpr))
+      .withColumn("total", expr("element_at(dpf, length(wt) + 1)"))
+  }
+
+  /** Occurrence-weighted usage of every vocabulary piece on ANY optimal
+    * segmentation path: candidate slot (j, l) is on one iff
+    * dpf[j] + cost + dpb[j+l] = total — the engine-free tie rule. */
+  private def usageOf(dp: DataFrame): DataFrame =
+    dp.filter(length(col("wt")) >= 1)
+      .withColumn("j",
+        explode(expr(s"slice(sequence(0, ${MaxLen - 1}), 1, length(wt))")))
+      .withColumn("l", explode(expr(
+        (1 to MaxPiece).mkString("array(", ", ", ")"))))
+      .filter(expr("j + l <= length(wt)"))
+      .withColumn("piece", expr("substring(wt, j + 1, l)"))
+      .withColumn("pc", expr("element_at(vm, piece)"))
+      .filter(col("pc").isNotNull)
+      .filter(expr(
+        "element_at(dpf, j + 1) + pc + element_at(dpb, j + l + 1) = total"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("n_used"))
+
+  /** Re-estimate costs from usage (Laplace +1 over the surviving
+    * vocabulary) and prune: single chars always survive, multi-char
+    * pieces keep the top [[KeepMulti]] by (usage DESC, piece). */
+  private def nextVocab(vocab: DataFrame, use: DataFrame): DataFrame = {
+    val joined = vocab.join(use, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("n_used"), lit(0L)).as("n_used"))
+    val chars = joined.filter(length(col("piece")) === 1)
+    val multi = joined.filter(length(col("piece")) >= 2)
+      .orderBy(col("n_used").desc, col("piece")).limit(KeepMulti)
+    val vn = chars.unionByName(multi)
+    val tot = vn.agg(sum(col("n_used") + lit(1L)).cast("double").as("tot"))
+    vn.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (-floor(log((col("n_used") + lit(1L)).cast("double") / col("tot"))
+          * lit(Grain))).cast("long").as("cost"),
+        col("n_used"))
+      .localCheckpoint()
+  }
+
+  /** The [[Rounds]]-round hard-EM loop over a cached word table; returns
+    * the final (piece, cost, n_used). Each round materializes only the
+    * ≤|vocab|-row table (the bpeTrain driver-boundedness discipline —
+    * here not even a collect: the vocabulary stays a distributed frame
+    * checkpointed per round). */
+  private def fitVocab(words: DataFrame): DataFrame = {
+    var vocab = seedVocab(words)
+    var last: DataFrame = null
+    for (_ <- 1 to Rounds) {
+      last = nextVocab(vocab, usageOf(dpFrames(words, vocab)))
+      vocab = last.select(col("piece"), col("cost"))
+    }
+    last
+  }
+
+  /** TRAIN gate: fit the unigram vocabulary on the corpus and emit it —
+    * (piece, cost, n_used) ordered by piece. Retrains on every call (the
+    * TRAIN-gate contract; only serving memoizes). */
+  def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = wordsOf(docWords(s, dir)).cache()
+    val out = fitVocab(words).orderBy(col("piece")).localCheckpoint()
+    words.unpersist(blocking = false)
+    out
+  }
+
+  /** Materialize the trained vocabulary ONCE per JVM (the lmBuildIndex
+    * discipline) — the deployment shape: a tokenizer trains once and
+    * every corpus/batch pass segments against the STORED piece table. */
+  def unigramBuildIndex(s: SparkSession, dir: String): String = {
+    import JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("ugidx", dir)) { tmp =>
+      val words = wordsOf(docWords(s, dir)).cache()
+      fitVocab(words).select(col("piece"), col("cost"))
+        .write.parquet(s"$tmp/vocab")
+      words.unpersist(blocking = false)
+    }.toString
+  }
+
+  /** APPLY gate: segment the corpus with the STORED trained vocabulary —
+    * per-doc optimal-segmentation cost key and word count. The per-word
+    * DP runs on DISTINCT words only; documents join the ≤|distinct words|
+    * result broadcast. seg_key = Σ_words dpf[len] is the unambiguous
+    * integer witness of the segmentation (a piece COUNT would be
+    * tie-ambiguous; the optimal cost is unique). Oracle refits the whole
+    * trajectory from the data, proving the stored vocab serves
+    * identically. */
+  def unigramTokenize(s: SparkSession, dir: String): DataFrame = {
+    val root = unigramBuildIndex(s, dir)
+    val vocab = s.read.parquet(s"$root/vocab")
+    val dt = docWords(s, dir)
+    val totals = dpFrames(wordsOf(dt), vocab).select(col("wt"), col("total"))
+    dt.join(broadcast(totals), Seq("wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("total")).as("seg_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** The seed CTE chain shared by both oracles. */
+  private def seedCtes: String =
+    s"""toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(${TextOps.normSql}, ' ') AS t
+       |  FROM documents),
+       |tokw AS MATERIALIZED (
+       |  SELECT doc_id, substr(w, 1, $MaxLen) AS wt
+       |  FROM toks, unnest(t) AS u(w)),
+       |words AS MATERIALIZED (SELECT wt, count(*) AS f FROM tokw GROUP BY 1),
+       |sub AS MATERIALIZED (
+       |  SELECT unnest(flatten([[substr(wt, i, l)
+       |      for l in range(1, least($MaxPiece, len(wt) - i + 1) + 1)]
+       |      for i in range(1, len(wt) + 1)])) AS piece, f
+       |  FROM words WHERE len(wt) >= 1),
+       |pcnt AS MATERIALIZED (SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+       |         FROM sub GROUP BY 1),
+       |vocab0n AS MATERIALIZED (
+       |  SELECT piece, cnt FROM pcnt WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM pcnt WHERE len(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT $SeedMulti) AS m),
+       |tot0 AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM vocab0n),
+       |vocab0 AS MATERIALIZED (SELECT piece,
+       |    CAST(-floor(ln(CAST(cnt AS DOUBLE) / tot) * $Grain) AS BIGINT)
+       |      AS cost
+       |  FROM vocab0n CROSS JOIN tot0),
+       |cand AS MATERIALIZED (
+       |  SELECT w.wt, w.f, j, l, substr(w.wt, j + 1, l) AS piece
+       |  FROM words w, unnest(range(0, len(w.wt))) AS a(j),
+       |       unnest([${(1 to MaxPiece).mkString(", ")}]) AS b(l)
+       |  WHERE j + l <= len(w.wt))""".stripMargin
+
+  /** One round's Viterbi DP as unrolled min-plus join CTEs (the
+    * pagerankSql unrolled-fixpoint discipline applied to a per-word DP):
+    * dp{r}_i = cheapest prefix of length i, db{r}_i = cheapest suffix
+    * from i, all joins keyed on the candidate substring. */
+  private def dpBlock(r: Int, vocabCte: String): String = {
+    val dp0 = s"dp${r}_0 AS MATERIALIZED (SELECT wt, CAST(0 AS BIGINT) AS c FROM words)"
+    val dps = (1 to MaxLen).map { i =>
+      val branches = (1 to MaxPiece).filter(_ <= i).map { l =>
+        s"""    SELECT d.wt, d.c + v.cost AS c
+           |    FROM dp${r}_${i - l} d JOIN $vocabCte v
+           |      ON v.piece = substr(d.wt, ${i - l + 1}, $l)
+           |    WHERE len(d.wt) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""dp${r}_$i AS MATERIALIZED (
+         |  SELECT wt, min(c) AS c FROM (
+         |$branches) AS s GROUP BY 1)""".stripMargin
+    }
+    val dpf = (0 to MaxLen)
+      .map(i => s"SELECT $i AS i, wt, c FROM dp${r}_$i")
+      .mkString(s"dpf$r AS MATERIALIZED (\n  ", "\n  UNION ALL\n  ", ")")
+    val dtot = s"dtot$r AS MATERIALIZED (SELECT wt, c FROM dpf$r WHERE i = len(wt))"
+    val dbTop = s"db${r}_$MaxLen AS MATERIALIZED (SELECT wt, CAST(0 AS BIGINT) AS c " +
+      s"FROM words WHERE len(wt) = $MaxLen)"
+    val dbs = (MaxLen - 1).to(0, -1).map { i =>
+      val branches = (1 to MaxPiece).filter(l => i + l <= MaxLen).map { l =>
+        s"""    SELECT d.wt, v.cost + d.c AS c
+           |    FROM db${r}_${i + l} d JOIN $vocabCte v
+           |      ON v.piece = substr(d.wt, ${i + 1}, $l)
+           |    WHERE len(d.wt) >= ${i + l}""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""db${r}_$i AS MATERIALIZED (
+         |  SELECT wt, min(c) AS c FROM (
+         |    SELECT wt, CAST(0 AS BIGINT) AS c FROM words WHERE len(wt) = $i
+         |    UNION ALL
+         |$branches) AS s GROUP BY 1)""".stripMargin
+    }
+    val dpb = (0 to MaxLen)
+      .map(i => s"SELECT $i AS i, wt, c FROM db${r}_$i")
+      .mkString(s"dpb$r AS MATERIALIZED (\n  ", "\n  UNION ALL\n  ", ")")
+    (Seq(dp0) ++ dps ++ Seq(dpf, dtot, dbTop) ++ dbs ++ Seq(dpb))
+      .mkString(",\n")
+  }
+
+  /** Usage + re-estimate + prune CTEs closing round r. */
+  private def roundTail(r: Int, vocabCte: String): String =
+    s"""use$r AS MATERIALIZED (
+       |  SELECT c.piece, CAST(sum(c.f) AS BIGINT) AS n_used
+       |  FROM cand c
+       |  JOIN $vocabCte v ON v.piece = c.piece
+       |  JOIN dpf$r f0 ON f0.wt = c.wt AND f0.i = c.j
+       |  JOIN dpb$r b0 ON b0.wt = c.wt AND b0.i = c.j + c.l
+       |  JOIN dtot$r t ON t.wt = c.wt
+       |  WHERE f0.c + v.cost + b0.c = t.c
+       |  GROUP BY 1),
+       |vocab${r}n AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(u.n_used, 0) AS n_used
+       |  FROM $vocabCte v LEFT JOIN use$r u ON u.piece = v.piece
+       |  WHERE len(v.piece) = 1
+       |  UNION ALL
+       |  SELECT piece, n_used FROM (
+       |    SELECT v.piece, coalesce(u.n_used, 0) AS n_used
+       |    FROM $vocabCte v LEFT JOIN use$r u ON u.piece = v.piece
+       |    WHERE len(v.piece) >= 2
+       |    ORDER BY n_used DESC, v.piece LIMIT $KeepMulti) AS m),
+       |tot$r AS MATERIALIZED (SELECT CAST(sum(n_used + 1) AS DOUBLE) AS tot
+       |          FROM vocab${r}n),
+       |vocab$r AS MATERIALIZED (SELECT piece,
+       |    CAST(-floor(ln((n_used + 1) / tot) * $Grain) AS BIGINT) AS cost,
+       |    CAST(n_used AS BIGINT) AS n_used
+       |  FROM vocab${r}n CROSS JOIN tot$r)""".stripMargin
+
+  private def trainedCtes: String = {
+    val rounds = (1 to Rounds).map { r =>
+      dpBlock(r, s"vocab${r - 1}") + ",\n" + roundTail(r, s"vocab${r - 1}")
+    }
+    seedCtes + ",\n" + rounds.mkString(",\n")
+  }
+
+  private def unigramTrainSql: String =
+    s"""WITH $trainedCtes
+       |SELECT piece, cost, n_used FROM vocab$Rounds ORDER BY piece"""
+      .stripMargin
+
+  private def unigramTokenizeSql: String = {
+    val applyR = Rounds + 1
+    s"""WITH $trainedCtes,
+       |${dpBlock(applyR, s"vocab$Rounds")}
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(d.c) AS BIGINT) AS seg_key
+       |FROM tokw t JOIN dtot$applyR d ON d.wt = t.wt
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_train" -> (unigramTrain(_, _)),
+    "q_unigram_tokenize" -> (unigramTokenize(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_unigram_train" -> unigramTrainSql,
+    "q_unigram_tokenize" -> unigramTokenizeSql)
+}

@@ -1262,4 +1262,42 @@ class LlmOpsSpec extends SparkSpec {
       (1L to out.length).toSeq)
   }
 
+  test("unigram trainer: stored vocab serves words at independently recomputed optimal costs") {
+    // the hard-EM contract checked from outside Spark: take the TRAINED
+    // piece table the gate emits, rerun the min-plus Viterbi naively in
+    // driver Scala (no Spark, no higher-order expressions), and the
+    // apply gate's per-doc seg_key must equal the naive sum exactly —
+    // integer DP has one right answer
+    val rows = Seq(
+      (1L, "abab abab banana ban"),
+      (2L, "banana abab cd cd"),
+      (3L, "xyz banana abab ab"))
+    withDocs(rows: _*) { dir =>
+      val vocab = graft.operators.Unigram.unigramTrain(spark, dir).collect()
+        .map(r => r.getAs[String]("piece") -> r.getAs[Long]("cost")).toMap
+      // character coverage: every corpus char must survive every prune
+      rows.flatMap(_._2.replace(" ", "")).toSet.foreach { c: Char =>
+        assert(vocab.contains(c.toString), s"char $c pruned from vocab")
+      }
+      def best(w: String): Long = {
+        val n = w.length; val inf = Long.MaxValue / 4
+        val dp = Array.fill(n + 1)(inf); dp(0) = 0L
+        for (i <- 1 to n; l <- 1 to math.min(4, i)) {
+          val p = w.substring(i - l, i)
+          vocab.get(p).foreach(c => dp(i) = math.min(dp(i), dp(i - l) + c))
+        }
+        dp(n)
+      }
+      val byDoc = rows.toMap
+      graft.operators.Unigram.unigramTokenize(spark, dir).collect()
+        .foreach { r =>
+          val words = byDoc(r.getAs[Long]("doc_id")).split(" ").map(_.take(12))
+          assert(r.getAs[Long]("n_words") == words.length.toLong)
+          assert(r.getAs[Long]("seg_key") == words.map(best).sum,
+            s"doc ${r.getAs[Long]("doc_id")}: gate seg_key " +
+              s"${r.getAs[Long]("seg_key")} vs naive ${words.map(best).sum}")
+        }
+    }
+  }
+
 }

@@ -106,6 +106,23 @@ class PlanSpec extends SparkSpec {
       s"expected the batch scan + the stored λ read only, found $scans:\n$plan")
   }
 
+  test("unigram serving segments against the stored vocabulary — no refit") {
+    // the apply path: the trained piece table comes off the ugidx
+    // artifact; the only aggregates are the batch's distinct-word count
+    // (keys=[wt]) and the per-doc sum (keys=[doc_id]) — any aggregate
+    // keyed on `piece` is the seed-count / usage / prune machinery the
+    // stored vocab exists to remove from the serving plan
+    val plan = graft.operators.Unigram.unigramTokenize(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ugidx"),
+      s"serving must read the stored vocabulary:\n$plan")
+    assert("HashAggregate\\(keys=\\[piece".r.findFirstIn(plan).isEmpty,
+      s"serving must not refit the vocabulary:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 3,
+      s"expected word-count scan + doc rejoin + stored vocab, found $scans:\n$plan")
+  }
+
   test("keyset cursor predicate reaches the transfer scan") {
     // the O(page) deep-scan contract, over a STORED transfer table (the
     // serving shape — the oracle gate's TPC-H mapping computes
