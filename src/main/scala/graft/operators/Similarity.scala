@@ -660,6 +660,99 @@ object Similarity {
     rerankTopK(cands, corpus, AnnK)
   }
 
+  /** ANN quality EVAL as a gate — recall@[[AnnK]] of the IVF probe
+    * against exact ground truth, per query: the continuous-eval loop a
+    * deployed ANN index runs ("measure the approximation, don't guess").
+    * Both legs are the exact spellings of their own gates (q_cosine_topk's
+    * brute-force rank, q_ann_ivf's probe), so this gate can never drift
+    * from what it claims to measure; the output (qid, n_truth, n_hits) is
+    * pure integer counts — recall is n_hits / n_truth, left as counts so
+    * the compare stays exact.
+    *
+    * At 100 TB the truth leg is the expensive one and runs ONLY on the
+    * sampled eval query set ([[NumQueries]] broadcast against the corpus —
+    * one scan, a per-query heap); per-query rows localize a recall
+    * regression to the queries that lost neighbors (a single aggregate
+    * recall number can hide a dead cell). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    val cents = corpus.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("nc"))
+    val qids = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"))
+    val allCands = corpus.select(col("vec_id").as("nid"))
+      .crossJoin(broadcast(qids))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"))
+    val truth = rerankTopK(allCands, corpus, AnnK)
+      .select(col("qid"), col("nid"))
+    val approx = ivfServe(corpus, cents)
+      .select(col("qid"), col("nid")).withColumn("hit", lit(1L))
+    truth.join(approx, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .orderBy(col("qid"))
+  }
+
+  private val annRecallSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nn
+       |  FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, nn AS nq FROM n WHERE vec_id < $NumQueries),
+       |tp AS (
+       |  SELECT qid, n.vec_id AS nid,
+       |    list_reduce(list_transform(range(len(qv)),
+       |      i -> qv[i+1] * v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(nq) * sqrt(nn)) AS cosine
+       |  FROM q CROSS JOIN n WHERE n.vec_id != qid),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |    FROM tp) AS t WHERE rank <= $AnnK),
+       |c AS (SELECT vec_id AS cid, v AS cv, nn AS nc FROM n WHERE vec_id < $NCells),
+       |scored_cells AS (
+       |  SELECT n.vec_id, c.cid,
+       |    list_reduce(list_transform(range($Dim), i -> n.v[i+1] * c.cv[i+1]),
+       |      (a, b) -> a + b) / (sqrt(n.nn) * sqrt(c.nc)) AS ccos
+       |  FROM n CROSS JOIN c),
+       |ranked_cells AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+       |  FROM scored_cells),
+       |assigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM ranked_cells
+       |  WHERE crank <= $NProbe AND vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN assigned a ON p.cell = a.cell
+       |  WHERE a.vec_id != p.qid),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_reduce(list_transform(range($Dim),
+       |      i -> qn.v[i+1] * cn.v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(qn.nn) * sqrt(cn.nn)) AS cosine
+       |  FROM cand
+       |  JOIN n qn ON qn.vec_id = cand.qid
+       |  JOIN n cn ON cn.vec_id = cand.nid),
+       |approx AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |    FROM scored) AS r WHERE rank <= $AnnK)
+       |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(a.nid) AS BIGINT) AS n_hits
+       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------- trained IVF codebook
 
   private val KmeansIters = 3
@@ -1685,6 +1778,7 @@ object Similarity {
     "q_cosine_topk" -> (cosineTopK(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
+    "q_ann_recall" -> (annRecall(_, _)),
     "q_ann_ivf_trained" -> (annIvfTrained(_, _)),
     "q_ann_pq" -> (annPq(_, _)),
     "q_ann_pq_serve" -> (annPqServe(_, _)),
@@ -1712,6 +1806,7 @@ object Similarity {
     "q_cosine_topk" -> cosineTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_recall" -> annRecallSql,
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_serve" -> annPqServeSql,

@@ -3818,6 +3818,52 @@ object TextOps {
        |FROM agg JOIN tot_s ON agg.source = tot_s.source
        |ORDER BY agg.source""".stripMargin
 
+  // ------------------------------------- sharded training-data export
+
+  private val ExportShards = 8
+  private val ExportKeyMod = 1099511627776L // 2^40: keeps the Σ in BIGINT
+
+  /** Training-data EXPORT with a validated manifest — the delivery step of
+    * a curation pipeline: hash-shard the corpus, WRITE it as a
+    * shard-partitioned parquet layout, read the written files back, and
+    * derive the manifest (per shard: doc count, token count, order-free
+    * content checksum) FROM THE WRITTEN BYTES. The oracle computes the
+    * same manifest from the SOURCE table — so the gate is a round-trip
+    * fidelity proof: a dropped, duplicated, or corrupted row anywhere in
+    * the write/read cycle breaks the content_key equality.
+    *
+    * Determinism: shard = md5-60-bit(doc_id) mod [[ExportShards]] (the
+    * hashSplit portability discipline — stable across engines and reruns
+    * where a round-robin or task-id scheme is neither); content_key =
+    * Σ (md5-60-bit(normalized text) mod 2^40), an order-free integer sum
+    * bounded far under BIGINT. At 100 TB the export IS one
+    * hash-clustered write (the shuffle key is the write partitioning) and
+    * the manifest is a count/sum aggregate over the written files —
+    * map-side-combining into |shards| cells. */
+  def exportManifest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_export").toString
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        pmod(h60("doc_id"), lit(ExportShards.toLong)).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$tmp/docs")
+    val back = s.read.parquet(s"$tmp/docs")
+    back.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("n_tokens"),
+        sum(pmod(
+          expr(hash60Sql("regexp_replace(lower(trim(text)), '\\\\s+', ' ')")),
+          lit(ExportKeyMod))).as("content_key"))
+      .orderBy(col("shard"))
+  }
+
+  private val exportManifestSql =
+    s"""SELECT CAST(${h60Sql("doc_id")} % $ExportShards AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(${duckHash60(normSql)} % $ExportKeyMod) AS BIGINT)
+       |    AS content_key
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------ DSIR importance-resampling selection
 
   private val DsirBuckets = 256
@@ -3987,6 +4033,7 @@ object TextOps {
        |FROM batch ORDER BY score DESC, doc_id LIMIT $DsirServeK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_export_manifest" -> (exportManifest(_, _)),
     "q_dsir_select" -> (dsirSelect(_, _)),
     "q_dsir_serve" -> (dsirServe(_, _)),
     "q_repetition" -> (repetition(_, _)),
@@ -4041,6 +4088,7 @@ object TextOps {
     * centroids/codebooks captured while the queries ran (Verify dumps
     * oracle SQL after running them — the Similarity.oracles discipline). */
   def oracles: Map[String, String] = Map(
+    "q_export_manifest" -> exportManifestSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_dsir_serve" -> dsirServeSql,
     "q_repetition" -> repetitionSql,

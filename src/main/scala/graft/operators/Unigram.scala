@@ -91,7 +91,7 @@ object Unigram {
     * i, total = dpf[len]. Pure fold — no join, no shuffle. The
     * `slice(sequence(...), 1, length(wt))` spelling keeps zero-length
     * words off the DESCENDING-sequence trap. */
-  private def dpFrames(words: DataFrame, vocab: DataFrame): DataFrame = {
+  private[graft] def dpFrames(words: DataFrame, vocab: DataFrame): DataFrame = {
     val vm = vocab.agg(
       map_from_entries(collect_list(struct(col("piece"), col("cost"))))
         .as("vm"))

@@ -185,4 +185,48 @@ object AlgebraProps extends Properties("graft.algebra") {
       val want = List.fill(n / 2)(a + a) ++ (if (n % 2 == 1) List(a) else Nil)
       merged == sentinel(want)
     }
+
+  // ---- Unigram integer Viterbi fold (the q_unigram_* kernel claim) ----
+  // The columnar `aggregate` fold in Unigram.dpFrames must equal the
+  // textbook min-plus DP on arbitrary vocab/cost tables, and the
+  // backward fold's dpb[0] must equal the forward total (both are "the
+  // cheapest full segmentation") — the identity the usage-marking
+  // equality test dpf[j] + cost + dpb[j+l] = total stands on.
+
+  private val genVocabWords: Gen[(List[(String, Long)], List[String])] = for {
+    nv <- Gen.choose(3, 12)
+    pieces <- Gen.listOfN(nv, for {
+      l <- Gen.choose(2, 4)
+      cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString)
+    costs <- Gen.listOfN(nv + 4, Gen.choose(1L, 50L))
+    nw <- Gen.choose(1, 16)
+    words <- Gen.listOfN(nw, for {
+      l <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString)
+  } yield ((List("a", "b", "c", "d") ++ pieces).distinct.zip(costs),
+    words.distinct)
+
+  property("unigram fold DP == naive min-plus DP; backward dpb[0] == total") =
+    forAll(genVocabWords) { case (vocab, words) =>
+      val wdf = words.toDF("wt").withColumn("f", lit(1L))
+      val vdf = vocab.toDF("piece", "cost")
+      val out = graft.operators.Unigram.dpFrames(wdf, vdf)
+        .select(col("wt"), col("total"),
+          expr("element_at(dpb, 1)").as("b0")).collect()
+      val vm = vocab.toMap
+      def naive(w: String): Long = {
+        val inf = Long.MaxValue / 4
+        val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
+        for (i <- 1 to w.length; l <- 1 to math.min(4, i);
+             c <- vm.get(w.substring(i - l, i)))
+          dp(i) = math.min(dp(i), dp(i - l) + c)
+        dp(w.length)
+      }
+      out.length == words.length && out.forall { r =>
+        val t = naive(r.getAs[String]("wt"))
+        r.getAs[Long]("total") == t && r.getAs[Long]("b0") == t
+      }
+    }
 }

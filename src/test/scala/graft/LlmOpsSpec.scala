@@ -1262,6 +1262,24 @@ class LlmOpsSpec extends SparkSpec {
       (1L to out.length).toSeq)
   }
 
+  test("ANN recall eval: per-query counts are well-formed and recall holds its floor") {
+    // the eval gate's CONTRACT, not its values (the oracle owns those):
+    // n_truth = k for every query, 0 <= n_hits <= n_truth, and the
+    // measured aggregate recall stays above the floor the 4/16-probe IVF
+    // geometry is sized for — a drop below it is an index regression,
+    // the alarm this eval loop exists to raise
+    val out = Similarity.annRecall(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_truth") == 5L)
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 5L)
+    }
+    val recall = out.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      out.map(_.getAs[Long]("n_truth")).sum
+    assert(recall >= 0.6, s"recall@5 fell to $recall")
+  }
+
   test("unigram trainer: stored vocab serves words at independently recomputed optimal costs") {
     // the hard-EM contract checked from outside Spark: take the TRAINED
     // piece table the gate emits, rerun the min-plus Viterbi naively in
