@@ -1109,10 +1109,6 @@ object Multimodal {
 
   private val lastUpdatedDhIndexDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
-  sys.addShutdownHook {
-    Option(lastUpdatedDhIndexDir.get()).foreach(d =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-  }: Unit
 
   /** The INGEST half of the image dedup loop — [[graft.operators.TextOps
     * .dedupIndexUpdate]]'s daily cycle on the perceptual index: probe,
@@ -1143,16 +1139,8 @@ object Multimodal {
     val dups = probeDhashIndex(s, batch, root)
       .select(col("batch_media").as("media_id")).distinct().cache()
     val accepted = batch.join(dups, Seq("media_id"), "left_anti").cache()
-    // fresh dir per call (the merged index is output under test); the
-    // previous call's dir is reclaimed now (its lazy readers have run)
-    lastUpdatedDhIndexDir.getAndSet(null) match {
-      case null => ()
-      case old => org.apache.commons.io.FileUtils
-        .deleteQuietly(new java.io.File(old)): Unit
-    }
-    val updated = java.nio.file.Files
-      .createTempDirectory("dhidx_upd").toString
-    lastUpdatedDhIndexDir.set(updated)
+    // fresh dir per call (the merged index is output under test)
+    val updated = freshUpdateDir(lastUpdatedDhIndexDir, "dhidx_upd")
     val newClusters = accepted.groupBy("dhash")
       .agg(min("media_id").as("rep"))
     s.read.parquet(s"$root/bands")
@@ -1957,10 +1945,14 @@ object Multimodal {
   private val lastUpdatedVdIndexDir =
     new java.util.concurrent.atomic.AtomicReference[String]()
   sys.addShutdownHook {
-    Seq(lastUpdatedAfIndexDir, lastUpdatedVdIndexDir).foreach(r =>
-      Option(r.get()).foreach(d =>
+    Seq(lastUpdatedDhIndexDir, lastUpdatedAfIndexDir, lastUpdatedVdIndexDir)
+      .foreach(r => Option(r.get()).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
   }: Unit
+
+  /** [[graft.operators.TextOps]]'s freshTempDir discipline: reclaim the
+    * previous call's dir (its lazy readers have run), hand out a fresh
+    * one — bench reps must not accumulate index copies under /tmp. */
 
   private def freshUpdateDir(
       ref: java.util.concurrent.atomic.AtomicReference[String],

@@ -591,6 +591,42 @@ object EventWindows {
       .orderBy("batch_media", "hist_rep")
   }
 
+  /** Fixture for the VECTOR streaming index-probe gate: the 20%-split
+    * embeddings batch delivered in two micro-batches (even vec_ids, then
+    * odd) — [[dedupIndexStreamInput]] on the embeddings table. */
+  private def vecDedupIndexStreamInput(s: SparkSession, dir: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot("vdedupidxstream", dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val batch = graft.Tables.load(s, dir, "embeddings")
+        .filter(!graft.operators.Similarity.isHistoryVec)
+      val t0 = System.currentTimeMillis() - 120000
+      writeSingleParquet(tmp, batch.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "00_even.parquet", t0)
+      writeSingleParquet(tmp, batch.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "01_odd.parquet", t0 + 60000)
+    }
+
+  /** [[streamDedupIndexed]]'s shape on the VECTOR family — the last
+    * modality without a streaming front door (text/image/audio/video all
+    * have one): embedding rows arrive as files, every micro-batch signs
+    * ONLY its own vectors at the family RECORDED in the stored srpidx
+    * meta, probes the stored sig buckets and exact-cosine-verifies
+    * against the stored vectors via stream-STATIC joins, emitting
+    * (batch_vec, hist_vec, cosine) verdicts as they stream in. Nothing
+    * buffered beyond the within-batch pair dedup; the state story is the
+    * index on disk. Output identical to q_embed_neardup_incremental's by
+    * construction (shared banding + cosine spellings), oracle reused
+    * verbatim.
+    */
+  def streamEmbedDedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val root = Similarity.srpBuildIndex(s, dir)
+    val input = vecDedupIndexStreamInput(s, dir)
+    streamTwoBatches(s, input, "q_stream_embed_dedup_indexed_sink")(st =>
+      Similarity.streamProbeSrpIndex(s, st, root))
+      .orderBy("batch_vec", "hist_vec")
+  }
+
   /** [[streamImageDedupIndexed]]'s shape on the audio path: micro-batches
     * fingerprint only their own media through the real WAV round trip and
     * probe the stored afidx bands via stream-static joins; shares
@@ -1046,13 +1082,17 @@ object EventWindows {
     "q_stream_image_dedup_indexed" -> (streamImageDedupIndexed(_, _)),
     "q_stream_audio_dedup_indexed" -> (streamAudioDedupIndexed(_, _)),
     "q_stream_video_dedup_indexed" -> (streamVideoDedupIndexed(_, _)),
+    "q_stream_embed_dedup_indexed" -> (streamEmbedDedupIndexed(_, _)),
     "q_stream_custom_state" -> (streamCustomState(_, _)),
     "q_stream_tws" -> (streamTransformWithState(_, _)),
     "q_stream_stream_join" -> (streamStreamJoin(_, _)),
     "q_window_trailing" -> (trailingWindow(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)))
 
-  val oracles: Map[String, String] = Map(
+  /** def, not val: q_stream_embed_dedup_indexed's oracle replays the LSH
+    * family captured while the probe ran (the Similarity.oracles
+    * discipline — Verify dumps oracle SQL after running queries). */
+  def oracles: Map[String, String] = Map(
     "q_variant_extract" -> variantExtractSql,
     "q_incr_agg" -> incrementalAggSql,
     "q_stream_static_join" -> streamStaticJoinSql,
@@ -1075,6 +1115,8 @@ object EventWindows {
       graft.multimodal.Multimodal.audioDedupIncrementalOracle,
     "q_stream_video_dedup_indexed" ->
       graft.multimodal.Multimodal.videoDedupIncrementalOracle,
+    "q_stream_embed_dedup_indexed" ->
+      graft.operators.Similarity.embedNearDupIncrementalOracle,
     "q_stream_custom_state" -> streamCustomStateSql,
     "q_stream_tws" -> streamCustomStateSql,
     "q_stream_stream_join" -> streamStreamJoinSql,

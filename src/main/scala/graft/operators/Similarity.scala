@@ -298,7 +298,7 @@ object Similarity {
 
   /** History/batch split for the incremental embedding dedup (the
     * TextOps.isHistoryDoc twin on vec_id). */
-  private def isHistoryVec =
+  private[graft] def isHistoryVec =
     pmod(TextOps.h60("vec_id"), lit(100L)) < 80
 
   /** Materialize the SRP signature index ONCE per JVM — the vector-side
@@ -393,6 +393,43 @@ object Similarity {
       .orderBy("batch_vec", "hist_vec")
   }
 
+  /** The probe run INSIDE a streaming front door — [[TextOps
+    * .streamProbeIndex]]'s discipline on the vector family: the stream
+    * carries each row's (v, nn) payload through the band explode instead
+    * of re-joining the stream to itself (stream-stream self-joins are
+    * unavailable in append mode), so every join below is stream-STATIC
+    * against the stored sig/vecs tables and nothing buffers beyond the
+    * within-batch pair dedup. Bands at the family RECORDED in the index;
+    * the cosine tail is [[serveVecDedupIncremental]]'s spelling
+    * operand-for-operand, so the stream door's output exact-matches the
+    * batch door's and the gate reuses its oracle verbatim. */
+  private[graft] def streamProbeSrpIndex(s: SparkSession, raw: DataFrame,
+                                         root: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val meta = s.read.parquet(s"$root/meta").head()
+    val (bands, bits) =
+      (meta.getAs[Int]("bands"), meta.getAs[Int]("band_bits"))
+    lastSrpIdxBits = bits
+    val batch = raw.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nn", expr("vec_dot(v, v)"))
+    bandSignatures(batch, bands, bits, keep = Seq(col("v"), col("nn")))
+      .join(s.read.parquet(s"$root/sig").toDF("hist_vec", "band", "sig"),
+        Seq("band", "sig"))
+      .dropDuplicates(Seq("vec_id", "hist_vec"))
+      .join(s.read.parquet(s"$root/vecs").toDF("hist_vec", "hv", "hn"),
+        "hist_vec")
+      .withColumn("cosine",
+        expr("vec_dot(v, hv)") / (sqrt(col("nn")) * sqrt(col("hn"))))
+      .filter(col("cosine") >= NearDupCosine)
+      .select(col("vec_id").as("batch_vec"), col("hist_vec"), col("cosine"))
+  }
+
+  /** q_embed_neardup_incremental's oracle, shared with the streaming
+    * gate (def: replays the family captured at probe time). */
+  private[graft] def embedNearDupIncrementalOracle: String =
+    embedNearDupIncrementalSql
+
   /** def, not a val: replays the family recorded in the probed index. */
   private def embedNearDupIncrementalSql = {
     s"""${srpSigCtePrefix(AnnBands, lastSrpIdxBits)},
@@ -418,17 +455,18 @@ object Similarity {
     * private[graft] so LlmOpsSpec can measure bucket occupancy directly.
     */
   private[graft] def bandSignatures(corpus: DataFrame, bands: Int = AnnBands,
-                             bandBits: Int = BandBits): DataFrame =
+                             bandBits: Int = BandBits,
+                             keep: Seq[Column] = Nil): DataFrame =
     corpus
       .withColumn("p", typedLit(planesFor(bands * bandBits)))
       .withColumn("dots", expr(
         s"transform(sequence(0, ${bands * bandBits - 1}), j -> vec_dot(v, p[j]))"))
-      .select(col("vec_id"),
+      .select((col("vec_id") +: keep) :+
         posexplode(expr(
           s"""transform(sequence(0, ${bands - 1}), b ->
              |  aggregate(sequence(0, ${bandBits - 1}), 0,
              |    (acc, k) -> acc + IF(dots[b * $bandBits + k] > 0D, shiftleft(1, k), 0)))"""
-            .stripMargin)).as(Seq("band", "sig")))
+            .stripMargin)).as(Seq("band", "sig")): _*)
 
   private lazy val embedNearDupSql =
     embedNearDupSqlFor(AnnBands, BandBits, NearDupCosine)

@@ -1049,6 +1049,59 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("wordpieceTrainMerges reproduces an independent likelihood-ratio reference") {
+    // symbol-VECTOR reference of the WordPiece selection rule: argmax of
+    // count(ab) / (count(a) * count(b)) with (score DESC, lhs, rhs)
+    // tie-break, greedy non-overlapping merge application per round
+    def applyMerge(v: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == l && v(i + 1) == r) { b += (l + r); i += 2 }
+        else { b += v(i); i += 1 }
+      }
+      b.result()
+    }
+    def refWp(texts: Seq[String], n: Int): Seq[(String, String, Long, Long, Long)] = {
+      var cur: Seq[(Vector[String], Long)] = texts
+        .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).toSeq
+        .map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+      val out = Seq.newBuilder[(String, String, Long, Long, Long)]
+      for (_ <- 1 to n) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        val sc = scala.collection.mutable.Map.empty[String, Long]
+        for ((syms, f) <- cur) {
+          for (s0 <- syms) sc(s0) = sc.getOrElse(s0, 0L) + f
+          for (i <- 0 until syms.length - 1)
+            pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        }
+        val ((l, r), c) = pc.toSeq.minBy { case ((a, b), k) =>
+          (-k.toDouble / (sc(a).toDouble * sc(b).toDouble), a, b)
+        }
+        out += ((l, r, c, sc(l), sc(r)))
+        cur = cur.map { case (v, f) => applyMerge(v, l, r) -> f }
+      }
+      out.result()
+    }
+    val texts = Seq(
+      "the stream then the stream there",
+      "streaming the streams they stream",
+      "other weather together the them",
+      "this that the other stream flows")
+    withDocs(texts.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }: _*) { dir =>
+      val got = TextOps.wordpieceTrainMerges(spark, dir)
+      assert(got == refWp(texts, got.size),
+        s"trained merges diverge from the reference:\n$got")
+      // the likelihood ratio must actually bite on this corpus: the
+      // trajectory must differ from frequency-greedy BPE's on the same
+      // texts, or the gate is indistinguishable from q_bpe_train
+      val bpe = TextOps.bpeTrainMerges(spark, dir)
+        .map { case (l, r, _) => (l, r) }
+      assert(got.map { case (l, r, _, _, _) => (l, r) } != bpe.take(got.size),
+        s"wordpiece trajectory identical to BPE's — scoring not exercised")
+    }
+  }
+
   test("subwordTokenize matches an independent greedy reimplementation") {
     // independent Scala greedy segmenter over the production vocab,
     // applied to inline docs; the operator's checksum must reproduce it

@@ -884,6 +884,34 @@ class PlanSpec extends SparkSpec {
         s"($docScans scans / $ims cached):\n$plan")
   }
 
+  test("decontamination serve shingles only the batch and broadcasts the stored eval index") {
+    // the per-batch decontamination path: the eval set's n-grams come off
+    // the ctidx artifact (benchmark-sized, so it BROADCASTS — the huge
+    // batch side never shuffles for the probe join); the batch carries
+    // the plan's ONE word_shingles subtree. A second word_shingles — or a
+    // shuffle on gram_key — would mean the benchmarks are re-shingled or
+    // the corpus is shuffled per batch, the costs the stored index and
+    // the broadcast exist to remove.
+    val (batch, raw) =
+      graft.operators.TextOps.contaminationServeFrames(spark, dir)
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("ctidx") && plan.contains("/grams"),
+      s"probe must read the stored eval-gram table:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange"),
+      s"the eval-gram index must broadcast to the batch probe:\n$plan")
+    // the batch shingles are cached once and reused by probe + size leg;
+    // cached fills render inline at each consumer, so subtract them: the
+    // only parquet scan beyond the fills is the ctidx grams read — any
+    // more would be a corpus or eval re-scan
+    val ims = "InMemoryTableScan".r.findAllIn(plan).length
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans - ims <= 1,
+      s"eval side must come off the index, not corpus re-scans " +
+        s"($scans scans / $ims cached):\n$plan")
+    batch.unpersist(blocking = false): Unit
+  }
+
   test("incremental image dedup decodes only the batch and probes the stored dhash bands") {
     // the per-crawl image serve path: history's cluster bands come off
     // the dhidx artifact; the batch side carries the plan's ONE GIF
