@@ -1998,6 +1998,14 @@ object TextOps {
     * eval-overlap count, ratio, and the `dropped` ingest decision at the
     * [[ContamDropRatio]] cut.
     *
+    * Deliberately NO streaming front door for this family (unlike the
+    * five dedup modalities): their doors emit per-PAIR probe verdicts —
+    * pure append — while this output is a per-DOC aggregate (overlap
+    * ratio over the doc's grams), which in a stream needs update-mode
+    * sinks or a grouped-state operator; the batch serve path over
+    * micro-batch-sized inputs is the same computation without the state
+    * machinery.
+    *
     * Reference analog: none — §2x training-pipeline extension surface.
     */
   def contaminationServe(s: SparkSession, dir: String): DataFrame = {
