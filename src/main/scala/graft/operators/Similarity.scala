@@ -159,9 +159,16 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  private lazy val annLshSql = {
+  private lazy val annLshSql =
+    s"""WITH $annLshCtes
+       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** The LSH probe's CTE chain (through `r`) — shared by the gate oracle
+    * and the recall-eval oracle. */
+  private lazy val annLshCtes = {
     val planesLit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
@@ -196,9 +203,7 @@ object Similarity {
        |r AS (
        |  SELECT qid, nid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-       |  FROM scored)
-       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
-       |ORDER BY qid, rank""".stripMargin
+       |  FROM scored)""".stripMargin
   }
 
   private val NearDupCosine = 0.45
@@ -449,6 +454,96 @@ object Similarity {
        |SELECT batch_vec, hist_vec, cosine FROM scored
        |WHERE cosine >= $NearDupCosine
        |ORDER BY batch_vec, hist_vec""".stripMargin
+  }
+
+  private val lastSrpPurgeDir = TextOps.newTempDirRef()
+
+  /** Retention-rule predicate of the vector purge gate: embeddings carry
+    * no source column, so the takedown is keyed on the portable id hash —
+    * a deterministic ~10% slice both engines agree on (the X22 split
+    * family). */
+  private def isPurgedVec(name: String) = pmod(TextOps.h60(name), lit(10L)) === 3
+
+  /** Right-to-be-forgotten PURGE on the stored SRP signature index (X106)
+    * — the vector-side leg of the retention family (MinHash
+    * [[TextOps.dedupIndexPurge]], BM25 [[TextOps.bm25IndexDelete]], this):
+    * purged vectors' rows leave BOTH stored tables (vecs and sig) via
+    * write-new-then-swap; `meta` — the (bands, bandBits) family the
+    * occupancy rule picked at build time — survives the delete UNCHANGED,
+    * because re-sizing is a rebuild decision, not a delete's (occupancy
+    * only gets safer as n shrinks; a delete that re-banded would have to
+    * re-sign every survivor, which is exactly what a delete must not do).
+    * The same probe batch runs before and after; the witness row's exact
+    * counts include the sig table's own row count (n_sig_rows_after =
+    * bands·n_history_after — the half-purge alarm: stale sig rows alone
+    * can't produce output, the vecs join drops orphans, so only a direct
+    * file count can prove they're gone), and the oracle re-derives every
+    * count from the lake under the family RECORDED in the probed index.
+    */
+  def vecIndexPurge(s: SparkSession, dir: String): DataFrame = {
+    val root = srpBuildIndex(s, dir)
+    val vecs = s.read.parquet(s"$root/vecs")
+    val updated = TextOps.freshTempDir(lastSrpPurgeDir, "srpidx_purge")
+    s.read.parquet(s"$root/meta").write.parquet(s"$updated/meta")
+    vecs.filter(!isPurgedVec("vec_id"))
+      .write.parquet(s"$updated/vecs")
+    s.read.parquet(s"$root/sig").filter(!isPurgedVec("vec_id"))
+      .write.parquet(s"$updated/sig")
+    val raw = Tables.load(s, dir, "embeddings")
+    val before = serveVecDedupIncremental(s, raw, root).cache()
+    val after = serveVecDedupIncremental(s, raw, updated)
+    val out = vecs.agg(count(lit(1)).as("n_history"))
+      .crossJoin(vecs.filter(isPurgedVec("vec_id"))
+        .agg(count(lit(1)).as("n_purged")))
+      .crossJoin(s.read.parquet(s"$updated/vecs")
+        .agg(count(lit(1)).as("n_history_after")))
+      .crossJoin(s.read.parquet(s"$updated/sig")
+        .agg(count(lit(1)).as("n_sig_rows_after")))
+      .crossJoin(before.agg(count(lit(1)).as("n_pairs_before")))
+      .crossJoin(before.filter(isPurgedVec("hist_vec"))
+        .agg(count(lit(1)).as("n_pairs_to_purged")))
+      .crossJoin(after.agg(count(lit(1)).as("n_pairs_after")))
+      // materialize, then release: the cached probe plan is IDENTICAL to
+      // q_embed_neardup_incremental's, and a lingering InMemoryRelation
+      // would hand that gate's plan pin a cached copy
+      .localCheckpoint()
+    before.unpersist(blocking = false)
+    out
+  }
+
+  /** def: replays the family recorded in the probed index. */
+  private def vecIndexPurgeSql = {
+    val hist = s"${TextOps.h60Sql("vec_id")} % 100 < 80"
+    val purged = s"${TextOps.h60Sql("vec_id")} % 10 = 3"
+    s"""${srpSigCtePrefix(AnnBands, lastSrpIdxBits)},
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id AS batch_vec, h.vec_id AS hist_vec
+       |  FROM sg b JOIN sg h ON b.band = h.band AND b.sig = h.sig
+       |  WHERE ${TextOps.h60Sql("b.vec_id")} % 100 >= 80
+       |    AND ${TextOps.h60Sql("h.vec_id")} % 100 < 80),
+       |pairs AS (
+       |  SELECT batch_vec, hist_vec FROM (
+       |    SELECT batch_vec, hist_vec,
+       |      list_reduce(list_transform(range($Dim),
+       |        i -> bn.v[i+1] * hn.v[i+1]), (a, b) -> a + b)
+       |        / (sqrt(bn.nn) * sqrt(hn.nn)) AS cosine
+       |    FROM cand
+       |    JOIN n bn ON bn.vec_id = cand.batch_vec
+       |    JOIN n hn ON hn.vec_id = cand.hist_vec) AS sc
+       |  WHERE cosine >= $NearDupCosine)
+       |SELECT
+       |  (SELECT count(*) FROM n WHERE $hist) AS n_history,
+       |  (SELECT count(*) FROM n WHERE $hist AND $purged) AS n_purged,
+       |  (SELECT count(*) FROM n WHERE $hist AND NOT ($purged))
+       |    AS n_history_after,
+       |  $AnnBands * (SELECT count(*) FROM n WHERE $hist AND NOT ($purged))
+       |    AS n_sig_rows_after,
+       |  (SELECT count(*) FROM pairs) AS n_pairs_before,
+       |  (SELECT count(*) FROM pairs
+       |   WHERE ${TextOps.h60Sql("hist_vec")} % 10 = 3) AS n_pairs_to_purged,
+       |  (SELECT count(*) FROM pairs
+       |   WHERE ${TextOps.h60Sql("hist_vec")} % 10 != 3) AS n_pairs_after"""
+      .stripMargin
   }
 
   /** (vec_id, band, sig) signature table — shared by annLsh/embedNearDup.
@@ -718,17 +813,24 @@ object Similarity {
       .cache()
     val cents = corpus.filter(col("vec_id") < NCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("nc"))
+    recallOf(corpus, ivfServe(corpus, cents))
+  }
+
+  /** The shared recall@[[AnnK]] tail of every ANN eval gate: exact-truth
+    * leg (brute-force cosine top-k, bounded to the [[NumQueries]] eval
+    * sample) left-joined against `approx`'s (qid, nid) probe output,
+    * counted per query. */
+  private def recallOf(corpus: DataFrame, approx: DataFrame): DataFrame = {
     val qids = corpus.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"))
     val allCands = corpus.select(col("vec_id").as("nid"))
       .crossJoin(broadcast(qids))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"))
-    val truth = rerankTopK(allCands, corpus, AnnK)
+    rerankTopK(allCands, corpus, AnnK)
       .select(col("qid"), col("nid"))
-    val approx = ivfServe(corpus, cents)
-      .select(col("qid"), col("nid")).withColumn("hit", lit(1L))
-    truth.join(approx, Seq("qid", "nid"), "left")
+      .join(approx.select(col("qid"), col("nid")).withColumn("hit", lit(1L)),
+        Seq("qid", "nid"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_truth"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
@@ -1231,7 +1333,14 @@ object Similarity {
     * SAME persisted codebooks the serving plan used. */
   private def annPqServeSql: String = annPqSqlFor(lastPqServed)
 
-  private def annPqSqlFor(cbOpt: Option[Seq[(Int, Int, Seq[Double])]]): String = {
+  private def annPqSqlFor(cbOpt: Option[Seq[(Int, Int, Seq[Double])]]): String =
+    s"""WITH ${annPqCtesFor(cbOpt)}
+       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** The PQ probe's CTE chain (through `r`, the reranked shortlist) —
+    * shared by the gate oracle and the recall-eval oracle. */
+  private def annPqCtesFor(cbOpt: Option[Seq[(Int, Int, Seq[Double])]]): String = {
     val cb = cbOpt.getOrElse(
       // not trained/read in this JVM (query errored first): emit parseable
       // SQL; the gate is already red in that case
@@ -1239,7 +1348,7 @@ object Similarity {
     val values = cb
       .map { case (m, cid, v) => s"($m, $cid, ${v.map(dlit).mkString("[", ", ", "]")})" }
       .mkString(",\n    ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
@@ -1298,10 +1407,93 @@ object Similarity {
        |r AS (
        |  SELECT qid, nid, cosine,
        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-       |  FROM scored)
-       |SELECT qid, rank, nid, cosine FROM r WHERE rank <= $AnnK
-       |ORDER BY qid, rank""".stripMargin
+       |  FROM scored)""".stripMargin
   }
+
+  /** Recall@[[AnnK]] of the PQ SERVE probe vs exact ground truth —
+    * [[annRecall]]'s eval loop pointed at the QUANTIZED family, where the
+    * approximation error is largest (ADC distances are codebook
+    * reconstructions, not true distances) and therefore most worth
+    * measuring continuously. Truth leg = exact cosine top-k on the
+    * sample-bounded eval queries ([[annRecall]]'s spelling); probe leg =
+    * the verbatim [[annPqServeLazy]] stored-index serving plan. The
+    * oracle replays the probe from the SAME persisted codebooks through
+    * the shared [[annPqCtesFor]] chain and recomputes the truth leg from
+    * scratch — the recall numbers themselves are exact-compared. */
+  def annRecallPq(s: SparkSession, dir: String): DataFrame = {
+    val (approx, corpus) = annPqServeLazy(s, dir)
+    val out = recallOf(corpus, approx).localCheckpoint()
+    corpus.unpersist(blocking = false)
+    out
+  }
+
+  /** Recall@[[AnnK]] of the SRP-LSH probe — the third leg of the eval
+    * triple (IVF [[annRecall]], PQ [[annRecallPq]], LSH here): unlike the
+    * other two, LSH recall is a pure function of band geometry (bucket
+    * collisions), so this gate measures exactly the bands-vs-recall
+    * trade the [[embedNearDup]] family's sizing rule tunes. Probe leg =
+    * [[annLsh]]'s verbatim candidate+rerank spelling; oracle = the shared
+    * [[annLshCtes]] chain plus the from-scratch truth leg. */
+  def annRecallLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    val sigs = bandSignatures(corpus)
+    val qsigs = sigs.filter(col("vec_id") < NumQueries)
+      .toDF("qid", "band", "sig")
+    val cands = sigs.join(qsigs, Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid")).distinct()
+    val out = recallOf(corpus, rerankTopK(cands, corpus, AnnK))
+      .localCheckpoint()
+    corpus.unpersist(blocking = false)
+    out
+  }
+
+  private lazy val annRecallLshSql =
+    s"""WITH $annLshCtes,
+       |qq AS (
+       |  SELECT vec_id AS qid, v AS qv, nn AS nq FROM n
+       |  WHERE vec_id < $NumQueries),
+       |tp AS (
+       |  SELECT qid, n.vec_id AS nid,
+       |    list_reduce(list_transform(range(len(qv)),
+       |      i -> qv[i+1] * v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(nq) * sqrt(nn)) AS cosine
+       |  FROM qq CROSS JOIN n WHERE n.vec_id != qid),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |    FROM tp) AS t WHERE rank <= $AnnK),
+       |approx AS (SELECT qid, nid FROM r WHERE rank <= $AnnK)
+       |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(a.nid) AS BIGINT) AS n_hits
+       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** def: replays the stored codebooks the serve probe read. */
+  private def annRecallPqSql: String =
+    s"""WITH ${annPqCtesFor(lastPqServed)},
+       |qq AS (
+       |  SELECT vec_id AS qid, v AS qv, nn AS nq FROM n
+       |  WHERE vec_id < $NumQueries),
+       |tp AS (
+       |  SELECT qid, n.vec_id AS nid,
+       |    list_reduce(list_transform(range(len(qv)),
+       |      i -> qv[i+1] * v[i+1]), (a, b) -> a + b)
+       |      / (sqrt(nq) * sqrt(nn)) AS cosine
+       |  FROM qq CROSS JOIN n WHERE n.vec_id != qid),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |    FROM tp) AS t WHERE rank <= $AnnK),
+       |approx AS (SELECT qid, nid FROM r WHERE rank <= $AnnK)
+       |SELECT t.qid, CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(count(a.nid) AS BIGINT) AS n_hits
+       |FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------- IVF-PQ combined stored index
 
@@ -1817,6 +2009,8 @@ object Similarity {
     "q_ann_lsh" -> (annLsh(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
     "q_ann_recall" -> (annRecall(_, _)),
+    "q_ann_recall_pq" -> (annRecallPq(_, _)),
+    "q_ann_recall_lsh" -> (annRecallLsh(_, _)),
     "q_ann_ivf_trained" -> (annIvfTrained(_, _)),
     "q_ann_pq" -> (annPq(_, _)),
     "q_ann_pq_serve" -> (annPqServe(_, _)),
@@ -1831,6 +2025,7 @@ object Similarity {
     // the one whose decade point is the GATE row in SCALING.json
     "q_embed_neardup_sized" -> (embedNearDupAutoSized(_, _)),
     "q_embed_neardup_incremental" -> (embedNearDupIncremental(_, _)),
+    "q_vec_index_purge" -> (vecIndexPurge(_, _)),
     "q_semantic_dedup" -> (semanticDedup(_, _)),
     "q_semantic_dedup_serve" -> (semanticDedupServe(_, _)),
     "q_ann_ivfpq_serve" -> (annIvfPqServe(_, _)))
@@ -1845,6 +2040,8 @@ object Similarity {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_recall" -> annRecallSql,
+    "q_ann_recall_pq" -> annRecallPqSql,
+    "q_ann_recall_lsh" -> annRecallLshSql,
     "q_ann_ivf_trained" -> annIvfTrainedSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_serve" -> annPqServeSql,
@@ -1853,6 +2050,7 @@ object Similarity {
     "q_embed_neardup_wide" -> embedNearDupSqlFor(16, 8, NearDupCosine),
     "q_embed_neardup_sized" -> embedNearDupSizedSql,
     "q_embed_neardup_incremental" -> embedNearDupIncrementalSql,
+    "q_vec_index_purge" -> vecIndexPurgeSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_semantic_dedup_serve" -> semanticDedupServeSql,
     "q_ann_ivfpq_serve" -> annIvfPqServeSql)

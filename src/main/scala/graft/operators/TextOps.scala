@@ -271,6 +271,14 @@ object TextOps {
   // must fit inside those 128.
   private val NumBands = 32
   private val RowsPerBand = 4
+
+  /** Source whose docs a takedown purges in the retention gates (X106) —
+    * chosen to intersect BOTH the BM25 top-k and the incremental-dedup
+    * pair set at every test scale, so the deletes visibly rewrite results
+    * instead of being vacuous (the spec asserts the non-vacuity).
+    * Declared ABOVE every oracle val that interpolates it: a forward
+    * reference inside an object body initializes as null, silently. */
+  private[graft] val PurgeSource = "src7"
   private val JaccardThreshold = 0.8
 
   /** Distinct word-3-gram shingle sets per document (docs with <3 tokens
@@ -565,16 +573,24 @@ object TextOps {
   /** q_dedup_incremental's oracle, shared with the streaming gate. */
   private[graft] def dedupIncrementalOracle: String = dedupIncrementalSql
 
-  private val lastUpdatedIndexDir =
-    new java.util.concurrent.atomic.AtomicReference[String]()
-  private val lastExportDir =
-    new java.util.concurrent.atomic.AtomicReference[String]()
-  private val lastCtUpdDir =
-    new java.util.concurrent.atomic.AtomicReference[String]()
+  private val tempDirRefs = new java.util.concurrent.CopyOnWriteArrayList[
+    java.util.concurrent.atomic.AtomicReference[String]]()
+
+  /** A slot for [[freshTempDir]], registered with the JVM-exit sweeper. */
+  private[operators] def newTempDirRef()
+      : java.util.concurrent.atomic.AtomicReference[String] = {
+    val r = new java.util.concurrent.atomic.AtomicReference[String]()
+    tempDirRefs.add(r)
+    r
+  }
+
+  private val lastUpdatedIndexDir = newTempDirRef()
+  private val lastExportDir = newTempDirRef()
+  private val lastCtUpdDir = newTempDirRef()
   // the between-calls swap reclaims all but the FINAL dir of the JVM;
   // this hook reclaims that one too
   sys.addShutdownHook {
-    Seq(lastUpdatedIndexDir, lastExportDir, lastCtUpdDir).foreach(r =>
+    tempDirRefs.forEach(r =>
       Option(r.get()).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
   }: Unit
@@ -582,7 +598,7 @@ object TextOps {
   /** Reclaim `ref`'s previous temp dir (its lazy readers have executed by
     * the next call) and hand out a fresh one — bench reps must not
     * accumulate full index/export copies under /tmp. */
-  private def freshTempDir(
+  private[operators] def freshTempDir(
       ref: java.util.concurrent.atomic.AtomicReference[String],
       prefix: String): String = {
     ref.getAndSet(null) match {
@@ -662,6 +678,94 @@ object TextOps {
        |SELECT batch_doc, hist_doc, CAST(inter AS DOUBLE)/un AS jaccard
        |FROM pairs WHERE CAST(inter AS DOUBLE)/un >= $JaccardThreshold
        |ORDER BY batch_doc, hist_doc""".stripMargin
+
+  private val lastMhPurgeDir = newTempDirRef()
+
+  /** Right-to-be-forgotten PURGE on the stored MinHash signature index
+    * (X106) — the delete leg of the dedup index lifecycle, next to
+    * [[dedupIndexUpdate]]'s append leg: a takedown of one source removes
+    * its docs' rows from BOTH stored tables (sets and bands — an
+    * anti-join against the broadcast purge list; at 100 TB with
+    * doc-bucketed layout, a partition drop) via write-new-then-swap, and
+    * the SAME probe batch runs before and after. The witness row carries
+    * exact counts for every step: index sizes before/after on both
+    * tables (a half-purge that left stale band rows fails
+    * n_band_rows_after = [[NumBands]]·n_history_after — band rows alone
+    * can't produce matches, the sets join drops orphans, which is exactly
+    * why the gate must count the bands file directly), plus the probe's
+    * pair counts — pairs pointing at purged history vanish, pairs to
+    * surviving history are untouched, and the oracle re-derives each
+    * count independently from the lake's all-pairs Jaccard (so
+    * n_pairs_after ≡ n_pairs_before − n_pairs_to_purged is PROVEN, not
+    * assumed). Purged docs are forgettable again tomorrow: nothing
+    * derived from them survives anywhere in the index.
+    */
+  def dedupIndexPurge(s: SparkSession, dir: String): DataFrame = {
+    val root = minhashBuildIndex(s, dir)
+    val purge = docs(s, dir).filter(col("source") === PurgeSource)
+      .select(col("doc_id"))
+    val sets = s.read.parquet(s"$root/sets")
+    val updated = freshTempDir(lastMhPurgeDir, "mhidx_purge")
+    sets.join(broadcast(purge), Seq("doc_id"), "left_anti")
+      .write.parquet(s"$updated/sets")
+    s.read.parquet(s"$root/bands")
+      .join(broadcast(purge), Seq("doc_id"), "left_anti")
+      .write.parquet(s"$updated/bands")
+    val batchSh = shingles(s, dir).filter(!isHistoryDoc).cache()
+    val before = serveDedupIncremental(s, batchSh, root).cache()
+    val after = serveDedupIncremental(s, batchSh, updated)
+    val out = sets.agg(count(lit(1)).as("n_history"))
+      .crossJoin(sets.join(broadcast(purge), "doc_id")
+        .agg(count(lit(1)).as("n_purged")))
+      .crossJoin(s.read.parquet(s"$updated/sets")
+        .agg(count(lit(1)).as("n_history_after")))
+      .crossJoin(s.read.parquet(s"$updated/bands")
+        .agg(count(lit(1)).as("n_band_rows_after")))
+      .crossJoin(before.agg(count(lit(1)).as("n_pairs_before")))
+      .crossJoin(before.join(
+          broadcast(purge.withColumnRenamed("doc_id", "hist_doc")),
+          "hist_doc")
+        .agg(count(lit(1)).as("n_pairs_to_purged")))
+      .crossJoin(after.agg(count(lit(1)).as("n_pairs_after")))
+      // materialize, then release: the cached probe plan is IDENTICAL to
+      // q_dedup_incremental's, and a lingering InMemoryRelation would hand
+      // that gate's plan pin a cached copy (fill plans print inline)
+      .localCheckpoint()
+    before.unpersist(blocking = false)
+    batchSh.unpersist(blocking = false)
+    out
+  }
+
+  private val dedupIndexPurgeSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t)-2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |b AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 >= 80),
+       |h AS (
+       |  SELECT sh.doc_id, sh.s, d.source FROM sh
+       |  JOIN documents d USING (doc_id)
+       |  WHERE ${h60Sql("sh.doc_id")} % 100 < 80),
+       |pairs AS (
+       |  SELECT b.doc_id AS bd, h.doc_id AS hd, h.source
+       |  FROM b CROSS JOIN h
+       |  WHERE CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+       |    / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s)))
+       |    >= $JaccardThreshold)
+       |SELECT (SELECT count(*) FROM h) AS n_history,
+       |  (SELECT count(*) FROM h WHERE source = '$PurgeSource') AS n_purged,
+       |  (SELECT count(*) FROM h WHERE source != '$PurgeSource')
+       |    AS n_history_after,
+       |  $NumBands * (SELECT count(*) FROM h WHERE source != '$PurgeSource')
+       |    AS n_band_rows_after,
+       |  (SELECT count(*) FROM pairs) AS n_pairs_before,
+       |  (SELECT count(*) FROM pairs WHERE source = '$PurgeSource')
+       |    AS n_pairs_to_purged,
+       |  (SELECT count(*) FROM pairs WHERE source != '$PurgeSource')
+       |    AS n_pairs_after""".stripMargin
 
   // ------------------------------------------- exact n-gram Jaccard join
 
@@ -1427,9 +1531,14 @@ object TextOps {
       tfStored.groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df"))
         .write.parquet(s"$tmp/df")
+      // sum_dlen rides along for the DELETE path: dlen values are integral
+      // doubles, so the stored sum is exact and an incremental decrement
+      // reproduces avgdl bit-for-bit (avg = sum/count is NOT recoverable
+      // from avgdl*n_docs — the division already rounded)
       s.read.parquet(s"$tmp/dlen")
         .agg(count(lit(1)).cast("double").as("n_docs"),
-          avg(col("dlen")).as("avgdl"))
+          avg(col("dlen")).as("avgdl"),
+          sum(col("dlen")).as("sum_dlen"))
         .write.parquet(s"$tmp/stats")
     }.toString
   }
@@ -1452,13 +1561,96 @@ object TextOps {
       df_, s.read.parquet(s"$root/stats"))
   }
 
-  private val bm25SearchSql = {
+  private val lastBm25DelDir = newTempDirRef()
+
+  /** Right-to-be-forgotten DELETE on the stored BM25 index (X106) — the
+    * index-lifecycle step every production lake runs under retention law,
+    * completing build→serve→delete for the sparse-retrieval family. The
+    * hard part of deleting from an inverted index is the GLOBAL statistics:
+    * df, n_docs and avgdl all change, and a delete that only drops postings
+    * silently serves stale idf forever. This delete touches ONLY the purged
+    * docs' own stored rows — survivors are never rescanned:
+    *   - postings/dlen: anti-join out the purge list (at 100 TB postings
+    *     are doc-bucketed, so this is a partition drop + the purge list is
+    *     a broadcast);
+    *   - df: decremented by the per-term count of the DELETED postings —
+    *     the deleted docs' own rows already say exactly which (term, doc)
+    *     pairs vanish (one narrow aggregation over the deleted slice);
+    *   - stats: n_docs drops by the deleted dlen-row count; avgdl is
+    *     recomputed as (sum_dlen − Σ deleted dlen)/(n_docs − d) off the
+    *     sum STORED at build time — dlen values are integral doubles, so
+    *     both sums are exact and the quotient is the same IEEE division a
+    *     from-scratch rebuild performs. avgdl·n_docs would NOT work: that
+    *     division already rounded.
+    * Terms whose df hits 0 leave the dictionary. New index directory via
+    * write-new-then-swap (the Warehouse.sync discipline). The gate then
+    * SERVES the standing queries from the patched index, and the oracle
+    * rebuilds BM25 from scratch over the surviving corpus — incremental
+    * delete ≡ full rebuild, checked cell-by-cell (rank ties break on the
+    * same floor(score·1e9) integer key as every BM25 gate).
+    *
+    * Reference analog: none — data-warehouse has no text index; §2x
+    * training-pipeline extension surface (its delete story is the
+    * primary-key overwrite in Warehouse.sync).
+    */
+  def bm25IndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = bm25BuildIndex(s, dir)
+    // the takedown list: a metadata lookup against the catalog, not a
+    // corpus scan (documents are read for (doc_id, source) only — pruned
+    // scan — and never tokenized)
+    val purge = docs(s, dir).filter(col("source") === PurgeSource)
+      .select(col("doc_id"))
+    val tf = s.read.parquet(s"$root/tf")
+    val delTf = tf.join(broadcast(purge), "doc_id").cache()
+    val dlen = s.read.parquet(s"$root/dlen")
+    val delDlen = dlen.join(broadcast(purge), "doc_id").cache()
+    val updated = freshTempDir(lastBm25DelDir, "bm25idx_del")
+    tf.join(broadcast(purge), Seq("doc_id"), "left_anti")
+      .write.parquet(s"$updated/tf")
+    dlen.join(broadcast(purge), Seq("doc_id"), "left_anti")
+      .write.parquet(s"$updated/dlen")
+    s.read.parquet(s"$root/df")
+      .join(delTf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("dec")), Seq("term"), "left")
+      .withColumn("df", col("df") - coalesce(col("dec"), lit(0.0)))
+      .filter(col("df") > 0).select("term", "df")
+      .write.parquet(s"$updated/df")
+    s.read.parquet(s"$root/stats")
+      .crossJoin(broadcast(delDlen.agg(
+        count(lit(1)).cast("double").as("n_del"),
+        coalesce(sum(col("dlen")), lit(0.0)).as("sum_del"))))
+      .select((col("n_docs") - col("n_del")).as("n_docs"),
+        ((col("sum_dlen") - col("sum_del")) / (col("n_docs") - col("n_del")))
+          .as("avgdl"),
+        (col("sum_dlen") - col("sum_del")).as("sum_dlen"))
+      .write.parquet(s"$updated/stats")
+    // the deleted-slice caches are spent once the four writes above ran;
+    // the serving frame below reads only the patched parquet
+    delTf.unpersist(blocking = false)
+    delDlen.unpersist(blocking = false)
+    val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
+    bm25Score(s,
+      s.read.parquet(s"$updated/tf").filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$updated/dlen"),
+      s.read.parquet(s"$updated/df").filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$updated/stats"))
+  }
+
+  private val bm25IndexDeleteSql = bm25SearchSqlOver(
+    s"(SELECT * FROM documents WHERE source != '$PurgeSource') AS documents")
+
+  private val bm25SearchSql = bm25SearchSqlOver("documents")
+
+  /** The full BM25 oracle parameterized by its corpus relation — the
+    * delete gate replays it over the SURVIVING docs, so "incremental
+    * index delete ≡ from-scratch rebuild" is checked cell-by-cell. */
+  private def bm25SearchSqlOver(corpus: String) = {
     val queryRows = Bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
       .mkString(", ")
     s"""WITH terms AS (
        |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
-       |  FROM documents),
+       |  FROM $corpus),
        |tf AS (
        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
        |  FROM terms GROUP BY 1, 2),
@@ -4461,6 +4653,8 @@ object TextOps {
     "q_minhash_neardup" -> (minhashNearDup(_, _)),
     "q_dedup_incremental" -> (dedupIncremental(_, _)),
     "q_dedup_index_update" -> (dedupIndexUpdate(_, _)),
+    "q_dedup_index_purge" -> (dedupIndexPurge(_, _)),
+    "q_bm25_index_delete" -> (bm25IndexDelete(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_simhash_neardup" -> (simhashNearDup(_, _)),
@@ -4519,6 +4713,8 @@ object TextOps {
     "q_minhash_neardup" -> minhashNearDupSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_index_update" -> dedupIndexUpdateSql,
+    "q_dedup_index_purge" -> dedupIndexPurgeSql,
+    "q_bm25_index_delete" -> bm25IndexDeleteSql,
     "q_ngram_jaccard" -> minhashNearDupSql,
     "q_token_count" -> tokenCountSql,
     "q_simhash_neardup" -> simhashNearDupSql,

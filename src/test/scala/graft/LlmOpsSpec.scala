@@ -1333,6 +1333,66 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 fell to $recall")
   }
 
+  test("ANN recall eval triple: PQ and LSH legs share the contract, PQ >= LSH") {
+    // X105: same well-formedness contract as the IVF leg, plus the
+    // design claim the triple exists to measure — the quantized serve
+    // probe (reranked with exact cosines) retrieves better than the
+    // near-dup-tuned 16x6 SRP bands, which is WHY PQ/IVF are the
+    // retrieval paths and LSH is the dedup path
+    def agg(rows: Array[org.apache.spark.sql.Row]): Double = {
+      assert(rows.length == 10)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_truth") == 5L)
+        val h = r.getAs[Long]("n_hits")
+        assert(h >= 0L && h <= 5L)
+      }
+      rows.map(_.getAs[Long]("n_hits")).sum.toDouble /
+        rows.map(_.getAs[Long]("n_truth")).sum
+    }
+    val pq = agg(Similarity.annRecallPq(spark, "/root/testdata/sf0.001").collect())
+    val lsh = agg(Similarity.annRecallLsh(spark, "/root/testdata/sf0.001").collect())
+    assert(pq >= 0.6, s"PQ recall@5 fell to $pq")
+    assert(pq >= lsh, s"PQ serve probe ($pq) must not trail the SRP bands ($lsh)")
+  }
+
+  test("retention purge: BM25 delete removes the purged source and rewrites ranks") {
+    // the takedown must be VISIBLE (purged docs sat in the top-k before),
+    // COMPLETE (none after), and GLOBAL (df/n_docs/avgdl shifted, so the
+    // after-set is not merely before minus purged rows — the oracle owns
+    // cell-exactness, this pins non-vacuity)
+    val dir = "/root/testdata/sf0.001"
+    val purgedIds = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === TextOps.PurgeSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = TextOps.queries("q_bm25_serve")(spark, dir).collect()
+    val after = TextOps.queries("q_bm25_index_delete")(spark, dir).collect()
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Long]("doc_id"))
+    assert(ids(before).exists(purgedIds), "purge must intersect the before top-k")
+    assert(!ids(after).exists(purgedIds), "purged doc survived the index delete")
+    assert(ids(before).toSeq != ids(after).toSeq)
+  }
+
+  test("retention purge: MinHash and SRP witness rows satisfy the exact identities") {
+    val dir = "/root/testdata/sf0.001"
+    val mh = TextOps.queries("q_dedup_index_purge")(spark, dir).head()
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+    assert(l(mh, "n_purged") > 0L)
+    assert(l(mh, "n_history") - l(mh, "n_purged") == l(mh, "n_history_after"))
+    // the half-purge alarm: the bands FILE itself shrank in lockstep
+    assert(l(mh, "n_band_rows_after") == 32L * l(mh, "n_history_after"))
+    assert(l(mh, "n_pairs_to_purged") > 0L,
+      "fixture must exercise actual pair removal")
+    assert(l(mh, "n_pairs_before") - l(mh, "n_pairs_to_purged")
+      == l(mh, "n_pairs_after"))
+    val sp = Similarity.queries("q_vec_index_purge")(spark, dir).head()
+    assert(l(sp, "n_purged") > 0L)
+    assert(l(sp, "n_history") - l(sp, "n_purged") == l(sp, "n_history_after"))
+    assert(l(sp, "n_sig_rows_after") == 16L * l(sp, "n_history_after"))
+    assert(l(sp, "n_pairs_before") - l(sp, "n_pairs_to_purged")
+      == l(sp, "n_pairs_after"))
+  }
+
   test("unigram trainer: stored vocab serves words at independently recomputed optimal costs") {
     // the hard-EM contract checked from outside Spark: take the TRAINED
     // piece table the gate emits, rerun the min-plus Viterbi naively in
