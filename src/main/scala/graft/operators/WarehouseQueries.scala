@@ -147,6 +147,78 @@ object WarehouseQueries {
       .orderBy("tenant", "name")
   }
 
+  /** Account whose takedown [[balanceMvPurge]] replays — a debit bucket,
+    * so the purge touches 1/7 of committed transfers and demonstrably
+    * kills some counterparty groups at every test scale (39 at sf0.01). */
+  private val PurgeAccount = "b3"
+
+  /** Balance-MV maintenance under DELETE (X107) — the warehouse leg of
+    * the retention family, and the textbook reason SUM materialized views
+    * store a companion COUNT (the counting algorithm, Gupta & Mumick
+    * 1995): a SUM alone can be maintained under inserts forever, but
+    * under deletes it cannot tell "group summed to zero" from "group has
+    * no surviving rows" — the count reaching zero is what authorizes
+    * dropping the group. The stored MV here is (tenant, name, SUM(amount),
+    * COUNT(*)) over committed balance changes; purging one account
+    * aggregates ONLY the deleted transfers' changes (at 100 TB, an
+    * account-partitioned transfer lake makes that a partition read, not a
+    * scan) and maintains the view with one broadcast-able merge:
+    * balance −= Δsum, n_changes −= Δcount, groups at zero drop out. The
+    * double-entry consequence falls out for free — every surviving
+    * counterparty's balance SHIFTS (their +amount legs died with the
+    * purged account's −amount legs), the purged account's own rows reach
+    * exactly zero count and vanish, and counterparties whose every
+    * transfer touched the purged account vanish too. Decimal sums are
+    * exact, so incremental maintenance ≡ the oracle's from-scratch
+    * rebuild over survivors, cell-by-cell.
+    *
+    * Reference analog: none — data-warehouse only ever inserts
+    * (SecondaryPersistence.scala:30-127); deletion semantics are §2x
+    * extension surface on its own flagship aggregate.
+    */
+  def balanceMvPurge(s: SparkSession, dir: String): DataFrame = {
+    val root = JournalGate.buildPerJvm(
+        JournalGate.fixtureRoot("balmvpurge", dir)) { tmp =>
+      Warehouse.balanceChanges(transferShape(s, dir))
+        .groupBy(col("tenant"), col("name"))
+        .agg(sum(col("amount")).as("balance"),
+          count(lit(1)).as("n_changes"))
+        .write.parquet(s"$tmp/mv")
+    }
+    val deleted = transferShape(s, dir).filter(
+      col("credit_name") === PurgeAccount || col("debit_name") === PurgeAccount)
+    val delta = Warehouse.balanceChanges(deleted)
+      .groupBy(col("tenant"), col("name"))
+      .agg(sum(col("amount")).as("d"), count(lit(1)).as("dn"))
+    // sum(DECIMAL(18,4)) carries DECIMAL(28,4): subtract at that exact
+    // type, cast to double only at the report edge (the q_balance contract)
+    val zero = lit(0).cast(DecimalType(28, 4))
+    s.read.parquet(s"$root/mv")
+      .join(delta, Seq("tenant", "name"), "left")
+      .select(col("tenant"), col("name"),
+        (col("balance") - coalesce(col("d"), zero)).as("bal"),
+        (col("n_changes") - coalesce(col("dn"), lit(0L))).as("n_changes"))
+      .filter(col("n_changes") > 0)
+      .select(col("tenant"), col("name"),
+        col("bal").cast("double").as("balance"), col("n_changes"))
+      .orderBy("tenant", "name")
+  }
+
+  private val balanceMvPurgeSql =
+    s"""WITH t AS ($transferShapeSql),
+       |surv AS (
+       |  SELECT * FROM t
+       |  WHERE credit_name != '$PurgeAccount'
+       |    AND debit_name != '$PurgeAccount'),
+       |changes AS (
+       |  SELECT tenant, credit_name AS name, amount FROM surv WHERE status = 1
+       |  UNION ALL
+       |  SELECT tenant, debit_name AS name, -amount FROM surv WHERE status = 1
+       |)
+       |SELECT tenant, name, CAST(SUM(amount) AS DOUBLE) AS balance,
+       |  count(*) AS n_changes
+       |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 through the MV rewrite: the same declarative aggregate, answered
     // from the maintained pre-agg by the optimizer rule — values must be
@@ -164,6 +236,7 @@ object WarehouseQueries {
         .localCheckpoint()
     }),
     "q_balance_mv_incr" -> (balanceMvIncrement(_, _)),
+    "q_balance_mv_purge" -> (balanceMvPurge(_, _)),
 
     // B6 unpivot (stack) + A1 grouped SUM with coalesce-to-zero semantics.
     "q_balance" -> ((s, dir) => {
@@ -372,6 +445,7 @@ object WarehouseQueries {
     // PlanSpec-pinned) plan must reproduce it exactly
     "q_balance_mv_keyed" -> balanceSql,
     "q_balance_mv_incr" -> balanceSql,
+    "q_balance_mv_purge" -> balanceMvPurgeSql,
     "q_balance" -> balanceSql,
     "q_transfers_page" ->
       s"""WITH t AS ($transferShapeSql)

@@ -72,4 +72,25 @@ class ApiSpec extends SparkSpec {
     }.takeWhile(_.nonEmpty).flatten.toSeq
     assert(tKeyset == (1 to 9).map(i => s"t$i"))
   }
+
+  test("balance MV purge: counting rule drops dead groups, shifts counterparties") {
+    // the double-entry consequences of the takedown, pinned as set algebra
+    // (the oracle owns cell values): the purged account is gone, at least
+    // one counterparty group DIED (count hit zero — the reason the MV
+    // stores a COUNT at all), and every surviving account that transacted
+    // with the purged one shifted its balance
+    val dir = "/root/testdata/sf0.001"
+    val before = graft.operators.WarehouseQueries
+      .queries("q_balance")(spark, dir).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double]("balance")).toMap
+    val after = graft.operators.WarehouseQueries
+      .queries("q_balance_mv_purge")(spark, dir).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double]("balance")).toMap
+    assert(!after.contains("b3"), "purged account survived the MV delete")
+    val died = before.keySet - "b3" -- after.keySet
+    assert(died.nonEmpty, "fixture must exercise the count-to-zero group drop")
+    assert(died.forall(_.startsWith("c")), s"only counterparties may die: $died")
+    val shifted = after.keySet.count(n => before(n) != after(n))
+    assert(shifted > 0, "counterparty balances must shift when shared legs die")
+  }
 }
