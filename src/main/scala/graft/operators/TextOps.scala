@@ -3600,6 +3600,28 @@ object TextOps {
     subwordTokenizeSqlFor(lastBpeTrained.getOrElse(Nil)
       .map { case (l, r, _) => l + r }.distinct)
 
+  /** [[subwordTokenize]] over the WORDPIECE-trained vocabulary (X108) —
+    * closing the third trainer's train→apply pair
+    * ([[subwordTokenizeTrained]] is BPE's, [[Unigram.unigramTokenize]]
+    * the EM pruner's): the likelihood-ratio merge products become the
+    * greedy longest-match table the codegen'd `wordpiece_toks` kernel
+    * applies — fitting, since greedy longest-match IS WordPiece's
+    * inference rule (Schuster & Nakajima 2012), so this pair is the one
+    * where trainer and tokenizer share their native algorithm. Vocab
+    * memoized per JVM (the serve half of the split — TRAIN gates retrain
+    * per call, SERVE gates read the artifact); oracle replays the
+    * captured trajectory's products through the same recursive-CTE
+    * longest-match. */
+  def wordpieceTokenizeTrained(s: SparkSession, dir: String): DataFrame =
+    subwordTokenizeWith(s, dir,
+      lastWpTrained.getOrElse(wordpieceTrainMerges(s, dir))
+        .map { case (l, r, _, _, _) => l + r }.distinct)
+
+  /** def, not val: replays the captured WordPiece vocab. */
+  private def wordpieceTokenizeTrainedSql: String =
+    subwordTokenizeSqlFor(lastWpTrained.getOrElse(Nil)
+      .map { case (l, r, _, _, _) => l + r }.distinct)
+
   // ------------------------------------------------ WordPiece training
 
   private val WpMerges = 6
@@ -4631,6 +4653,7 @@ object TextOps {
     "q_curation_pipeline_serve" -> (curationPipelineServe(_, _)),
     "q_subword_tokenize" -> (subwordTokenize(_, _)),
     "q_subword_tokenize_trained" -> (subwordTokenizeTrained(_, _)),
+    "q_wordpiece_tokenize_trained" -> (wordpieceTokenizeTrained(_, _)),
     "q_bpe_pairs" -> (bpePairs(_, _)),
     "q_bpe_train" -> (bpeTrain(_, _)),
     "q_wordpiece_train" -> (wordpieceTrain(_, _)),
@@ -4691,6 +4714,7 @@ object TextOps {
     "q_curation_pipeline_serve" -> curationPipelineServeSql,
     "q_subword_tokenize" -> subwordTokenizeSql,
     "q_subword_tokenize_trained" -> subwordTokenizeTrainedSql,
+    "q_wordpiece_tokenize_trained" -> wordpieceTokenizeTrainedSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_wordpiece_train" -> wordpieceTrainSql,
