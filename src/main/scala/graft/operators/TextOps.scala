@@ -1342,6 +1342,58 @@ object TextOps {
     * 5-row agg. Scale: identical to stratifiedSample — no global sort,
     * windows shard by source; skewed sources salt like any skewed key.
     */
+  private val EpochPlanEpochs = 3L
+  private val EpochPlanShards = 8L
+
+  /** Multi-epoch training-data ORDERING plan (X109) — the step between
+    * curation and the trainer: every pretraining run needs each epoch to
+    * be a reproducible pseudorandom permutation of the corpus (re-runs,
+    * resumes, and engines must agree on the byte order fed to the
+    * model), and at 100 TB a literal global shuffle per epoch is a
+    * global SORT per epoch — the one plan shape this engine refuses on
+    * principle. This is the shard-shuffle discipline of streaming
+    * dataset loaders instead: the portable hash of (epoch, doc) assigns
+    * each doc a shard (pure map — a NEW permutation per epoch without
+    * touching the corpus bytes) and an in-shard sort key; the global
+    * order is (shard, in-shard key), so ordering cost is one hash
+    * shuffle plus a partition-LOCAL sort, and shards stream to trainer
+    * ranks independently. The gate emits one row per (epoch, shard)
+    * with exact counts and an md5 checksum over the ordered doc ids —
+    * the ORDER ITSELF is the value under oracle, not just the
+    * partition sizes. Epochs and shards both come from the h60 draw, so
+    * DuckDB re-derives every byte.
+    */
+  def epochPlan(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("n_chars"))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), lit(EpochPlanEpochs - 1))))
+      .withColumn("k", h60("concat(epoch, ':', doc_id)"))
+      .withColumn("shard", pmod(col("k"), lit(EpochPlanShards)))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("""md5(array_join(transform(
+              |  array_sort(collect_list(struct(k, doc_id))),
+              |  x -> CAST(x.doc_id AS STRING)), ' '))""".stripMargin)
+          .as("order_checksum"))
+      .orderBy("epoch", "shard")
+
+  private val epochPlanSql =
+    s"""WITH e AS (
+       |  SELECT doc_id, n_chars, epoch
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(range($EpochPlanEpochs)) AS epoch)),
+       |ke AS (
+       |  SELECT epoch, doc_id, n_chars,
+       |    ${h60Sql("epoch || ':' || doc_id")} AS k
+       |  FROM e)
+       |SELECT epoch, k % $EpochPlanShards AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY k, doc_id))
+       |    AS order_checksum
+       |FROM ke GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def corpusMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // div, not /: Spark's `/` is double division even on two LONGs; the
@@ -4640,6 +4692,7 @@ object TextOps {
     "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_hash_split" -> (hashSplit(_, _)),
     "q_corpus_mix" -> (corpusMix(_, _)),
+    "q_epoch_plan" -> (epochPlan(_, _)),
     "q_weighted_sample" -> (weightedSample(_, _)),
     "q_filter_funnel" -> (filterFunnel(_, _)),
     "q_bm25_search" -> (bm25Search(_, _)),
@@ -4701,6 +4754,7 @@ object TextOps {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_hash_split" -> hashSplitSql,
     "q_corpus_mix" -> corpusMixSql,
+    "q_epoch_plan" -> epochPlanSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_filter_funnel" -> filterFunnelSql,
     "q_bm25_search" -> bm25SearchSql,

@@ -1355,6 +1355,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(pq >= lsh, s"PQ serve probe ($pq) must not trail the SRP bands ($lsh)")
   }
 
+  test("epoch plan: every epoch is a full permutation with a fresh shard order") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextOps.queries("q_epoch_plan")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val byEpoch = out.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    // permutation: each epoch's shards partition the whole corpus
+    byEpoch.values.foreach(rows =>
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == total))
+    // fresh order: epoch is part of the hash draw, so shard contents and
+    // orders change between epochs (same corpus bytes, new permutation)
+    val cs = out.map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard"))
+      -> r.getAs[String]("order_checksum")).toMap
+    assert((0L until 8L).exists(sh => cs((0L, sh)) != cs((1L, sh))))
+  }
+
   test("retention purge: BM25 delete removes the purged source and rewrites ranks") {
     // the takedown must be VISIBLE (purged docs sat in the top-k before),
     // COMPLETE (none after), and GLOBAL (df/n_docs/avgdl shifted, so the
