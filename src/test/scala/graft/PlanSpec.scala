@@ -85,6 +85,22 @@ class PlanSpec extends SparkSpec {
       s"serving needs no cache — the stored tables ARE the reuse:\n$plan")
   }
 
+  test("epoch plan orders shard-locally — no global sort of the exploded corpus") {
+    // the operator's whole reason to exist: E epochs of reproducible
+    // ordering WITHOUT E global sorts. Below the (epoch, shard) aggregate
+    // the only exchange may be the groupBy's hashpartitioning; the one
+    // rangepartitioning allowed is the |epochs·shards|-row report edge
+    // ABOVE the aggregate (plans print top-down, so "after the last
+    // HashAggregate" in the string means "below it in the plan")
+    val plan = graft.operators.TextOps.queries("q_epoch_plan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val belowAgg = plan.substring(plan.lastIndexOf("HashAggregate"))
+    assert(!belowAgg.contains("rangepartitioning"),
+      s"corpus-side global sort detected:\n$plan")
+    assert("Exchange hashpartitioning\\(epoch#".r.findFirstIn(plan).nonEmpty,
+      s"the one corpus shuffle must key on (epoch, shard):\n$plan")
+  }
+
   test("DSIR serving reads the stored λ table — no model refit, heap top-k") {
     // the per-batch selection path: the importance model comes off the
     // dsiridx artifact as a ≤256-row broadcast build side; the only
