@@ -87,9 +87,112 @@ object Compaction {
     """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Column fingerprint shared by both snapshot-diff legs: every
+    * reconciled column rendered at an engine-unambiguous string grain
+    * (longs verbatim, the double price at integer cents — a raw double's
+    * string form is NOT portable across engines) and md5'd, so "changed"
+    * detection is one hash compare per key instead of a column-by-column
+    * comparison shipped through the join. */
+  private val fpCols =
+    Seq("CAST(o_custkey AS STRING)", "o_orderstatus",
+      "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING)",
+      "o_orderpriority")
+
+  /** Snapshot DIFF / reconciliation audit (X110) — the lake-versioning
+    * op every 100 TB pipeline runs after a backfill, a migration, or a
+    * vendor re-delivery: given yesterday's snapshot and today's, report
+    * exactly what moved — added / removed / changed / unchanged — as
+    * counts PLUS an order-free membership hashsum per class (classes are
+    * SETS; an ordered checksum would funnel the lake-sized unchanged
+    * class through one group), so the membership of every class is
+    * oracle-compared, not just its size.
+    * Snapshot B is materialized per JVM from deterministic edits
+    * (a deleted key slice, a priority rewrite on a second slice, a
+    * key-shifted clone of a third as the additions), and the oracle
+    * re-derives B from the same arithmetic — so the diff operator is
+    * checked against an independent reconstruction of both snapshots.
+    *
+    * Scale shape: ONE full-outer join on the key — with both snapshots
+    * bucketed by key, a partition-wise merge with zero shuffle; the
+    * row-compare is a single md5 fingerprint built AT THE SCAN (column
+    * pruning keeps unreconciled columns on disk), so the join carries
+    * (key, 32-byte hash) per side, never the row. The per-class
+    * aggregation is |classes| = 4 output rows.
+    *
+    * Reference analog: none — the reference trusts its journal as the
+    * single source of truth; reconciliation is §2x extension surface.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = buildPerJvm(fixtureRoot("snapdiff", dir)) { tmp =>
+      val a = Tables.load(s, dir, "orders")
+      a.filter(pmod(col("o_orderkey"), lit(101L)) =!= 0 &&
+          pmod(col("o_orderkey"), lit(103L)) =!= 0)
+        .unionByName(a.filter(pmod(col("o_orderkey"), lit(103L)) === 0)
+          .withColumn("o_orderpriority", lit("X-RECON")))
+        .unionByName(a.filter(pmod(col("o_orderkey"), lit(107L)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+        .write.parquet(s"$tmp/b")
+    }
+    val fp = md5(concat_ws("|", fpCols.map(expr): _*))
+    val a = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), fp.as("fp_a"))
+    val b = s.read.parquet(s"$root/b")
+      .select(col("o_orderkey").as("k"), fp.as("fp_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("change_type"))
+      // membership fingerprint, not an ordered one: a class is a SET, and
+      // the unchanged class is ~the whole lake — any collect-and-sort
+      // checksum would funnel it through one group. The exact DECIMAL(38)
+      // sum of per-key hashes is order-free, map-side combining, and
+      // overflow-proof at any row count that fits 38 digits
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.operators.TextOps.h60("k")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("key_hashsum"))
+      .orderBy("change_type")
+  }
+
+  private val snapshotDiffFpSql =
+    """md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+      |  CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+      |  o_orderpriority)""".stripMargin
+
+  private val snapshotDiffSql =
+    s"""WITH b AS (
+       |  SELECT * FROM orders
+       |  WHERE o_orderkey % 101 != 0 AND o_orderkey % 103 != 0
+       |  UNION ALL
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |    o_orderdate, 'X-RECON' AS o_orderpriority
+       |  FROM orders WHERE o_orderkey % 103 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+       |    o_totalprice, o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 107 = 0),
+       |fa AS (SELECT o_orderkey AS k, $snapshotDiffFpSql AS fp FROM orders),
+       |fb AS (SELECT o_orderkey AS k, $snapshotDiffFpSql AS fp FROM b),
+       |j AS (
+       |  SELECT coalesce(fa.k, fb.k) AS k,
+       |    CASE WHEN fa.k IS NULL THEN 'added'
+       |         WHEN fb.k IS NULL THEN 'removed'
+       |         WHEN fa.fp != fb.fp THEN 'changed'
+       |         ELSE 'unchanged' END AS change_type
+       |  FROM fa FULL OUTER JOIN fb ON fa.k = fb.k)
+       |SELECT change_type, count(*) AS n_rows,
+       |  CAST(SUM(CAST(${graft.operators.TextOps.h60Sql("k")}
+       |    AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS key_hashsum
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_compaction" -> (compaction(_, _)))
+    "q_compaction" -> (compaction(_, _)),
+    "q_snapshot_diff" -> (snapshotDiff(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q_compaction" -> compactionSql)
+    "q_compaction" -> compactionSql,
+    "q_snapshot_diff" -> snapshotDiffSql)
 }

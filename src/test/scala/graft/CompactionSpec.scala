@@ -38,6 +38,28 @@ class CompactionSpec extends SparkSpec {
       spark.read.parquet(frag.toString).count())
   }
 
+  test("snapshot diff: classes are non-empty and reconcile to both snapshot sizes") {
+    // the diff algebra a reconciliation must satisfy: |A| = removed +
+    // changed + unchanged and |B| = added + changed + unchanged — and the
+    // planted fixture exercises every class (the oracle owns membership
+    // via the key checksums)
+    val dir = "/root/testdata/sf0.001"
+    val out = Compaction.queries("q_snapshot_diff")(spark, dir).collect()
+      .map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n_rows")).toMap
+    assert(out.keySet == Set("added", "removed", "changed", "unchanged"))
+    assert(out.values.forall(_ > 0L), s"every class must be planted: $out")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    assert(out("removed") + out("changed") + out("unchanged") == orders.count())
+    // class sizes re-derived from the planted arithmetic, independently
+    import org.apache.spark.sql.functions.col
+    val changed = orders.filter(col("o_orderkey") % 103 === 0).count()
+    val removed = orders.filter(col("o_orderkey") % 101 === 0 &&
+      col("o_orderkey") % 103 =!= 0).count()
+    val added = orders.filter(col("o_orderkey") % 107 === 0).count()
+    assert(out("changed") == changed && out("removed") == removed
+      && out("added") == added, s"$out")
+  }
+
   test("an advisory target below the data size splits the output") {
     val frag = Compaction.fragmentedDocs(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("compact_split")
