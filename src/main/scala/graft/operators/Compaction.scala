@@ -188,11 +188,90 @@ object Compaction {
        |    AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS key_hashsum
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CDC APPLY (X111) — fold a change-data-capture batch into a snapshot:
+    * the lakehouse MERGE primitive where deletes arrive as DATA (op rows),
+    * completing the write-path family — compaction rewrites layout,
+    * snapshot-diff audits what moved, this is the operator that MOVES it.
+    * Semantics: per key, the highest-sequence operation wins (a key
+    * touched by INSERT then UPDATE then DELETE within one batch must end
+    * deleted — applying ops row-by-row in arrival order is the classic
+    * CDC bug this gate pins against); survivors with op ≠ D form the new
+    * snapshot. The fold is the [[graft.warehouse.Warehouse.upsert]]
+    * precedence window generalized with op semantics: union snapshot
+    * (seq 0) with the batch, one row_number window per key ordered by
+    * seq DESC, filter the winner's op. ONE shuffle on the key at any
+    * scale; deletes cost the same as updates (a tombstone is a row).
+    *
+    * The CDC batch is derived from deterministic key arithmetic (inserts
+    * re-add a key slice the base snapshot lacks, updates rewrite a
+    * second slice's priority, deletes tombstone a third — slices overlap
+    * on purpose so precedence bites); output = per-surviving-provenance
+    * counts plus the X110 order-free membership hashsum, every number
+    * re-derived from scratch by the oracle.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+    // base snapshot: the lake before the batch (missing the %5 slice)
+    val base = orders.filter(pmod(col("k"), lit(5L)) =!= 0)
+      .select(col("k"), col("prio"), lit(0L).as("seq"), lit("S").as("op"))
+    val cdc = orders.filter(pmod(col("k"), lit(5L)) === 0)
+        .select(col("k"), col("prio"), lit(1L).as("seq"), lit("I").as("op"))
+      .unionByName(orders.filter(pmod(col("k"), lit(7L)) === 0)
+        .select(col("k"), lit("CDC-U").as("prio"), lit(2L).as("seq"),
+          lit("U").as("op")))
+      .unionByName(orders.filter(pmod(col("k"), lit(11L)) === 0)
+        .select(col("k"), lit(null.asInstanceOf[String]).as("prio"),
+          lit(3L).as("seq"), lit("D").as("op")))
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    base.unionByName(cdc)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(graft.operators.TextOps.h60("k")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("key_hashsum"),
+        // the winning row's PAYLOAD is part of the contract (an UPDATE
+        // that wins on precedence but keeps the stale value is the
+        // other classic CDC bug) — fingerprint it the X110 way
+        sum(graft.operators.TextOps.h60("concat(k, ':', prio)")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("payload_hashsum"))
+      .orderBy("op")
+  }
+
+  private val cdcApplySql =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, o_orderpriority AS prio FROM orders),
+       |folded AS (
+       |  SELECT k, prio, op FROM (
+       |    SELECT k, prio, op,
+       |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+       |    FROM (
+       |      SELECT k, prio, 0 AS seq, 'S' AS op FROM o WHERE k % 5 != 0
+       |      UNION ALL
+       |      SELECT k, prio, 1, 'I' FROM o WHERE k % 5 = 0
+       |      UNION ALL
+       |      SELECT k, 'CDC-U', 2, 'U' FROM o WHERE k % 7 = 0
+       |      UNION ALL
+       |      SELECT k, NULL, 3, 'D' FROM o WHERE k % 11 = 0) AS u) AS r
+       |  WHERE rn = 1 AND op != 'D')
+       |SELECT op, count(*) AS n_rows,
+       |  CAST(SUM(CAST(${graft.operators.TextOps.h60Sql("k")}
+       |    AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS key_hashsum,
+       |  CAST(SUM(CAST(${graft.operators.TextOps.h60Sql("k || ':' || prio")}
+       |    AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS payload_hashsum
+       |FROM folded GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction" -> (compaction(_, _)),
-    "q_snapshot_diff" -> (snapshotDiff(_, _)))
+    "q_snapshot_diff" -> (snapshotDiff(_, _)),
+    "q_cdc_apply" -> (cdcApply(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q_compaction" -> compactionSql,
-    "q_snapshot_diff" -> snapshotDiffSql)
+    "q_snapshot_diff" -> snapshotDiffSql,
+    "q_cdc_apply" -> cdcApplySql)
 }

@@ -60,6 +60,25 @@ class CompactionSpec extends SparkSpec {
       && out("added") == added, s"$out")
   }
 
+  test("CDC apply: highest-sequence op wins per key; deletes are data") {
+    // the precedence contract replayed in driver Scala over the raw keys
+    // (no Spark, no SQL): a key hit by insert+update+delete must end
+    // deleted; update beats insert beats the base row; anything %11 is
+    // gone regardless of what else touched it
+    val dir = "/root/testdata/sf0.001"
+    val out = Compaction.queries("q_cdc_apply")(spark, dir).collect()
+      .map(r => r.getAs[String]("op") -> r.getAs[Long]("n_rows")).toMap
+    val keys = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    def n(p: Long => Boolean) = keys.count(p).toLong
+    val exp = Map(
+      "S" -> n(k => k % 5 != 0 && k % 7 != 0 && k % 11 != 0),
+      "I" -> n(k => k % 5 == 0 && k % 7 != 0 && k % 11 != 0),
+      "U" -> n(k => k % 7 == 0 && k % 11 != 0))
+    assert(out == exp, s"got $out expected $exp")
+    assert(exp.values.forall(_ > 0L), "fixture must exercise every class")
+  }
+
   test("an advisory target below the data size splits the output") {
     val frag = Compaction.fragmentedDocs(spark, dir)
     val out = java.nio.file.Files.createTempDirectory("compact_split")
