@@ -1062,7 +1062,57 @@ object EventWindows {
       |      FROM events WHERE event_id < 1000)
       |ORDER BY event_id""".stripMargin
 
+  /** Cohort RETENTION analysis (X112) — the classic product-analytics
+    * query every event warehouse serves: bucket each user into the week
+    * of their FIRST event (their cohort), then per (cohort, week-offset)
+    * count distinct users still active — the staircase that answers
+    * "how fast do we lose the users we acquired in week w?". Week
+    * boundaries are Monday date_trunc on both engines; the offset is an
+    * exact integer (both operands are week starts, so the day difference
+    * is a multiple of 7 by construction — `div`, not `/`: Spark's slash
+    * is double division).
+    *
+    * Scale shape: the first-event table is one user-keyed aggregation;
+    * the join back is user-keyed too, so it REUSES that shuffle's
+    * partitioning (no second exchange on the fact side); the distinct
+    * count is the standard two-phase partial-agg expand. No window
+    * functions, no self-join over time — the (cohort × offset) matrix
+    * falls out of one join and one aggregation at any event count.
+    *
+    * Reference analog: none — the §2x analytics extension surface next
+    * to q_analytics/q_window_funcs.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(events(s, dir))
+
+  /** The cohort staircase over any (user_id, ts) frame — private[graft]
+    * so the spec can drive a hand-computed multi-cohort fixture through
+    * the same code (the parquet testdata has every user active from week
+    * zero, i.e. a single cohort). */
+  private[graft] def cohortRetentionOf(ev: DataFrame): DataFrame = {
+    val weekly = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    weekly
+      .join(weekly.groupBy("user_id").agg(min(col("w")).as("cohort_week")),
+        Seq("user_id"))
+      .withColumn("week_offset",
+        expr("datediff(w, cohort_week) div 7").cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val cohortRetentionSql =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('week', ts) AS w FROM events),
+      |f AS (SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT cohort_week,
+      |  CAST(date_diff('day', cohort_week, w) // 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT ev.user_id) AS n_active
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> (cohortRetention(_, _)),
     "q_variant_extract" -> (variantExtract(_, _)),
     "q_incr_agg" -> (incrementalAgg(_, _)),
     "q_stream_static_join" -> (streamStaticJoin(_, _)),
@@ -1093,6 +1143,7 @@ object EventWindows {
     * family captured while the probe ran (the Similarity.oracles
     * discipline — Verify dumps oracle SQL after running queries). */
   def oracles: Map[String, String] = Map(
+    "q_cohort_retention" -> cohortRetentionSql,
     "q_variant_extract" -> variantExtractSql,
     "q_incr_agg" -> incrementalAggSql,
     "q_stream_static_join" -> streamStaticJoinSql,

@@ -1355,6 +1355,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(pq >= lsh, s"PQ serve probe ($pq) must not trail the SRP bands ($lsh)")
   }
 
+  test("cohort retention staircase matches a hand-computed multi-cohort fixture") {
+    import spark.implicits._
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    // Mondays: 2024-01-01, -08, -15. u1 joins wk0 and stays 3 weeks;
+    // u2 joins wk0, skips wk1, returns wk2; u3 joins wk1 only
+    val ev = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-09")), (1L, t("2024-01-16")),
+      (2L, t("2024-01-02")), (2L, t("2024-01-17")),
+      (3L, t("2024-01-10"))).toDF("user_id", "ts")
+    val out = graft.operators.EventWindows.cohortRetentionOf(ev).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 2L) -> 2L, ("2024-01-08", 0L) -> 1L), s"$out")
+  }
+
   test("epoch plan: every epoch is a full permutation with a fresh shard order") {
     val dir = "/root/testdata/sf0.001"
     val out = TextOps.queries("q_epoch_plan")(spark, dir).collect()
