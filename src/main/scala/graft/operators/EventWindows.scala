@@ -1085,6 +1085,82 @@ object EventWindows {
   def cohortRetention(s: SparkSession, dir: String): DataFrame =
     cohortRetentionOf(events(s, dir))
 
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered-funnel CONVERSION (X113) — the other classic product
+    * question: how many users performed signup → view → click → purchase
+    * IN THAT ORDER (other events freely interleaved)? Per user the gate
+    * computes the longest funnel prefix completed, by the greedy
+    * earliest-match fold over the user's time-sorted events — greedy is
+    * not an approximation here: taking the EARLIEST possible match at
+    * each step finds an ordered subsequence iff one exists (the classic
+    * subsequence-matching argument), so the fold's reach is exact.
+    *
+    * Shape — the reason this is a fold and not four self-joins: ONE
+    * user-keyed shuffle collects each user's funnel-type events into a
+    * sorted array (bounded by per-user activity, the sessionization
+    * budget), and a codegen'd higher-order `aggregate` walks it once
+    * carrying (step, last_match_micros). A per-step join chain would
+    * re-shuffle the fact table per funnel stage; ClickHouse calls this
+    * operator windowFunnel for the same reason. The oracle takes the
+    * join-chain spelling (per-step correlated mins) — two independent
+    * formulations of the same semantics must meet on every count.
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    eventFunnelOf(events(s, dir))
+
+  /** The funnel over any (user_id, ts, event_type) frame — private[graft]
+    * so the spec can drive a reach-discriminating fixture through the
+    * same fold (the dense synthetic events give every user ~13 events of
+    * each type, so all 150 complete the full funnel there; the gate's
+    * value on that data is the two-formulation meet with the join-chain
+    * oracle). */
+  private[graft] def eventFunnelOf(ev: DataFrame): DataFrame = {
+    val stepsLit = FunnelSteps.map(t => s"'$t'").mkString("array(", ", ", ")")
+    val reach = ev
+      .filter(col("event_type").isin(FunnelSteps: _*))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        s"""aggregate(
+           |  sort_array(collect_list(struct(
+           |    unix_micros(CAST(ts AS TIMESTAMP)) AS t,
+           |    event_type AS et))),
+           |  named_struct('step', 0, 't', ${Long.MinValue}L),
+           |  (acc, e) -> IF(acc.step < ${FunnelSteps.length}
+           |                 AND e.t > acc.t
+           |                 AND e.et = element_at($stepsLit, acc.step + 1),
+           |               named_struct('step', acc.step + 1, 't', e.t),
+           |               acc),
+           |  acc -> acc.step)""".stripMargin).as("reach"))
+    val perStep = FunnelSteps.indices.map(i =>
+      sum(when(col("reach") >= i + 1, 1L).otherwise(0L)).as(s"n${i + 1}"))
+    reach.agg(perStep.head, perStep.tail: _*)
+      .select(expr(s"""stack(${FunnelSteps.length}, ${FunnelSteps.zipWithIndex
+          .map { case (t, i) => s"CAST(${i + 1} AS BIGINT), '$t', n${i + 1}" }
+          .mkString(", ")})""").as(Seq("step", "event_type", "n_users")))
+      .orderBy("step")
+  }
+
+  private val eventFunnelSql = {
+    val stepCtes = FunnelSteps.zipWithIndex.map { case (t, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = '$t' GROUP BY 1)""".stripMargin
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(ts) AS t${i + 1}
+           |  FROM events e JOIN s$i USING (user_id)
+           |  WHERE event_type = '$t' AND ts > t$i GROUP BY 1)""".stripMargin
+    }
+    val unions = FunnelSteps.zipWithIndex.map { case (t, i) =>
+      s"SELECT ${i + 1} AS step, '$t' AS event_type, count(*) AS n_users FROM s${i + 1}"
+    }
+    s"""WITH ${stepCtes.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL ")}
+       |ORDER BY step""".stripMargin
+  }
+
   /** The cohort staircase over any (user_id, ts) frame — private[graft]
     * so the spec can drive a hand-computed multi-cohort fixture through
     * the same code (the parquet testdata has every user active from week
@@ -1113,6 +1189,7 @@ object EventWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention(_, _)),
+    "q_event_funnel" -> (eventFunnel(_, _)),
     "q_variant_extract" -> (variantExtract(_, _)),
     "q_incr_agg" -> (incrementalAgg(_, _)),
     "q_stream_static_join" -> (streamStaticJoin(_, _)),
@@ -1144,6 +1221,7 @@ object EventWindows {
     * discipline — Verify dumps oracle SQL after running queries). */
   def oracles: Map[String, String] = Map(
     "q_cohort_retention" -> cohortRetentionSql,
+    "q_event_funnel" -> eventFunnelSql,
     "q_variant_extract" -> variantExtractSql,
     "q_incr_agg" -> incrementalAggSql,
     "q_stream_static_join" -> streamStaticJoinSql,

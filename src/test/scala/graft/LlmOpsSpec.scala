@@ -1372,6 +1372,24 @@ class LlmOpsSpec extends SparkSpec {
       ("2024-01-01", 2L) -> 2L, ("2024-01-08", 0L) -> 1L), s"$out")
   }
 
+  test("event funnel: greedy fold computes exact per-user reach on a planted fixture") {
+    import spark.implicits._
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // u1 completes; u2 signs up but never views AFTER it; u3 stops at
+    // view; u4 never signs up (later steps can't count without step 1);
+    // u5 has every type but in exactly reverse order — reach 1
+    val ev = Seq(
+      (1L, t(1), "signup"), (1L, t(2), "view"), (1L, t(3), "click"), (1L, t(4), "purchase"),
+      (2L, t(1), "view"), (2L, t(2), "signup"), (2L, t(3), "click"), (2L, t(4), "purchase"),
+      (3L, t(1), "signup"), (3L, t(2), "view"), (3L, t(3), "purchase"),
+      (4L, t(1), "view"), (4L, t(2), "click"), (4L, t(3), "purchase"),
+      (5L, t(1), "purchase"), (5L, t(2), "click"), (5L, t(3), "view"), (5L, t(4), "signup"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.EventWindows.eventFunnelOf(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"$out")
+  }
+
   test("epoch plan: every epoch is a full permutation with a fresh shard order") {
     val dir = "/root/testdata/sf0.001"
     val out = TextOps.queries("q_epoch_plan")(spark, dir).collect()
