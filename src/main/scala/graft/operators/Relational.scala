@@ -43,7 +43,48 @@ object Relational {
   /** Guarded decimal(…,4)→double output edge — see [[graft.DecimalEdge]]. */
   private def dbl4(c: Column): Column = graft.DecimalEdge.dbl(c, 4)
 
+  /** Columns the profile gate audits — a string, a categorical, a
+    * numeric: the three shapes a profiler must render uniformly. */
+  private val ProfileCols = Seq("lang", "source", "n_chars")
+
+  /** Table PROFILE / data-quality audit (X114) — the first query anyone
+    * runs against an unfamiliar 100 TB table, and the circuit-breaker
+    * every ingest pipeline runs against a fresh delivery (a vendor drop
+    * whose null rate doubled or whose enum grew a value should fail
+    * BEFORE it joins the lake): per column, null count, exact distinct
+    * count, and min/max rendered as strings at the output edge ONLY —
+    * min/max must compute in the column's native type first
+    * (lexicographic "100" < "99" is the classic string-profiling bug).
+    * ONE scan: all per-column aggregates ride a single Aggregate node
+    * (the distincts plan as the standard Expand — one extra pass-width
+    * per distinct column, still one scan of the parquet), and the 1-row
+    * result unpivots to \|columns\| rows via stack.
+    */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c => Seq(
+      count(when(col(c).isNull, 1)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    t(s, dir, "documents")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"""stack(${ProfileCols.length}, ${ProfileCols
+          .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")})""")
+        .as(Seq("column", "n_nulls", "n_distinct", "min_value", "max_value")))
+      .orderBy("column")
+  }
+
+  private val tableProfileSql = ProfileCols.map { c =>
+    s"""SELECT '$c' AS "column", count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_value,
+       |  CAST(max($c) AS VARCHAR) AS max_value
+       |FROM documents""".stripMargin
+  }.mkString("", "\nUNION ALL ", "\nORDER BY \"column\"")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_profile" -> (tableProfile(_, _)),
     // A1/A3 hash aggregation with partial (map-side) combine.
     // Ref: GraphQLPersistence.scala:370-403 (SUM balance) generalized.
     "q_agg_sum" -> ((s, dir) => {
@@ -436,6 +477,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_table_profile" -> tableProfileSql,
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

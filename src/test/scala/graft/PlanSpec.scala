@@ -85,6 +85,15 @@ class PlanSpec extends SparkSpec {
       s"serving needs no cache — the stored tables ARE the reuse:\n$plan")
   }
 
+  test("table profile reads the table once — every stat rides one scan") {
+    // a profiler that scans per column (or per stat) turns the first
+    // look at a 100 TB table into |columns| full reads
+    val plan = graft.operators.Relational.queries("q_table_profile")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected ONE table scan, found $scans:\n$plan")
+  }
+
   test("epoch plan orders shard-locally — no global sort of the exploded corpus") {
     // the operator's whole reason to exist: E epochs of reproducible
     // ordering WITHOUT E global sorts. Below the (epoch, shard) aggregate
