@@ -1141,6 +1141,49 @@ object EventWindows {
       .orderBy("step")
   }
 
+  /** Event TRANSITION matrix (X115) — the sequence-analytics companion
+    * to [[eventFunnel]]: per user, consecutive event pairs in time order
+    * (a windowed lead, ONE user-keyed shuffle — consecutive-pair
+    * extraction never needs a self-join), aggregated to the global
+    * (from, to) matrix with a row-normalized probability at the parts-
+    * per-million integer grain (n·10⁶ div row_total — the engine-
+    * portable probability spelling every drift/KL gate here uses; a
+    * double division would hand the hash compare a rounding coin-flip).
+    * The row totals ride a second window OVER THE 25-ROW MATRIX, not
+    * over events — normalization costs nothing at any scale. Ordering
+    * ties break on event_id so the pair set is deterministic under
+    * equal timestamps on both engines.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val matrix = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byTime))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    matrix
+      .withColumn("p_ppm", expr(
+        "n * 1000000 div sum(n) OVER (PARTITION BY from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val eventTransitionsSql =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, to_type, count(*) AS n FROM pairs
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_ppm
+      |FROM m ORDER BY 1, 2""".stripMargin
+
   private val eventFunnelSql = {
     val stepCtes = FunnelSteps.zipWithIndex.map { case (t, i) =>
       if (i == 0)
@@ -1190,6 +1233,7 @@ object EventWindows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> (cohortRetention(_, _)),
     "q_event_funnel" -> (eventFunnel(_, _)),
+    "q_event_transitions" -> (eventTransitions(_, _)),
     "q_variant_extract" -> (variantExtract(_, _)),
     "q_incr_agg" -> (incrementalAgg(_, _)),
     "q_stream_static_join" -> (streamStaticJoin(_, _)),
@@ -1222,6 +1266,7 @@ object EventWindows {
   def oracles: Map[String, String] = Map(
     "q_cohort_retention" -> cohortRetentionSql,
     "q_event_funnel" -> eventFunnelSql,
+    "q_event_transitions" -> eventTransitionsSql,
     "q_variant_extract" -> variantExtractSql,
     "q_incr_agg" -> incrementalAggSql,
     "q_stream_static_join" -> streamStaticJoinSql,
