@@ -83,8 +83,53 @@ object Relational {
        |FROM documents""".stripMargin
   }.mkString("", "\nUNION ALL ", "\nORDER BY \"column\"")
 
+  private val HistBins = 20L
+
+  /** Equi-width HISTOGRAM at an exact integer grain (X116) — the
+    * distribution companion to [[tableProfile]]: values land at integer
+    * cents (floor(price·100) — the one portable way to bin a double:
+    * binning raw doubles makes the bin edge itself a rounding coin-flip),
+    * the domain [min, max] comes from one stats pass, and width =
+    * (max−min) div bins + 1 keeps the maximum inside the last bin with
+    * pure integer arithmetic — every row's bin is then (c − min) div
+    * width, a deterministic expression both engines evaluate identically.
+    * Two scans by necessity (a one-pass equi-width histogram needs the
+    * domain in advance); the stats row rides a broadcast into the
+    * binning scan. Empty bins are absent, not zero-filled — the output
+    * is the support, and the oracle agrees on absence.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "orders").select(
+      expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+    val stats = cents.agg(min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+      .withColumn("w", expr(s"(max_c - min_c) div $HistBins + 1"))
+    cents.crossJoin(broadcast(stats))
+      .withColumn("bin", expr("(c - min_c) div w"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(expr("min_c + bin * w")).as("lo_cents"),
+        min(expr("min_c + (bin + 1) * w - 1")).as("hi_cents"))
+      .select(col("bin"), col("lo_cents"), col("hi_cents"), col("n"))
+      .orderBy("bin")
+  }
+
+  private val histogramSql =
+    s"""WITH c AS (
+       |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+       |st AS (
+       |  SELECT min(c) AS min_c, max(c) AS max_c,
+       |    (max(c) - min(c)) // $HistBins + 1 AS w
+       |  FROM c)
+       |SELECT (c - min_c) // w AS bin,
+       |  min(min_c + ((c - min_c) // w) * w) AS lo_cents,
+       |  min(min_c + (((c - min_c) // w) + 1) * w - 1) AS hi_cents,
+       |  count(*) AS n
+       |FROM c CROSS JOIN st
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_profile" -> (tableProfile(_, _)),
+    "q_histogram" -> (histogram(_, _)),
     // A1/A3 hash aggregation with partial (map-side) combine.
     // Ref: GraphQLPersistence.scala:370-403 (SUM balance) generalized.
     "q_agg_sum" -> ((s, dir) => {
@@ -478,6 +523,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_table_profile" -> tableProfileSql,
+    "q_histogram" -> histogramSql,
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
