@@ -885,6 +885,25 @@ class PlanSpec extends SparkSpec {
       s"the literal query-term filter must reach the postings scan:\n$plan")
   }
 
+  test("BM25 delete serves from the patched index — corpus never read, filter pushed") {
+    // the retention contract's plan half: after the delta-only delete,
+    // the SERVING plan must be indistinguishable in shape from
+    // bm25Serve's — it reads only the swapped index directory (the
+    // corpus text was touched exactly zero times: even the takedown list
+    // was a (doc_id, source) metadata lookup, and that happened in the
+    // eagerly-executed write phase, not in this plan), never
+    // re-tokenizes, and pushes the literal query-term filter into the
+    // patched postings scan
+    val plan = graft.operators.TextOps.queries("q_bm25_index_delete")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bm25idx_del"),
+      s"serving must read the patched index:\n$plan")
+    assert(!plan.contains("documents.parquet") && !plan.contains("Generate"),
+      s"the corpus must not appear in the serving plan:\n$plan")
+    assert(plan.contains("In(term"),
+      s"the literal query-term filter must reach the patched postings scan:\n$plan")
+  }
+
   test("incremental dedup signs only the batch and probes the stored index") {
     // the per-crawl dedup serve path: history's bands AND shingle sets
     // come off the mhidx artifact; the batch side carries the plan's ONE
