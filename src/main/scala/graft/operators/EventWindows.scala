@@ -1132,6 +1132,12 @@ object EventWindows {
            |               named_struct('step', acc.step + 1, 't', e.t),
            |               acc),
            |  acc -> acc.step)""".stripMargin).as("reach"))
+    funnelReport(reach)
+  }
+
+  /** The per-step report tail over any (user_id, reach) frame — one
+    * spelling shared by the batch fold and the streaming-state gate. */
+  private def funnelReport(reach: DataFrame): DataFrame = {
     val perStep = FunnelSteps.indices.map(i =>
       sum(when(col("reach") >= i + 1, 1L).otherwise(0L)).as(s"n${i + 1}"))
     reach.agg(perStep.head, perStep.tail: _*)
@@ -1139,6 +1145,40 @@ object EventWindows {
           .map { case (t, i) => s"CAST(${i + 1} AS BIGINT), '$t', n${i + 1}" }
           .mkString(", ")})""").as(Seq("step", "event_type", "n_users")))
       .orderBy("step")
+  }
+
+  /** The funnel as CONTINUOUSLY-MAINTAINED streaming state (X117): the
+    * [[graft.streaming.EventStream.funnelReachTws]] processor run by the
+    * real engine over the time-split two-batch fixture — users whose
+    * funnel spans the cutoff complete it only through cross-batch
+    * ValueState. Reach is monotone, so max-per-user over the append sink
+    * is the final state; the report tail and the ORACLE are
+    * [[eventFunnel]]'s verbatim — the streaming door must land on the
+    * batch fold's exact counts. RocksDB provider scoped to the stream
+    * (transformWithState requires it; right at 100 TB anyway — state on
+    * local disk, not executor heap).
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    // cutoff after DAY ONE, not mid-month: ~2 events per user land in
+    // batch 1, so most funnels genuinely SPAN the boundary — a stateless
+    // per-batch fold would lose the batch-1 prefix (signup in batch 1,
+    // view/click/purchase in batch 2 scores reach 3, not 4) and the
+    // oracle compare would catch it; a mid-month cutoff lets everyone
+    // complete inside batch 1 and proves nothing about state
+    val input = timeSplitInput(s, dir, "funnelstream", "2024-01-02 00:00:00")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sunk = streamTwoBatches(s, input, "q_stream_funnel_sink")(
+        graft.streaming.EventStream.funnelReachTws)
+      funnelReport(sunk.groupBy(col("user_id"))
+        .agg(max(col("reach")).as("reach")))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** Event TRANSITION matrix (X115) — the sequence-analytics companion
@@ -1234,6 +1274,7 @@ object EventWindows {
     "q_cohort_retention" -> (cohortRetention(_, _)),
     "q_event_funnel" -> (eventFunnel(_, _)),
     "q_event_transitions" -> (eventTransitions(_, _)),
+    "q_stream_funnel" -> (streamFunnel(_, _)),
     "q_variant_extract" -> (variantExtract(_, _)),
     "q_incr_agg" -> (incrementalAgg(_, _)),
     "q_stream_static_join" -> (streamStaticJoin(_, _)),
@@ -1267,6 +1308,7 @@ object EventWindows {
     "q_cohort_retention" -> cohortRetentionSql,
     "q_event_funnel" -> eventFunnelSql,
     "q_event_transitions" -> eventTransitionsSql,
+    "q_stream_funnel" -> eventFunnelSql,
     "q_variant_extract" -> variantExtractSql,
     "q_incr_agg" -> incrementalAggSql,
     "q_stream_static_join" -> streamStaticJoinSql,

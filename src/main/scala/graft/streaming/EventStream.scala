@@ -198,6 +198,59 @@ object EventStream {
     }
   }
 
+  /** The batch funnel fold run as CONTINUOUSLY-MAINTAINED streaming state
+    * (X117) — the reason the greedy earliest-match funnel
+    * ([[graft.operators.EventWindows.eventFunnel]]) incrementalizes
+    * perfectly: its accumulator (step, last_match_time) is the COMPLETE
+    * sufficient statistic of the fold, so a per-user ValueState carrying
+    * exactly that pair advances micro-batch by micro-batch and lands on
+    * the identical reach the one-shot batch fold computes — provided
+    * events arrive per-user time-ordered ACROSS batches (the fixture is
+    * the time-split two-batch form; within a batch the processor sorts by
+    * the batch fold's (t, type) key, so the concatenation is the fully
+    * sorted sequence). Emits the user's current reach each batch; reach
+    * is monotone, so the gate's max-per-user is the final state.
+    */
+  def funnelReachTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS t",
+        "event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("user_id", "reach")
+  }
+
+  /** The [[funnelReachTws]] processor: ValueState = (step, last-match
+    * micros), the greedy fold's accumulator. Top-level so the serialized
+    * processor captures no enclosing scope. */
+  private class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String), (Long, Int)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    private val Steps = Array("signup", "view", "click", "purchase")
+    @transient private var st: ValueState[(Int, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("funnel",
+        Encoders.product[(Int, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
+        tv: TimerValues): Iterator[(Long, Int)] = {
+      var (step, last) = if (st.exists()) st.get() else (0, Long.MinValue)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, et) =>
+        if (step < Steps.length && t > last && et == Steps(step)) {
+          step += 1; last = t
+        }
+      }
+      st.update((step, last))
+      Iterator.single((user, step))
+    }
+  }
+
   /** [[runningUserCountsTws]] with PER-STATE TTL — the expiry story that
     * makes transformWithState's named handles worth having: the TTL is
     * declared ON the state handle (`TTLConfig`), not hand-rolled with
