@@ -1181,6 +1181,66 @@ object EventWindows {
     }
   }
 
+  /** Top SESSION PATHS (X118) — the third sequence-analytics member
+    * (funnel = does a fixed order occur, transitions = which pairs occur,
+    * this = which whole journeys are common): gap-sessionize (the
+    * q_window_session 6-hour rule, in its lag/cumsum spelling so the
+    * session IDENTITY is available per event, which session_window's
+    * aggregate-only form can't give), take each session's first 5 event
+    * types in time order as its path string, and report the top-20 paths
+    * by session count. Ordering ties break on event_id everywhere, and
+    * the top-k ties break on the path string, so the ranking is
+    * deterministic on both engines.
+    *
+    * Scale shape: the two per-user windows (lag, running sum) share ONE
+    * user-keyed sort-shuffle; the path build is a bounded per-session
+    * collect (rn ≤ 5 caps it); the final top-20 is a
+    * TakeOrderedAndProject heap, never a global sort of the path table.
+    */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("brk",
+        when(col("ts") >= lag(col("ts"), 1).over(byUser) +
+          expr("INTERVAL 6 HOUR"), 1).otherwise(0))
+      .withColumn("sid", sum(col("brk"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(bySession))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr("""array_join(transform(
+            |  array_sort(collect_list(struct(rn, event_type))),
+            |  x -> x.event_type), '>')""".stripMargin).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+  }
+
+  private val sessionPathsSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts >= lag(ts) OVER w + INTERVAL 6 HOUR
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+      |                               ORDER BY ts, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   /** Event TRANSITION matrix (X115) — the sequence-analytics companion
     * to [[eventFunnel]]: per user, consecutive event pairs in time order
     * (a windowed lead, ONE user-keyed shuffle — consecutive-pair
@@ -1275,6 +1335,7 @@ object EventWindows {
     "q_event_funnel" -> (eventFunnel(_, _)),
     "q_event_transitions" -> (eventTransitions(_, _)),
     "q_stream_funnel" -> (streamFunnel(_, _)),
+    "q_session_paths" -> (sessionPaths(_, _)),
     "q_variant_extract" -> (variantExtract(_, _)),
     "q_incr_agg" -> (incrementalAgg(_, _)),
     "q_stream_static_join" -> (streamStaticJoin(_, _)),
@@ -1309,6 +1370,7 @@ object EventWindows {
     "q_event_funnel" -> eventFunnelSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_stream_funnel" -> eventFunnelSql,
+    "q_session_paths" -> sessionPathsSql,
     "q_variant_extract" -> variantExtractSql,
     "q_incr_agg" -> incrementalAggSql,
     "q_stream_static_join" -> streamStaticJoinSql,
