@@ -94,6 +94,30 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected ONE table scan, found $scans:\n$plan")
   }
 
+  test("snapshot diff joins fingerprints, not rows — unreconciled columns pruned") {
+    // the diff carries (key, 32-byte hash) per side through ONE full-outer
+    // sort-merge; a scan that still reads o_orderdate would mean the md5
+    // fingerprint did not fold into the scan projection
+    val plan = graft.operators.Compaction.queries("q_snapshot_diff")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"the diff must be one full-outer sort-merge join:\n$plan")
+    assert(!plan.contains("o_orderdate"),
+      s"unreconciled columns must stay on disk:\n$plan")
+  }
+
+  test("CDC apply folds through one key shuffle") {
+    // highest-sequence-wins = one precedence window per key: exactly one
+    // exchange keyed on k below the window; a second key shuffle would
+    // mean ops are being applied in passes instead of one fold
+    val plan = graft.operators.Compaction.queries("q_cdc_apply")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val keyExchanges = "Exchange hashpartitioning\\(k#".r.findAllIn(plan).length
+    assert(keyExchanges == 1,
+      s"expected ONE key shuffle for the precedence fold, found $keyExchanges:\n$plan")
+    assert(plan.contains("Window"), s"the fold must plan as a window:\n$plan")
+  }
+
   test("epoch plan orders shard-locally — no global sort of the exploded corpus") {
     // the operator's whole reason to exist: E epochs of reproducible
     // ordering WITHOUT E global sorts. Below the (epoch, shard) aggregate
