@@ -1204,7 +1204,11 @@ object Multimodal {
        |  (SELECT count(*) FROM b) AS n_second_pass_dup""".stripMargin
   }
 
-  private def imageDedupIncrementalSql = {
+  /** Shared d/px/h/clusters/hb/bb/cand CTE prefix of the image
+    * incremental-probe oracles — one spelling of the decode → dhash →
+    * cluster → band-join math, so the incremental and purge oracles
+    * cannot silently diverge. */
+  private def dhashProbeCtePrefix: String = {
     val frameLen = DhRows * DhCols
     val histSql = s"${graft.operators.TextOps.h60Sql("doc_id")} % 100 < 80"
     s"""WITH d AS (
@@ -1244,11 +1248,87 @@ object Multimodal {
        |cand AS (
        |  SELECT DISTINCT x.batch_media, y.hist_rep,
        |    x.dhash AS dhash_b, y.dhash AS dhash_h
-       |  FROM bb x JOIN hb y ON x.b = y.b AND x.key = y.key)
+       |  FROM bb x JOIN hb y ON x.b = y.b AND x.key = y.key)""".stripMargin
+  }
+
+  private def imageDedupIncrementalSql =
+    s"""$dhashProbeCtePrefix
        |SELECT batch_media, hist_rep,
        |  CAST(bit_count(xor(dhash_b, dhash_h)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(dhash_b, dhash_h)) <= $DhMaxHamming
        |ORDER BY batch_media, hist_rep""".stripMargin
+
+  private val lastDhPurgeDir = graft.operators.TextOps.newTempDirRef()
+
+  /** Residue of the image takedown slice — chosen to intersect the
+    * incremental probe's pair set at the gate scale (the spec-level
+    * non-vacuity the text family gets from PurgeSource). */
+  private val ImagePurgeResidue = 6L
+
+  private def isPurgedRep(name: String) =
+    pmod(graft.operators.TextOps.h60(name), lit(10L)) === ImagePurgeResidue
+
+  /** Right-to-be-forgotten PURGE on the stored perceptual index (X119) —
+    * the image leg of the retention family, completing it across EVERY
+    * stored index family (text MinHash, BM25, SRP vectors, the balance
+    * MV, now the perceptual clusters): a content owner's takedown removes
+    * their media's CLUSTERS from the band table — the whole cluster, by
+    * design: the stored artifact derives from the removed content's
+    * pixels (rep identity, dhash, band keys all come from its bytes), so
+    * nothing derived from it may survive; the honest consequence,
+    * documented rather than hidden, is that a future re-crawl of
+    * still-licensed near-variants re-admits them as NEW clusters (exactly
+    * what [[imageDedupIndexUpdate]]'s append cycle then handles).
+    * Write-new-then-swap; same probe batch before and after; the witness
+    * row counts the band FILE directly (n_band_rows_after =
+    * [[DhBands]]·n_clusters_after — the half-purge alarm) and the oracle
+    * re-derives every count from the decoded pixels through the shared
+    * probe CTE prefix.
+    */
+  def imageIndexPurge(s: SparkSession, dir: String): DataFrame = {
+    val root = dhashBuildIndex(s, dir)
+    val bands = s.read.parquet(s"$root/bands")
+    val updated = graft.operators.TextOps.freshTempDir(lastDhPurgeDir, "dhidx_purge")
+    bands.filter(!isPurgedRep("rep")).write.parquet(s"$updated/bands")
+    // cached: the decode scan feeds BOTH probes (the two-consumer rule)
+    val batch = dhashHashes(s, dir, !graft.operators.TextOps.isHistoryDoc).cache()
+    val before = probeDhashIndex(s, batch, root).cache()
+    val after = probeDhashIndex(s, batch, updated)
+    val clusters = bands.select(col("rep")).distinct()
+    val out = clusters.agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(clusters.filter(isPurgedRep("rep"))
+        .agg(count(lit(1)).as("n_purged")))
+      .crossJoin(clusters.filter(!isPurgedRep("rep"))
+        .agg(count(lit(1)).as("n_clusters_after")))
+      .crossJoin(s.read.parquet(s"$updated/bands")
+        .agg(count(lit(1)).as("n_band_rows_after")))
+      .crossJoin(before.agg(count(lit(1)).as("n_pairs_before")))
+      .crossJoin(before.filter(isPurgedRep("hist_rep"))
+        .agg(count(lit(1)).as("n_pairs_to_purged")))
+      .crossJoin(after.agg(count(lit(1)).as("n_pairs_after")))
+      .localCheckpoint()
+    before.unpersist(blocking = false)
+    batch.unpersist(blocking = false)
+    out
+  }
+
+  private def imageIndexPurgeSql = {
+    val purged =
+      s"${graft.operators.TextOps.h60Sql("hist_rep")} % 10 = $ImagePurgeResidue"
+    s"""$dhashProbeCtePrefix,
+       |pairs AS (
+       |  SELECT batch_media, hist_rep FROM cand
+       |  WHERE bit_count(xor(dhash_b, dhash_h)) <= $DhMaxHamming)
+       |SELECT (SELECT count(*) FROM clusters) AS n_clusters,
+       |  (SELECT count(*) FROM clusters WHERE $purged) AS n_purged,
+       |  (SELECT count(*) FROM clusters WHERE NOT ($purged))
+       |    AS n_clusters_after,
+       |  $DhBands * (SELECT count(*) FROM clusters WHERE NOT ($purged))
+       |    AS n_band_rows_after,
+       |  (SELECT count(*) FROM pairs) AS n_pairs_before,
+       |  (SELECT count(*) FROM pairs WHERE $purged) AS n_pairs_to_purged,
+       |  (SELECT count(*) FROM pairs WHERE NOT ($purged)) AS n_pairs_after"""
+      .stripMargin
   }
 
   // ------------- audio perceptual-fingerprint near-dup (energy-delta sign)
@@ -2137,6 +2217,7 @@ object Multimodal {
     "q_video_dedup_incremental" -> (videoDedupIncremental(_, _)),
     "q_multimodal_curation_serve" -> (multimodalCurationServe(_, _)),
     "q_image_dedup_index_update" -> (imageDedupIndexUpdate(_, _)),
+    "q_image_index_purge" -> (imageIndexPurge(_, _)),
     "q_audio_dedup_index_update" -> (audioDedupIndexUpdate(_, _)),
     "q_video_dedup_index_update" -> (videoDedupIndexUpdate(_, _)))
 
@@ -2151,6 +2232,7 @@ object Multimodal {
     "q_video_dedup_incremental" -> videoDedupIncrementalSql,
     "q_multimodal_curation_serve" -> multimodalCurationServeSql,
     "q_image_dedup_index_update" -> imageDedupIndexUpdateSql,
+    "q_image_index_purge" -> imageIndexPurgeSql,
     "q_audio_dedup_index_update" -> audioDedupIndexUpdateSql,
     "q_video_dedup_index_update" -> videoDedupIndexUpdateSql)
 }

@@ -577,7 +577,7 @@ object TextOps {
     java.util.concurrent.atomic.AtomicReference[String]]()
 
   /** A slot for [[freshTempDir]], registered with the JVM-exit sweeper. */
-  private[operators] def newTempDirRef()
+  private[graft] def newTempDirRef()
       : java.util.concurrent.atomic.AtomicReference[String] = {
     val r = new java.util.concurrent.atomic.AtomicReference[String]()
     tempDirRefs.add(r)
@@ -598,7 +598,7 @@ object TextOps {
   /** Reclaim `ref`'s previous temp dir (its lazy readers have executed by
     * the next call) and hand out a fresh one — bench reps must not
     * accumulate full index/export copies under /tmp. */
-  private[operators] def freshTempDir(
+  private[graft] def freshTempDir(
       ref: java.util.concurrent.atomic.AtomicReference[String],
       prefix: String): String = {
     ref.getAndSet(null) match {

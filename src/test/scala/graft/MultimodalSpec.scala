@@ -410,4 +410,15 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 8)
     }
   }
+
+  test("image index purge: witness identities hold and the takedown is non-vacuous") {
+    val row = graft.multimodal.Multimodal
+      .queries("q_image_index_purge")(spark, "/root/testdata/sf0.001").head()
+    def l(c: String) = row.getAs[Long](c)
+    assert(l("n_purged") > 0L)
+    assert(l("n_clusters") - l("n_purged") == l("n_clusters_after"))
+    // the half-purge alarm: the band FILE shrank in lockstep (4 bands/cluster)
+    assert(l("n_band_rows_after") == 4L * l("n_clusters_after"))
+    assert(l("n_pairs_before") - l("n_pairs_to_purged") == l("n_pairs_after"))
+  }
 }
