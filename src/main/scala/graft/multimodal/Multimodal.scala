@@ -1570,7 +1570,8 @@ object Multimodal {
   private[graft] def audioDedupIncrementalOracle: String =
     audioDedupIncrementalSql
 
-  private def audioDedupIncrementalSql = {
+  /** Shared CTE prefix (through `cand`) of the audio probe oracles. */
+  private def audioProbeCtePrefix = {
     def e(win: String, band: String) =
       s"(p[($win) * $FpWinLen + ($band) + 1] * p[($win) * $FpWinLen + ($band) + 1]" +
         s" + p[($win) * $FpWinLen + ($band) + 3] * p[($win) * $FpWinLen + ($band) + 3])"
@@ -1611,11 +1612,67 @@ object Multimodal {
        |cand AS (
        |  SELECT DISTINCT x.batch_media, y.hist_rep,
        |    x.fp AS fp_b, y.fp AS fp_h
-       |  FROM bb x JOIN hb y ON x.b = y.b AND x.key = y.key)
+       |  FROM bb x JOIN hb y ON x.b = y.b AND x.key = y.key)""".stripMargin
+  }
+
+  private def audioDedupIncrementalSql =
+    s"""$audioProbeCtePrefix
        |SELECT batch_media, hist_rep,
        |  CAST(bit_count(xor(fp_b, fp_h)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(fp_b, fp_h)) <= $FpMaxHamming
        |ORDER BY batch_media, hist_rep""".stripMargin
+
+  private val lastAfPurgeDir = graft.operators.TextOps.newTempDirRef()
+
+  /** [[imageIndexPurge]]'s contract on the audio fingerprint index —
+    * same takedown slice, same cluster-deletion semantics (the stored
+    * fingerprint derives from the removed audio's samples), same
+    * band-FILE half-purge alarm at [[FpBands]] rows per cluster. */
+  def audioIndexPurge(s: SparkSession, dir: String): DataFrame = {
+    val root = audioFpBuildIndex(s, dir)
+    val bands = s.read.parquet(s"$root/bands")
+    val updated =
+      graft.operators.TextOps.freshTempDir(lastAfPurgeDir, "afidx_purge")
+    bands.filter(!isPurgedRep("rep")).write.parquet(s"$updated/bands")
+    val batch =
+      audioFpHashes(s, dir, !graft.operators.TextOps.isHistoryDoc).cache()
+    val before = probeAudioFpIndex(s, batch, root).cache()
+    val after = probeAudioFpIndex(s, batch, updated)
+    val clusters = bands.select(col("rep")).distinct()
+    val out = clusters.agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(clusters.filter(isPurgedRep("rep"))
+        .agg(count(lit(1)).as("n_purged")))
+      .crossJoin(clusters.filter(!isPurgedRep("rep"))
+        .agg(count(lit(1)).as("n_clusters_after")))
+      .crossJoin(s.read.parquet(s"$updated/bands")
+        .agg(count(lit(1)).as("n_band_rows_after")))
+      .crossJoin(before.agg(count(lit(1)).as("n_pairs_before")))
+      .crossJoin(before.filter(isPurgedRep("hist_rep"))
+        .agg(count(lit(1)).as("n_pairs_to_purged")))
+      .crossJoin(after.agg(count(lit(1)).as("n_pairs_after")))
+      .localCheckpoint()
+    before.unpersist(blocking = false)
+    batch.unpersist(blocking = false)
+    out
+  }
+
+  private def audioIndexPurgeSql = {
+    val purged =
+      s"${graft.operators.TextOps.h60Sql("hist_rep")} % 10 = $ImagePurgeResidue"
+    s"""$audioProbeCtePrefix,
+       |pairs AS (
+       |  SELECT batch_media, hist_rep FROM cand
+       |  WHERE bit_count(xor(fp_b, fp_h)) <= $FpMaxHamming)
+       |SELECT (SELECT count(*) FROM clusters) AS n_clusters,
+       |  (SELECT count(*) FROM clusters WHERE $purged) AS n_purged,
+       |  (SELECT count(*) FROM clusters WHERE NOT ($purged))
+       |    AS n_clusters_after,
+       |  $FpBands * (SELECT count(*) FROM clusters WHERE NOT ($purged))
+       |    AS n_band_rows_after,
+       |  (SELECT count(*) FROM pairs) AS n_pairs_before,
+       |  (SELECT count(*) FROM pairs WHERE $purged) AS n_pairs_to_purged,
+       |  (SELECT count(*) FROM pairs WHERE NOT ($purged)) AS n_pairs_after"""
+      .stripMargin
   }
 
   // --------- video (multi-frame) near-dup: per-frame dHash sequences
@@ -1861,7 +1918,8 @@ object Multimodal {
   private[graft] def videoDedupIncrementalOracle: String =
     videoDedupIncrementalSql
 
-  private def videoDedupIncrementalSql = {
+  /** Shared CTE prefix (through `verified`) of the video probe oracles. */
+  private def videoProbeCtePrefix = {
     val frameLen = DhRows * DhCols
     val minLen = VidMinFrames * frameLen
     val mask = (1 << DhBandBits) - 1
@@ -1918,10 +1976,67 @@ object Multimodal {
        |  SELECT batch_media, hist_rep,
        |    list_transform(range(n_frames),
        |      f -> bit_count(xor(fhs_b[f + 1], fhs_h[f + 1]))) AS per
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+  }
+
+  private def videoDedupIncrementalSql =
+    s"""$videoProbeCtePrefix
        |SELECT batch_media, hist_rep, CAST(list_sum(per) AS BIGINT) AS hamming
        |FROM verified WHERE list_max(per) <= $DhMaxHamming
        |ORDER BY batch_media, hist_rep""".stripMargin
+
+  private val lastVdPurgeDir = graft.operators.TextOps.newTempDirRef()
+
+  /** [[imageIndexPurge]]'s contract on the video signature index — the
+    * last modality leg: cluster deletion over the composite-key table
+    * (the stored frame-hash SEQUENCE derives from the removed video's
+    * frames), half-purge alarm at [[DhBands]]² composite rows per
+    * cluster. */
+  def videoIndexPurge(s: SparkSession, dir: String): DataFrame = {
+    val root = videoBuildIndex(s, dir)
+    val keys = s.read.parquet(s"$root/keys")
+    val updated =
+      graft.operators.TextOps.freshTempDir(lastVdPurgeDir, "vdidx_purge")
+    keys.filter(!isPurgedRep("rep")).write.parquet(s"$updated/keys")
+    val batch =
+      videoHashes(s, dir, !graft.operators.TextOps.isHistoryDoc).cache()
+    val before = probeVideoIndex(s, batch, root).cache()
+    val after = probeVideoIndex(s, batch, updated)
+    val clusters = keys.select(col("rep")).distinct()
+    val out = clusters.agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(clusters.filter(isPurgedRep("rep"))
+        .agg(count(lit(1)).as("n_purged")))
+      .crossJoin(clusters.filter(!isPurgedRep("rep"))
+        .agg(count(lit(1)).as("n_clusters_after")))
+      .crossJoin(s.read.parquet(s"$updated/keys")
+        .agg(count(lit(1)).as("n_key_rows_after")))
+      .crossJoin(before.agg(count(lit(1)).as("n_pairs_before")))
+      .crossJoin(before.filter(isPurgedRep("hist_rep"))
+        .agg(count(lit(1)).as("n_pairs_to_purged")))
+      .crossJoin(after.agg(count(lit(1)).as("n_pairs_after")))
+      .localCheckpoint()
+    before.unpersist(blocking = false)
+    batch.unpersist(blocking = false)
+    out
+  }
+
+  private def videoIndexPurgeSql = {
+    val purged =
+      s"${graft.operators.TextOps.h60Sql("hist_rep")} % 10 = $ImagePurgeResidue"
+    s"""$videoProbeCtePrefix,
+       |pairs AS (
+       |  SELECT batch_media, hist_rep FROM verified
+       |  WHERE list_max(per) <= $DhMaxHamming)
+       |SELECT (SELECT count(*) FROM clusters) AS n_clusters,
+       |  (SELECT count(*) FROM clusters WHERE $purged) AS n_purged,
+       |  (SELECT count(*) FROM clusters WHERE NOT ($purged))
+       |    AS n_clusters_after,
+       |  ${DhBands * DhBands} * (SELECT count(*) FROM clusters
+       |                          WHERE NOT ($purged)) AS n_key_rows_after,
+       |  (SELECT count(*) FROM pairs) AS n_pairs_before,
+       |  (SELECT count(*) FROM pairs WHERE $purged) AS n_pairs_to_purged,
+       |  (SELECT count(*) FROM pairs WHERE NOT ($purged)) AS n_pairs_after"""
+      .stripMargin
   }
 
   // ------------- cross-modality incremental curation funnel (daily batch)
@@ -2218,6 +2333,8 @@ object Multimodal {
     "q_multimodal_curation_serve" -> (multimodalCurationServe(_, _)),
     "q_image_dedup_index_update" -> (imageDedupIndexUpdate(_, _)),
     "q_image_index_purge" -> (imageIndexPurge(_, _)),
+    "q_audio_index_purge" -> (audioIndexPurge(_, _)),
+    "q_video_index_purge" -> (videoIndexPurge(_, _)),
     "q_audio_dedup_index_update" -> (audioDedupIndexUpdate(_, _)),
     "q_video_dedup_index_update" -> (videoDedupIndexUpdate(_, _)))
 
@@ -2233,6 +2350,8 @@ object Multimodal {
     "q_multimodal_curation_serve" -> multimodalCurationServeSql,
     "q_image_dedup_index_update" -> imageDedupIndexUpdateSql,
     "q_image_index_purge" -> imageIndexPurgeSql,
+    "q_audio_index_purge" -> audioIndexPurgeSql,
+    "q_video_index_purge" -> videoIndexPurgeSql,
     "q_audio_dedup_index_update" -> audioDedupIndexUpdateSql,
     "q_video_dedup_index_update" -> videoDedupIndexUpdateSql)
 }

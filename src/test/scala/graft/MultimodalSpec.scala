@@ -411,14 +411,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("image index purge: witness identities hold and the takedown is non-vacuous") {
-    val row = graft.multimodal.Multimodal
-      .queries("q_image_index_purge")(spark, "/root/testdata/sf0.001").head()
-    def l(c: String) = row.getAs[Long](c)
-    assert(l("n_purged") > 0L)
-    assert(l("n_clusters") - l("n_purged") == l("n_clusters_after"))
-    // the half-purge alarm: the band FILE shrank in lockstep (4 bands/cluster)
-    assert(l("n_band_rows_after") == 4L * l("n_clusters_after"))
-    assert(l("n_pairs_before") - l("n_pairs_to_purged") == l("n_pairs_after"))
+  test("media index purges: witness identities hold and the takedown is non-vacuous") {
+    // one contract across the three modality legs; the stored-rows-per-
+    // cluster multiplier is the only thing that differs (4 bands for
+    // image/audio, 16 composite frame-pair keys for video)
+    for ((gate, rowsCol, mult) <- Seq(
+        ("q_image_index_purge", "n_band_rows_after", 4L),
+        ("q_audio_index_purge", "n_band_rows_after", 4L),
+        ("q_video_index_purge", "n_key_rows_after", 16L))) {
+      val row = graft.multimodal.Multimodal
+        .queries(gate)(spark, "/root/testdata/sf0.001").head()
+      def l(c: String) = row.getAs[Long](c)
+      assert(l("n_purged") > 0L, gate)
+      assert(l("n_clusters") - l("n_purged") == l("n_clusters_after"), gate)
+      // the half-purge alarm: the stored FILE shrank in lockstep
+      assert(l(rowsCol) == mult * l("n_clusters_after"), gate)
+      assert(l("n_pairs_before") - l("n_pairs_to_purged")
+        == l("n_pairs_after"), gate)
+    }
   }
 }
