@@ -32,6 +32,12 @@ object Compaction {
 
   import JournalGate.{buildPerJvm, fixtureRoot, writeOnce}
 
+  /** 2^40 — per-key hashes are bounded by this BEFORE the order-free
+    * membership sum so the aggregate stays BIGINT on both engines (the
+    * TextOps.exportManifest discipline; DECIMAL outputs fail the driver's
+    * hash canonicalization even when values are exact). */
+  private val HashSumMod = 1099511627776L
+
   /** Rewrite `inPath` (parquet) into `outPath` with ~`targetBytes`-sized
     * output partitions. The advisory size is a session conf, not a plan
     * property, so it is set for the duration of the write and restored —
@@ -147,12 +153,13 @@ object Compaction {
       .groupBy(col("change_type"))
       // membership fingerprint, not an ordered one: a class is a SET, and
       // the unchanged class is ~the whole lake — any collect-and-sort
-      // checksum would funnel it through one group. The exact DECIMAL(38)
-      // sum of per-key hashes is order-free, map-side combining, and
-      // overflow-proof at any row count that fits 38 digits
+      // checksum would funnel it through one group. Per-key hashes are
+      // mod-2^40-bounded BEFORE the order-free sum so the result stays
+      // BIGINT on both engines (the exportManifest spelling — a
+      // DECIMAL(38,0) output column trips the driver hash gate's arrow
+      // Decimal canonicalization even when every value matches)
       .agg(count(lit(1)).as("n_rows"),
-        sum(graft.operators.TextOps.h60("k")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        sum(pmod(graft.operators.TextOps.h60("k"), lit(HashSumMod)))
           .as("key_hashsum"))
       .orderBy("change_type")
   }
@@ -184,8 +191,8 @@ object Compaction {
        |         ELSE 'unchanged' END AS change_type
        |  FROM fa FULL OUTER JOIN fb ON fa.k = fb.k)
        |SELECT change_type, count(*) AS n_rows,
-       |  CAST(SUM(CAST(${graft.operators.TextOps.h60Sql("k")}
-       |    AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS key_hashsum
+       |  CAST(SUM(${graft.operators.TextOps.h60Sql("k")} % $HashSumMod)
+       |    AS BIGINT) AS key_hashsum
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** CDC APPLY (X111) — fold a change-data-capture batch into a snapshot:
@@ -230,15 +237,14 @@ object Compaction {
       .filter(col("rn") === 1 && col("op") =!= "D")
       .groupBy(col("op"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(graft.operators.TextOps.h60("k")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        sum(pmod(graft.operators.TextOps.h60("k"), lit(HashSumMod)))
           .as("key_hashsum"),
         // the winning row's PAYLOAD is part of the contract (an UPDATE
         // that wins on precedence but keeps the stale value is the
-        // other classic CDC bug) — fingerprint it the X110 way
-        sum(graft.operators.TextOps.h60("concat(k, ':', prio)")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .as("payload_hashsum"))
+        // other classic CDC bug) — fingerprint it the X110 way,
+        // mod-bounded to BIGINT like key_hashsum above
+        sum(pmod(graft.operators.TextOps.h60("concat(k, ':', prio)"),
+          lit(HashSumMod))).as("payload_hashsum"))
       .orderBy("op")
   }
 
@@ -259,10 +265,10 @@ object Compaction {
        |      SELECT k, NULL, 3, 'D' FROM o WHERE k % 11 = 0) AS u) AS r
        |  WHERE rn = 1 AND op != 'D')
        |SELECT op, count(*) AS n_rows,
-       |  CAST(SUM(CAST(${graft.operators.TextOps.h60Sql("k")}
-       |    AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS key_hashsum,
-       |  CAST(SUM(CAST(${graft.operators.TextOps.h60Sql("k || ':' || prio")}
-       |    AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS payload_hashsum
+       |  CAST(SUM(${graft.operators.TextOps.h60Sql("k")} % $HashSumMod)
+       |    AS BIGINT) AS key_hashsum,
+       |  CAST(SUM(${graft.operators.TextOps.h60Sql("k || ':' || prio")}
+       |    % $HashSumMod) AS BIGINT) AS payload_hashsum
        |FROM folded GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

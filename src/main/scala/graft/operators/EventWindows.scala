@@ -1281,7 +1281,8 @@ object EventWindows {
       |  SELECT from_type, to_type, count(*) AS n FROM pairs
       |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
-      |  n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_ppm
+      |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS p_ppm
       |FROM m ORDER BY 1, 2""".stripMargin
 
   private val eventFunnelSql = {

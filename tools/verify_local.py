@@ -56,17 +56,27 @@ def main(sf_dir: str, out_dir: str) -> int:
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
                              ignore_index=True)
 
-        def warn_decimals(df, side):
+        # DECIMAL output columns are a HARD FAILURE, not a warning: the
+        # driver's hash gate canonicalizes arrow Decimals differently per
+        # side, and round 15 shipped three value-correct gates that failed
+        # the driver on exactly this. Bound order-free sums into BIGINT
+        # (SUM(h60 % 2^40), the exportManifest spelling) or cast to
+        # DOUBLE/STRING on both sides before the gate.
+        decimal_fail = []
+
+        def check_decimals(df, side):
             deci = [c for c in df.columns
                     if df[c].map(lambda v: type(v).__name__).eq("Decimal").any()]
             if deci:
-                print(f"[WARN] {name}: DECIMAL {side} columns {deci} — "
-                      f"likely hash-gate mismatch; cast to DOUBLE on both sides")
+                print(f"[FAIL] {name}: DECIMAL {side} columns {deci} — "
+                      f"hash-gate mismatch; bound to BIGINT (mod 2^40) or "
+                      f"cast to DOUBLE on both sides")
+                decimal_fail.append(side)
 
-        warn_decimals(spark_df, "spark")
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_df)} rows (no oracle)")
             continue
+        check_decimals(spark_df, "spark")
         try:
             # Fetch the oracle through arrow -> pandas, the SAME path the
             # Spark result takes: duckdb's .df() coerces DECIMAL to float64
@@ -77,7 +87,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        warn_decimals(oracle_df, "oracle")
+        check_decimals(oracle_df, "oracle")
+        if decimal_fail:
+            n_fail += 1
+            continue
         a, b = canon(spark_df), canon(oracle_df)
         if list(a.columns) != list(b.columns):
             print(f"[FAIL] {name}: columns {list(a.columns)} != {list(b.columns)}")
