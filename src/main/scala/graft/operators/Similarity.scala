@@ -546,6 +546,107 @@ object Similarity {
       .stripMargin
   }
 
+  private val lastSrpUpdDir = TextOps.newTempDirRef()
+
+  /** Daily INGEST cycle on the stored SRP signature index (X122, r16) —
+    * [[TextOps.dedupIndexUpdate]]'s probe→accept→append→re-probe contract
+    * on the vector family, giving srpidx the full
+    * build→serve→UPDATE→purge lifecycle the text and perceptual indexes
+    * already have: probe the batch against the stored buckets, ACCEPT
+    * the vectors that near-dup nothing, append their (v, nn) rows and
+    * their signatures AT THE FAMILY RECORDED IN META (the index can
+    * never band its own update differently from its builds and probes),
+    * and prove effectively-once recognition with a second probe of the
+    * SAME batch against the patched index: every batch vector must now
+    * be flagged — accepted vectors match their own stored row at cosine
+    * exactly 1.0 (nn/nn), original dups still match their history
+    * neighbors. `meta` is copied unchanged: re-sizing is a rebuild
+    * decision (adding a batch nudges occupancy by the batch fraction;
+    * re-banding would re-sign all of history, exactly what an update
+    * must not do). History vectors are never re-signed or re-read for
+    * signatures; at 100 TB both appends are partition/file adds.
+    */
+  def vecIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val root = srpBuildIndex(s, dir)
+    val meta = s.read.parquet(s"$root/meta").head()
+    val (bands, bits) =
+      (meta.getAs[Int]("bands"), meta.getAs[Int]("band_bits"))
+    lastSrpIdxBits = bits
+    val raw = Tables.load(s, dir, "embeddings")
+    val batch = raw.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(!isHistoryVec)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+      .cache()
+    val dups = serveVecDedupIncremental(s, raw, root)
+      .select(col("batch_vec").as("vec_id")).distinct().cache()
+    val accepted = batch.join(dups, Seq("vec_id"), "left_anti").cache()
+    val updated = TextOps.freshTempDir(lastSrpUpdDir, "srpidx_upd")
+    s.read.parquet(s"$root/meta").write.parquet(s"$updated/meta")
+    s.read.parquet(s"$root/vecs").unionByName(accepted)
+      .write.parquet(s"$updated/vecs")
+    s.read.parquet(s"$root/sig")
+      .unionByName(bandSignatures(accepted, bands, bits))
+      .write.parquet(s"$updated/sig")
+    val second = serveVecDedupIncremental(s, raw, updated)
+      .select(col("batch_vec")).distinct()
+    val out = s.read.parquet(s"$root/vecs")
+      .agg(count(lit(1)).as("n_history"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
+      .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
+      .crossJoin(s.read.parquet(s"$updated/vecs")
+        .agg(count(lit(1)).as("n_history_after")))
+      // count the stored FILE, not the arithmetic: a half-update that
+      // appended vectors but not their signatures passes every other
+      // column and silently stops recognizing its own history
+      .crossJoin(s.read.parquet(s"$updated/sig")
+        .agg(count(lit(1)).as("n_sig_rows_after")))
+      .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
+      .localCheckpoint()
+    accepted.unpersist(blocking = false)
+    dups.unpersist(blocking = false)
+    batch.unpersist(blocking = false)
+    out
+  }
+
+  /** def: replays the family recorded in the probed index. */
+  private def vecIndexUpdateSql = {
+    val hist = s"${TextOps.h60Sql("vec_id")} % 100 < 80"
+    val batchP = s"${TextOps.h60Sql("vec_id")} % 100 >= 80"
+    s"""${srpSigCtePrefix(AnnBands, lastSrpIdxBits)},
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id AS batch_vec, h.vec_id AS hist_vec
+       |  FROM sg b JOIN sg h ON b.band = h.band AND b.sig = h.sig
+       |  WHERE ${TextOps.h60Sql("b.vec_id")} % 100 >= 80
+       |    AND ${TextOps.h60Sql("h.vec_id")} % 100 < 80),
+       |dup AS (
+       |  SELECT DISTINCT batch_vec FROM (
+       |    SELECT batch_vec,
+       |      list_reduce(list_transform(range($Dim),
+       |        i -> bn.v[i+1] * hn.v[i+1]), (a, b) -> a + b)
+       |        / (sqrt(bn.nn) * sqrt(hn.nn)) AS cosine
+       |    FROM cand
+       |    JOIN n bn ON bn.vec_id = cand.batch_vec
+       |    JOIN n hn ON hn.vec_id = cand.hist_vec) AS sc
+       |  WHERE cosine >= $NearDupCosine)
+       |SELECT
+       |  (SELECT count(*) FROM n WHERE $hist) AS n_history,
+       |  (SELECT count(*) FROM n WHERE $batchP) AS n_batch,
+       |  (SELECT count(*) FROM dup) AS n_dup_batch,
+       |  (SELECT count(*) FROM n WHERE $batchP)
+       |    - (SELECT count(*) FROM dup) AS n_accepted,
+       |  (SELECT count(*) FROM n WHERE $hist)
+       |    + (SELECT count(*) FROM n WHERE $batchP)
+       |    - (SELECT count(*) FROM dup) AS n_history_after,
+       |  $AnnBands * ((SELECT count(*) FROM n WHERE $hist)
+       |    + (SELECT count(*) FROM n WHERE $batchP)
+       |    - (SELECT count(*) FROM dup)) AS n_sig_rows_after,
+       |  (SELECT count(*) FROM n WHERE $batchP) AS n_second_pass_dup"""
+      .stripMargin
+  }
+
   /** (vec_id, band, sig) signature table — shared by annLsh/embedNearDup.
     * private[graft] so LlmOpsSpec can measure bucket occupancy directly.
     */
@@ -1829,8 +1930,16 @@ object Similarity {
     * the stored codebook as literals, re-derives BOTH sides' assignments
     * under the shared argmax rule, and exact-compares pairs and cosines.
     */
-  def semanticDedupServe(s: SparkSession, dir: String): DataFrame = {
-    val root = semBuildIndex(s, dir)
+  def semanticDedupServe(s: SparkSession, dir: String): DataFrame =
+    probeSemIndex(s, dir, semBuildIndex(s, dir))
+      .orderBy("batch_vec", "hist_vec")
+
+  /** The probe body against any index root — ONE spelling for the serve
+    * gate and the update/purge cycle gates, so the lifecycle legs cannot
+    * cell or score a batch differently from the serving path. Captures
+    * the stored codebook for the oracle builders. */
+  private def probeSemIndex(s: SparkSession, dir: String,
+                            root: String): DataFrame = {
     val cdf = s.read.parquet(s"$root/cents")
     lastSemServe = Some(cdf.orderBy("cid").collect()
       .map(_.getSeq[Double](1)).toSeq)
@@ -1847,12 +1956,12 @@ object Similarity {
         expr("vec_dot(bv, hv)") / (sqrt(col("bn")) * sqrt(col("hn"))))
       .filter(col("cosine") >= SemThreshold)
       .select(col("batch_vec"), col("hist_vec"), col("cell"), col("cosine"))
-      .orderBy("batch_vec", "hist_vec")
   }
 
-  /** def, not a val: replays the codebook read off the probed index. */
-  private def semanticDedupServeSql: String = {
-    val cb = lastSemServe.getOrElse(Seq.tabulate(NCells, Dim)((_, _) => 0.0))
+  /** Shared oracle CTE prefix through `pairs` (batch×member in-cell
+    * cosines under the captured codebook) — one spelling for the serve,
+    * update, and purge oracles. */
+  private def semPairsCtes(cb: Seq[Seq[Double]]): String = {
     val values = cb.zipWithIndex
       .map { case (v, i) => s"($i, ${v.map(dlit).mkString("[", ", ", "]")})" }
       .mkString(",\n    ")
@@ -1889,10 +1998,161 @@ object Similarity {
        |    list_reduce(list_transform(range($Dim),
        |      i -> b.v[i+1] * h.v[i+1]), (x, y) -> x + y)
        |      / (sqrt(b.nn) * sqrt(h.nn)) AS cosine
-       |  FROM b JOIN h ON b.cell = h.cell)
+       |  FROM b JOIN h ON b.cell = h.cell)""".stripMargin
+  }
+
+  /** def, not a val: replays the codebook read off the probed index. */
+  private def semanticDedupServeSql: String = {
+    val cb = lastSemServe.getOrElse(Seq.tabulate(NCells, Dim)((_, _) => 0.0))
+    s"""${semPairsCtes(cb)}
        |SELECT batch_vec, hist_vec, cell, cosine FROM pairs
        |WHERE cosine >= $SemThreshold
        |ORDER BY batch_vec, hist_vec""".stripMargin
+  }
+
+  private val lastSemUpdDir = TextOps.newTempDirRef()
+  private val lastSemPurgeDir = TextOps.newTempDirRef()
+
+  /** Daily INGEST cycle on the stored semantic-cell index (X123, r16) —
+    * [[vecIndexUpdate]]'s contract on the k-means family, completing the
+    * update-cycle matrix (every stored index family now has
+    * build→serve→update→purge): probe the batch against the stored cell
+    * members, ACCEPT vectors that semantically duplicate nothing, append
+    * their (cell, v, nn) rows to `members/` — a PARTITION add: only the
+    * cells the accepted vectors occupy gain files, untouched cells are
+    * never rewritten — and prove effectively-once recognition with a
+    * second probe (every batch vector now matches its own stored member
+    * at cosine 1.0 inside its own cell). `cents/` is copied unchanged:
+    * the codebook is a TRAINING artifact, and re-fitting it on the batch
+    * would leak tomorrow's crawl into today's model (the build-time
+    * argument at [[semBuildIndex]]); centroid drift is a scheduled
+    * rebuild decision, not an ingest's.
+    */
+  def semIndexUpdate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val root = semBuildIndex(s, dir)
+    val cdf = s.read.parquet(s"$root/cents")
+    lastSemServe = Some(cdf.orderBy("cid").collect()
+      .map(_.getSeq[Double](1)).toSeq)
+    val batch = emb(s, dir).filter(!isHistoryVec)
+      .withColumn("nn", expr("vec_dot(v, v)"))
+    // assignment computed ONCE, read by the probe and the append
+    val bAssigned = assignCells(batch, cdf).cache()
+    val members = s.read.parquet(s"$root/members")
+    def probeOf(m: DataFrame): DataFrame = bAssigned
+      .select(col("cell"), col("vec_id"), col("v").as("bv"),
+        col("nn").as("bn"))
+      .join(m.select(col("cell"), col("v").as("hv"), col("nn").as("hn")),
+        "cell")
+      .withColumn("cosine",
+        expr("vec_dot(bv, hv)") / (sqrt(col("bn")) * sqrt(col("hn"))))
+      .filter(col("cosine") >= SemThreshold)
+      .select(col("vec_id")).distinct()
+    val dups = probeOf(members).cache()
+    val accepted = bAssigned.join(dups, Seq("vec_id"), "left_anti").cache()
+    val updated = TextOps.freshTempDir(lastSemUpdDir, "semidx_upd")
+    s.read.parquet(s"$root/cents").write.parquet(s"$updated/cents")
+    // cell rides as a partition directory; cast both legs to the same
+    // type (partition-column inference reads it back as int)
+    members.select(col("vec_id"), col("v"), col("nn"),
+        col("cell").cast("long").as("cell"))
+      .unionByName(accepted.select(col("vec_id"), col("v"), col("nn"),
+        col("cell").cast("long").as("cell")))
+      .write.partitionBy("cell").parquet(s"$updated/members")
+    val second = probeOf(s.read.parquet(s"$updated/members"))
+    val out = members.agg(count(lit(1)).as("n_history"))
+      .crossJoin(bAssigned.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
+      .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
+      // counted off the stored FILE — the half-update alarm
+      .crossJoin(s.read.parquet(s"$updated/members")
+        .agg(count(lit(1)).as("n_history_after")))
+      .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
+      .localCheckpoint()
+    accepted.unpersist(blocking = false)
+    dups.unpersist(blocking = false)
+    bAssigned.unpersist(blocking = false)
+    out
+  }
+
+  /** def: replays the captured codebook. */
+  private def semIndexUpdateSql = {
+    val cb = lastSemServe.getOrElse(Seq.tabulate(NCells, Dim)((_, _) => 0.0))
+    val hist = s"${TextOps.h60Sql("vec_id")} % 100 < 80"
+    val batchP = s"${TextOps.h60Sql("vec_id")} % 100 >= 80"
+    s"""${semPairsCtes(cb)},
+       |dup AS (
+       |  SELECT DISTINCT batch_vec FROM pairs WHERE cosine >= $SemThreshold)
+       |SELECT
+       |  (SELECT count(*) FROM n WHERE $hist) AS n_history,
+       |  (SELECT count(*) FROM n WHERE $batchP) AS n_batch,
+       |  (SELECT count(*) FROM dup) AS n_dup_batch,
+       |  (SELECT count(*) FROM n WHERE $batchP)
+       |    - (SELECT count(*) FROM dup) AS n_accepted,
+       |  (SELECT count(*) FROM n WHERE $hist)
+       |    + (SELECT count(*) FROM n WHERE $batchP)
+       |    - (SELECT count(*) FROM dup) AS n_history_after,
+       |  (SELECT count(*) FROM n WHERE $batchP) AS n_second_pass_dup"""
+      .stripMargin
+  }
+
+  /** Right-to-be-forgotten PURGE on the stored semantic-cell index —
+    * [[vecIndexPurge]]'s contract on the k-means family (the last stored
+    * index without a retention leg): purged vectors' member rows leave
+    * `members/` via write-new-then-swap (a partition-local rewrite: a
+    * cell with no purged member copies through untouched at 100 TB);
+    * `cents/` survives UNCHANGED — k centroids are an aggregate over
+    * many vectors (no one vector's data is recoverable from them), and
+    * re-fitting on survivors is a rebuild decision, the same argument as
+    * the SRP family's meta. The same batch probes before and after;
+    * every count is re-derived by the oracle from the lake under the
+    * captured codebook.
+    */
+  def semIndexPurge(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val root = semBuildIndex(s, dir)
+    val members = s.read.parquet(s"$root/members")
+    val updated = TextOps.freshTempDir(lastSemPurgeDir, "semidx_purge")
+    s.read.parquet(s"$root/cents").write.parquet(s"$updated/cents")
+    members.filter(!isPurgedVec("vec_id"))
+      .select(col("vec_id"), col("v"), col("nn"),
+        col("cell").cast("long").as("cell"))
+      .write.partitionBy("cell").parquet(s"$updated/members")
+    val before = probeSemIndex(s, dir, root).cache()
+    val after = probeSemIndex(s, dir, updated)
+    val out = members.agg(count(lit(1)).as("n_history"))
+      .crossJoin(members.filter(isPurgedVec("vec_id"))
+        .agg(count(lit(1)).as("n_purged")))
+      // counted off the stored FILE — the half-purge alarm
+      .crossJoin(s.read.parquet(s"$updated/members")
+        .agg(count(lit(1)).as("n_history_after")))
+      .crossJoin(before.agg(count(lit(1)).as("n_pairs_before")))
+      .crossJoin(before.filter(isPurgedVec("hist_vec"))
+        .agg(count(lit(1)).as("n_pairs_to_purged")))
+      .crossJoin(after.agg(count(lit(1)).as("n_pairs_after")))
+      .localCheckpoint()
+    before.unpersist(blocking = false)
+    out
+  }
+
+  /** def: replays the captured codebook. */
+  private def semIndexPurgeSql = {
+    val cb = lastSemServe.getOrElse(Seq.tabulate(NCells, Dim)((_, _) => 0.0))
+    val hist = s"${TextOps.h60Sql("vec_id")} % 100 < 80"
+    val purged = s"${TextOps.h60Sql("vec_id")} % 10 = 3"
+    s"""${semPairsCtes(cb)},
+       |hits AS (SELECT * FROM pairs WHERE cosine >= $SemThreshold)
+       |SELECT
+       |  (SELECT count(*) FROM n WHERE $hist) AS n_history,
+       |  (SELECT count(*) FROM n WHERE $hist AND $purged) AS n_purged,
+       |  (SELECT count(*) FROM n WHERE $hist AND NOT ($purged))
+       |    AS n_history_after,
+       |  (SELECT count(*) FROM hits) AS n_pairs_before,
+       |  (SELECT count(*) FROM hits
+       |   WHERE ${TextOps.h60Sql("hist_vec")} % 10 = 3) AS n_pairs_to_purged,
+       |  (SELECT count(*) FROM hits
+       |   WHERE ${TextOps.h60Sql("hist_vec")} % 10 != 3) AS n_pairs_after"""
+      .stripMargin
   }
 
   private def semanticDedupSql: String = {
@@ -2026,8 +2286,11 @@ object Similarity {
     "q_embed_neardup_sized" -> (embedNearDupAutoSized(_, _)),
     "q_embed_neardup_incremental" -> (embedNearDupIncremental(_, _)),
     "q_vec_index_purge" -> (vecIndexPurge(_, _)),
+    "q_vec_index_update" -> (vecIndexUpdate(_, _)),
     "q_semantic_dedup" -> (semanticDedup(_, _)),
     "q_semantic_dedup_serve" -> (semanticDedupServe(_, _)),
+    "q_semantic_index_update" -> (semIndexUpdate(_, _)),
+    "q_semantic_index_purge" -> (semIndexPurge(_, _)),
     "q_ann_ivfpq_serve" -> (annIvfPqServe(_, _)))
 
   /** def, not val: q_ann_ivf_trained's oracle embeds the centroids trained
@@ -2051,7 +2314,10 @@ object Similarity {
     "q_embed_neardup_sized" -> embedNearDupSizedSql,
     "q_embed_neardup_incremental" -> embedNearDupIncrementalSql,
     "q_vec_index_purge" -> vecIndexPurgeSql,
+    "q_vec_index_update" -> vecIndexUpdateSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_semantic_dedup_serve" -> semanticDedupServeSql,
+    "q_semantic_index_update" -> semIndexUpdateSql,
+    "q_semantic_index_purge" -> semIndexPurgeSql,
     "q_ann_ivfpq_serve" -> annIvfPqServeSql)
 }

@@ -1571,27 +1571,45 @@ object TextOps {
   def bm25BuildIndex(s: SparkSession, dir: String): String = {
     import JournalGate.{buildPerJvm, fixtureRoot}
     buildPerJvm(fixtureRoot("bm25idx", dir)) { tmp =>
-      val terms = docs(s, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-        .write.parquet(s"$tmp/tf")
-      val tfStored = s.read.parquet(s"$tmp/tf")
-      // integral doubles: the per-doc sum is exact regardless of add order
-      tfStored.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
-        .write.parquet(s"$tmp/dlen")
-      tfStored.groupBy(col("term"))
-        .agg(count(lit(1)).cast("double").as("df"))
-        .write.parquet(s"$tmp/df")
-      // sum_dlen rides along for the DELETE path: dlen values are integral
-      // doubles, so the stored sum is exact and an incremental decrement
-      // reproduces avgdl bit-for-bit (avg = sum/count is NOT recoverable
-      // from avgdl*n_docs — the division already rounded)
-      s.read.parquet(s"$tmp/dlen")
-        .agg(count(lit(1)).cast("double").as("n_docs"),
-          avg(col("dlen")).as("avgdl"),
-          sum(col("dlen")).as("sum_dlen"))
-        .write.parquet(s"$tmp/stats")
+      writeBm25Index(s, docs(s, dir), tmp.toString)
+    }.toString
+  }
+
+  /** One spelling of the four stored BM25 tables over any corpus frame —
+    * shared by the full build and the history-only build the ADD gate
+    * patches, so the two can never tokenize or aggregate differently. */
+  private def writeBm25Index(s: SparkSession, corpus: DataFrame,
+                             tmp: String): Unit = {
+    val terms = corpus
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .write.parquet(s"$tmp/tf")
+    val tfStored = s.read.parquet(s"$tmp/tf")
+    // integral doubles: the per-doc sum is exact regardless of add order
+    tfStored.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      .write.parquet(s"$tmp/dlen")
+    tfStored.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .write.parquet(s"$tmp/df")
+    // sum_dlen rides along for the DELETE/ADD paths: dlen values are
+    // integral doubles, so the stored sum is exact and an incremental
+    // decrement/increment reproduces avgdl bit-for-bit (avg = sum/count
+    // is NOT recoverable from avgdl*n_docs — the division already rounded)
+    s.read.parquet(s"$tmp/dlen")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dlen")).as("avgdl"),
+        sum(col("dlen")).as("sum_dlen"))
+      .write.parquet(s"$tmp/stats")
+  }
+
+  /** The BM25 index as it stood BEFORE today's crawl batch: built over
+    * the history slice only, once per JVM — the stored artifact the ADD
+    * gate patches. */
+  private def bm25HistoryIndex(s: SparkSession, dir: String): String = {
+    import JournalGate.{buildPerJvm, fixtureRoot}
+    buildPerJvm(fixtureRoot("bm25hidx", dir)) { tmp =>
+      writeBm25Index(s, docs(s, dir).filter(isHistoryDoc), tmp.toString)
     }.toString
   }
 
@@ -1686,6 +1704,97 @@ object TextOps {
       s.read.parquet(s"$updated/dlen"),
       s.read.parquet(s"$updated/df").filter(col("term").isin(qTerms: _*)),
       s.read.parquet(s"$updated/stats"))
+  }
+
+  private val lastBm25AddDir = newTempDirRef()
+
+  /** Incremental document ADD on the stored BM25 index (X121, r16) — the
+    * append half of the postings lifecycle, completing
+    * build→serve→ADD→delete for the sparse-retrieval family (delete:
+    * [[bm25IndexDelete]]): a new crawl batch joins the index without a
+    * rebuild, with the delete gate's delta discipline run in reverse.
+    * Only the BATCH is ever tokenized — history postings are never
+    * re-read for statistics, and never reWRITTEN at all:
+    *   - postings/dlen: the batch's rows are written as NEW files and
+    *     serving reads the union of the old and new directories — a pure
+    *     partition/file append at 100 TB (the old posting files are
+    *     untouched; this is what "append to an inverted index" physically
+    *     is in a lake);
+    *   - df: incremented by the per-term count of the batch's OWN written
+    *     postings (full-outer, so first-seen terms enter the dictionary);
+    *   - stats: n_docs grows by the batch dlen-row count; avgdl is
+    *     recomputed as (sum_dlen + Σ batch dlen)/(n_docs + b) off the
+    *     sum STORED at build time — both sums exact integral doubles, so
+    *     the quotient is the same IEEE division a full rebuild performs.
+    * Precondition (holds for a crawl feed): batch doc_ids are new — an
+    * overlapping id is an UPDATE, which is delete-then-add.
+    * The gate serves the standing queries BEFORE (history index) and
+    * AFTER (patched index); the oracle replays both phases from scratch
+    * over the history slice and the full corpus — incremental add ≡ full
+    * rebuild, checked cell-by-cell on the same floor(score·1e9) key.
+    *
+    * Reference analog: none — §2x extension surface; the repo's own
+    * X104 decontam index growth and X82 MinHash ingest cycle are the
+    * template.
+    */
+  def bm25IndexAdd(s: SparkSession, dir: String): DataFrame = {
+    val root = bm25HistoryIndex(s, dir)
+    val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
+    val before = bm25Score(s,
+      s.read.parquet(s"$root/tf").filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$root/dlen"),
+      s.read.parquet(s"$root/df").filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$root/stats"))
+    // the batch's own postings — the ONLY tokenization in the gate
+    val batchTf = docs(s, dir).filter(!isHistoryDoc)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
+    val updated = freshTempDir(lastBm25AddDir, "bm25idx_add")
+    batchTf.write.parquet(s"$updated/tf")
+    batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      .write.parquet(s"$updated/dlen")
+    // df/stats deltas derive from the WRITTEN batch files (round-trip
+    // fidelity: the patch describes what actually landed on disk)
+    s.read.parquet(s"$root/df")
+      .join(s.read.parquet(s"$updated/tf").groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("inc")), Seq("term"),
+        "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0.0)) + coalesce(col("inc"), lit(0.0)))
+          .as("df"))
+      .write.parquet(s"$updated/df")
+    s.read.parquet(s"$root/stats")
+      .crossJoin(broadcast(s.read.parquet(s"$updated/dlen").agg(
+        count(lit(1)).cast("double").as("n_add"),
+        coalesce(sum(col("dlen")), lit(0.0)).as("sum_add"))))
+      .select((col("n_docs") + col("n_add")).as("n_docs"),
+        ((col("sum_dlen") + col("sum_add")) / (col("n_docs") + col("n_add")))
+          .as("avgdl"),
+        (col("sum_dlen") + col("sum_add")).as("sum_dlen"))
+      .write.parquet(s"$updated/stats")
+    batchTf.unpersist(blocking = false)
+    val after = bm25Score(s,
+      s.read.parquet(s"$root/tf", s"$updated/tf")
+        .filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$root/dlen", s"$updated/dlen"),
+      s.read.parquet(s"$updated/df").filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$updated/stats"))
+    before.withColumn("phase", lit("before"))
+      .unionByName(after.withColumn("phase", lit("after")))
+      .select(col("phase"), col("query"), col("rank"), col("doc_id"))
+      .orderBy("phase", "query", "rank")
+  }
+
+  private def bm25IndexAddSql = {
+    val histDocs =
+      s"(SELECT * FROM documents WHERE ${h60Sql("doc_id")} % 100 < 80)" +
+        " AS documents"
+    s"""SELECT 'before' AS phase, * FROM (${bm25SearchSqlOver(histDocs)})
+       |UNION ALL
+       |SELECT 'after' AS phase, * FROM (${bm25SearchSqlOver("documents")})
+       |ORDER BY phase, query, rank""".stripMargin
   }
 
   private val bm25IndexDeleteSql = bm25SearchSqlOver(
@@ -4731,6 +4840,7 @@ object TextOps {
     "q_dedup_index_update" -> (dedupIndexUpdate(_, _)),
     "q_dedup_index_purge" -> (dedupIndexPurge(_, _)),
     "q_bm25_index_delete" -> (bm25IndexDelete(_, _)),
+    "q_bm25_index_add" -> (bm25IndexAdd(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_simhash_neardup" -> (simhashNearDup(_, _)),
@@ -4793,6 +4903,7 @@ object TextOps {
     "q_dedup_index_update" -> dedupIndexUpdateSql,
     "q_dedup_index_purge" -> dedupIndexPurgeSql,
     "q_bm25_index_delete" -> bm25IndexDeleteSql,
+    "q_bm25_index_add" -> bm25IndexAddSql,
     "q_ngram_jaccard" -> minhashNearDupSql,
     "q_token_count" -> tokenCountSql,
     "q_simhash_neardup" -> simhashNearDupSql,

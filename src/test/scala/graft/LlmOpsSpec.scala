@@ -1444,6 +1444,57 @@ class LlmOpsSpec extends SparkSpec {
       == l(sp, "n_pairs_after"))
   }
 
+  test("ingest cycles: SRP and semantic update witnesses satisfy the exact identities") {
+    // the X82 contract on the two vector index families: accepted rows
+    // append, history never shrinks, and the SAME batch re-probed against
+    // the patched index is fully recognized (effectively-once)
+    val dir = "/root/testdata/sf0.001"
+    def l(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+    val vu = Similarity.queries("q_vec_index_update")(spark, dir).head()
+    assert(l(vu, "n_batch") > 0L && l(vu, "n_accepted") > 0L)
+    assert(l(vu, "n_dup_batch") + l(vu, "n_accepted") == l(vu, "n_batch"))
+    assert(l(vu, "n_history") + l(vu, "n_accepted")
+      == l(vu, "n_history_after"))
+    // the half-update alarm: the sig FILE grew in lockstep with vecs
+    assert(l(vu, "n_sig_rows_after") == 16L * l(vu, "n_history_after"))
+    assert(l(vu, "n_second_pass_dup") == l(vu, "n_batch"))
+    val su = Similarity.queries("q_semantic_index_update")(spark, dir).head()
+    assert(l(su, "n_batch") > 0L && l(su, "n_accepted") > 0L)
+    assert(l(su, "n_dup_batch") + l(su, "n_accepted") == l(su, "n_batch"))
+    assert(l(su, "n_history") + l(su, "n_accepted")
+      == l(su, "n_history_after"))
+    assert(l(su, "n_second_pass_dup") == l(su, "n_batch"))
+    val sx = Similarity.queries("q_semantic_index_purge")(spark, dir).head()
+    assert(l(sx, "n_purged") > 0L)
+    assert(l(sx, "n_history") - l(sx, "n_purged") == l(sx, "n_history_after"))
+    assert(l(sx, "n_pairs_before") - l(sx, "n_pairs_to_purged")
+      == l(sx, "n_pairs_after"))
+  }
+
+  test("BM25 incremental add: batch docs enter service, history stats shift") {
+    // the append half of the postings lifecycle: the before-phase serves
+    // only history (structurally — the index has no batch postings), the
+    // after-phase must actually SURFACE added docs (visibility), and
+    // rankings must shift (df/n_docs/avgdl moved — an add that only
+    // appends postings but keeps stale global stats reproduces `before`)
+    val dir = "/root/testdata/sf0.001"
+    val out = TextOps.queries("q_bm25_index_add")(spark, dir).collect()
+    val batchIds = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(!TextOps.isHistoryDoc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = out.filter(_.getAs[String]("phase") == "before")
+    val after = out.filter(_.getAs[String]("phase") == "after")
+    assert(before.nonEmpty && after.nonEmpty)
+    assert(!before.exists(r => batchIds(r.getAs[Long]("doc_id"))),
+      "the history index cannot serve a batch doc")
+    assert(after.exists(r => batchIds(r.getAs[Long]("doc_id"))),
+      "an added doc must enter the served top-k")
+    def ranked(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[String]("query"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).sortBy(t => (t._1, t._2)).toSeq
+    assert(ranked(before) != ranked(after))
+  }
+
   test("unigram trainer: stored vocab serves words at independently recomputed optimal costs") {
     // the hard-EM contract checked from outside Spark: take the TRAINED
     // piece table the gate emits, rerun the min-plus Viterbi naively in
