@@ -45,7 +45,27 @@ object Graph {
   private val PrScale = 1_000_000_000L
   private val PrTeleport = 150_000_000L // (1 - 0.85) · PrScale
 
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankOf(s, dir, broadcastRanks = true)
+
+  /** The 100 TB layout FLIP documented in the loop comment below, now
+    * executed and gated against the SAME trajectory oracle (r16; the
+    * X19/X38 both-shapes precedent): when |nodes| outgrows broadcast
+    * (hosts at lake scale), edges hash-partition by src ONCE and stay
+    * stationary in the cache, and each round shuffle-hash-joins only the
+    * |nodes|-row rank frame into that layout — per round, ONE exchange
+    * of ranks + the dst aggregation, never a broadcast build and never
+    * an edge re-shuffle. PlanSpec pins the round plan: no
+    * BroadcastExchange, no fresh src exchange on the cached edges. */
+  def pagerankShuffled(s: SparkSession, dir: String): DataFrame =
+    pagerankOf(s, dir, broadcastRanks = false)
+
+  /** Edge/node prep shared by both layouts: lineitem joined and
+    * distinct-reduced exactly once, out-degree attached via a broadcast
+    * of the |nodes|-row degree table, edges cached (shuffled by src
+    * first in the stationary layout). */
+  private def prepare(s: SparkSession, dir: String,
+                      broadcastRanks: Boolean): (DataFrame, DataFrame) = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.load(s, dir, "orders")
@@ -66,33 +86,66 @@ object Graph {
       .unionAll(pairs.select(col("sid").as("src"), col("cid").as("dst")))
     val deg = arcs.groupBy(col("src").as("dn"))
       .agg(count(lit(1)).as("out_deg"))
-    val edges = arcs.join(broadcast(deg), col("src") === col("dn"))
+    val edgesBase = arcs.join(broadcast(deg), col("src") === col("dn"))
       .select(col("src"), col("dst"), col("out_deg"))
-      .cache()
+    val edges =
+      (if (broadcastRanks) edgesBase
+       // the stationary layout's ONE edge shuffle — the cache then
+       // reports hashpartitioning(src), and every round's join reuses it
+       else edgesBase.repartition(col("src"))).cache()
     val nodes = edges.select(col("src").as("node")).distinct().cache()
+    (edges, nodes)
+  }
 
+  /** One fixpoint round's LAZY plan — split out so PlanSpec can pin both
+    * layouts' join strategies (the public gates localCheckpoint every
+    * frontier, which hides the plan behind an RDD scan). */
+  private[graft] def round(edges: DataFrame, nodes: DataFrame,
+                           ranks: DataFrame,
+                           broadcastRanks: Boolean): DataFrame = {
+    // ranks is |nodes| rows. Broadcast layout: ranks broadcast onto the
+    // stationary cached edge set (measured: letting the planner SMJ this
+    // join re-sorted the edges every round). Stationary layout: only the
+    // rank frame shuffles (its localCheckpoint erased partitioning), the
+    // cached src-partitioned edges stream into a shuffle-hash join.
+    val rjoin =
+      if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash")
+    val inflow = edges
+      .join(rjoin, col("src") === col("node"))
+      .select(col("dst"), expr("rank DIV out_deg").as("contrib"))
+      .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+    nodes
+      .join(inflow, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(PrTeleport) +
+          expr(s"(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100"))
+          .as("rank"))
+  }
+
+  /** PlanSpec hook: prepared frames + one round's lazy plan AS ROUNDS
+    * 2..K SEE IT — the caches are materialized first, because an
+    * unfilled cache (an un-finalized AQE subplan) reports unknown
+    * partitioning and the planner conservatively re-shuffles; round 1's
+    * fill is the stationary layout's one edge shuffle. */
+  private[graft] def roundPlanFor(s: SparkSession, dir: String,
+                                  broadcastRanks: Boolean): DataFrame = {
+    val (edges, nodes) = prepare(s, dir, broadcastRanks)
+    edges.count(): Unit
+    nodes.count(): Unit
+    round(edges, nodes, nodes.withColumn("rank", lit(PrScale)),
+      broadcastRanks)
+  }
+
+  private def pagerankOf(s: SparkSession, dir: String,
+                         broadcastRanks: Boolean): DataFrame = {
+    val (edges, nodes) = prepare(s, dir, broadcastRanks)
     var ranks = nodes.withColumn("rank", lit(PrScale))
     for (_ <- 1 to PrIters) {
-      // ranks is |nodes| rows - broadcast it onto the stationary cached
-      // edge set (measured: letting the planner SMJ this join re-sorted
-      // the edges every round). When |nodes| outgrows broadcast (hosts at
-      // 100 TB), the layout flips to edges repartitioned by src ONCE and
-      // kept stationary while only the rank frame shuffles per round.
-      val inflow = edges
-        .join(broadcast(ranks), col("src") === col("node"))
-        .select(col("dst"), expr("rank DIV out_deg").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
-      ranks = nodes
-        .join(inflow, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(PrTeleport) +
-            expr(s"(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100"))
-            .as("rank"))
-        // materialize each frontier (|nodes| rows, stays distributed):
-        // truncated lineage keeps round k's plan ONE join+agg instead of
-        // re-planning the whole k-round chain - measured 30% faster than
-        // the lazy 5-round chain
-        .localCheckpoint()
+      // materialize each frontier (|nodes| rows, stays distributed):
+      // truncated lineage keeps round k's plan ONE join+agg instead of
+      // re-planning the whole k-round chain - measured 30% faster than
+      // the lazy 5-round chain
+      ranks = round(edges, nodes, ranks, broadcastRanks).localCheckpoint()
     }
     val out = ranks
       .select(when(col("node") % 2 === 0,
@@ -136,8 +189,11 @@ object Graph {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (pagerank(_, _)))
+    "q_pagerank" -> (pagerank(_, _)),
+    "q_pagerank_shuffled" -> (pagerankShuffled(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "q_pagerank" -> pagerankSql)
+    "q_pagerank" -> pagerankSql,
+    // the layout flip must land on the SAME integer trajectory
+    "q_pagerank_shuffled" -> pagerankSql)
 }

@@ -1430,4 +1430,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("vec_dot"),
       s"the dense leg must use the codegen'd dot-product kernel:\n$plan")
   }
+
+  test("pagerank layouts: broadcast round broadcasts ranks, stationary round shuffles only ranks") {
+    // the two gated fixpoint layouts (X86 + the r16 flip): the broadcast
+    // form builds the rank frame into a BroadcastExchange each round;
+    // the 100 TB form must NOT — its one edge shuffle happened at cache
+    // fill, so the round plan may contain exactly the src partitioning
+    // rendered inline by the cached edge fill plan and NO broadcast of
+    // ranks (a broadcast that survives the flip means the layout dies
+    // when |nodes| outgrows driver memory)
+    // the prep-time broadcasts (degree table, lineitem⋈orders) render
+    // inline via the cached edges' fill plan in BOTH layouts, so the pin
+    // targets the RANK join itself: src ⋈ node
+    val rankBhj = "BroadcastHashJoin \\[src#\\d+L\\], \\[node#".r
+    val rankShj = "ShuffledHashJoin \\[src#\\d+L\\], \\[node#".r
+    val bPlan = graft.operators.Graph.roundPlanFor(spark, dir, true)
+      .queryExecution.executedPlan.toString
+    assert(rankBhj.findFirstIn(bPlan).isDefined,
+      s"broadcast layout must broadcast the rank frame into the edges:\n$bPlan")
+    val sPlan = graft.operators.Graph.roundPlanFor(spark, dir, false)
+      .queryExecution.executedPlan.toString
+    assert(rankBhj.findFirstIn(sPlan).isEmpty,
+      s"stationary layout must never broadcast ranks:\n$sPlan")
+    val shjMatch = "ShuffledHashJoin \\[src#(\\d+)L\\], \\[node#".r
+      .findFirstMatchIn(sPlan)
+    assert(shjMatch.isDefined,
+      s"stationary layout joins ranks into the partitioned edges:\n$sPlan")
+    // the cached edges' ONE src shuffle is the REPARTITION_BY_COL at
+    // cache fill; an ENSURE_REQUIREMENTS exchange on the JOIN's OWN src
+    // attribute would mean the edge set re-shuffles every round (inline
+    // fill plans legitimately contain prep-time src exchanges under
+    // other exprIds — the degree aggregation — so the pin is id-scoped)
+    val srcId = shjMatch.get.group(1)
+    val srcReshuffles =
+      s"Exchange hashpartitioning\\(src#${srcId}L, \\d+\\), ENSURE_REQUIREMENTS"
+        .r.findAllIn(sPlan).length
+    assert(srcReshuffles == 0,
+      s"edges must keep their cache-fill partitioning ($srcReshuffles src re-shuffles):\n$sPlan")
+  }
 }
