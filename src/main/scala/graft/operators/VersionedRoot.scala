@@ -1,0 +1,98 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** The swap-while-serving contract for every write-new-then-swap index in
+  * this repo (MinHash sets/bands, BM25 postings, SRP sig/vecs, semantic
+  * members, image/audio/video bands, the balance MV): a versioned root
+  * with a one-file manifest POINTER, the Delta-lite commit shape.
+  *
+  * The staging discipline (r10 J7: write to `<root>.building`, rename
+  * into place) already covers the BUILD race — a reader never sees a
+  * half-written directory. What it does not specify is what a SERVING
+  * session sees while an update replaces the directory: delete-then-
+  * rename on the live root would yank parquet files out from under a
+  * mid-scan reader. This object closes that hole:
+  *
+  *   - every version is an immutable directory `<root>/v<N>`, fully
+  *     written BEFORE it becomes visible;
+  *   - visibility is one pointer file `<root>/CURRENT` containing the
+  *     version name, replaced by an ATOMIC_MOVE rename — the POSIX/HDFS/
+  *     object-store-manifest primitive that either wholly happens or
+  *     wholly doesn't, so a reader resolving CURRENT can never observe a
+  *     torn pointer;
+  *   - a reader resolves CURRENT ONCE at plan time and pins that
+  *     version's directory for its whole scan — a swap mid-scan is
+  *     invisible (the old directory is immutable and still present), so
+  *     every query reads exactly one version end to end;
+  *   - old versions retire only once no reader can still hold them
+  *     ([[retire]] keeps the newest K — the vacuum-horizon policy, a
+  *     deployment knob).
+  *
+  * At 100 TB this is precisely the commit protocol of a table format:
+  * data files immutable, commits = one atomic pointer swap, readers pin
+  * a snapshot. The gates in this repo keep their freshTempDir layout
+  * (each run's updated index is OUTPUT under test, rebuilt per call);
+  * this object is the deployment contract CompactionSpec pins — reader
+  * isolation across a concurrent publish.
+  *
+  * Reference analog: none (the reference serves from mutable in-place
+  * Slick tables); §2x extension surface.
+  */
+object VersionedRoot {
+
+  private val Pointer = "CURRENT"
+
+  /** Write a new version under `root` via `write` (handed the INVISIBLE
+    * version directory), then atomically flip the pointer to it.
+    * Returns the published version directory. */
+  def publish(root: Path, write: Path => Unit): Path = {
+    Files.createDirectories(root)
+    val next = 1 + currentVersion(root).getOrElse(0L)
+    val vdir = root.resolve(s"v$next")
+    // the version directory is fully written before anything points at it
+    write(vdir)
+    val tmp = root.resolve(s"$Pointer.tmp")
+    Files.writeString(tmp, s"v$next")
+    // the commit: an atomic rename onto the pointer — readers see the
+    // old content or the new, never a torn or missing pointer
+    Files.move(tmp, root.resolve(Pointer),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+    vdir
+  }
+
+  /** Resolve the pointer ONCE — the returned directory is immutable, so
+    * a plan built over it reads one consistent version no matter how
+    * many publishes land while it runs. */
+  def resolve(root: Path): Path = {
+    val v = Files.readString(root.resolve(Pointer)).trim
+    require(v.matches("v\\d+"), s"torn or foreign pointer: '$v'")
+    root.resolve(v)
+  }
+
+  private def currentVersion(root: Path): Option[Long] = {
+    val p = root.resolve(Pointer)
+    if (Files.exists(p)) Some(Files.readString(p).trim.stripPrefix("v").toLong)
+    else None
+  }
+
+  /** Drop all but the newest `keep` versions — never the pointed-at one
+    * (keep >= 1 enforced). The deployment's vacuum horizon: run it only
+    * after the oldest surviving version predates every live reader. */
+  def retire(root: Path, keep: Int): Unit = {
+    require(keep >= 1, "retire must keep at least the current version")
+    val versions = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v").toLong)
+    versions.dropRight(keep).foreach { old =>
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    }
+  }
+
+  /** Convenience for specs: a fresh root under java.io.tmpdir. */
+  private[graft] def freshRoot(prefix: String): Path =
+    Files.createTempDirectory(Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")), prefix)
+}
