@@ -1123,12 +1123,12 @@ object Multimodal {
     * micro-batch is small; outputs are identical by construction,
     * hamming being a function of the hash pair alone. */
   private[graft] def probeDhashIndexBatch(s: SparkSession, hashes: DataFrame,
-                                          root: String): DataFrame =
+                                          roots: String*): DataFrame =
     dhashBands(hashes.toDF("media_id", "dhash")
         .groupBy(col("dhash")).agg(collect_list(col("media_id")).as("ms")),
         "ms")
       .toDF("ms", "dhash_b", "band", "key")
-      .join(s.read.parquet(s"$root/bands")
+      .join(s.read.parquet(roots.map(r => s"$r/bands"): _*)
         .toDF("hist_rep", "dhash_h", "band", "key"), Seq("band", "key"))
       .dropDuplicates(Seq("dhash_b", "hist_rep"))
       .withColumn("hamming",
@@ -1177,11 +1177,12 @@ object Multimodal {
     val updated = freshUpdateDir(lastUpdatedDhIndexDir, "dhidx_upd")
     val newClusters = accepted.groupBy("dhash")
       .agg(min("media_id").as("rep"))
-    s.read.parquet(s"$root/bands")
-      .unionAll(dhashBands(newClusters.select(col("rep"), col("dhash")),
-        "rep"))
+    // the append writes ONLY the new clusters' band rows as new files —
+    // stored band files are never rewritten; probes and counts read the
+    // union of the original and appended directories
+    dhashBands(newClusters.select(col("rep"), col("dhash")), "rep")
       .write.parquet(s"$updated/bands")
-    val second = probeDhashIndexBatch(s, batch, updated)
+    val second = probeDhashIndexBatch(s, batch, root, updated)
       .select(col("batch_media")).distinct()
     // checkpoint the one-row witness, then release the probe caches (the
     // purge-gate discipline — Verify never clears caches between gates)
@@ -1191,7 +1192,7 @@ object Multimodal {
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
       .crossJoin(newClusters.agg(count(lit(1)).as("n_new_clusters")))
-      .crossJoin(s.read.parquet(s"$updated/bands")
+      .crossJoin(s.read.parquet(s"$root/bands", s"$updated/bands")
         .agg((count(lit(1)) / DhBands).cast("long").as("n_clusters_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()
@@ -1634,12 +1635,12 @@ object Multimodal {
     * the distinct-key reshape pays most), fan-out after the verify;
     * the streaming door keeps [[probeAudioFpIndex]]'s per-media carry. */
   private[graft] def probeAudioFpIndexBatch(s: SparkSession, hashes: DataFrame,
-                                            root: String): DataFrame =
+                                            roots: String*): DataFrame =
     audioFpBands(hashes.toDF("media_id", "fp")
         .groupBy(col("fp")).agg(collect_list(col("media_id")).as("ms")),
         "ms")
       .toDF("ms", "fp_b", "band", "key")
-      .join(s.read.parquet(s"$root/bands")
+      .join(s.read.parquet(roots.map(r => s"$r/bands"): _*)
         .toDF("hist_rep", "fp_h", "band", "key"), Seq("band", "key"))
       .dropDuplicates(Seq("fp_b", "hist_rep"))
       .withColumn("hamming",
@@ -2005,11 +2006,11 @@ object Multimodal {
     * verify; the streaming door keeps [[probeVideoIndex]]'s per-media
     * carry. */
   private[graft] def probeVideoIndexBatch(s: SparkSession, sigs: DataFrame,
-                                          root: String): DataFrame =
+                                          roots: String*): DataFrame =
     videoKeys(sigs.groupBy(col("n_frames"), col("fhs"))
         .agg(collect_list(col("media_id")).as("ms")), "ms")
       .toDF("ms", "n_frames", "fhs_b", "b0", "k0", "b1", "k1")
-      .join(s.read.parquet(s"$root/keys")
+      .join(s.read.parquet(roots.map(r => s"$r/keys"): _*)
           .toDF("hist_rep", "n_frames", "fhs_h", "b0", "k0", "b1", "k1"),
         Seq("n_frames", "b0", "k0", "b1", "k1"))
       .dropDuplicates(Seq("fhs_b", "hist_rep"))
@@ -2281,11 +2282,9 @@ object Multimodal {
     val accepted = batch.join(dups, Seq("media_id"), "left_anti").cache()
     val updated = freshUpdateDir(lastUpdatedAfIndexDir, "afidx_upd")
     val newClusters = accepted.groupBy("fp").agg(min("media_id").as("rep"))
-    s.read.parquet(s"$root/bands")
-      .unionAll(audioFpBands(newClusters.select(col("rep"), col("fp")),
-        "rep"))
+    audioFpBands(newClusters.select(col("rep"), col("fp")), "rep")
       .write.parquet(s"$updated/bands")
-    val second = probeAudioFpIndexBatch(s, batch, updated)
+    val second = probeAudioFpIndexBatch(s, batch, root, updated)
       .select(col("batch_media")).distinct()
     val witness = s.read.parquet(s"$root/bands")
       .agg((count(lit(1)) / FpBands).cast("long").as("n_history_clusters"))
@@ -2293,7 +2292,7 @@ object Multimodal {
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
       .crossJoin(newClusters.agg(count(lit(1)).as("n_new_clusters")))
-      .crossJoin(s.read.parquet(s"$updated/bands")
+      .crossJoin(s.read.parquet(s"$root/bands", s"$updated/bands")
         .agg((count(lit(1)) / FpBands).cast("long").as("n_clusters_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()
@@ -2364,11 +2363,10 @@ object Multimodal {
     val updated = freshUpdateDir(lastUpdatedVdIndexDir, "vdidx_upd")
     val newSigs = accepted.groupBy("n_frames", "fhs")
       .agg(min("media_id").as("rep"))
-    s.read.parquet(s"$root/keys")
-      .unionAll(videoKeys(newSigs.select(col("rep"), col("n_frames"),
-        col("fhs")), "rep"))
+    videoKeys(newSigs.select(col("rep"), col("n_frames"), col("fhs")),
+        "rep")
       .write.parquet(s"$updated/keys")
-    val second = probeVideoIndexBatch(s, batch, updated)
+    val second = probeVideoIndexBatch(s, batch, root, updated)
       .select(col("batch_media")).distinct()
     val KeysPerSig = DhBands * DhBands
     val witness = s.read.parquet(s"$root/keys")
@@ -2377,7 +2375,7 @@ object Multimodal {
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
       .crossJoin(newSigs.agg(count(lit(1)).as("n_new_clusters")))
-      .crossJoin(s.read.parquet(s"$updated/keys")
+      .crossJoin(s.read.parquet(s"$root/keys", s"$updated/keys")
         .agg((count(lit(1)) / KeysPerSig).cast("long").as("n_clusters_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()

@@ -369,11 +369,13 @@ object Similarity {
 
   /** The probe tail, callable against any index root and raw batch
     * source: signs the non-history slice at the family RECORDED in the
-    * index, probes the stored buckets, exact-cosine verifies. */
+    * index, probes the stored buckets, exact-cosine verifies.
+    * Multi-root: an appended index is the original directory plus the
+    * update's new files — the probe reads their union. */
   private[graft] def serveVecDedupIncremental(s: SparkSession, raw: DataFrame,
-                                              root: String): DataFrame = {
+                                              roots: String*): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val meta = s.read.parquet(s"$root/meta").head()
+    val meta = s.read.parquet(s"${roots.head}/meta").head()
     val (bands, bits) =
       (meta.getAs[Int]("bands"), meta.getAs[Int]("band_bits"))
     lastSrpIdxBits = bits
@@ -384,10 +386,10 @@ object Similarity {
       .cache()
     val cands = bandSignatures(batch, bands, bits)
       .toDF("batch_vec", "band", "sig")
-      .join(s.read.parquet(s"$root/sig").toDF("hist_vec", "band", "sig"),
-        Seq("band", "sig"))
+      .join(s.read.parquet(roots.map(r => s"$r/sig"): _*)
+        .toDF("hist_vec", "band", "sig"), Seq("band", "sig"))
       .select("batch_vec", "hist_vec").distinct()
-    val hv = s.read.parquet(s"$root/vecs")
+    val hv = s.read.parquet(roots.map(r => s"$r/vecs"): _*)
       .toDF("hist_vec", "hv", "hn")
     val bv = batch.toDF("batch_vec", "bv", "bn")
     cands.join(bv, "batch_vec").join(hv, "hist_vec")
@@ -582,26 +584,26 @@ object Similarity {
     val dups = serveVecDedupIncremental(s, raw, root)
       .select(col("batch_vec").as("vec_id")).distinct().cache()
     val accepted = batch.join(dups, Seq("vec_id"), "left_anti").cache()
+    // the append writes ONLY the accepted rows as new files — history
+    // files are never rewritten; serving reads the union of the original
+    // and appended directories (the partition-add shape, executed)
     val updated = TextOps.freshTempDir(lastSrpUpdDir, "srpidx_upd")
     s.read.parquet(s"$root/meta").write.parquet(s"$updated/meta")
-    s.read.parquet(s"$root/vecs").unionByName(accepted)
-      .write.parquet(s"$updated/vecs")
-    s.read.parquet(s"$root/sig")
-      .unionByName(bandSignatures(accepted, bands, bits))
-      .write.parquet(s"$updated/sig")
-    val second = serveVecDedupIncremental(s, raw, updated)
+    accepted.write.parquet(s"$updated/vecs")
+    bandSignatures(accepted, bands, bits).write.parquet(s"$updated/sig")
+    val second = serveVecDedupIncremental(s, raw, root, updated)
       .select(col("batch_vec")).distinct()
     val out = s.read.parquet(s"$root/vecs")
       .agg(count(lit(1)).as("n_history"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
-      .crossJoin(s.read.parquet(s"$updated/vecs")
+      .crossJoin(s.read.parquet(s"$root/vecs", s"$updated/vecs")
         .agg(count(lit(1)).as("n_history_after")))
-      // count the stored FILE, not the arithmetic: a half-update that
+      // count the stored FILES, not the arithmetic: a half-update that
       // appended vectors but not their signatures passes every other
       // column and silently stops recognizing its own history
-      .crossJoin(s.read.parquet(s"$updated/sig")
+      .crossJoin(s.read.parquet(s"$root/sig", s"$updated/sig")
         .agg(count(lit(1)).as("n_sig_rows_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()
@@ -2050,23 +2052,34 @@ object Similarity {
       .select(col("vec_id")).distinct()
     val dups = probeOf(members).cache()
     val accepted = bAssigned.join(dups, Seq("vec_id"), "left_anti").cache()
+    // the append writes ONLY the accepted members, cell-partitioned —
+    // just the cells the batch occupies gain files, untouched cells (and
+    // all history files) are never rewritten; probes read the union of
+    // the original and appended roots
     val updated = TextOps.freshTempDir(lastSemUpdDir, "semidx_upd")
     s.read.parquet(s"$root/cents").write.parquet(s"$updated/cents")
-    // cell rides as a partition directory; cast both legs to the same
-    // type (partition-column inference reads it back as int)
-    members.select(col("vec_id"), col("v"), col("nn"),
+    accepted.select(col("vec_id"), col("v"), col("nn"),
         col("cell").cast("long").as("cell"))
-      .unionByName(accepted.select(col("vec_id"), col("v"), col("nn"),
-        col("cell").cast("long").as("cell")))
       .write.partitionBy("cell").parquet(s"$updated/members")
-    val second = probeOf(s.read.parquet(s"$updated/members"))
+    // two partitioned roots can't share one scan (no common basePath);
+    // each read partition-prunes independently and the union is the
+    // merged table — still a per-cell read at scale. The appended dir is
+    // read under the ROOT's schema: a batch whose vectors all duplicate
+    // appends ZERO rows, and a zero-row partitioned write has no files
+    // to infer from (measured at the sf1 decade, where denser cells make
+    // every batch vector a duplicate)
+    def norm(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("v"), col("nn"),
+        col("cell").cast("long").as("cell"))
+    val merged = norm(members).unionByName(
+      norm(s.read.schema(members.schema).parquet(s"$updated/members")))
+    val second = probeOf(merged)
     val out = members.agg(count(lit(1)).as("n_history"))
       .crossJoin(bAssigned.agg(count(lit(1)).as("n_batch")))
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
-      // counted off the stored FILE — the half-update alarm
-      .crossJoin(s.read.parquet(s"$updated/members")
-        .agg(count(lit(1)).as("n_history_after")))
+      // counted off the stored FILES — the half-update alarm
+      .crossJoin(merged.agg(count(lit(1)).as("n_history_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()
     accepted.unpersist(blocking = false)

@@ -503,17 +503,20 @@ object TextOps {
   /** The probe tail of [[dedupIncremental]]: sign the (cached) batch
     * shingle frame, probe the stored bands at `root`, exact-verify against
     * the stored sets. */
+  /** Multi-root: an appended index is the ORIGINAL directory plus the
+    * update's new files — serving reads their union, history files are
+    * never rewritten (the bm25IndexAdd discipline). */
   private[graft] def serveDedupIncremental(s: SparkSession, batchSh: DataFrame,
-                                           root: String): DataFrame = {
+                                           roots: String*): DataFrame = {
     val batchBands = bandKeysOf(
       batchSh.select(col("doc_id"), expr("minhash_sig(s)").as("sig")),
       NumBands, RowsPerBand)
     val candidates = batchBands.toDF("doc_a", "band", "sig")
-      .join(s.read.parquet(s"$root/bands").toDF("doc_b", "band", "sig"),
-        Seq("band", "sig"))
+      .join(s.read.parquet(roots.map(r => s"$r/bands"): _*)
+        .toDF("doc_b", "band", "sig"), Seq("band", "sig"))
       .select("doc_a", "doc_b").distinct()
     jaccardVerifySplit(candidates, batchSh,
-        s.read.parquet(s"$root/sets"), JaccardThreshold)
+        s.read.parquet(roots.map(r => s"$r/sets"): _*), JaccardThreshold)
       .withColumnsRenamed(Map("doc_a" -> "batch_doc", "doc_b" -> "hist_doc"))
   }
 
@@ -529,9 +532,11 @@ object TextOps {
     * grown lake.
     *
     * Index update is APPEND-ONLY on both tables — history is never
-    * re-shingled or re-signed; the merge writes a NEW index directory
-    * (write-new-then-swap, the Warehouse.sync discipline; at 100 TB the
-    * append is a partition add, not a rewrite). Contract note: the batch
+    * re-shingled, re-signed, or even reWRITTEN: the accepted rows land
+    * as new files in their own directory and serving reads the union of
+    * the original and appended dirs (r16; what a partition add at
+    * 100 TB physically is — the swap story for the directory pair is
+    * [[VersionedRoot]]'s pointer commit). Contract note: the batch
     * is deduplicated against the LAKE, not against itself — two copies
     * arriving in the same batch are both accepted (within-batch dedup is
     * minhashNearDup's job, run upstream); the second-pass count is
@@ -617,22 +622,23 @@ object TextOps {
     val dups = serveDedupIncremental(s, batchSh, root)
       .select(col("batch_doc").as("doc_id")).distinct().cache()
     val accepted = batchSh.join(dups, Seq("doc_id"), "left_anti").cache()
-    // fresh dir per call (the merged index is output under test)
+    // fresh dir per call (the merged index is output under test). The
+    // append writes ONLY the accepted rows as new files — history files
+    // are never rewritten (what "partition add at 100 TB" physically
+    // is); serving reads the union of the original and appended dirs
     val updated = freshTempDir(lastUpdatedIndexDir, "mhidx_upd")
-    s.read.parquet(s"$root/sets").unionAll(accepted)
-      .write.parquet(s"$updated/sets")
-    s.read.parquet(s"$root/bands")
-      .unionAll(bandKeysOf(
+    accepted.write.parquet(s"$updated/sets")
+    bandKeysOf(
         accepted.select(col("doc_id"), expr("minhash_sig(s)").as("sig")),
-        NumBands, RowsPerBand))
+        NumBands, RowsPerBand)
       .write.parquet(s"$updated/bands")
-    val second = serveDedupIncremental(s, batchSh, updated)
+    val second = serveDedupIncremental(s, batchSh, root, updated)
       .select(col("batch_doc")).distinct()
     s.read.parquet(s"$root/sets").agg(count(lit(1)).as("n_history"))
       .crossJoin(batchSh.agg(count(lit(1)).as("n_batch")))
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
-      .crossJoin(s.read.parquet(s"$updated/sets")
+      .crossJoin(s.read.parquet(s"$root/sets", s"$updated/sets")
         .agg(count(lit(1)).as("n_history_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
   }
@@ -2438,19 +2444,20 @@ object TextOps {
     val batch = shingles(s, dir).filter(split >= 80 && split < 90).cache()
     val stored = s.read.parquet(s"$root/grams")
     val newGrams = evalGramKeys(s, dir, 95, 100).cache()
-    // fresh dir per call (the merged index is output under test)
+    // fresh dir per call (the merged index is output under test); the
+    // append writes ONLY the not-already-stored grams as new files and
+    // probes read the union — stored gram files are never rewritten
     val updated = freshTempDir(lastCtUpdDir, "ctidx_upd")
-    stored.unionAll(newGrams.join(stored, Seq("gram_key"), "left_anti"))
+    newGrams.join(stored, Seq("gram_key"), "left_anti")
       .write.parquet(s"$updated/grams")
+    val merged = s.read.parquet(s"$root/grams", s"$updated/grams")
     val out = stored.agg(count(lit(1)).as("n_index_before"))
       .crossJoin(newGrams.agg(count(lit(1)).as("n_new_benchmark_grams")))
-      .crossJoin(s.read.parquet(s"$updated/grams")
-        .agg(count(lit(1)).as("n_index_after")))
+      .crossJoin(merged.agg(count(lit(1)).as("n_index_after")))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch_docs")))
       .crossJoin(contamProbe(batch, stored).filter(col("dropped"))
         .agg(count(lit(1)).as("n_dropped_before")))
-      .crossJoin(contamProbe(batch,
-          s.read.parquet(s"$updated/grams")).filter(col("dropped"))
+      .crossJoin(contamProbe(batch, merged).filter(col("dropped"))
         .agg(count(lit(1)).as("n_dropped_after")))
       .localCheckpoint()
     batch.unpersist(blocking = false)
