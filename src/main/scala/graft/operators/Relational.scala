@@ -127,9 +127,129 @@ object Relational {
        |FROM c CROSS JOIN st
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val RfmBuckets = 5
+  // monetary buckets at a $100 grain: the boundary pass sorts DISTINCT
+  // grains, whose count is bounded by the SPEND RANGE, not the customer
+  // count — the knob that keeps the quantile step lake-scale-safe
+  private val RfmMonetaryGrain = 10000L
+
+  /** RFM customer segmentation (X125, r16) — the classic marketing-
+    * warehouse op (Recency / Frequency / Monetary quintiles), previously
+    * skipped here because the textbook ntile(5) spelling is a
+    * single-partition global sort of the whole customer aggregate. This
+    * is the scale-safe form: quintile BOUNDARIES come from the
+    * cumulative distribution over DISTINCT metric values (recency in
+    * days and order counts are naturally low-cardinality; monetary is
+    * bucketed at a $100 grain so its distinct count is bounded by the
+    * spend range), and every customer is then bucketed by COMPARISON
+    * against the 4 broadcast boundary scalars — a pure map. Plan: ONE
+    * lake shuffle keyed on customer for the base aggregate; three narrow
+    * distribution aggregates over the cached |customers|-row frame; the
+    * only sorts are over distinct-value distributions.
+    *
+    * Semantics are deliberately tie-deterministic where ntile is not:
+    * boundary_k = smallest v with cumcount ≥ ⌈k·n/5⌉, bucket = 1 + #{k :
+    * v > boundary_k} — equal values always share a bucket (so bucket
+    * populations deviate from n/5 exactly by tie mass, and a boundary
+    * collision under heavy ties skips a bucket), which is what makes the
+    * result oracle-comparable cross-engine at all. Digit meaning:
+    * r_score 1 = most recent, f_score/m_score 5 = most frequent / top
+    * spend. Output = per-(r,f,m) segment exact counts + the mod-2^40
+    * BIGINT membership hashsum, so segment ASSIGNMENT is oracle-checked
+    * per customer, not just segment sizes.
+    *
+    * Reference analog: none (§2x warehouse-analytics extension surface,
+    * next to cohort/funnel/transitions). */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+    val refD = orders.agg(max(col("o_orderdate")).as("ref"))
+    val cust = orders.groupBy(col("o_custkey").as("c"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .crossJoin(broadcast(refD))
+      .select(col("c"),
+        expr("datediff(CAST(ref AS DATE), CAST(last_d AS DATE))").as("r"),
+        col("f"),
+        expr(s"cents div $RfmMonetaryGrain").as("m"))
+      .cache()
+    val n1 = cust.agg(count(lit(1)).as("n"))
+    // boundary_k over one metric: cumulative counts over the DISTINCT
+    // values (the only sort — bounded by value cardinality, not rows)
+    def bounds(mc: String): DataFrame = {
+      val dist = cust.groupBy(col(mc).as("v")).agg(count(lit(1)).as("cnt"))
+      val cum = dist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("v"))))
+      val aggs = (1 until RfmBuckets).map { k =>
+        min(when(col("cum") >=
+            expr(s"($k * n + ${RfmBuckets - 1}) div $RfmBuckets"),
+          col("v"))).as(s"${mc}_b$k")
+      }
+      cum.crossJoin(broadcast(n1)).agg(aggs.head, aggs.tail: _*)
+    }
+    def score(mc: String) =
+      (1 until RfmBuckets).foldLeft(lit(1)) { (acc, k) =>
+        acc + (col(mc) > col(s"${mc}_b$k")).cast("int")
+      }.as(s"${mc}_score")
+    val out = cust
+      .crossJoin(broadcast(bounds("r")))
+      .crossJoin(broadcast(bounds("f")))
+      .crossJoin(broadcast(bounds("m")))
+      .select(col("c"), score("r"), score("f"), score("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(pmod(TextOps.h60("c"), lit(1099511627776L))).as("cust_hashsum"))
+      .orderBy("r_score", "f_score", "m_score")
+      .localCheckpoint()
+    cust.unpersist(blocking = false)
+    out
+  }
+
+  private val rfmSegmentsSql = {
+    def boundsSql(mc: String) = {
+      val cols = (1 until RfmBuckets).map { k =>
+        s"min(CASE WHEN cum >= ($k * n + ${RfmBuckets - 1}) // $RfmBuckets" +
+          s" THEN v END) AS b$k"
+      }.mkString(", ")
+      s"""(SELECT $cols FROM (
+         |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM (
+         |    SELECT $mc AS v, count(*) AS cnt FROM cust GROUP BY 1) AS d)
+         |  AS cm CROSS JOIN n) AS ${mc}b""".stripMargin
+    }
+    def scoreSql(mc: String) =
+      s"1 + ${(1 until RfmBuckets).map(k =>
+        s"(CASE WHEN $mc > ${mc}b.b$k THEN 1 ELSE 0 END)").mkString(" + ")}"
+    s"""WITH refd AS (
+       |  SELECT CAST(max(o_orderdate) AS DATE) AS ref FROM orders),
+       |cust AS (
+       |  SELECT o_custkey AS c,
+       |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+       |      (SELECT ref FROM refd)) AS r,
+       |    count(*) AS f,
+       |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+       |      // $RfmMonetaryGrain AS m
+       |  FROM orders GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM cust),
+       |scored AS (
+       |  SELECT c,
+       |    ${scoreSql("r")} AS r_score,
+       |    ${scoreSql("f")} AS f_score,
+       |    ${scoreSql("m")} AS m_score
+       |  FROM cust
+       |  CROSS JOIN ${boundsSql("r")}
+       |  CROSS JOIN ${boundsSql("f")}
+       |  CROSS JOIN ${boundsSql("m")})
+       |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       |  CAST(SUM(${TextOps.h60Sql("c")} % 1099511627776) AS BIGINT)
+       |    AS cust_hashsum
+       |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_profile" -> (tableProfile(_, _)),
     "q_histogram" -> (histogram(_, _)),
+    "q_rfm_segments" -> (rfmSegments(_, _)),
     // A1/A3 hash aggregation with partial (map-side) combine.
     // Ref: GraphQLPersistence.scala:370-403 (SUM balance) generalized.
     "q_agg_sum" -> ((s, dir) => {
@@ -524,6 +644,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_table_profile" -> tableProfileSql,
     "q_histogram" -> histogramSql,
+    "q_rfm_segments" -> rfmSegmentsSql,
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -41,4 +41,43 @@ class ObservationSpec extends SparkSpec {
     val plan = kept.queryExecution.executedPlan.toString
     assert(plan.contains("CollectMetrics"), plan)
   }
+
+  test("RFM segments: recency buckets replay the boundary rule; populations partition customers") {
+    // the tie-deterministic quintile contract checked from outside Spark:
+    // recompute the recency metric and its boundary rule naively in
+    // driver Scala over the raw orders, and the gate's marginal r_score
+    // populations must match exactly (the oracle owns full cell
+    // equality; this pins the RULE independently of both engines)
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Relational
+      .queries("q_rfm_segments")(spark, dir).collect()
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+    val nCust = orders.map(_._1).distinct.length.toLong
+    assert(out.map(_.getAs[Long]("n_customers")).sum == nCust,
+      "segments must partition the customer set")
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      assert(out.forall { r =>
+        val v = r.getAs[Int](c); v >= 1 && v <= 5
+      }, s"$c out of range")
+    }
+    // naive replay: r = days(ref - last order), boundaries = smallest v
+    // with cumcount >= ceil(k*n/5), bucket = 1 + #{k: v > b_k}
+    val refDay = orders.map(_._2.toLocalDate.toEpochDay).max
+    val rByCust = orders.groupBy(_._1).map { case (_, os) =>
+      refDay - os.map(_._2.toLocalDate.toEpochDay).max
+    }.toSeq
+    val n = rByCust.size
+    val sorted = rByCust.sorted
+    val bounds = (1 until 5).map { k =>
+      val need = (k * n + 4) / 5
+      sorted(need - 1) // smallest v whose cumulative count reaches need
+    }
+    val expected = rByCust.groupBy(v => 1 + bounds.count(v > _))
+      .view.mapValues(_.size.toLong).toMap
+    val got = out.groupBy(_.getAs[Int]("r_score"))
+      .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
