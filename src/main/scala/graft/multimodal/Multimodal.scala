@@ -1121,7 +1121,16 @@ object Multimodal {
     * streaming door keeps the per-media carry ([[probeDhashIndex]]) —
     * a groupBy inside an append-mode stream would be stateful, and a
     * micro-batch is small; outputs are identical by construction,
-    * hamming being a function of the hash pair alone. */
+    * hamming being a function of the hash pair alone.
+    *
+    * Bound on the collected `ms` array: |ms| = the batch's own
+    * multiplicity of ONE signature, and a signature that matches fans
+    * out to |ms| output rows anyway — the array is the concentrated form
+    * of output the contract already owes. The pathological case (a
+    * mass-duplicate batch where one signature carries millions of media)
+    * is pathological for the PAIR contract itself; a deployment facing
+    * it should short-circuit to cluster-level verdicts, which is exactly
+    * the one-shot gates' cluster-star output shape. */
   private[graft] def probeDhashIndexBatch(s: SparkSession, hashes: DataFrame,
                                           roots: String*): DataFrame =
     dhashBands(hashes.toDF("media_id", "dhash")
