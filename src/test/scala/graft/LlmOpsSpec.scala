@@ -1444,6 +1444,25 @@ class LlmOpsSpec extends SparkSpec {
       == l(sp, "n_pairs_after"))
   }
 
+  test("SRP batch and streaming probe spellings agree pair-for-pair, cosine included") {
+    // the vector-side fork-equivalence pin (the MultimodalSpec twin): the
+    // streaming door carries (v, nn) per row where the batch door signs
+    // then joins — same kernel spellings operand-for-operand, so outputs
+    // must be identical down to the cosine doubles
+    val dir = "/root/testdata/sf0.001"
+    val root = Similarity.srpBuildIndex(spark, dir)
+    val raw = graft.Tables.load(spark, dir, "embeddings")
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("batch_vec", "hist_vec", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val batchSide = triples(
+      Similarity.serveVecDedupIncremental(spark, raw, root))
+    val streamSide = triples(Similarity.streamProbeSrpIndex(spark,
+      raw.filter(!Similarity.isHistoryVec), root))
+    assert(batchSide == streamSide, "SRP fork diverged")
+    assert(batchSide.nonEmpty, "fixture must surface pairs")
+  }
+
   test("ingest cycles: SRP and semantic update witnesses satisfy the exact identities") {
     // the X82 contract on the two vector index families: accepted rows
     // append, history never shrinks, and the SAME batch re-probed against

@@ -430,4 +430,31 @@ class MultimodalSpec extends SparkSpec {
         == l("n_pairs_after"), gate)
     }
   }
+
+  test("batch and streaming probe spellings agree pair-for-pair on every modality") {
+    // the r16 fork-equivalence proof: the batch front door bands DISTINCT
+    // signatures (collect_list reshape) while the streaming door carries
+    // per-media rows — the shared-oracle argument rests on their outputs
+    // being identical, so pin it directly against the same stored index
+    import graft.multimodal.Multimodal
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("batch_media", "hist_rep", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val docs = Multimodal.batchDocs(spark, dir)
+    val dh = Multimodal.dhashBuildIndex(spark, dir)
+    assert(pairs(Multimodal.probeDhashIndexBatch(spark,
+        Multimodal.dhashHashesOf(spark, docs), dh))
+      == pairs(Multimodal.probeDhashIndex(spark,
+        Multimodal.dhashHashesOf(spark, docs), dh)), "image fork diverged")
+    val af = Multimodal.audioFpBuildIndex(spark, dir)
+    assert(pairs(Multimodal.probeAudioFpIndexBatch(spark,
+        Multimodal.audioFpHashesOf(spark, docs), af))
+      == pairs(Multimodal.probeAudioFpIndex(spark,
+        Multimodal.audioFpHashesOf(spark, docs), af)), "audio fork diverged")
+    val vd = Multimodal.videoBuildIndex(spark, dir)
+    assert(pairs(Multimodal.probeVideoIndexBatch(spark,
+        Multimodal.videoHashesOf(spark, docs), vd))
+      == pairs(Multimodal.probeVideoIndex(spark,
+        Multimodal.videoHashesOf(spark, docs), vd)), "video fork diverged")
+  }
 }
