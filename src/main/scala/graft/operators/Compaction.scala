@@ -36,7 +36,7 @@ object Compaction {
     * membership sum so the aggregate stays BIGINT on both engines (the
     * TextOps.exportManifest discipline; DECIMAL outputs fail the driver's
     * hash canonicalization even when values are exact). */
-  private val HashSumMod = 1099511627776L
+  private[graft] val HashSumMod = 1099511627776L
 
   /** Rewrite `inPath` (parquet) into `outPath` with ~`targetBytes`-sized
     * output partitions. The advisory size is a session conf, not a plan
@@ -216,8 +216,11 @@ object Compaction {
     * counts plus the X110 order-free membership hashsum, every number
     * re-derived from scratch by the oracle.
     */
-  def cdcApply(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The deterministic CDC fixture rows — ONE derivation shared by the
+    * batch fold and the streaming door, so the two doors consume
+    * literally the same change feed (and therefore share one oracle). */
+  private[graft] def cdcBaseAndBatch(s: SparkSession,
+                                     dir: String): (DataFrame, DataFrame) = {
     val orders = Tables.load(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
     // base snapshot: the lake before the batch (missing the %5 slice)
@@ -231,10 +234,15 @@ object Compaction {
       .unionByName(orders.filter(pmod(col("k"), lit(11L)) === 0)
         .select(col("k"), lit(null.asInstanceOf[String]).as("prio"),
           lit(3L).as("seq"), lit("D").as("op")))
-    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
-    base.unionByName(cdc)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "D")
+    (base, cdc)
+  }
+
+  /** The batch gate's survivor aggregation — shared with the streaming
+    * door so both report (op, n_rows, key/payload hashsums) identically
+    * from their winning rows. */
+  private[graft] def cdcSurvivorReport(winners: DataFrame): DataFrame =
+    winners
+      .filter(col("op") =!= "D")
       .groupBy(col("op"))
       .agg(count(lit(1)).as("n_rows"),
         sum(pmod(graft.operators.TextOps.h60("k"), lit(HashSumMod)))
@@ -246,6 +254,14 @@ object Compaction {
         sum(pmod(graft.operators.TextOps.h60("concat(k, ':', prio)"),
           lit(HashSumMod))).as("payload_hashsum"))
       .orderBy("op")
+
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, cdc) = cdcBaseAndBatch(s, dir)
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    cdcSurvivorReport(base.unionByName(cdc)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1))
   }
 
   private val cdcApplySql =

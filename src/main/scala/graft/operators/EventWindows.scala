@@ -1181,6 +1181,64 @@ object EventWindows {
     }
   }
 
+  /** Two-batch CDC feed fixture: ONLY the change rows stream — batch 1 =
+    * the inserts and updates (seqs 1–2), batch 2 = the deletes (seq 3) —
+    * so a key hit by I/U then D resolves its precedence across the
+    * micro-batch boundary, through state. The base snapshot does NOT
+    * ride the stream: at 100 TB the snapshot is the STORED table a
+    * streaming merge starts from (streaming the whole lake through the
+    * state store was the first cut here, and it measured 18 s at the sf1
+    * decade — state churn ∝ lake, the exact shape a streaming MERGE
+    * exists to avoid). Rows come from [[Compaction.cdcBaseAndBatch]],
+    * the SAME derivation the batch fold consumes. */
+  private def cdcStreamInput(s: SparkSession, dir: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot("cdcstream", dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val (_, cdc) = Compaction.cdcBaseAndBatch(s, dir)
+      val t0 = System.currentTimeMillis() - 120000
+      writeSingleParquet(tmp, cdc.filter(col("seq") < 3),
+        "00_upserts.parquet", t0)
+      writeSingleParquet(tmp, cdc.filter(col("seq") === 3),
+        "01_deletes.parquet", t0 + 60000)
+    }
+
+  /** CDC APPLY in the streaming front door (X126; the streaming MERGE
+    * next to X117's streaming funnel): the change feed arrives as files,
+    * [[graft.streaming.EventStream.cdcApplyTws]] folds highest-sequence-
+    * wins per key through ValueState — the winning (seq, op, payload)
+    * triple is the fold's complete sufficient statistic, so micro-batch
+    * folding composes to the batch fold exactly, and the state IS the
+    * continuously-maintained merge delta (a key emits only when its
+    * winner improves; deletes stay data all the way). The stored base
+    * snapshot joins OUTSIDE the stream: a seq-0 row loses to any change,
+    * so survivors = max-seq over (static base ∪ streamed winners) — the
+    * stream-STATIC discipline of every front door here, with state
+    * bounded by the CHANGE feed, never the lake. Report and ORACLE are
+    * the batch gate's verbatim. RocksDB provider scoped to the stream,
+    * as X117. */
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val input = cdcStreamInput(s, dir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sunk = streamTwoBatches(s, input, "q_stream_cdc_apply_sink")(
+        graft.streaming.EventStream.cdcApplyTws)
+      // emissions are strictly monotone in seq per key, so the max-seq
+      // row per key over (stored base ∪ emissions) is the final winner
+      val (base, _) = Compaction.cdcBaseAndBatch(s, dir)
+      val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+      Compaction.cdcSurvivorReport(
+        base.unionByName(sunk.select("k", "prio", "seq", "op"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Top SESSION PATHS (X118) — the third sequence-analytics member
     * (funnel = does a fixed order occur, transitions = which pairs occur,
     * this = which whole journeys are common): gap-sessionize (the
@@ -1336,6 +1394,7 @@ object EventWindows {
     "q_event_funnel" -> (eventFunnel(_, _)),
     "q_event_transitions" -> (eventTransitions(_, _)),
     "q_stream_funnel" -> (streamFunnel(_, _)),
+    "q_stream_cdc_apply" -> (streamCdcApply(_, _)),
     "q_session_paths" -> (sessionPaths(_, _)),
     "q_variant_extract" -> (variantExtract(_, _)),
     "q_incr_agg" -> (incrementalAgg(_, _)),
@@ -1371,6 +1430,8 @@ object EventWindows {
     "q_event_funnel" -> eventFunnelSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_stream_funnel" -> eventFunnelSql,
+    // the streaming door lands on the batch fold's exact report
+    "q_stream_cdc_apply" -> Compaction.oracles("q_cdc_apply"),
     "q_session_paths" -> sessionPathsSql,
     "q_variant_extract" -> variantExtractSql,
     "q_incr_agg" -> incrementalAggSql,

@@ -153,6 +153,57 @@ object EventStream {
       .toDF("user_id", "version", "n_so_far")
   }
 
+  /** CDC APPLY as CONTINUOUSLY-MAINTAINED streaming state — the
+    * streaming MERGE (X126): change rows arrive as files, and a per-key
+    * `transformWithState` ValueState carries the fold's COMPLETE
+    * sufficient statistic, the current winning (seq, op, payload) triple
+    * (highest-sequence-wins is associative/idempotent over that triple,
+    * so per-micro-batch folding composes to the batch fold exactly). A
+    * key emits its current winner whenever it improves; emissions are
+    * strictly monotone in seq per key, so the max-seq emission per key
+    * in the append sink IS the final winner — deletes stay DATA ('D'
+    * rows) all the way to the report, which drops them, exactly like the
+    * batch gate. */
+  def cdcApplyTws(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val s = rows.sparkSession
+    import s.implicits._
+    rows.selectExpr("k", "prio", "seq", "op")
+      .as[(Long, String, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new CdcProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("k", "seq", "op", "prio")
+  }
+
+  /** The [[cdcApplyTws]] processor: ValueState = the winning (seq, op,
+    * prio). Top-level so the serialized processor captures no enclosing
+    * scope. */
+  private class CdcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, String), (Long, Long, String, String)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[(Long, String, String)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("cdc",
+        Encoders.product[(Long, String, String)], TTLConfig.NONE)
+    override def handleInputRows(k: Long,
+        rows: Iterator[(Long, String, Long, String)],
+        tv: TimerValues): Iterator[(Long, Long, String, String)] = {
+      var cur =
+        if (st.exists()) st.get() else (Long.MinValue, null: String, null: String)
+      var improved = false
+      rows.foreach { case (_, prio, seq, op) =>
+        if (seq > cur._1) { cur = (seq, op, prio); improved = true }
+      }
+      if (improved) {
+        st.update(cur)
+        Iterator.single((k, cur._1, cur._2, cur._3))
+      } else Iterator.empty
+    }
+  }
+
   /** [[runningUserCounts]] re-expressed on `transformWithState` — Spark
     * 4's arbitrary-stateful successor to flatMapGroupsWithState, and the
     * API a new 100 TB pipeline should target: state lives in NAMED, typed
