@@ -270,4 +270,46 @@ class EventStreamSpec extends SparkSpec {
         .toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
     } finally query.stop()
   }
+
+  test("streaming CDC fold: late lower-seq rows are no-ops; deletes win across batches") {
+    // the at-least-once/out-of-order tolerance of the streaming MERGE: a
+    // change feed may replay or reorder, and a LATE lower-seq row must
+    // neither regress the state nor re-emit — the winner is monotone in
+    // seq. RocksDB provider scoped-and-restored (transformWithState
+    // requires it).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, String)]
+    val rows = input.toDF().toDF("k", "prio", "seq", "op")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val query = EventStream.cdcApplyTws(rows)
+      .writeStream.format("memory").queryName("cdc_tws_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "A", 2L, "U"), (2L, "B", 1L, "I"))
+      query.processAllAvailable()
+      // batch 2: key 1 sees a LATE lower-seq insert (must be a silent
+      // no-op), key 2 a delete that must beat its batch-1 insert
+      input.addData((1L, "stale", 1L, "I"),
+        (2L, null.asInstanceOf[String], 3L, "D"))
+      query.processAllAvailable()
+      val got = spark.table("cdc_tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSeq
+      assert(got.count(_._1 == 1L) == 1,
+        s"the late row must not re-emit: $got")
+      assert(got.filter(_._1 == 1L).head == ((1L, 2L, "U", "A")))
+      val k2 = got.filter(_._1 == 2L)
+      assert(k2.map(_._2).sorted == Seq(1L, 3L), s"$k2")
+      assert(k2.maxBy(_._2)._3 == "D", "the delete must win")
+    } finally {
+      query.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
