@@ -73,12 +73,16 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
   def cachedPlans: Int = planCache.synchronized(planCache.size)
 
   /** Drop all cached plans (and their pinned file listings) so subsequent
-    * requests see the current warehouse state.
+    * requests see the current warehouse state. The balance MV's CURRENT
+    * pointer is re-resolved here and ONLY here (and at start()): between
+    * refreshes the edge serves one pinned, immutable MV version, so a
+    * sync publishing mid-request can never yank files from a running
+    * scan — the swap-while-serving contract, deployed.
     */
   def refresh(): Unit = {
     planCache.synchronized(planCache.clear())
     gqlCache.synchronized(gqlCache.clear())
-    installMvRule() // re-bind to the refreshed MV artifact + lake listing
+    installMvRule() // re-resolve CURRENT + re-bind to the fresh lake listing
   }
 
   // ---- balance-MV rewrite on the serving path --------------------------
@@ -102,11 +106,14 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
         spark.experimental.extraOptimizations.filterNot(_ eq r)
     }
     mvRule = None
-    val mvPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/balances")
-    val exists = mvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(mvPath)
-    if (exists) {
-      val rule = graft.plans.BalanceMvRewrite.forSource(spark, mvPath.toString,
+    // the sync pass publishes the MV through VersionedRoot: resolve the
+    // CURRENT pointer ONCE per install — the resolved v<N> directory is
+    // immutable, so every plan built until the next refresh() reads one
+    // consistent MV version regardless of concurrent publishes
+    val mvRoot = java.nio.file.Paths.get(warehouseDir, "balances")
+    if (graft.operators.VersionedRoot.published(mvRoot)) {
+      val pinned = graft.operators.VersionedRoot.resolve(mvRoot).toString
+      val rule = graft.plans.BalanceMvRewrite.forSource(spark, pinned,
         Warehouse.balances(Warehouse.balanceChanges(table("transfer"))))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ rule

@@ -44,11 +44,21 @@ object Compaction {
     * a production job would own its session and set it once.
     */
   def compact(s: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Unit =
+    compact(s, Seq(inPath), outPath, targetBytes)
+
+  /** Multi-directory form: rewrite the UNION of `inPaths` — the file-set
+    * list an append-only index root accumulates, one dir per update
+    * batch — into one size-targeted directory, the compact-then-publish
+    * half of the index-root compaction cycle (the other half is
+    * [[VersionedRoot.publishDirs]] flipping the manifest to the single
+    * compacted dir). */
+  def compact(s: SparkSession, inPaths: Seq[String], outPath: String,
       targetBytes: Long): Unit = {
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val prev = s.conf.getOption(key)
     s.conf.set(key, targetBytes.toString)
-    try s.read.parquet(inPath).hint("rebalance")
+    try s.read.parquet(inPaths: _*).hint("rebalance")
       .write.mode("overwrite").parquet(outPath)
     finally prev match {
       case Some(v) => s.conf.set(key, v)
@@ -153,14 +163,14 @@ object Compaction {
       .groupBy(col("change_type"))
       // membership fingerprint, not an ordered one: a class is a SET, and
       // the unchanged class is ~the whole lake — any collect-and-sort
-      // checksum would funnel it through one group. Per-key hashes are
-      // mod-2^40-bounded BEFORE the order-free sum so the result stays
-      // BIGINT on both engines (the exportManifest spelling — a
-      // DECIMAL(38,0) output column trips the driver hash gate's arrow
-      // Decimal canonicalization even when every value matches)
+      // checksum would funnel it through one group. The sum accumulates
+      // WIDE and is mod-2^40-bounded AFTER aggregation (TextOps.hashSum)
+      // so it stays BIGINT on both engines at any group size — bounding
+      // the addends instead overflows Int64 at ~1.7e7 rows per group,
+      // and a DECIMAL(38,0) output column trips the driver hash gate's
+      // arrow Decimal canonicalization even when every value matches
       .agg(count(lit(1)).as("n_rows"),
-        sum(pmod(graft.operators.TextOps.h60("k"), lit(HashSumMod)))
-          .as("key_hashsum"))
+        graft.operators.TextOps.hashSum("k", HashSumMod).as("key_hashsum"))
       .orderBy("change_type")
   }
 
@@ -191,8 +201,8 @@ object Compaction {
        |         ELSE 'unchanged' END AS change_type
        |  FROM fa FULL OUTER JOIN fb ON fa.k = fb.k)
        |SELECT change_type, count(*) AS n_rows,
-       |  CAST(SUM(${graft.operators.TextOps.h60Sql("k")} % $HashSumMod)
-       |    AS BIGINT) AS key_hashsum
+       |  ${graft.operators.TextOps.hashSumSql("k", HashSumMod)}
+       |    AS key_hashsum
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** CDC APPLY (X111) — fold a change-data-capture batch into a snapshot:
@@ -245,14 +255,13 @@ object Compaction {
       .filter(col("op") =!= "D")
       .groupBy(col("op"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(pmod(graft.operators.TextOps.h60("k"), lit(HashSumMod)))
-          .as("key_hashsum"),
+        graft.operators.TextOps.hashSum("k", HashSumMod).as("key_hashsum"),
         // the winning row's PAYLOAD is part of the contract (an UPDATE
         // that wins on precedence but keeps the stale value is the
         // other classic CDC bug) — fingerprint it the X110 way,
-        // mod-bounded to BIGINT like key_hashsum above
-        sum(pmod(graft.operators.TextOps.h60("concat(k, ':', prio)"),
-          lit(HashSumMod))).as("payload_hashsum"))
+        // wide-accumulated then mod-bounded like key_hashsum above
+        graft.operators.TextOps.hashSum("concat(k, ':', prio)", HashSumMod)
+          .as("payload_hashsum"))
       .orderBy("op")
 
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
@@ -281,10 +290,10 @@ object Compaction {
        |      SELECT k, NULL, 3, 'D' FROM o WHERE k % 11 = 0) AS u) AS r
        |  WHERE rn = 1 AND op != 'D')
        |SELECT op, count(*) AS n_rows,
-       |  CAST(SUM(${graft.operators.TextOps.h60Sql("k")} % $HashSumMod)
-       |    AS BIGINT) AS key_hashsum,
-       |  CAST(SUM(${graft.operators.TextOps.h60Sql("k || ':' || prio")}
-       |    % $HashSumMod) AS BIGINT) AS payload_hashsum
+       |  ${graft.operators.TextOps.hashSumSql("k", HashSumMod)}
+       |    AS key_hashsum,
+       |  ${graft.operators.TextOps.hashSumSql("k || ':' || prio", HashSumMod)}
+       |    AS payload_hashsum
        |FROM folded GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -473,7 +473,7 @@ object EventWindows {
     sunk.crossJoin(broadcast(offFrame))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("text_hash")).as("n_distinct_hashes"),
-        sum(pmod(TextOps.h60("text_hash"), lit(1000000007L)))
+        TextOps.hashSum("text_hash", 1000000007L)
           .as("content_checksum"),
         sum(when(col("doc_id") >= col("off"), 1L).otherwise(0L))
           .as("n_recrawl_rows"))
@@ -485,7 +485,7 @@ object EventWindows {
        |  FROM documents)
        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
        |  CAST(count(*) AS BIGINT) AS n_distinct_hashes,
-       |  CAST(sum(${TextOps.h60Sql("text_hash")} % 1000000007) AS BIGINT)
+       |  ${TextOps.hashSumSql("text_hash", 1000000007L)}
        |    AS content_checksum,
        |  CAST(0 AS BIGINT) AS n_recrawl_rows
        |FROM h""".stripMargin
@@ -570,6 +570,102 @@ object EventWindows {
       TextOps.streamProbeIndex(s, TextOps.shinglesOf(s, st), root))
       .orderBy("batch_doc", "hist_doc")
   }
+
+  private val lastStreamIngestDir = TextOps.newTempDirRef()
+
+  /** STREAMING INGEST CYCLE (X129, r17 — the r16 verdict's #5): the full
+    * probe → accept → APPEND loop run inside the streaming front door.
+    * Every prior streaming door only PROBES; this one is the shape of a
+    * continuous crawl ingesting into its own index: each micro-batch
+    * shingles its documents, probes the stored MinHash index, and lands
+    * the accepted docs' signatures as a NEW delta directory committed
+    * through the [[VersionedRoot]] manifest inside foreachBatch (write
+    * the delta fully, then publish the grown dir list — the pointer flip
+    * is the only moment the append becomes visible).
+    *
+    * Version pinning mirrors the serving contract: a RUN resolves
+    * CURRENT once at start and probes that version for its whole pass (a
+    * daily crawl dedups against the index as-of day start — within-run
+    * content dedup is the corpus-ingest door's hash state, gated
+    * separately), so the run's counts are EXACTLY the batch update
+    * cycle's and the gate reuses q_dedup_index_update's oracle. The
+    * RESTART witness then replays the UNCHANGED feed with a fresh
+    * checkpoint (the recovery/backfill case): it resolves the grown
+    * index, every document now matches its own stored copy (identical
+    * sets ⇒ identical signatures ⇒ LSH cannot miss), zero docs are
+    * accepted and zero rows append — n_restart_appends = 0 is the
+    * JournalStream restart-zero-rows discipline at the index layer,
+    * effectively-once by CONTENT rather than by offset. Epoch retries
+    * are idempotent: the delta dir is keyed by epoch id, overwrite mode
+    * re-lands it, and the manifest list is deduplicated.
+    */
+  def streamDedupIngest(s: SparkSession, dir: String): DataFrame =
+    withFewShufflePartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import scala.jdk.CollectionConverters._
+      val base = TextOps.minhashBuildIndex(s, dir)
+      val input = dedupIndexStreamInput(s, dir)
+      val work = java.nio.file.Paths.get(
+        TextOps.freshTempDir(lastStreamIngestDir, "mhidx_sing"))
+      val vroot = work.resolve("vroot")
+      VersionedRoot.publishDirs(vroot, Seq(base))
+      final class Ledger {
+        var nBatch = 0L; var nDup = 0L; var nAccepted = 0L; var nAppends = 0L
+      }
+      def runOnce(tag: String): Ledger = {
+        // the run's probes pin ONE index version, resolved here
+        val pinned = VersionedRoot.resolveDirs(vroot)
+        val led = new Ledger
+        val listing = java.nio.file.Files.list(input)
+        val first =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.minBy(_.toString)
+          finally listing.close()
+        val sch = s.read.parquet(first.toString).schema
+        withEphemeralCheckpoint { ckpt =>
+          val q = s.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(input.toString)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epochId: Long) =>
+              val sh = TextOps.shinglesOf(s, batch).cache()
+              val dups = TextOps.serveDedupIncremental(s, sh, pinned: _*)
+                .select(col("batch_doc").as("doc_id")).distinct().cache()
+              val acc = sh.join(dups, Seq("doc_id"), "left_anti").cache()
+              val (nB, nD, nA) = (sh.count(), dups.count(), acc.count())
+              led.nBatch += nB; led.nDup += nD; led.nAccepted += nA
+              if (nA > 0) {
+                val delta = work.resolve(s"${tag}_delta$epochId").toString
+                TextOps.writeMinhashDelta(s, acc, delta)
+                VersionedRoot.publishDirs(vroot,
+                  (VersionedRoot.resolveDirs(vroot) :+ delta).distinct)
+                led.nAppends += nA
+              }
+              sh.unpersist(blocking = false)
+              dups.unpersist(blocking = false)
+              acc.unpersist(blocking = false)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        led
+      }
+      val run1 = runOnce("r1")
+      val run2 = runOnce("r2") // the restart replay over the unchanged feed
+      val finalDirs = VersionedRoot.resolveDirs(vroot)
+      s.read.parquet(s"$base/sets").agg(count(lit(1)).as("n_history"))
+        .withColumn("n_batch", lit(run1.nBatch))
+        .withColumn("n_dup_batch", lit(run1.nDup))
+        .withColumn("n_accepted", lit(run1.nAccepted))
+        .crossJoin(s.read.parquet(finalDirs.map(r => s"$r/sets"): _*)
+          .agg(count(lit(1)).as("n_history_after")))
+        .withColumn("n_second_pass_dup", lit(run2.nDup))
+        .withColumn("n_restart_appends", lit(run2.nAppends))
+    }
 
   /** The IMAGE incremental-dedup serve path run inside the streaming front
     * door (r15; [[streamDedupIndexed]]'s shape on the perceptual-hash
@@ -1412,6 +1508,7 @@ object EventWindows {
     "q_stream_corpus_ingest" -> (streamCorpusIngest(_, _)),
     "q_stream_corpus_ingest_bounded" -> (streamCorpusIngestBounded(_, _)),
     "q_stream_dedup_indexed" -> (streamDedupIndexed(_, _)),
+    "q_stream_dedup_ingest" -> (streamDedupIngest(_, _)),
     "q_stream_image_dedup_indexed" -> (streamImageDedupIndexed(_, _)),
     "q_stream_audio_dedup_indexed" -> (streamAudioDedupIndexed(_, _)),
     "q_stream_video_dedup_indexed" -> (streamVideoDedupIndexed(_, _)),
@@ -1449,6 +1546,12 @@ object EventWindows {
     "q_stream_corpus_ingest" -> streamCorpusIngestSql,
     "q_stream_corpus_ingest_bounded" -> streamCorpusIngestSql,
     "q_stream_dedup_indexed" -> TextOps.dedupIncrementalOracle,
+    // the ingest cycle pins the stream-start version, so the batch update
+    // cycle's oracle applies verbatim; the restart witness adds one pinned
+    // zero (no SQL can see the second run's append count)
+    "q_stream_dedup_ingest" ->
+      (s"SELECT *, CAST(0 AS BIGINT) AS n_restart_appends FROM " +
+        s"(${TextOps.dedupIndexUpdateOracle})"),
     "q_stream_image_dedup_indexed" ->
       graft.multimodal.Multimodal.imageDedupIncrementalOracle,
     "q_stream_audio_dedup_indexed" ->

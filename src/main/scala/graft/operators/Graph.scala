@@ -133,18 +133,24 @@ object Graph {
           .as("rank"))
   }
 
-  /** PlanSpec hook: prepared frames + one round's lazy plan AS ROUNDS
-    * 2..K SEE IT — the caches are materialized first, because an
-    * unfilled cache (an un-finalized AQE subplan) reports unknown
-    * partitioning and the planner conservatively re-shuffles; round 1's
-    * fill is the stationary layout's one edge shuffle. */
+  /** PlanSpec hook: one round's executed-plan STRING as rounds 2..K see
+    * it — the caches are materialized first, because an unfilled cache
+    * (an un-finalized AQE subplan) reports unknown partitioning and the
+    * planner conservatively re-shuffles; round 1's fill is the
+    * stationary layout's one edge shuffle. Returns the string (not the
+    * frame) so the probe caches can be unpersisted before returning —
+    * mirroring pagerankOf's epilogue, otherwise every spec invocation
+    * leaks two InMemoryRelations. */
   private[graft] def roundPlanFor(s: SparkSession, dir: String,
-                                  broadcastRanks: Boolean): DataFrame = {
+                                  broadcastRanks: Boolean): String = {
     val (edges, nodes) = prepare(s, dir, broadcastRanks)
     edges.count(): Unit
     nodes.count(): Unit
-    round(edges, nodes, nodes.withColumn("rank", lit(PrScale)),
-      broadcastRanks)
+    val plan = round(edges, nodes, nodes.withColumn("rank", lit(PrScale)),
+      broadcastRanks).queryExecution.executedPlan.toString
+    edges.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    plan
   }
 
   private def pagerankOf(s: SparkSession, dir: String,

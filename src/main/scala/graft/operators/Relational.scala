@@ -133,6 +133,32 @@ object Relational {
   // count — the knob that keeps the quantile step lake-scale-safe
   private val RfmMonetaryGrain = 10000L
 
+  /** Executable ceiling on the per-metric DISTINCT grain count (r16
+    * verdict: "nothing asserts the distinct count stays small"). The
+    * bounds() window below is single-partition BY DESIGN — sound only
+    * while it sorts distinct GRAINS, not rows; a grain choice that
+    * unbounds the distinct count (e.g. dropping the monetary bucketing)
+    * must fail loudly in-plan (the DecimalEdge discipline), not silently
+    * funnel the lake through one partition. 1e6 grains sort in
+    * milliseconds on one core; real metric grains sit orders of
+    * magnitude below. */
+  private val RfmMaxDistinctGrains = 1000000L
+
+  /** Cardinality guard over a (v, cnt) distinct-grain distribution:
+    * raise in-plan if the grain count outgrows the single-partition
+    * window's safe range. Split out so the raise is spec-testable with a
+    * lowered ceiling. */
+  private[graft] def grainGuarded(dist: DataFrame, mc: String,
+      ceiling: Long = RfmMaxDistinctGrains): DataFrame =
+    dist.crossJoin(broadcast(dist.agg(count(lit(1)).as("nv"))))
+      .withColumn("v",
+        when(col("nv") <= lit(ceiling), col("v"))
+          .otherwise(raise_error(concat(
+            lit(s"graft rfm grain bound: distinct $mc grain count "),
+            col("nv").cast("string"),
+            lit(s" > $ceiling - re-bucket the metric grain")))))
+      .drop("nv")
+
   /** RFM customer segmentation (X125, r16) — the classic marketing-
     * warehouse op (Recency / Frequency / Monetary quintiles), previously
     * skipped here because the textbook ntile(5) spelling is a
@@ -179,7 +205,7 @@ object Relational {
     // values (the only sort — bounded by value cardinality, not rows)
     def bounds(mc: String): DataFrame = {
       val dist = cust.groupBy(col(mc).as("v")).agg(count(lit(1)).as("cnt"))
-      val cum = dist.withColumn("cum",
+      val cum = grainGuarded(dist, mc).withColumn("cum",
         sum(col("cnt")).over(Window.orderBy(col("v"))))
       val aggs = (1 until RfmBuckets).map { k =>
         min(when(col("cum") >=
@@ -199,7 +225,7 @@ object Relational {
       .select(col("c"), score("r"), score("f"), score("m"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(pmod(TextOps.h60("c"), lit(1099511627776L))).as("cust_hashsum"))
+        TextOps.hashSum("c", 1099511627776L).as("cust_hashsum"))
       .orderBy("r_score", "f_score", "m_score")
       .localCheckpoint()
     cust.unpersist(blocking = false)
@@ -241,7 +267,7 @@ object Relational {
        |  CROSS JOIN ${boundsSql("f")}
        |  CROSS JOIN ${boundsSql("m")})
        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
-       |  CAST(SUM(${TextOps.h60Sql("c")} % 1099511627776) AS BIGINT)
+       |  ${TextOps.hashSumSql("c", 1099511627776L)}
        |    AS cust_hashsum
        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }

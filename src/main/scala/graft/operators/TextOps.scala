@@ -474,6 +474,19 @@ object TextOps {
       .write.parquet(s"$tmp/bands")
   }
 
+  /** Write one append-only MinHash DELTA (sets + bands) for an accepted
+    * shingle frame — the single spelling the batch update cycle, the
+    * compaction fixture, and the streaming ingest door share, so no door
+    * can band its appends differently from the build. Overwrite mode:
+    * a retried micro-batch epoch re-lands the same delta idempotently. */
+  private[graft] def writeMinhashDelta(s: SparkSession, accepted: DataFrame,
+                                       dir: String): Unit = {
+    accepted.write.mode("overwrite").parquet(s"$dir/sets")
+    bandKeysOf(accepted.select(col("doc_id"),
+        expr("minhash_sig(s)").as("sig")), NumBands, RowsPerBand)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
   /** Incremental near-dup of a fresh batch AGAINST the stored index — the
     * dedup operation that actually runs every crawl: the batch (20% split)
     * computes its own signatures (the plan's ONE `minhash_sig` subtree — a
@@ -535,8 +548,11 @@ object TextOps {
     * re-shingled, re-signed, or even reWRITTEN: the accepted rows land
     * as new files in their own directory and serving reads the union of
     * the original and appended dirs (r16; what a partition add at
-    * 100 TB physically is — the swap story for the directory pair is
-    * [[VersionedRoot]]'s pointer commit). Contract note: the batch
+    * 100 TB physically is). The directory list itself is COMMITTED
+    * through a [[VersionedRoot]] manifest — serve legs resolve CURRENT
+    * once, the update publishes the grown list after its delta is fully
+    * written (r17: the swap-while-serving contract on the production
+    * write path, not just the spec). Contract note: the batch
     * is deduplicated against the LAKE, not against itself — two copies
     * arriving in the same batch are both accepted (within-batch dedup is
     * minhashNearDup's job, run upstream); the second-pass count is
@@ -578,6 +594,11 @@ object TextOps {
   /** q_dedup_incremental's oracle, shared with the streaming gate. */
   private[graft] def dedupIncrementalOracle: String = dedupIncrementalSql
 
+  /** q_dedup_index_update's oracle, shared with the streaming INGEST
+    * cycle (the probes there pin the stream-start index version, so both
+    * doors compute the same counts). */
+  private[graft] def dedupIndexUpdateOracle: String = dedupIndexUpdateSql
+
   private val tempDirRefs = new java.util.concurrent.CopyOnWriteArrayList[
     java.util.concurrent.atomic.AtomicReference[String]]()
 
@@ -590,6 +611,7 @@ object TextOps {
   }
 
   private val lastUpdatedIndexDir = newTempDirRef()
+  private val lastMhVRootDir = newTempDirRef()
   private val lastExportDir = newTempDirRef()
   private val lastCtUpdDir = newTempDirRef()
   // the between-calls swap reclaims all but the FINAL dir of the JVM;
@@ -599,6 +621,29 @@ object TextOps {
       Option(r.get()).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
   }: Unit
+
+  private val memoServes = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])]()
+
+  /** Memoize a pure BEFORE-SERVE leg of a lifecycle gate per JVM (r16
+    * verdict #8): the leg reads only the per-JVM stored index fixture, so
+    * its result is call-invariant — bench reps were re-pricing a serve
+    * pass that q_*_serve already measures on its own. The result is held
+    * as DRIVER rows, not a cached/checkpointed frame: Bench unpersists
+    * every persistent RDD between queries, which strands a
+    * localCheckpoint's blocks (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    * Bounded by design — these are top-k serve outputs and batch dup-id
+    * lists, never lake-sized. NEVER memoize the update/train leg itself —
+    * that is the operation under test (the r15 q_quality_train lesson). */
+  private[graft] def memoServe(key: String)(build: => DataFrame): DataFrame = {
+    val (schema, rows) = memoServes.computeIfAbsent(key, _ => {
+      val df = build
+      (df.schema, df.collect())
+    })
+    org.apache.spark.sql.SparkSession.active
+      .createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   /** Reclaim `ref`'s previous temp dir (its lazy readers have executed by
     * the next call) and hand out a fresh one — bench reps must not
@@ -617,28 +662,42 @@ object TextOps {
   }
 
   def dedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
-    val root = minhashBuildIndex(s, dir)
+    import java.nio.file.Paths
+    val base = minhashBuildIndex(s, dir)
+    // THE PRODUCTION FRONT DOOR (r16 verdict #1, deployed): the index is
+    // served through a VersionedRoot MANIFEST — a version names the list
+    // of immutable data dirs that constitute the index, and every serve
+    // leg below resolves CURRENT once and reads exactly that list. v1 =
+    // the base build; the update publishes v2 = [base, delta] AFTER the
+    // delta dir is fully written, so a reader mid-probe on v1 never has
+    // files appear or vanish under it, and the appended history becomes
+    // visible exactly at the pointer flip.
+    val vroot = Paths.get(freshTempDir(lastMhVRootDir, "mhidx_vroot"))
+    VersionedRoot.publishDirs(vroot, Seq(base))
+    val served = VersionedRoot.resolveDirs(vroot)
     val batchSh = shingles(s, dir).filter(!isHistoryDoc).cache()
-    val dups = serveDedupIncremental(s, batchSh, root)
-      .select(col("batch_doc").as("doc_id")).distinct().cache()
+    // the before-probe is a pure function of the per-JVM base index —
+    // memoized (r16 verdict #8) so bench reps price the UPDATE, not a
+    // second serve pass q_dedup_incremental already measures
+    val dups = memoServe(s"mh_base_dups:$dir")(
+      serveDedupIncremental(s, batchSh, served: _*)
+        .select(col("batch_doc").as("doc_id")).distinct())
     val accepted = batchSh.join(dups, Seq("doc_id"), "left_anti").cache()
     // fresh dir per call (the merged index is output under test). The
     // append writes ONLY the accepted rows as new files — history files
-    // are never rewritten (what "partition add at 100 TB" physically
-    // is); serving reads the union of the original and appended dirs
+    // are never rewritten (what "partition add at 100 TB" physically is)
     val updated = freshTempDir(lastUpdatedIndexDir, "mhidx_upd")
-    accepted.write.parquet(s"$updated/sets")
-    bandKeysOf(
-        accepted.select(col("doc_id"), expr("minhash_sig(s)").as("sig")),
-        NumBands, RowsPerBand)
-      .write.parquet(s"$updated/bands")
-    val second = serveDedupIncremental(s, batchSh, root, updated)
+    writeMinhashDelta(s, accepted, updated)
+    VersionedRoot.publishDirs(vroot, served :+ updated)
+    val servedAfter = VersionedRoot.resolveDirs(vroot)
+    val second = serveDedupIncremental(s, batchSh, servedAfter: _*)
       .select(col("batch_doc")).distinct()
-    s.read.parquet(s"$root/sets").agg(count(lit(1)).as("n_history"))
+    s.read.parquet(served.map(r => s"$r/sets"): _*)
+      .agg(count(lit(1)).as("n_history"))
       .crossJoin(batchSh.agg(count(lit(1)).as("n_batch")))
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
-      .crossJoin(s.read.parquet(s"$root/sets", s"$updated/sets")
+      .crossJoin(s.read.parquet(servedAfter.map(r => s"$r/sets"): _*)
         .agg(count(lit(1)).as("n_history_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
   }
@@ -684,6 +743,129 @@ object TextOps {
        |SELECT batch_doc, hist_doc, CAST(inter AS DOUBLE)/un AS jaccard
        |FROM pairs WHERE CAST(inter AS DOUBLE)/un >= $JaccardThreshold
        |ORDER BY batch_doc, hist_doc""".stripMargin
+
+  private val lastMhCompactDir = newTempDirRef()
+
+  /** Index-root COMPACTION cycle (X128, r17 — the r16 verdict's #2): the
+    * update discipline is append-only by design (every batch lands new
+    * files, history never rewritten), so after K daily batches an index
+    * root holds K+1 file-sets — the same small-files pathology X53
+    * compacts for TABLES, now applied to the repo's own index layout.
+    * The cycle: accumulate the accepted batch docs as THREE delta dirs
+    * behind a [[VersionedRoot]] manifest (base + deltas = the grown
+    * index), then rewrite the union of all four file-sets with the X53
+    * REBALANCE discipline into ONE size-targeted directory and publish
+    * it as the new version — readers mid-probe keep the old dirs (all
+    * immutable), the pointer flip swaps new plans to the compacted
+    * layout, and the retired manifests' unreferenced delta dirs are the
+    * vacuum set.
+    * The gate proves SERVE-EQUIVALENCE: the standing probe runs against
+    * the accumulated version and the compacted version, and the full
+    * pair sets must be identical (n_pairs_changed = 0 — Spark-vs-Spark
+    * over the same immutable rows, layout-independent by construction);
+    * the oracle independently re-derives the probe against REAL history
+    * (the q_dedup_incremental recall surface), the self-match count
+    * (accepted docs match their own stored copy at Jaccard 1 —
+    * identical sets give identical signatures, LSH cannot miss), and
+    * the membership hashsum of the history pairs. files_dropped is the
+    * physical witness: the compacted version must hold strictly fewer
+    * parquet files than the accumulated one (SQL cannot see layout, so
+    * the oracle pins the expectation and Spark computes it from the
+    * real listings).
+    */
+  def dedupIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val base = minhashBuildIndex(s, dir)
+    val batchSh = shingles(s, dir).filter(!isHistoryDoc).cache()
+    val dups = memoServe(s"mh_base_dups:$dir")(
+      serveDedupIncremental(s, batchSh, base)
+        .select(col("batch_doc").as("doc_id")).distinct())
+    val accepted = batchSh.join(dups, Seq("doc_id"), "left_anti").cache()
+    val work = Paths.get(freshTempDir(lastMhCompactDir, "mhidx_cmp"))
+    val vroot = work.resolve("vroot")
+    val deltas = (0 until 3).map { i =>
+      val d = work.resolve(s"delta$i").toString
+      writeMinhashDelta(s, accepted.filter(pmod(col("doc_id"), lit(3L)) === i), d)
+      d
+    }
+    VersionedRoot.publishDirs(vroot, base +: deltas)
+    val servedBefore = VersionedRoot.resolveDirs(vroot)
+    val pairsBefore = serveDedupIncremental(s, batchSh, servedBefore: _*)
+      .select(col("batch_doc"), col("hist_doc")).localCheckpoint()
+    val cdir = work.resolve("compact").toString
+    Compaction.compact(s, servedBefore.map(r => s"$r/sets"),
+      s"$cdir/sets", 128L * 1024 * 1024)
+    Compaction.compact(s, servedBefore.map(r => s"$r/bands"),
+      s"$cdir/bands", 128L * 1024 * 1024)
+    VersionedRoot.publishDirs(vroot, Seq(cdir))
+    val servedAfter = VersionedRoot.resolveDirs(vroot)
+    val pairsAfter = serveDedupIncremental(s, batchSh, servedAfter: _*)
+      .select(col("batch_doc"), col("hist_doc")).localCheckpoint()
+    val filesBefore = parquetFileCount(servedBefore)
+    val filesAfter = parquetFileCount(servedAfter)
+    val changed = pairsBefore.exceptAll(pairsAfter)
+      .unionByName(pairsAfter.exceptAll(pairsBefore))
+    val histPairs = pairsAfter.filter(pmod(h60("hist_doc"), lit(100L)) < 80)
+    val out = s.read.parquet(s"$base/sets")
+      .agg(count(lit(1)).as("n_history"))
+      .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
+      .crossJoin(histPairs.agg(count(lit(1)).as("n_pairs_hist"),
+        hashSum("concat(batch_doc, ':', hist_doc)",
+          graft.operators.Compaction.HashSumMod).as("pair_hashsum")))
+      .crossJoin(pairsAfter.filter(col("batch_doc") === col("hist_doc"))
+        .agg(count(lit(1)).as("n_self_pairs")))
+      .crossJoin(changed.agg(count(lit(1)).as("n_pairs_changed")))
+      .withColumn("files_dropped", lit(filesBefore > filesAfter))
+      .localCheckpoint()
+    batchSh.unpersist(blocking = false)
+    accepted.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver-side physical witness for the compaction gate: parquet part
+    * files under the given index dirs (metadata listing, not a scan). */
+  private def parquetFileCount(dirs: Seq[String]): Long =
+    dirs.map { d =>
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")).toLong
+      } finally st.close()
+    }.sum
+
+  private val dedupIndexCompactSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t)-2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |b AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 >= 80),
+       |h AS (SELECT * FROM sh WHERE ${h60Sql("doc_id")} % 100 < 80),
+       |dup AS (
+       |  SELECT DISTINCT b.doc_id FROM b JOIN h ON
+       |    CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+       |      / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s)))
+       |      >= $JaccardThreshold),
+       |acc AS (
+       |  SELECT * FROM b
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+       |pairs_h AS (
+       |  SELECT b.doc_id AS batch_doc, h.doc_id AS hist_doc FROM b JOIN h
+       |  ON CAST(len(list_intersect(b.s, h.s)) AS DOUBLE)
+       |      / (len(b.s) + len(h.s) - len(list_intersect(b.s, h.s)))
+       |      >= $JaccardThreshold)
+       |SELECT (SELECT count(*) FROM h) AS n_history,
+       |  (SELECT count(*) FROM acc) AS n_accepted,
+       |  (SELECT count(*) FROM pairs_h) AS n_pairs_hist,
+       |  (SELECT ${hashSumSql("batch_doc || ':' || hist_doc",
+             graft.operators.Compaction.HashSumMod)}
+       |    FROM pairs_h) AS pair_hashsum,
+       |  (SELECT count(*) FROM acc) AS n_self_pairs,
+       |  CAST(0 AS BIGINT) AS n_pairs_changed,
+       |  TRUE AS files_dropped""".stripMargin
 
   private val lastMhPurgeDir = newTempDirRef()
 
@@ -1303,6 +1485,23 @@ object TextOps {
   private[graft] def h60Sql(keySql: String): String =
     duckHash60(s"CAST($keySql AS VARCHAR)")
 
+  /** Overflow-proof order-free membership hashsum: the per-key 60-bit
+    * hashes are accumulated WIDE — Spark sums DECIMAL(38,0), DuckDB sums
+    * HUGEINT, both good past 1e19 rows of 2^60-bounded addends — and the
+    * SUM is bounded by `m` AFTER aggregation, so the emitted column is
+    * BIGINT on both engines at any group size. (Σh) mod m ==
+    * (Σ(h mod m)) mod m, so the two engines' spellings agree. The
+    * previous SUM(h mod 2^40) spelling bounded the ADDENDS instead and
+    * overflowed Int64 at ~1.7e7 rows per group — the snapshot-diff
+    * 'unchanged' class is ~the whole lake, so at the 100 TB target ANSI
+    * Spark would throw and DuckDB's HUGEINT→BIGINT cast would error.
+    */
+  private[graft] def hashSum(keySql: String, m: Long): Column =
+    pmod(sum(h60(keySql).cast("decimal(38,0)")),
+      lit(m).cast("decimal(38,0)")).cast("long")
+  private[graft] def hashSumSql(keySql: String, m: Long): String =
+    s"CAST(SUM(CAST(${h60Sql(keySql)} AS HUGEINT)) % $m AS BIGINT)"
+
   /** Deterministic train/val/test split (80/10/10) keyed on the document
     * id's md5 — the assignment every training pipeline needs to be STABLE
     * across reruns and engines (a random() split is neither). Pure map on
@@ -1746,11 +1945,13 @@ object TextOps {
   def bm25IndexAdd(s: SparkSession, dir: String): DataFrame = {
     val root = bm25HistoryIndex(s, dir)
     val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
-    val before = bm25Score(s,
+    // the before-probe reads only the per-JVM history fixture — memoized
+    // (r16 verdict #8) so bench reps price the UPDATE, not a second serve
+    val before = memoServe(s"bm25hist_before:$dir")(bm25Score(s,
       s.read.parquet(s"$root/tf").filter(col("term").isin(qTerms: _*)),
       s.read.parquet(s"$root/dlen"),
       s.read.parquet(s"$root/df").filter(col("term").isin(qTerms: _*)),
-      s.read.parquet(s"$root/stats"))
+      s.read.parquet(s"$root/stats")))
     // the batch's own postings — the ONLY tokenization in the gate
     val batchTf = docs(s, dir).filter(!isHistoryDoc)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -1791,6 +1992,128 @@ object TextOps {
       .unionByName(after.withColumn("phase", lit("after")))
       .select(col("phase"), col("query"), col("rank"), col("doc_id"))
       .orderBy("phase", "query", "rank")
+  }
+
+  private val lastBm25UpsDir = newTempDirRef()
+
+  /** Suffix the upsert batch appends to each overlapping doc's text —
+    * declared above the SQL that interpolates it (object-body val order). */
+  private val Bm25UpdatedSuffix = " graft upsert probe"
+  private val Bm25UpdateGrain = 7L
+
+  /** BM25 UPDATE of existing documents (X127, r17) — executes the
+    * delete-then-add composition [[bm25IndexAdd]]'s precondition names,
+    * closing the sparse index's CRUD matrix: a mixed crawl batch carries
+    * brand-new docs AND a slice of history re-crawled with CHANGED text.
+    * Which batch ids are updates is decided by the INDEX, not the
+    * fixture — a semi-join of the batch against the stored dlen table
+    * (the narrow per-doc side table, a broadcast at any scale) — then
+    * both delta disciplines run back to back over the same temp root:
+    *   - DELETE leg ([[bm25IndexDelete]]): overlapping ids anti-joined
+    *     out of postings/dlen (at 100 TB a partition drop), their df
+    *     decrement read off their own deleted rows;
+    *   - ADD leg ([[bm25IndexAdd]]): the batch's fresh postings land as
+    *     NEW files (`tf_add`/`dlen_add`), serving reads the union;
+    *   - df patches through BOTH deltas in one pass (df − dec + inc,
+    *     full-outer so first-seen terms enter and zeroed terms leave);
+    *   - stats: n_docs/sum_dlen shift by both deltas off the sums
+    *     STORED at build time, avgdl re-derived in one division — the
+    *     same IEEE quotient a from-scratch rebuild performs.
+    * The gate serves the standing queries before and after; the oracle
+    * replays both phases from scratch (history slice / the updated
+    * corpus with the overlap slice's text rewritten), so incremental
+    * delete+add ≡ full rebuild is checked cell-by-cell.
+    */
+  def bm25IndexUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = bm25HistoryIndex(s, dir)
+    val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
+    val before = memoServe(s"bm25hist_before:$dir")(bm25Score(s,
+      s.read.parquet(s"$root/tf").filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$root/dlen"),
+      s.read.parquet(s"$root/df").filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$root/stats")))
+    // the mixed batch: new docs as-is + an updated-text history slice
+    val batch = docs(s, dir).filter(!isHistoryDoc)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs(s, dir)
+        .filter(isHistoryDoc &&
+          pmod(h60("doc_id"), lit(Bm25UpdateGrain)) === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(Bm25UpdatedSuffix)).as("text")))
+    val batchTf = batch
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
+    val tf0 = s.read.parquet(s"$root/tf")
+    val dlen0 = s.read.parquet(s"$root/dlen")
+    val overlap = batch.select(col("doc_id"))
+      .join(dlen0, Seq("doc_id"), "left_semi").cache()
+    val delTf = tf0.join(broadcast(overlap), "doc_id").cache()
+    val delDlen = dlen0.join(broadcast(overlap), "doc_id").cache()
+    val updated = freshTempDir(lastBm25UpsDir, "bm25idx_ups")
+    tf0.join(broadcast(overlap), Seq("doc_id"), "left_anti")
+      .write.parquet(s"$updated/tf")
+    dlen0.join(broadcast(overlap), Seq("doc_id"), "left_anti")
+      .write.parquet(s"$updated/dlen")
+    batchTf.write.parquet(s"$updated/tf_add")
+    batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      .write.parquet(s"$updated/dlen_add")
+    // df through both deltas; deltas derive from the doomed/WRITTEN rows
+    s.read.parquet(s"$root/df")
+      .join(delTf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("dec")), Seq("term"), "left")
+      .join(s.read.parquet(s"$updated/tf_add").groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("inc")), Seq("term"),
+        "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0.0)) - coalesce(col("dec"), lit(0.0))
+          + coalesce(col("inc"), lit(0.0))).as("df"))
+      .filter(col("df") > 0)
+      .write.parquet(s"$updated/df")
+    s.read.parquet(s"$root/stats")
+      .crossJoin(broadcast(delDlen.agg(
+        count(lit(1)).cast("double").as("n_del"),
+        coalesce(sum(col("dlen")), lit(0.0)).as("sum_del"))))
+      .crossJoin(broadcast(s.read.parquet(s"$updated/dlen_add").agg(
+        count(lit(1)).cast("double").as("n_add"),
+        coalesce(sum(col("dlen")), lit(0.0)).as("sum_add"))))
+      .select(
+        (col("n_docs") - col("n_del") + col("n_add")).as("n_docs"),
+        ((col("sum_dlen") - col("sum_del") + col("sum_add"))
+          / (col("n_docs") - col("n_del") + col("n_add"))).as("avgdl"),
+        (col("sum_dlen") - col("sum_del") + col("sum_add")).as("sum_dlen"))
+      .write.parquet(s"$updated/stats")
+    batchTf.unpersist(blocking = false)
+    delTf.unpersist(blocking = false)
+    delDlen.unpersist(blocking = false)
+    overlap.unpersist(blocking = false)
+    val after = bm25Score(s,
+      s.read.parquet(s"$updated/tf", s"$updated/tf_add")
+        .filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$updated/dlen", s"$updated/dlen_add"),
+      s.read.parquet(s"$updated/df").filter(col("term").isin(qTerms: _*)),
+      s.read.parquet(s"$updated/stats"))
+    before.withColumn("phase", lit("before"))
+      .unionByName(after.withColumn("phase", lit("after")))
+      .select(col("phase"), col("query"), col("rank"), col("doc_id"))
+      .orderBy("phase", "query", "rank")
+  }
+
+  private def bm25IndexUpsertSql = {
+    val histDocs =
+      s"(SELECT * FROM documents WHERE ${h60Sql("doc_id")} % 100 < 80)" +
+        " AS documents"
+    val updatedCorpus =
+      s"""(SELECT doc_id,
+         |    CASE WHEN ${h60Sql("doc_id")} % 100 < 80
+         |          AND ${h60Sql("doc_id")} % $Bm25UpdateGrain = 0
+         |         THEN text || '$Bm25UpdatedSuffix' ELSE text END AS text
+         |  FROM documents) AS documents""".stripMargin
+    s"""SELECT 'before' AS phase, * FROM (${bm25SearchSqlOver(histDocs)})
+       |UNION ALL
+       |SELECT 'after' AS phase, * FROM (${bm25SearchSqlOver(updatedCorpus)})
+       |ORDER BY phase, query, rank""".stripMargin
   }
 
   private def bm25IndexAddSql = {
@@ -4582,7 +4905,7 @@ object TextOps {
   // ------------------------------------- sharded training-data export
 
   private val ExportShards = 8
-  private val ExportKeyMod = 1099511627776L // 2^40: keeps the Σ in BIGINT
+  private val ExportKeyMod = 1099511627776L // 2^40: bounds the wide Σ to BIGINT
 
   /** Training-data EXPORT with a validated manifest — the delivery step of
     * a curation pipeline: hash-shard the corpus, WRITE it as a
@@ -4611,9 +4934,11 @@ object TextOps {
     back.groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks(col("text"))).cast("long")).as("n_tokens"),
-        sum(pmod(
-          expr(hash60Sql("regexp_replace(lower(trim(text)), '\\\\s+', ' ')")),
-          lit(ExportKeyMod))).as("content_key"))
+        pmod(sum(
+          expr(hash60Sql("regexp_replace(lower(trim(text)), '\\\\s+', ' ')"))
+            .cast("decimal(38,0)")),
+          lit(ExportKeyMod).cast("decimal(38,0)")).cast("long")
+          .as("content_key"))
       .orderBy(col("shard"))
   }
 
@@ -4621,8 +4946,8 @@ object TextOps {
     s"""SELECT CAST(${h60Sql("doc_id")} % $ExportShards AS BIGINT) AS shard,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
-       |  CAST(sum(${duckHash60(normSql)} % $ExportKeyMod) AS BIGINT)
-       |    AS content_key
+       |  CAST(sum(CAST(${duckHash60(normSql)} AS HUGEINT)) % $ExportKeyMod
+       |    AS BIGINT) AS content_key
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------ DSIR importance-resampling selection
@@ -4845,9 +5170,11 @@ object TextOps {
     "q_minhash_neardup" -> (minhashNearDup(_, _)),
     "q_dedup_incremental" -> (dedupIncremental(_, _)),
     "q_dedup_index_update" -> (dedupIndexUpdate(_, _)),
+    "q_dedup_index_compact" -> (dedupIndexCompact(_, _)),
     "q_dedup_index_purge" -> (dedupIndexPurge(_, _)),
     "q_bm25_index_delete" -> (bm25IndexDelete(_, _)),
     "q_bm25_index_add" -> (bm25IndexAdd(_, _)),
+    "q_bm25_index_upsert" -> (bm25IndexUpsert(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_simhash_neardup" -> (simhashNearDup(_, _)),
@@ -4908,9 +5235,11 @@ object TextOps {
     "q_minhash_neardup" -> minhashNearDupSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_index_update" -> dedupIndexUpdateSql,
+    "q_dedup_index_compact" -> dedupIndexCompactSql,
     "q_dedup_index_purge" -> dedupIndexPurgeSql,
     "q_bm25_index_delete" -> bm25IndexDeleteSql,
     "q_bm25_index_add" -> bm25IndexAddSql,
+    "q_bm25_index_upsert" -> bm25IndexUpsertSql,
     "q_ngram_jaccard" -> minhashNearDupSql,
     "q_token_count" -> tokenCountSql,
     "q_simhash_neardup" -> simhashNearDupSql,

@@ -46,11 +46,33 @@ object VersionedRoot {
 
   /** Write a new version under `root` via `write` (handed the INVISIBLE
     * version directory), then atomically flip the pointer to it.
-    * Returns the published version directory. */
+    * Returns the published version directory.
+    *
+    * Concurrent publishers are safe at the directory level: each claims
+    * its version number by `Files.createDirectory` (an atomic
+    * reservation — exists means another writer got there first, so this
+    * one moves to the next number), so two writers can never interleave
+    * files inside one "immutable" version. The POINTER then serializes
+    * with last-flip-wins — racing publishers both commit a complete
+    * version, and the later flip decides which one serves (the same
+    * contract a table format's optimistic-concurrency commit gives two
+    * non-conflicting writers).
+    *
+    * Because the claim IS the directory, `write` receives an EXISTING
+    * empty directory — parquet writers must use SaveMode.Overwrite (or
+    * write into child paths), as ErrorIfExists refuses any existing
+    * path. */
   def publish(root: Path, write: Path => Unit): Path = {
     Files.createDirectories(root)
-    val next = 1 + currentVersion(root).getOrElse(0L)
-    val vdir = root.resolve(s"v$next")
+    var next = 1 + currentVersion(root).getOrElse(0L)
+    var vdir = root.resolve(s"v$next")
+    // atomic claim: createDirectory throws if the version already exists
+    // (a concurrent or crashed publisher owns it) — take the next number
+    while ({
+      try { Files.createDirectory(vdir); false }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        next += 1; vdir = root.resolve(s"v$next"); true }
+    }) ()
     // the version directory is fully written before anything points at it
     write(vdir)
     val tmp = root.resolve(s"$Pointer.tmp")
@@ -79,17 +101,69 @@ object VersionedRoot {
   }
 
   /** Drop all but the newest `keep` versions — never the pointed-at one
-    * (keep >= 1 enforced). The deployment's vacuum horizon: run it only
-    * after the oldest surviving version predates every live reader. */
+    * or anything newer than it (keep >= 1 enforced). A publisher that
+    * crashed after writing v<N+1> but before the pointer flip leaves
+    * CURRENT at vN; "newest K by number" alone would then retire the
+    * directory CURRENT points at, so the pointed-at version and its
+    * successors are excluded from the retire set unconditionally. The
+    * deployment's vacuum horizon: run it only after the oldest surviving
+    * version predates every live reader. */
   def retire(root: Path, keep: Int): Unit = {
     require(keep >= 1, "retire must keep at least the current version")
-    val versions = Files.list(root).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("v\\d+"))
-      .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v").toLong)
-    versions.dropRight(keep).foreach { old =>
-      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    }
+    val pinned = currentVersion(root).getOrElse(Long.MinValue)
+    val stream = Files.list(root)
+    val versions =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d+"))
+        .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v").toLong)
+      finally stream.close()
+    versions.dropRight(keep)
+      .filter(_.getFileName.toString.stripPrefix("v").toLong < pinned)
+      .foreach { old =>
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+      }
   }
+
+  /** True once the root carries a committed pointer. */
+  def published(root: Path): Boolean = Files.exists(root.resolve(Pointer))
+
+  /** Resolve `path` through its CURRENT pointer when it is a versioned
+    * root, else return it unchanged — the reader-side shim that lets one
+    * conf/path key serve both layouts (a flat parquet dir and a
+    * [[publish]]ed root). The read is one tiny file — the same per-plan
+    * metadata cost a table format pays to pin its latest snapshot. */
+  def resolveIfVersioned(path: String): String = {
+    val root = Paths.get(path)
+    if (published(root)) resolve(root).toString else path
+  }
+
+  // ---- manifest versions (multi-directory indexes) ----------------------
+  //
+  // The append-only index families (minhash sets/bands, bm25 postings,
+  // …) grow by landing NEW data directories, never rewriting history —
+  // so "a version" of such an index is not one directory of data but a
+  // LIST of immutable data directories. A manifest version dir contains
+  // a single `dirs` file naming them; publish = write the new list +
+  // pointer flip, serve = resolve CURRENT once and read the union of
+  // the listed dirs (the existing multi-root varargs serve spelling).
+  // Compaction publishes a version whose list is one size-targeted
+  // directory; data dirs referenced by no surviving version are the
+  // vacuum set.
+
+  private val DirsFile = "dirs"
+
+  /** Publish a manifest version naming `dirs` as the index's data
+    * directories (order preserved). */
+  def publishDirs(root: Path, dirs: Seq[String]): Path =
+    publish(root, v => Files.writeString(v.resolve(DirsFile),
+      dirs.mkString("\n")): Unit)
+
+  /** The CURRENT version's data-directory list — resolved ONCE; the
+    * returned dirs are immutable, so a plan over them reads one
+    * consistent index no matter how many publishes land while it runs. */
+  def resolveDirs(root: Path): Seq[String] =
+    Files.readString(resolve(root).resolve(DirsFile)).trim
+      .split("\n").toSeq.filter(_.nonEmpty)
 
   /** Convenience for specs: a fresh root under java.io.tmpdir. */
   private[graft] def freshRoot(prefix: String): Path =

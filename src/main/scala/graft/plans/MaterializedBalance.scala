@@ -145,7 +145,12 @@ case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // pass through while a canonical capture or an MV refresh is running
+    // (BalanceMvRewrite.capturing / .suppressed) — a rewrite there would
+    // corrupt the fingerprint or self-reference the maintenance query
+    if (BalanceMvRewrite.isSuppressed) return plan
+    plan.transformUp {
     case agg: Aggregate =>
       val groupIds = agg.groupingExpressions
         .collect { case a: Attribute => a.exprId }.toSet
@@ -189,6 +194,7 @@ case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
         Project(projList, source): LogicalPlan
       }
       rewrite.getOrElse(agg)
+    }
   }
 }
 
@@ -203,6 +209,25 @@ object BalanceMvRewrite {
     * Volatile: a concurrent-query race costs one unrewritten (still
     * correct) plan. */
   @volatile private var capturing = false
+
+  /** Run `body` with EVERY BalanceMvRewrite instance (manually installed
+    * or extension-injected) passing through — the MV REFRESH guard.
+    * The maintenance query that derives a new MV version from the lake
+    * (Warehouse.sync's balancePreAgg) spells exactly the aggregate the
+    * rule rewrites; on a session that is concurrently SERVING (an
+    * HttpEdge with the rule installed), the unguarded refresh would be
+    * rewritten to read the CURRENT MV — publishing a copy of the old
+    * version as the new one, forever (self-referential maintenance; the
+    * r17 pinned-version e2e caught it live). Shares the `capturing`
+    * latch: a serving query planned inside the window just pays one
+    * unrewritten (still correct) lake aggregate. */
+  def suppressed[T](body: => T): T = {
+    capturing = true
+    try body finally capturing = false
+  }
+
+  /** Read hook for the case-class instances' apply. */
+  private[plans] def isSuppressed: Boolean = capturing
 
   /** Build a rule bound to a registered source: `canonical` is the
     * declarative balance query over the SAME lake the MV was derived
@@ -244,7 +269,13 @@ object BalanceMvRewrite {
         // capture (the canonical's own full-lake aggregate must stay
         // unrewritten: it IS the fingerprint source)
         if (capturing) return plan
+        // a VersionedRoot mvPath resolves through its CURRENT pointer per
+        // optimization — one tiny metadata read, the cost a table format
+        // pays to pin its latest snapshot — so a sync publish is picked up
+        // by the NEXT planned query while running scans keep their pinned
+        // (immutable) version; a flat parquet path passes through unchanged
         val mv = session.conf.getOption(MvPathConf)
+          .map(graft.operators.VersionedRoot.resolveIfVersioned)
         val lake = session.conf.getOption(LakePathConf)
         (mv, lake) match {
           case (Some(m), Some(l)) =>

@@ -180,11 +180,9 @@ object Warehouse {
         fs.rename(tablePath("account_old"), tablePath("account"))
       fs.delete(tablePath("account_old"), true)
       fs.delete(tablePath("account_new"), true)
-      // same recovery for the balance-MV swap below
-      if (!fs.exists(tablePath("balances")) && fs.exists(tablePath("balances_old")))
-        fs.rename(tablePath("balances_old"), tablePath("balances"))
-      fs.delete(tablePath("balances_old"), true)
-      fs.delete(tablePath("balances_new"), true)
+      // the balance MV needs no recovery block: it lives in a
+      // VersionedRoot (immutable version dirs + atomic pointer), where a
+      // crashed publish leaves an orphan claim the next publish skips
     }
 
     def readOr(name: String, empty: => DataFrame): DataFrame = {
@@ -287,21 +285,31 @@ object Warehouse {
     // M10 at ingest, executed: the sync pass maintains the balance
     // pre-agg the BalanceMvRewrite optimizer rule serves from
     // (`$warehouseDir/balances`), so API sessions installing the rule
-    // answer full-lake balance reports from |accounts| rows. On plain
-    // parquet the refresh derives the MV from the CURRENT transfer table
-    // (always crash-consistent — the swap recovery above mirrors the
-    // account table's); at 100 TB under a transactional table format the
-    // refresh becomes the q_balance_mv_incr delta MERGE, whose cost is
-    // this pass's appended transfers, not the lake.
+    // answer full-lake balance reports from |accounts| rows. The MV is
+    // PUBLISHED through [[graft.operators.VersionedRoot]] — immutable
+    // `v<N>` dirs plus one atomic CURRENT pointer — so a serving session
+    // mid-scan on the previous version never has files yanked from under
+    // it (the swap-while-serving contract CompactionSpec pins, now the
+    // production write path); readers resolve CURRENT once per
+    // plan/refresh (HttpEdge.installMvRule, BalanceMvRewrite.fromConf).
+    // retire(keep=2) is the vacuum horizon: the previous version
+    // outlives any reader that resolved it before this publish. At
+    // 100 TB under a transactional table format the refresh becomes the
+    // q_balance_mv_incr delta MERGE, whose cost is this pass's appended
+    // transfers, not the lake.
     locally {
-      val fs = tablePath("balances").getFileSystem(hconf)
-      if (nTransfers > 0 || !fs.exists(tablePath("balances"))) {
-        balancePreAgg(readOr("transfer", discovered.limit(0)))
-          .write.mode("overwrite").parquet(s"$warehouseDir/balances_new")
-        if (fs.exists(tablePath("balances")))
-          fs.rename(tablePath("balances"), tablePath("balances_old"))
-        fs.rename(tablePath("balances_new"), tablePath("balances"))
-        fs.delete(tablePath("balances_old"), true)
+      import graft.operators.VersionedRoot
+      val mvRoot = java.nio.file.Paths.get(warehouseDir, "balances")
+      if (nTransfers > 0 || !VersionedRoot.published(mvRoot)) {
+        // the refresh MUST NOT be answered by the very rule it feeds: on
+        // a serving session the installed rewrite matches this exact
+        // aggregate and would publish a copy of the OLD version
+        graft.plans.BalanceMvRewrite.suppressed {
+          VersionedRoot.publish(mvRoot, vdir =>
+            balancePreAgg(readOr("transfer", discovered.limit(0)))
+              .write.mode("overwrite").parquet(vdir.toString))
+        }
+        VersionedRoot.retire(mvRoot, keep = 2)
       }
     }
     events.unpersist()

@@ -102,8 +102,10 @@ class CompactionSpec extends SparkSpec {
     import org.apache.spark.sql.functions.lit
     val root = VersionedRoot.freshRoot("vroot")
     def writeVersion(tag: Long)(vdir: java.nio.file.Path): Unit =
+      // the handed directory EXISTS (it is the publisher's atomic claim),
+      // so parquet writes into it must overwrite
       spark.range(100).withColumn("ver", lit(tag))
-        .write.parquet(vdir.toString)
+        .write.mode("overwrite").parquet(vdir.toString)
     VersionedRoot.publish(root, writeVersion(1))
     val pinned = spark.read.parquet(VersionedRoot.resolve(root).toString)
     VersionedRoot.publish(root, writeVersion(2)) // swap lands mid-"scan"
@@ -151,5 +153,33 @@ class CompactionSpec extends SparkSpec {
     assert(failures.get() == 0,
       s"${failures.get()} resolves observed a torn/missing version")
     assert(VersionedRoot.resolve(root).getFileName.toString == "v21")
+  }
+
+  test("versioned root: retire never drops the pointed-at version after a crashed publish") {
+    // a publisher that crashed after writing v3 but before the pointer
+    // flip leaves CURRENT at v2; "newest K by number" alone would retire
+    // the directory CURRENT points at — retire must pin the resolved
+    // version (and anything newer) unconditionally
+    import graft.operators.VersionedRoot
+    import java.nio.file.Files
+    val root = VersionedRoot.freshRoot("vroot_crash")
+    def writeVersion(vdir: java.nio.file.Path): Unit = {
+      Files.writeString(vdir.resolve("data"), "x"): Unit
+    }
+    VersionedRoot.publish(root, writeVersion) // v1
+    VersionedRoot.publish(root, writeVersion) // v2, CURRENT → v2
+    // simulate the crash: the version directory exists, no pointer flip
+    Files.createDirectory(root.resolve("v3"))
+    Files.writeString(root.resolve("v3").resolve("data"), "x"): Unit
+    VersionedRoot.retire(root, keep = 1)
+    assert(!Files.exists(root.resolve("v1")), "v1 is retireable")
+    assert(Files.exists(root.resolve("v2")),
+      "the pointed-at v2 must survive retire(keep=1) despite the orphan v3")
+    assert(VersionedRoot.resolve(root).getFileName.toString == "v2")
+    // the next publish must NOT reuse the orphaned v3 claim: it skips to v4
+    val published = VersionedRoot.publish(root, writeVersion)
+    assert(published.getFileName.toString == "v4",
+      s"publish must claim past the orphan, got $published")
+    assert(VersionedRoot.resolve(root).getFileName.toString == "v4")
   }
 }

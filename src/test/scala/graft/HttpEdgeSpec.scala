@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import graft.api.HttpEdge
 import graft.warehouse.Warehouse
@@ -150,6 +151,60 @@ class HttpEdgeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(after.contains("HashAggregate"),
       s"after stop() the rule must be gone:\n$after")
+  }
+
+  test("the edge keeps serving its pinned MV version across a concurrent sync publish") {
+    // the swap-while-serving contract ON THE PRODUCTION WRITE PATH:
+    // Warehouse.sync publishes the balance MV through VersionedRoot, the
+    // edge resolves CURRENT once at start()/refresh() — so a sync that
+    // publishes a new version mid-serving must be invisible to the edge
+    // (even for PLANS BUILT AFTER THE PUBLISH: the rule is bound to the
+    // pinned immutable v1 directory, not to the pointer), and a refresh()
+    // must pick the new version up
+    import graft.operators.VersionedRoot
+    val jr = java.nio.file.Paths.get(fixture())
+    def put(rel: String, content: String): Unit = {
+      val p = jr.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content): Unit
+    }
+    val wh = Files.createTempDirectory("wh").toString
+    Warehouse.sync(spark, jr.toString, wh)
+    val mvRoot = java.nio.file.Paths.get(wh, "balances")
+    val v1 = VersionedRoot.resolve(mvRoot)
+    val edge = new HttpEdge(spark, wh, port = 0).start() // pins v1
+    try {
+      val port = edge.boundPort
+      val (c1, r1) = get(port, "/balances?tenant=TENANT")
+      assert(c1 == 200 && r1.contains("\"balance\":1.0"), s"pass 1: $r1")
+      // a second journal pass lands a new committed transfer (+2/−2) and
+      // PUBLISHES MV v2 while the edge is serving
+      // filename = {status}_{amount}_{transaction}; content line 1 = version
+      put("t_TENANT/account/CREDIT/events/0000000000/1_2_TRN2", "2\n")
+      put("t_TENANT/account/DEBIT/events/0000000000/1_-2_TRN2", "2\n")
+      put("t_TENANT/transaction/TRN2",
+        "committed\nTRX TENANT CREDIT TENANT DEBIT 2020-01-02T00:00:00Z 2 CZK\n")
+      Warehouse.sync(spark, jr.toString, wh)
+      assert(VersionedRoot.resolve(mvRoot).getFileName.toString != "v1",
+        "the second sync must publish a new MV version")
+      assert(java.nio.file.Files.exists(v1),
+        "retire(keep=2) must preserve the version a serving session pinned")
+      // a FRESH plan shape (different cache key) built after the publish
+      // still answers from the pinned v1 — the rule holds the immutable
+      // version directory, not the moving pointer. If the rule had
+      // declined (or chased the pointer), the lake's new transfer would
+      // surface balance 3.0 here
+      val (c2, r2) = get(port, "/balances?tenant=TENANT&pin=probe")
+      assert(c2 == 200 && r2.contains("\"balance\":1.0") &&
+        !r2.contains("\"balance\":3.0"),
+        s"mid-serving publish must be invisible until refresh: $r2")
+      // refresh(): re-resolve CURRENT → the new version serves
+      edge.refresh()
+      val (c3, r3) = get(port, "/balances?tenant=TENANT")
+      assert(c3 == 200 && r3.contains("\"balance\":3.0") &&
+        r3.contains("\"balance\":-3.0"),
+        s"refresh must serve the newly published version: $r3")
+    } finally edge.stop()
   }
 
   test("a GraftExtensions session injects the functions AND the conf-bound rule") {

@@ -80,4 +80,25 @@ class ObservationSpec extends SparkSpec {
       .view.mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
     assert(got == expected, s"got $got expected $expected")
   }
+
+  test("RFM grain guard raises in-plan when the distinct count breaches the ceiling") {
+    // the executable form of "the single-partition window is bounded by
+    // grain cardinality": a distribution wider than the ceiling must
+    // fail loudly inside the plan, not silently sort it on one core
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dist = spark.range(10).select(col("id").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    // under the ceiling: passes through untouched
+    assert(graft.operators.Relational.grainGuarded(dist, "r", ceiling = 10L)
+      .count() == 10L)
+    val e = intercept[Exception] {
+      graft.operators.Relational.grainGuarded(dist, "r", ceiling = 5L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rfm grain bound")),
+      s"expected the grain-bound raise, got: $e")
+  }
 }

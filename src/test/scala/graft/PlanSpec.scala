@@ -1445,11 +1445,9 @@ class PlanSpec extends SparkSpec {
     val rankBhj = "BroadcastHashJoin \\[src#\\d+L\\], \\[node#".r
     val rankShj = "ShuffledHashJoin \\[src#\\d+L\\], \\[node#".r
     val bPlan = graft.operators.Graph.roundPlanFor(spark, dir, true)
-      .queryExecution.executedPlan.toString
     assert(rankBhj.findFirstIn(bPlan).isDefined,
       s"broadcast layout must broadcast the rank frame into the edges:\n$bPlan")
     val sPlan = graft.operators.Graph.roundPlanFor(spark, dir, false)
-      .queryExecution.executedPlan.toString
     assert(rankBhj.findFirstIn(sPlan).isEmpty,
       s"stationary layout must never broadcast ranks:\n$sPlan")
     val shjMatch = "ShuffledHashJoin \\[src#(\\d+)L\\], \\[node#".r
