@@ -758,7 +758,10 @@ object TextOps {
     * it as the new version — readers mid-probe keep the old dirs (all
     * immutable), the pointer flip swaps new plans to the compacted
     * layout, and the retired manifests' unreferenced delta dirs are the
-    * vacuum set.
+    * vacuum set — EXECUTED: the gate retires the pre-compaction manifest
+    * and reclaims exactly the three delta dirs (n_dirs_vacuumed, oracle-
+    * pinned; the shared base fixture is referenced-not-owned and
+    * excluded from the candidate sweep by construction).
     * The gate proves SERVE-EQUIVALENCE: the standing probe runs against
     * the accumulated version and the compacted version, and the full
     * pair sets must be identical (n_pairs_changed = 0 — Spark-vs-Spark
@@ -803,6 +806,13 @@ object TextOps {
       .select(col("batch_doc"), col("hist_doc")).localCheckpoint()
     val filesBefore = parquetFileCount(servedBefore)
     val filesAfter = parquetFileCount(servedAfter)
+    // the vacuum half closes the cycle: retire the pre-compaction
+    // manifest (its readers are done — pairsBefore is materialized),
+    // then reclaim the delta dirs no surviving version references. The
+    // candidate list is ONLY the deltas this gate owns — the shared base
+    // fixture is referenced, not owned, and must survive regardless
+    VersionedRoot.retire(vroot, keep = 1)
+    val vacuumed = VersionedRoot.vacuumDirs(vroot, deltas)
     val changed = pairsBefore.exceptAll(pairsAfter)
       .unionByName(pairsAfter.exceptAll(pairsBefore))
     val histPairs = pairsAfter.filter(pmod(h60("hist_doc"), lit(100L)) < 80)
@@ -816,6 +826,7 @@ object TextOps {
         .agg(count(lit(1)).as("n_self_pairs")))
       .crossJoin(changed.agg(count(lit(1)).as("n_pairs_changed")))
       .withColumn("files_dropped", lit(filesBefore > filesAfter))
+      .withColumn("n_dirs_vacuumed", lit(vacuumed.length.toLong))
       .localCheckpoint()
     batchSh.unpersist(blocking = false)
     accepted.unpersist(blocking = false)
@@ -865,7 +876,8 @@ object TextOps {
        |    FROM pairs_h) AS pair_hashsum,
        |  (SELECT count(*) FROM acc) AS n_self_pairs,
        |  CAST(0 AS BIGINT) AS n_pairs_changed,
-       |  TRUE AS files_dropped""".stripMargin
+       |  TRUE AS files_dropped,
+       |  CAST(3 AS BIGINT) AS n_dirs_vacuumed""".stripMargin
 
   private val lastMhPurgeDir = newTempDirRef()
 

@@ -165,6 +165,31 @@ object VersionedRoot {
     Files.readString(resolve(root).resolve(DirsFile)).trim
       .split("\n").toSeq.filter(_.nonEmpty)
 
+  /** Delete data directories that no SURVIVING manifest version
+    * references — the vacuum half of the index compaction cycle: after
+    * [[retire]] drops old manifest versions, the delta dirs only those
+    * versions named become unreachable, and this reclaims them.
+    * `candidates` bounds the sweep to dirs the CALLER owns (an index
+    * root must never vacuum a shared fixture it merely references).
+    * Returns the dirs actually deleted. */
+  def vacuumDirs(root: Path, candidates: Seq[String]): Seq[String] = {
+    val stream = Files.list(root)
+    val versions =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d+")).toSeq
+      finally stream.close()
+    val live = versions.flatMap { v =>
+      val f = v.resolve(DirsFile)
+      if (Files.exists(f))
+        Files.readString(f).trim.split("\n").toSeq.filter(_.nonEmpty)
+      else Seq.empty
+    }.toSet
+    val doomed = candidates.filterNot(live.contains)
+    doomed.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    doomed
+  }
+
   /** Convenience for specs: a fresh root under java.io.tmpdir. */
   private[graft] def freshRoot(prefix: String): Path =
     Files.createTempDirectory(Paths.get(

@@ -155,6 +155,29 @@ class CompactionSpec extends SparkSpec {
     assert(VersionedRoot.resolve(root).getFileName.toString == "v21")
   }
 
+  test("versioned root: vacuum reclaims exactly the data dirs no surviving manifest references") {
+    import graft.operators.VersionedRoot
+    import java.nio.file.Files
+    val root = VersionedRoot.freshRoot("vroot_vac")
+    val Seq(a, b, c) = Seq("a", "b", "c").map { n =>
+      val d = root.resolve(s"data_$n")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("part.parquet"), "x"): Unit
+      d.toString
+    }
+    VersionedRoot.publishDirs(root, Seq(a, b))     // v1
+    VersionedRoot.publishDirs(root, Seq(b, c))     // v2 (the compacted form)
+    // before retire, every dir is referenced by SOME version: no-op
+    assert(VersionedRoot.vacuumDirs(root, Seq(a, b, c)).isEmpty)
+    VersionedRoot.retire(root, keep = 1)           // v1 manifest goes
+    val gone = VersionedRoot.vacuumDirs(root, Seq(a, b, c))
+    assert(gone == Seq(a), s"only the now-unreferenced dir goes: $gone")
+    assert(!Files.exists(java.nio.file.Paths.get(a)))
+    assert(Files.exists(java.nio.file.Paths.get(b)) &&
+      Files.exists(java.nio.file.Paths.get(c)),
+      "dirs the surviving manifest names must stay")
+  }
+
   test("versioned root: retire never drops the pointed-at version after a crashed publish") {
     // a publisher that crashed after writing v3 but before the pointer
     // flip leaves CURRENT at v2; "newest K by number" alone would retire
