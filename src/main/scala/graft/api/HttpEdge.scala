@@ -109,8 +109,13 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     // the sync pass publishes the MV through VersionedRoot: resolve the
     // CURRENT pointer ONCE per install — the resolved v<N> directory is
     // immutable, so every plan built until the next refresh() reads one
-    // consistent MV version regardless of concurrent publishes
-    val mvRoot = java.nio.file.Paths.get(warehouseDir, "balances")
+    // consistent MV version regardless of concurrent publishes. The
+    // root helper fails fast on a non-local warehouseDir (VersionedRoot
+    // is a local-rename protocol; silent divergence is worse than an
+    // error). Deployment contract: refresh() at least every
+    // mvKeepVersions-1 sync passes, or the pinned version can be
+    // vacuumed mid-serve (Warehouse.sync's retire knob).
+    val mvRoot = graft.warehouse.Warehouse.localBalancesRoot(warehouseDir)
     if (graft.operators.VersionedRoot.published(mvRoot)) {
       val pinned = graft.operators.VersionedRoot.resolve(mvRoot).toString
       val rule = graft.plans.BalanceMvRewrite.forSource(spark, pinned,

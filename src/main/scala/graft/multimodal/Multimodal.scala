@@ -1177,31 +1177,39 @@ object Multimodal {
     */
   def imageDedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
     val root = dhashBuildIndex(s, dir)
+    // served THROUGH the VersionedRoot manifest (r18, the r17 verdict's
+    // #4): every probe resolves the CURRENT pointer once and pins that
+    // dir list; the update commits its delta via the race-safe append
+    val work = freshUpdateDir(lastUpdatedDhIndexDir, "dhidx_upd")
+    val cycle = graft.operators.VersionedRoot.cycle(
+      java.nio.file.Paths.get(work), root)
+    val served = cycle.before
     val batch =
       dhashHashesOf(s, batchDocs(s, dir)).cache()
-    val dups = probeDhashIndexBatch(s, batch, root)
+    val dups = probeDhashIndexBatch(s, batch, served: _*)
       .select(col("batch_media").as("media_id")).distinct().cache()
     val accepted = batch.join(dups, Seq("media_id"), "left_anti").cache()
     // fresh dir per call (the merged index is output under test)
-    val updated = freshUpdateDir(lastUpdatedDhIndexDir, "dhidx_upd")
+    val updated = s"$work/delta"
     val newClusters = accepted.groupBy("dhash")
       .agg(min("media_id").as("rep"))
     // the append writes ONLY the new clusters' band rows as new files —
     // stored band files are never rewritten; probes and counts read the
-    // union of the original and appended directories
+    // manifest's dir union, visible exactly at the pointer flip
     dhashBands(newClusters.select(col("rep"), col("dhash")), "rep")
       .write.parquet(s"$updated/bands")
-    val second = probeDhashIndexBatch(s, batch, root, updated)
+    val servedAfter = cycle.append(updated)
+    val second = probeDhashIndexBatch(s, batch, servedAfter: _*)
       .select(col("batch_media")).distinct()
     // checkpoint the one-row witness, then release the probe caches (the
     // purge-gate discipline — Verify never clears caches between gates)
-    val witness = s.read.parquet(s"$root/bands")
+    val witness = s.read.parquet(served.map(r => s"$r/bands"): _*)
       .agg((count(lit(1)) / DhBands).cast("long").as("n_history_clusters"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
       .crossJoin(newClusters.agg(count(lit(1)).as("n_new_clusters")))
-      .crossJoin(s.read.parquet(s"$root/bands", s"$updated/bands")
+      .crossJoin(s.read.parquet(servedAfter.map(r => s"$r/bands"): _*)
         .agg((count(lit(1)) / DhBands).cast("long").as("n_clusters_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()
@@ -2285,23 +2293,29 @@ object Multimodal {
     * effectively-once second-probe witness. */
   def audioDedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
     val root = audioFpBuildIndex(s, dir)
+    // manifest-served (r18): probes pin the CURRENT pointer's dir list
+    val work = freshUpdateDir(lastUpdatedAfIndexDir, "afidx_upd")
+    val cycle = graft.operators.VersionedRoot.cycle(
+      java.nio.file.Paths.get(work), root)
+    val served = cycle.before
     val batch = audioFpHashesOf(s, batchDocs(s, dir)).cache()
-    val dups = probeAudioFpIndexBatch(s, batch, root)
+    val dups = probeAudioFpIndexBatch(s, batch, served: _*)
       .select(col("batch_media").as("media_id")).distinct().cache()
     val accepted = batch.join(dups, Seq("media_id"), "left_anti").cache()
-    val updated = freshUpdateDir(lastUpdatedAfIndexDir, "afidx_upd")
+    val updated = s"$work/delta"
     val newClusters = accepted.groupBy("fp").agg(min("media_id").as("rep"))
     audioFpBands(newClusters.select(col("rep"), col("fp")), "rep")
       .write.parquet(s"$updated/bands")
-    val second = probeAudioFpIndexBatch(s, batch, root, updated)
+    val servedAfter = cycle.append(updated)
+    val second = probeAudioFpIndexBatch(s, batch, servedAfter: _*)
       .select(col("batch_media")).distinct()
-    val witness = s.read.parquet(s"$root/bands")
+    val witness = s.read.parquet(served.map(r => s"$r/bands"): _*)
       .agg((count(lit(1)) / FpBands).cast("long").as("n_history_clusters"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
       .crossJoin(newClusters.agg(count(lit(1)).as("n_new_clusters")))
-      .crossJoin(s.read.parquet(s"$root/bands", s"$updated/bands")
+      .crossJoin(s.read.parquet(servedAfter.map(r => s"$r/bands"): _*)
         .agg((count(lit(1)) / FpBands).cast("long").as("n_clusters_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()
@@ -2364,27 +2378,33 @@ object Multimodal {
     * with it. */
   def videoDedupIndexUpdate(s: SparkSession, dir: String): DataFrame = {
     val root = videoBuildIndex(s, dir)
+    // manifest-served (r18): probes pin the CURRENT pointer's dir list
+    val work = freshUpdateDir(lastUpdatedVdIndexDir, "vdidx_upd")
+    val cycle = graft.operators.VersionedRoot.cycle(
+      java.nio.file.Paths.get(work), root)
+    val served = cycle.before
     val batch =
       videoHashesOf(s, batchDocs(s, dir)).cache()
-    val dups = probeVideoIndexBatch(s, batch, root)
+    val dups = probeVideoIndexBatch(s, batch, served: _*)
       .select(col("batch_media").as("media_id")).distinct().cache()
     val accepted = batch.join(dups, Seq("media_id"), "left_anti").cache()
-    val updated = freshUpdateDir(lastUpdatedVdIndexDir, "vdidx_upd")
+    val updated = s"$work/delta"
     val newSigs = accepted.groupBy("n_frames", "fhs")
       .agg(min("media_id").as("rep"))
     videoKeys(newSigs.select(col("rep"), col("n_frames"), col("fhs")),
         "rep")
       .write.parquet(s"$updated/keys")
-    val second = probeVideoIndexBatch(s, batch, root, updated)
+    val servedAfter = cycle.append(updated)
+    val second = probeVideoIndexBatch(s, batch, servedAfter: _*)
       .select(col("batch_media")).distinct()
     val KeysPerSig = DhBands * DhBands
-    val witness = s.read.parquet(s"$root/keys")
+    val witness = s.read.parquet(served.map(r => s"$r/keys"): _*)
       .agg((count(lit(1)) / KeysPerSig).cast("long").as("n_history_clusters"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
       .crossJoin(newSigs.agg(count(lit(1)).as("n_new_clusters")))
-      .crossJoin(s.read.parquet(s"$root/keys", s"$updated/keys")
+      .crossJoin(s.read.parquet(servedAfter.map(r => s"$r/keys"): _*)
         .agg((count(lit(1)) / KeysPerSig).cast("long").as("n_clusters_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()

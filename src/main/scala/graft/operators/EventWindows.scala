@@ -573,6 +573,27 @@ object EventWindows {
 
   private val lastStreamIngestDir = TextOps.newTempDirRef()
 
+  /** Fixture for the streaming INGEST gate: the 20%-split crawl batch in
+    * two micro-batches — the evens first, then the odds PLUS a same-text
+    * CLONE of every even (doc_id offset by max(doc_id)+1 over the lake).
+    * The clones make the sequential contract observable: a clone of an
+    * even that batch 1 ACCEPTED duplicates nothing in the stream-start
+    * index, so only per-micro-batch version resolution can flag it. */
+  private def dedupIngestStreamInput(s: SparkSession, dir: String): java.nio.file.Path =
+    JournalGate.buildPerJvm(JournalGate.fixtureRoot("dedupingstream", dir)) { tmp =>
+      java.nio.file.Files.createDirectories(tmp)
+      val docs = graft.Tables.load(s, dir, "documents")
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val batch = docs.filter(!TextOps.isHistoryDoc)
+      val evens = batch.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val t0 = System.currentTimeMillis() - 120000
+      writeSingleParquet(tmp, evens, "00_even.parquet", t0)
+      writeSingleParquet(tmp,
+        batch.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .unionByName(evens.withColumn("doc_id", col("doc_id") + lit(off))),
+        "01_odd_clones.parquet", t0 + 60000)
+    }
+
   /** STREAMING INGEST CYCLE (X129, r17 — the r16 verdict's #5): the full
     * probe → accept → APPEND loop run inside the streaming front door.
     * Every prior streaming door only PROBES; this one is the shape of a
@@ -583,38 +604,44 @@ object EventWindows {
     * the delta fully, then publish the grown dir list — the pointer flip
     * is the only moment the append becomes visible).
     *
-    * Version pinning mirrors the serving contract: a RUN resolves
-    * CURRENT once at start and probes that version for its whole pass (a
-    * daily crawl dedups against the index as-of day start — within-run
-    * content dedup is the corpus-ingest door's hash state, gated
-    * separately), so the run's counts are EXACTLY the batch update
-    * cycle's and the gate reuses q_dedup_index_update's oracle. The
+    * Version pinning mirrors the PRODUCTION door (r18, the r17 verdict's
+    * #5): each MICRO-BATCH resolves CURRENT and probes the index as of
+    * the latest commit, so batch N+1 sees batch N's accepted docs — the
+    * fixture plants a same-text clone of every batch-1 doc in batch 2,
+    * and the clones of ACCEPTED evens are duplicates only this
+    * sequential resolution can catch (n_cross_batch_dup counts the dups
+    * with NO history match; identical sets ⇒ identical signatures ⇒ LSH
+    * cannot miss them). The manifest is BOUNDED inside the loop: after
+    * each append the door retires all but the newest 2 versions (the
+    * probe that pinned the older one has fully materialized by then) and
+    * vacuums its own delta dirs, so a long-running stream holds O(keep)
+    * versions, not one per batch — versions_bounded witnesses it. The
     * RESTART witness then replays the UNCHANGED feed with a fresh
-    * checkpoint (the recovery/backfill case): it resolves the grown
-    * index, every document now matches its own stored copy (identical
-    * sets ⇒ identical signatures ⇒ LSH cannot miss), zero docs are
-    * accepted and zero rows append — n_restart_appends = 0 is the
-    * JournalStream restart-zero-rows discipline at the index layer,
-    * effectively-once by CONTENT rather than by offset. Epoch retries
-    * are idempotent: the delta dir is keyed by epoch id, overwrite mode
-    * re-lands it, and the manifest list is deduplicated.
+    * checkpoint (the recovery/backfill case): every document now matches
+    * its own stored copy, zero docs are accepted and zero rows append —
+    * n_restart_appends = 0 is the JournalStream restart-zero-rows
+    * discipline at the index layer, effectively-once by CONTENT rather
+    * than by offset. Epoch retries are idempotent: the delta dir is
+    * keyed by epoch id, overwrite mode re-lands it, and the manifest
+    * append deduplicates; the append itself is the race-safe
+    * [[VersionedRoot.appendDirs]] commit.
     */
   def streamDedupIngest(s: SparkSession, dir: String): DataFrame =
     withFewShufflePartitions(s) {
       import org.apache.spark.sql.streaming.Trigger
       import scala.jdk.CollectionConverters._
       val base = TextOps.minhashBuildIndex(s, dir)
-      val input = dedupIndexStreamInput(s, dir)
+      val input = dedupIngestStreamInput(s, dir)
       val work = java.nio.file.Paths.get(
         TextOps.freshTempDir(lastStreamIngestDir, "mhidx_sing"))
       val vroot = work.resolve("vroot")
       VersionedRoot.publishDirs(vroot, Seq(base))
+      val owned = new scala.collection.mutable.ArrayBuffer[String]()
       final class Ledger {
         var nBatch = 0L; var nDup = 0L; var nAccepted = 0L; var nAppends = 0L
+        var nCross = 0L
       }
       def runOnce(tag: String): Ledger = {
-        // the run's probes pin ONE index version, resolved here
-        val pinned = VersionedRoot.resolveDirs(vroot)
         val led = new Ledger
         val listing = java.nio.file.Files.list(input)
         val first =
@@ -631,20 +658,41 @@ object EventWindows {
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow())
             .foreachBatch { (batch: DataFrame, epochId: Long) =>
+              // per-micro-batch pin: THIS batch probes the index as of
+              // the latest committed version, so it sees every prior
+              // batch's accepted docs (the production door's contract)
+              val pinned = VersionedRoot.resolveDirs(vroot)
               val sh = TextOps.shinglesOf(s, batch).cache()
-              val dups = TextOps.serveDedupIncremental(s, sh, pinned: _*)
-                .select(col("batch_doc").as("doc_id")).distinct().cache()
+              val pairs = TextOps.serveDedupIncremental(s, sh, pinned: _*)
+                .select(col("batch_doc"), col("hist_doc")).cache()
+              val dups = pairs.select(col("batch_doc").as("doc_id"))
+                .distinct().cache()
+              // a dup whose every match carries a BATCH-split hist key
+              // (h60 % 100 >= 80) was caught only via a prior micro-
+              // batch's accept — the sequential-semantics witness
+              val nC = pairs.groupBy("batch_doc")
+                .agg(max(when(pmod(TextOps.h60("hist_doc"), lit(100L)) < 80,
+                  1).otherwise(0)).as("has_hist"))
+                .filter(col("has_hist") === 0).count()
               val acc = sh.join(dups, Seq("doc_id"), "left_anti").cache()
               val (nB, nD, nA) = (sh.count(), dups.count(), acc.count())
               led.nBatch += nB; led.nDup += nD; led.nAccepted += nA
+              led.nCross += nC
               if (nA > 0) {
                 val delta = work.resolve(s"${tag}_delta$epochId").toString
                 TextOps.writeMinhashDelta(s, acc, delta)
-                VersionedRoot.publishDirs(vroot,
-                  (VersionedRoot.resolveDirs(vroot) :+ delta).distinct)
+                owned.synchronized { owned += delta; () }
+                VersionedRoot.appendDirs(vroot, Seq(delta))
                 led.nAppends += nA
               }
+              // bound the manifest: every pinning probe above has fully
+              // materialized (the counts), so all but the newest 2
+              // versions are reader-free; vacuum sweeps only dirs this
+              // stream owns (never the shared base fixture)
+              VersionedRoot.retire(vroot, keep = 2)
+              VersionedRoot.vacuumDirs(vroot, owned.synchronized(owned.toSeq))
               sh.unpersist(blocking = false)
+              pairs.unpersist(blocking = false)
               dups.unpersist(blocking = false)
               acc.unpersist(blocking = false)
               ()
@@ -657,14 +705,21 @@ object EventWindows {
       val run1 = runOnce("r1")
       val run2 = runOnce("r2") // the restart replay over the unchanged feed
       val finalDirs = VersionedRoot.resolveDirs(vroot)
+      val vlist = java.nio.file.Files.list(vroot)
+      val nVersions =
+        try vlist.iterator().asScala
+          .count(_.getFileName.toString.matches("v\\d+"))
+        finally vlist.close()
       s.read.parquet(s"$base/sets").agg(count(lit(1)).as("n_history"))
         .withColumn("n_batch", lit(run1.nBatch))
         .withColumn("n_dup_batch", lit(run1.nDup))
         .withColumn("n_accepted", lit(run1.nAccepted))
+        .withColumn("n_cross_batch_dup", lit(run1.nCross))
         .crossJoin(s.read.parquet(finalDirs.map(r => s"$r/sets"): _*)
           .agg(count(lit(1)).as("n_history_after")))
         .withColumn("n_second_pass_dup", lit(run2.nDup))
         .withColumn("n_restart_appends", lit(run2.nAppends))
+        .withColumn("versions_bounded", lit(nVersions <= 2))
     }
 
   /** The IMAGE incremental-dedup serve path run inside the streaming front
@@ -1546,12 +1601,10 @@ object EventWindows {
     "q_stream_corpus_ingest" -> streamCorpusIngestSql,
     "q_stream_corpus_ingest_bounded" -> streamCorpusIngestSql,
     "q_stream_dedup_indexed" -> TextOps.dedupIncrementalOracle,
-    // the ingest cycle pins the stream-start version, so the batch update
-    // cycle's oracle applies verbatim; the restart witness adds one pinned
-    // zero (no SQL can see the second run's append count)
-    "q_stream_dedup_ingest" ->
-      (s"SELECT *, CAST(0 AS BIGINT) AS n_restart_appends FROM " +
-        s"(${TextOps.dedupIndexUpdateOracle})"),
+    // sequential semantics (r18): each micro-batch probes the latest
+    // committed version, so the oracle chains batch 2's probe over
+    // history PLUS batch 1's accepted docs
+    "q_stream_dedup_ingest" -> TextOps.streamDedupIngestOracle,
     "q_stream_image_dedup_indexed" ->
       graft.multimodal.Multimodal.imageDedupIncrementalOracle,
     "q_stream_audio_dedup_indexed" ->

@@ -581,38 +581,46 @@ object Similarity {
       .filter(!isHistoryVec)
       .withColumn("nn", expr("vec_dot(v, v)"))
       .cache()
+    // manifest-served (r18, the r17 verdict's #4): probes pin the
+    // CURRENT pointer's dir list; the update commits through the
+    // race-safe append
+    val work = TextOps.freshTempDir(lastSrpUpdDir, "srpidx_upd")
+    val cycle = VersionedRoot.cycle(java.nio.file.Paths.get(work), root)
+    val served = cycle.before
     // the before-probe is a pure function of the per-JVM stored index —
     // memoized (r16 verdict #8) so bench reps price the UPDATE, not a
     // second serve pass q_embed_neardup_incremental already measures
     val dups = TextOps.memoServe(s"srpupd_dups:$dir")(
-      serveVecDedupIncremental(s, raw, root)
+      serveVecDedupIncremental(s, raw, served: _*)
         .select(col("batch_vec").as("vec_id")).distinct())
     val accepted = batch.join(dups, Seq("vec_id"), "left_anti").cache()
     // the append writes ONLY the accepted rows as new files — history
-    // files are never rewritten; serving reads the union of the original
-    // and appended directories (the partition-add shape, executed)
-    val updated = TextOps.freshTempDir(lastSrpUpdDir, "srpidx_upd")
+    // files are never rewritten; serving reads the manifest's dir union,
+    // visible exactly at the pointer flip (the partition-add shape)
+    val updated = s"$work/delta"
     s.read.parquet(s"$root/meta").write.parquet(s"$updated/meta")
     accepted.write.parquet(s"$updated/vecs")
     bandSignatures(accepted, bands, bits).write.parquet(s"$updated/sig")
-    val second = serveVecDedupIncremental(s, raw, root, updated)
+    val servedAfter = cycle.append(updated)
+    val second = serveVecDedupIncremental(s, raw, servedAfter: _*)
       .select(col("batch_vec")).distinct()
-    val out = s.read.parquet(s"$root/vecs")
+    val out = s.read.parquet(served.map(r => s"$r/vecs"): _*)
       .agg(count(lit(1)).as("n_history"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
       .crossJoin(dups.agg(count(lit(1)).as("n_dup_batch")))
       .crossJoin(accepted.agg(count(lit(1)).as("n_accepted")))
-      .crossJoin(s.read.parquet(s"$root/vecs", s"$updated/vecs")
+      .crossJoin(s.read.parquet(servedAfter.map(r => s"$r/vecs"): _*)
         .agg(count(lit(1)).as("n_history_after")))
       // count the stored FILES, not the arithmetic: a half-update that
       // appended vectors but not their signatures passes every other
       // column and silently stops recognizing its own history
-      .crossJoin(s.read.parquet(s"$root/sig", s"$updated/sig")
+      .crossJoin(s.read.parquet(servedAfter.map(r => s"$r/sig"): _*)
         .agg(count(lit(1)).as("n_sig_rows_after")))
       .crossJoin(second.agg(count(lit(1)).as("n_second_pass_dup")))
       .localCheckpoint()
     accepted.unpersist(blocking = false)
-    // dups is memoized (localCheckpoint, not cache) — nothing to unpersist
+    // dups is memoized as driver-collected rows (memoServe) — nothing to
+    // unpersist
     batch.unpersist(blocking = false)
     out
   }
@@ -2044,7 +2052,12 @@ object Similarity {
       .withColumn("nn", expr("vec_dot(v, v)"))
     // assignment computed ONCE, read by the probe and the append
     val bAssigned = assignCells(batch, cdf).cache()
-    val members = s.read.parquet(s"$root/members")
+    // manifest-served (r18): the dir list flows through the CURRENT
+    // pointer — the before-probe pins the resolved base list
+    val work = TextOps.freshTempDir(lastSemUpdDir, "semidx_upd")
+    val cycle = VersionedRoot.cycle(java.nio.file.Paths.get(work), root)
+    val members = s.read
+      .parquet(cycle.before.map(d => s"$d/members"): _*)
     def probeOf(m: DataFrame): DataFrame = bAssigned
       .select(col("cell"), col("vec_id"), col("v").as("bv"),
         col("nn").as("bn"))
@@ -2058,16 +2071,16 @@ object Similarity {
     val accepted = bAssigned.join(dups, Seq("vec_id"), "left_anti").cache()
     // the append writes ONLY the accepted members, cell-partitioned —
     // just the cells the batch occupies gain files, untouched cells (and
-    // all history files) are never rewritten; probes read the union of
-    // the original and appended roots
-    val updated = TextOps.freshTempDir(lastSemUpdDir, "semidx_upd")
+    // all history files) are never rewritten
+    val updated = s"$work/delta"
     s.read.parquet(s"$root/cents").write.parquet(s"$updated/cents")
     accepted.select(col("vec_id"), col("v"), col("nn"),
         col("cell").cast("long").as("cell"))
       .write.partitionBy("cell").parquet(s"$updated/members")
+    val servedAfter = cycle.append(updated)
     // two partitioned roots can't share one scan (no common basePath);
     // each read partition-prunes independently and the union is the
-    // merged table — still a per-cell read at scale. The appended dir is
+    // merged table — still a per-cell read at scale. Appended dirs are
     // read under the ROOT's schema: a batch whose vectors all duplicate
     // appends ZERO rows, and a zero-row partitioned write has no files
     // to infer from (measured at the sf1 decade, where denser cells make
@@ -2075,8 +2088,9 @@ object Similarity {
     def norm(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("v"), col("nn"),
         col("cell").cast("long").as("cell"))
-    val merged = norm(members).unionByName(
-      norm(s.read.schema(members.schema).parquet(s"$updated/members")))
+    val merged = servedAfter
+      .map(d => norm(s.read.schema(members.schema).parquet(s"$d/members")))
+      .reduce(_ unionByName _)
     val second = probeOf(merged)
     val out = members.agg(count(lit(1)).as("n_history"))
       .crossJoin(bAssigned.agg(count(lit(1)).as("n_batch")))

@@ -56,7 +56,11 @@ object VersionedRoot {
     * with last-flip-wins — racing publishers both commit a complete
     * version, and the later flip decides which one serves (the same
     * contract a table format's optimistic-concurrency commit gives two
-    * non-conflicting writers).
+    * non-conflicting writers). That contract holds for WHOLE-CONTENT
+    * versions only: a read-modify-write (e.g. a manifest append built on
+    * a resolved base list) racing through this method can lose the other
+    * writer's delta — use [[appendDirs]]/[[replaceDirs]], whose
+    * claim-in-order commit detects the conflict, for those.
     *
     * Because the claim IS the directory, `write` receives an EXISTING
     * empty directory — parquet writers must use SaveMode.Overwrite (or
@@ -75,7 +79,12 @@ object VersionedRoot {
     }) ()
     // the version directory is fully written before anything points at it
     write(vdir)
-    val tmp = root.resolve(s"$Pointer.tmp")
+    // per-publisher temp name: two racers sharing one `CURRENT.tmp` could
+    // interleave (B overwrites A's tmp before A's move — A installs B's
+    // pointer; B's own move then finds no source and throws, reporting
+    // failure for a fully-committed version). The claimed version number
+    // is unique per publisher, so suffixing it makes the tmp private.
+    val tmp = root.resolve(s"$Pointer.tmp.v$next")
     Files.writeString(tmp, s"v$next")
     // the commit: an atomic rename onto the pointer — readers see the
     // old content or the new, never a torn or missing pointer
@@ -153,10 +162,96 @@ object VersionedRoot {
   private val DirsFile = "dirs"
 
   /** Publish a manifest version naming `dirs` as the index's data
-    * directories (order preserved). */
+    * directories (order preserved). This is a WHOLE-LIST publish: the
+    * caller asserts `dirs` is the complete truth, independent of what any
+    * concurrent writer does. A read-modify-write spelled through it
+    * (resolveDirs → append → publishDirs) is NOT race-safe — two
+    * appenders both read the same base and the later flip silently drops
+    * the earlier delta. Appends must go through [[appendDirs]] and
+    * replacements (compaction) through [[replaceDirs]], whose
+    * claim-in-order commit serializes racing writers. */
   def publishDirs(root: Path, dirs: Seq[String]): Path =
     publish(root, v => Files.writeString(v.resolve(DirsFile),
       dirs.mkString("\n")): Unit)
+
+  private def dirsOf(vdir: Path): Seq[String] = {
+    val f = vdir.resolve(DirsFile)
+    if (Files.exists(f))
+      Files.readString(f).trim.split("\n").toSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
+
+  /** Commit a manifest version whose list is `transform(base)` where
+    * `base` is the list of the version the commit lands DIRECTLY after —
+    * the optimistic-concurrency loop both [[appendDirs]] and
+    * [[replaceDirs]] ride.
+    *
+    * Protocol: read CURRENT (= vN), try to claim v(N+1) by atomic
+    * createDirectory. A successful claim proves NO other writer can
+    * commit between our base read and our flip: committing v(N+2) first
+    * requires CURRENT to reach v(N+1), which only our flip can make
+    * happen. A failed claim means a racer owns v(N+1) — wait for its
+    * flip (bounded), then retry from the NEW current list, so the
+    * racer's delta is in our base. This is claim-order = flip-order: the
+    * table-format commit discipline (detect a moved head, rebase, retry)
+    * rather than last-flip-wins.
+    *
+    * A claimer that crashes pre-flip wedges the sequence; after
+    * `waitMs` of no movement this throws rather than silently dropping
+    * or reordering — the vacuum/operator decision is explicit. Mixing
+    * raw [[publish]]/[[publishDirs]] with this method on one root breaks
+    * the sequencing premise: a manifest root must commit exclusively
+    * through this loop once concurrent writers are possible. */
+  private def commitDirs(root: Path, waitMs: Long = 30000L)
+                        (transform: Seq[String] => Seq[String]): Path = {
+    Files.createDirectories(root)
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (true) {
+      val baseV = currentVersion(root).getOrElse(0L)
+      val base = if (baseV > 0) dirsOf(root.resolve(s"v$baseV")) else Seq.empty
+      val next = baseV + 1
+      val vdir = root.resolve(s"v$next")
+      val claimed =
+        try { Files.createDirectory(vdir); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (claimed) {
+        Files.writeString(vdir.resolve(DirsFile),
+          transform(base).mkString("\n"))
+        val tmp = root.resolve(s"$Pointer.tmp.v$next")
+        Files.writeString(tmp, s"v$next")
+        Files.move(tmp, root.resolve(Pointer),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        return vdir
+      }
+      // v(next) belongs to a racer mid-commit: its flip is one small
+      // file write away — yield and re-read, with a bounded horizon for
+      // the crashed-claimer case.
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"manifest commit wedged: v$next claimed but never flipped " +
+          s"within ${waitMs}ms — crashed publisher at $vdir")
+      Thread.sleep(1)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Race-safe manifest APPEND: commit a version whose list is the
+    * latest committed list plus `delta` (deduplicated, order preserved).
+    * Two racing appenders serialize — neither delta is lost. */
+  def appendDirs(root: Path, delta: Seq[String]): Path =
+    commitDirs(root)(base => (base ++ delta).distinct)
+
+  /** Race-safe manifest REPLACE (the compaction commit): `replaced` is
+    * the dir list the caller compacted into `replacement`; any dirs that
+    * landed AFTER the caller's read (appends racing the compaction)
+    * survive by riding along behind the replacement — an append is pure
+    * addition, so the merge is conflict-free. */
+  def replaceDirs(root: Path, replaced: Seq[String],
+                  replacement: Seq[String]): Path =
+    commitDirs(root) { base =>
+      (replacement ++ base.filterNot(replaced.contains)).distinct
+    }
 
   /** The CURRENT version's data-directory list — resolved ONCE; the
     * returned dirs are immutable, so a plan over them reads one
@@ -188,6 +283,35 @@ object VersionedRoot {
     doomed.foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
     doomed
+  }
+
+  /** The per-gate deployment shim for an index update/ingest cycle —
+    * ONE spelling of "serve through the pointer" for every stored index
+    * family (minhash was the r17 template; r18 deploys it on bm25 / srp /
+    * semantic / dhash / audio / video): the cycle starts with a manifest
+    * whose v1 names the base build, the before-serve resolves CURRENT
+    * (pinning the list for its whole probe), the update commits its delta
+    * through the race-safe [[appendDirs]], and the after-serve re-resolves.
+    * The gates keep their freshTempDir layout; this class is the pointer
+    * plumbing, not the data. */
+  final class Cycle private[VersionedRoot] (val vroot: Path) {
+    /** The pinned dir list for the before-serve (resolved per call —
+      * one tiny pointer read, the table-format snapshot cost). */
+    def before: Seq[String] = resolveDirs(vroot)
+    /** Commit `delta` and return the re-resolved list for the
+      * after-serve. */
+    def append(delta: String): Seq[String] = {
+      appendDirs(vroot, Seq(delta)): Unit
+      resolveDirs(vroot)
+    }
+  }
+
+  /** Open an update cycle under `work` (a per-gate temp root) with
+    * `base` as the index's v1 content. */
+  def cycle(work: Path, base: String): Cycle = {
+    val vroot = work.resolve("vroot")
+    publishDirs(vroot, Seq(base)): Unit
+    new Cycle(vroot)
   }
 
   /** Convenience for specs: a fresh root under java.io.tmpdir. */

@@ -147,7 +147,7 @@ case class BalanceMvRewrite(spark: SparkSession, mvPath: String,
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // pass through while a canonical capture or an MV refresh is running
-    // (BalanceMvRewrite.capturing / .suppressed) — a rewrite there would
+    // (BalanceMvRewrite.suppressed's depth counter) — a rewrite there would
     // corrupt the fingerprint or self-reference the maintenance query
     if (BalanceMvRewrite.isSuppressed) return plan
     plan.transformUp {
@@ -206,9 +206,15 @@ object BalanceMvRewrite {
     * injection next to a manual install) bind through each other's
     * canonical plans — and a bound instance would REWRITE the other's
     * canonical mid-capture, destroying the Generate the fingerprint needs.
-    * Volatile: a concurrent-query race costs one unrewritten (still
-    * correct) plan. */
-  @volatile private var capturing = false
+    * A DEPTH COUNTER, not a boolean: capture windows overlap (an edge
+    * refresh()'s capture can race sync's suppressed refresh, and
+    * forSource runs inside suppressed on the sync path) — with a single
+    * flag the first window's `finally` would clear the latch out from
+    * under the second, letting the canonical be captured from a
+    * REWRITTEN plan (corrupt fingerprint). Overlapping windows now
+    * compose; a concurrent-query race still only costs one unrewritten
+    * (still correct) plan. */
+  private val suppressDepth = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run `body` with EVERY BalanceMvRewrite instance (manually installed
     * or extension-injected) passing through — the MV REFRESH guard.
@@ -218,16 +224,16 @@ object BalanceMvRewrite {
     * HttpEdge with the rule installed), the unguarded refresh would be
     * rewritten to read the CURRENT MV — publishing a copy of the old
     * version as the new one, forever (self-referential maintenance; the
-    * r17 pinned-version e2e caught it live). Shares the `capturing`
-    * latch: a serving query planned inside the window just pays one
+    * r17 pinned-version e2e caught it live). Shares the depth counter:
+    * a serving query planned inside the window just pays one
     * unrewritten (still correct) lake aggregate. */
   def suppressed[T](body: => T): T = {
-    capturing = true
-    try body finally capturing = false
+    suppressDepth.incrementAndGet()
+    try body finally { suppressDepth.decrementAndGet(); () }
   }
 
   /** Read hook for the case-class instances' apply. */
-  private[plans] def isSuppressed: Boolean = capturing
+  private[plans] def isSuppressed: Boolean = suppressDepth.get() > 0
 
   /** Build a rule bound to a registered source: `canonical` is the
     * declarative balance query over the SAME lake the MV was derived
@@ -235,13 +241,12 @@ object BalanceMvRewrite {
     * every candidate must `sameResult`-match. */
   def forSource(s: SparkSession, mvPath: String,
                 canonical: DataFrame): BalanceMvRewrite = {
-    capturing = true
-    val below =
-      try canonical.queryExecution.optimizedPlan.collectFirst {
+    val below = suppressed {
+      canonical.queryExecution.optimizedPlan.collectFirst {
         case g: Generate if g.generator.isInstanceOf[Stack] => g.child
       }.getOrElse(throw new IllegalArgumentException(
         "canonical balance plan carries no stack unpivot"))
-      finally capturing = false
+    }
     BalanceMvRewrite(s, mvPath, below)
   }
 
@@ -265,10 +270,10 @@ object BalanceMvRewrite {
       override def apply(plan: LogicalPlan): LogicalPlan = {
         // binding runs the optimizer on the canonical plan, which
         // re-enters every installed instance — the object-level
-        // `capturing` guard makes them ALL pass through during any
+        // suppress-depth guard makes them ALL pass through during any
         // capture (the canonical's own full-lake aggregate must stay
         // unrewritten: it IS the fingerprint source)
-        if (capturing) return plan
+        if (isSuppressed) return plan
         // a VersionedRoot mvPath resolves through its CURRENT pointer per
         // optimization — one tiny metadata read, the cost a table format
         // pays to pin its latest snapshot — so a sync publish is picked up

@@ -29,6 +29,24 @@ object Warehouse {
     */
   final case class SyncStats(newTenants: Long, newAccounts: Long, newTransfers: Long)
 
+  /** The balance-MV root as a java.nio path — [[graft.operators
+    * .VersionedRoot]] speaks java.nio (its atomicity claims are local-FS
+    * renames), while the rest of the warehouse goes through the Hadoop
+    * FileSystem. A non-file `warehouseDir` (hdfs://, s3a://) would make
+    * `Paths.get` silently produce a bogus LOCAL directory — the MV would
+    * publish/resolve somewhere the tables aren't, with no error. Fail
+    * fast instead: a distributed deployment publishes the MV through its
+    * table format's commit, not this local-rename protocol. */
+  private[graft] def localBalancesRoot(warehouseDir: String): java.nio.file.Path = {
+    val scheme = new org.apache.hadoop.fs.Path(warehouseDir).toUri.getScheme
+    require(scheme == null || scheme == "file",
+      s"balance MV versioning requires a local warehouseDir; got scheme " +
+        s"'$scheme' — route the MV through the deployment's table-format " +
+        s"commit instead (spark.graft.balance.mvPath)")
+    java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(warehouseDir).toUri.getPath, "balances")
+  }
+
   /** `INSERT … ON CONFLICT DO NOTHING` ≡ rows of `discovered` whose key is
     * absent from `existing` (left_anti), appended by the caller.
     * Ref: SecondaryPersistence.scala:30-58, 96-127.
@@ -292,14 +310,18 @@ object Warehouse {
     // it (the swap-while-serving contract CompactionSpec pins, now the
     // production write path); readers resolve CURRENT once per
     // plan/refresh (HttpEdge.installMvRule, BalanceMvRewrite.fromConf).
-    // retire(keep=2) is the vacuum horizon: the previous version
-    // outlives any reader that resolved it before this publish. At
+    // The vacuum horizon is a POLICY KNOB (spark.graft.balance
+    // .mvKeepVersions, default 2): retire(keep=K) guarantees a reader
+    // that pinned a version survives K-1 subsequent sync publishes, so
+    // the deployment contract is "edges refresh() at least every K-1
+    // syncs" — the default prices one missed refresh; size K to the
+    // real refresh cadence (or to a time horizon) in production. At
     // 100 TB under a transactional table format the refresh becomes the
     // q_balance_mv_incr delta MERGE, whose cost is this pass's appended
     // transfers, not the lake.
     locally {
       import graft.operators.VersionedRoot
-      val mvRoot = java.nio.file.Paths.get(warehouseDir, "balances")
+      val mvRoot = Warehouse.localBalancesRoot(warehouseDir)
       if (nTransfers > 0 || !VersionedRoot.published(mvRoot)) {
         // the refresh MUST NOT be answered by the very rule it feeds: on
         // a serving session the installed rewrite matches this exact
@@ -309,7 +331,9 @@ object Warehouse {
             balancePreAgg(readOr("transfer", discovered.limit(0)))
               .write.mode("overwrite").parquet(vdir.toString))
         }
-        VersionedRoot.retire(mvRoot, keep = 2)
+        val keep = spark.conf
+          .get("spark.graft.balance.mvKeepVersions", "2").toInt
+        VersionedRoot.retire(mvRoot, keep = keep)
       }
     }
     events.unpersist()

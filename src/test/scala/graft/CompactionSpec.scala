@@ -205,4 +205,87 @@ class CompactionSpec extends SparkSpec {
       s"publish must claim past the orphan, got $published")
     assert(VersionedRoot.resolve(root).getFileName.toString == "v4")
   }
+
+  test("versioned root: racing whole-content publishers both commit without error") {
+    // the per-publisher pointer temp name (r18): with a SHARED tmp, one
+    // racer's ATOMIC_MOVE could consume the other's file — the loser threw
+    // NoSuchFileException for a fully-committed version
+    import graft.operators.VersionedRoot
+    import java.nio.file.Files
+    val root = VersionedRoot.freshRoot("vroot_race_pub")
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        gate.await()
+        (1 to 10).foreach { _ =>
+          try VersionedRoot.publish(root,
+            v => Files.writeString(v.resolve("data"),
+              v.getFileName.toString): Unit)
+          catch { case _: Throwable => errors.incrementAndGet(): Unit }
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(30000))
+    assert(errors.get() == 0, s"${errors.get()} publishes reported failure")
+    // CURRENT names a version whose content matches its own name — no
+    // cross-installed pointer
+    val v = VersionedRoot.resolve(root)
+    assert(Files.readString(v.resolve("data")) == v.getFileName.toString)
+  }
+
+  test("versioned root: racing manifest appenders lose no delta") {
+    // the r17 verdict's lost-update: two appenders resolve the same base
+    // list, each publishes base+own-delta, the later flip drops the
+    // earlier delta. appendDirs' claim-in-order commit must keep both.
+    import graft.operators.VersionedRoot
+    import java.nio.file.Files
+    val root = VersionedRoot.freshRoot("vroot_race_app")
+    val base = root.resolve("data_base")
+    Files.createDirectories(base)
+    VersionedRoot.publishDirs(root, Seq(base.toString))
+    val nThreads = 4; val perThread = 5
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        gate.await()
+        (0 until perThread).foreach { i =>
+          try {
+            val d = root.resolve(s"data_t${t}_$i")
+            Files.createDirectories(d)
+            VersionedRoot.appendDirs(root, Seq(d.toString)): Unit
+          } catch { case _: Throwable => errors.incrementAndGet(): Unit }
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join(60000))
+    assert(errors.get() == 0, s"${errors.get()} appends failed")
+    val dirs = VersionedRoot.resolveDirs(root)
+    val expected = (base.toString +: (for {
+      t <- 0 until nThreads; i <- 0 until perThread
+    } yield root.resolve(s"data_t${t}_$i").toString)).toSet
+    assert(dirs.toSet == expected,
+      s"lost deltas: ${(expected -- dirs.toSet).toSeq.sorted}")
+    // every commit claimed its own sequential version
+    assert(VersionedRoot.resolve(root).getFileName.toString ==
+      s"v${1 + nThreads * perThread}")
+  }
+
+  test("versioned root: replaceDirs keeps deltas appended during the compaction") {
+    // compaction read [base, d1], compacted them into cdir; while it was
+    // rewriting, an appender landed d2 — the replace must publish
+    // [cdir, d2], not [cdir]
+    import graft.operators.VersionedRoot
+    import java.nio.file.Files
+    val root = VersionedRoot.freshRoot("vroot_replace")
+    val Seq(b, d1, d2, cdir) = Seq("base", "d1", "d2", "compact").map { n =>
+      val d = root.resolve(s"data_$n"); Files.createDirectories(d); d.toString
+    }
+    VersionedRoot.publishDirs(root, Seq(b, d1))
+    val readByCompactor = VersionedRoot.resolveDirs(root)
+    VersionedRoot.appendDirs(root, Seq(d2)) // lands mid-compaction
+    VersionedRoot.replaceDirs(root, readByCompactor, Seq(cdir))
+    assert(VersionedRoot.resolveDirs(root) == Seq(cdir, d2))
+  }
 }
