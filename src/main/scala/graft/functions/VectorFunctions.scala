@@ -174,6 +174,8 @@ object VectorFunctions {
       "cms_estimate", cmsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "wordpiece_toks", wordpieceBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mod_sum", ModSum.builder, "built-in")
   }
 }
 
@@ -214,6 +216,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("wordpiece_toks"),
       new ExpressionInfo(classOf[WordPieceTokens].getName, "wordpiece_toks"),
       VectorFunctions.wordpieceBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("mod_sum"),
+      new ExpressionInfo(classOf[ModSum].getName, "mod_sum"),
+      ModSum.builder))
     // the engine's one custom optimizer rule, conf-bound: sessions built
     // with spark.graft.balance.mvPath + spark.graft.balance.lakePath answer
     // the declarative full-lake balance aggregate from the maintained

@@ -146,11 +146,16 @@ object Relational {
 
   /** Cardinality guard over a (v, cnt) distinct-grain distribution:
     * raise in-plan if the grain count outgrows the single-partition
-    * window's safe range. Split out so the raise is spec-testable with a
-    * lowered ceiling. */
+    * window's safe range. The count rides an unpartitioned window —
+    * the frame is ALREADY funneled to one partition for the cumulative
+    * sum, so the guard shares that exchange instead of scheduling a
+    * separate broadcast job per metric (r18: three such jobs priced
+    * ~0.3 s each on the bench). Split out so the raise is spec-testable
+    * with a lowered ceiling. */
   private[graft] def grainGuarded(dist: DataFrame, mc: String,
       ceiling: Long = RfmMaxDistinctGrains): DataFrame =
-    dist.crossJoin(broadcast(dist.agg(count(lit(1)).as("nv"))))
+    dist.withColumn("nv", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("v",
         when(col("nv") <= lit(ceiling), col("v"))
           .otherwise(raise_error(concat(

@@ -29,6 +29,37 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("mod_sum: (Σh) mod m at any group size, null-skipping, HashAggregate") {
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val m = 1099511627776L // 2^40
+    // values near 2^60 so a bounded-addend BIGINT sum would overflow in
+    // a handful of rows — the overflow class the aggregate exists for
+    val big = (1L to 2000L).map(i => (i % 7, (1L << 59) + i)).toDF("g", "h")
+    val got = big.groupBy("g").agg(expr(s"mod_sum(h, ${m}L)").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (1L to 2000L).groupBy(_ % 7).map { case (g, is) =>
+      (g, is.map(i => BigInt((1L << 59) + i)).sum.mod(BigInt(m)).toLong)
+    }
+    assert(got == want)
+    // null children are skipped (SUM semantics)
+    val withNulls = Seq(Some(5L), None, Some(7L)).toDF("h")
+      .agg(expr(s"mod_sum(h, ${m}L)")).head().getLong(0)
+    assert(withNulls == 12L)
+    // the plan stays on the HashAggregate path with a partial (map-side
+    // combine) stage — the property the membership gates' scale story
+    // rides on
+    val plan = big.groupBy("g").agg(expr(s"mod_sum(h, ${m}L)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_mod_sum"), plan)
+    assert(!plan.contains("ObjectHashAggregate") &&
+      !plan.contains("SortAggregate"), plan)
+    // modulus guard: non-literal or >2^40 must fail analysis
+    intercept[Exception] {
+      big.agg(expr(s"mod_sum(h, ${(1L << 41)}L)")).head()
+    }
+  }
+
   test("vec_dot runs inside whole-stage codegen over a real scan") {
     VectorFunctions.register(spark)
     // a LocalTableScan would constant-fold the expression away; a parquet
