@@ -463,9 +463,12 @@ final class GraphQLExecutor(
     }
     case other => jstr(other.toString)
   }
-  /** BigDecimal as a JSON number without trailing zeros — sangria's
-    * BigDecimalType via spray-json renders 0E-18 as 0 (the bbtest
-    * expectation `"balance": 0` is type-strict).
+  /** BigDecimal as a JSON number without trailing zeros — the PUBLIC
+    * reference stack's rendering (sangria's BigDecimalType via
+    * spray-json renders 0E-18 as 0; the bbtest expectation
+    * `"balance": 0` is type-strict). Naming the library here is
+    * output-format documentation only — nothing links or imports it
+    * (build.sbt carries Spark + test deps alone).
     */
   private val fmtDecimal: Any => String = {
     case null => "null"
@@ -478,8 +481,10 @@ final class GraphQLExecutor(
     val p = d.stripTrailingZeros.toPlainString
     if (p == "-0") "0" else p
   }
-  /** akka DateTime.toString shape: yyyy-mm-ddThh:mm:ss, UTC, no zone
-    * suffix (GraphQLService.scala:62-66).
+  /** The reference's timestamp rendering (its HTTP stack's
+    * DateTime.toString): yyyy-mm-ddThh:mm:ss, UTC, no zone suffix
+    * (GraphQLService.scala:62-66) — format-compat documentation, not a
+    * dependency.
     */
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
   private val fmtTimestamp: Any => String = {
