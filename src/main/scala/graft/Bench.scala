@@ -191,7 +191,16 @@ object Bench {
         "subset sums from the per-query maps, not totals and not " +
         "per-query averages - the average moves with suite composition " +
         "(update/purge-cycle gates price a probe + index rewrite + " +
-        "re-probe per cold rep by design)\""
+        "re-probe per cold rep by design). r18 causes, A/B-attributed " +
+        "(worktree at 5a77de4, alternating scoped runs): the r17 " +
+        "wide-DECIMAL hashsum was real code cost (q_rfm_segments 1.83x, " +
+        "q_cdc_apply 1.49x - fixed via the mod_sum BIGINT aggregate + " +
+        "window-riding RFM grain guard); q_snapshot_diff and " +
+        "q_video_dedup_index_update were drift (1.11x/1.02x). " +
+        "q_stream_dedup_ingest grew BY DESIGN in r18 (per-micro-batch " +
+        "version resolution + cross-batch clone fixture + in-loop " +
+        "retire/vacuum - the production door's semantics, priced); " +
+        "bm25 delete/add/upsert shrank (O(batch) tombstone deltas)\""
       s"""{"metric":"total","value":${num("%.6f", total)},"unit":"sec","sf":"$sfDir",$note,"queries":$qs,"median_raw":$raws,"reps":$spreads$scaling}""" + "\n"
     }
     java.nio.file.Files.write(

@@ -242,6 +242,13 @@ object VersionedRoot {
   def appendDirs(root: Path, delta: Seq[String]): Path =
     commitDirs(root)(base => (base ++ delta).distinct)
 
+  /** Test hook: [[appendDirs]] with a bounded wedge horizon, so the
+    * crashed-claimer path (a claimed-but-never-flipped version ahead of
+    * CURRENT) is spec-exercisable without a 30 s wait. */
+  private[graft] def appendDirsWithin(root: Path, delta: Seq[String],
+                                      waitMs: Long): Path =
+    commitDirs(root, waitMs)(base => (base ++ delta).distinct)
+
   /** Race-safe manifest REPLACE (the compaction commit): `replaced` is
     * the dir list the caller compacted into `replacement`; any dirs that
     * landed AFTER the caller's read (appends racing the compaction)

@@ -272,6 +272,27 @@ class CompactionSpec extends SparkSpec {
       s"v${1 + nThreads * perThread}")
   }
 
+  test("versioned root: a wedged (crashed pre-flip) claimer fails the append loudly") {
+    // a publisher that claimed v(N+1) but died before its flip blocks the
+    // claim-in-order sequence; the commit loop must throw after its wait
+    // horizon rather than silently skipping (which could reorder) or
+    // spinning forever
+    import graft.operators.VersionedRoot
+    import java.nio.file.Files
+    val root = VersionedRoot.freshRoot("vroot_wedge")
+    val base = root.resolve("data_base")
+    Files.createDirectories(base)
+    VersionedRoot.publishDirs(root, Seq(base.toString)) // v1
+    Files.createDirectory(root.resolve("v2")) // the crash: claimed, no flip
+    val d = root.resolve("data_d"); Files.createDirectories(d)
+    val ex = intercept[IllegalStateException] {
+      VersionedRoot.appendDirsWithin(root, Seq(d.toString), waitMs = 300)
+    }
+    assert(ex.getMessage.contains("v2"))
+    // CURRENT is untouched: readers keep serving v1
+    assert(VersionedRoot.resolveDirs(root) == Seq(base.toString))
+  }
+
   test("versioned root: replaceDirs keeps deltas appended during the compaction") {
     // compaction read [base, d1], compacted them into cdir; while it was
     // rewriting, an appender landed d2 — the replace must publish

@@ -166,4 +166,20 @@ class SyncSpec extends SparkSpec {
     assert(Warehouse.sync(spark, tail.toString, whHybrid, manifestDir = Some(m))
       == Warehouse.SyncStats(0, 0, 0))
   }
+
+  test("balance MV root fails fast on a non-local warehouseDir") {
+    // VersionedRoot is a local-rename protocol; a distributed
+    // warehouseDir must error, not publish the MV into a bogus local
+    // path while the tables live elsewhere (the r18 ADVICE divergence)
+    intercept[IllegalArgumentException] {
+      Warehouse.localBalancesRoot("hdfs://nn:8020/wh")
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.localBalancesRoot("s3a://bucket/wh")
+    }
+    assert(Warehouse.localBalancesRoot("/tmp/wh").toString
+      == "/tmp/wh/balances")
+    assert(Warehouse.localBalancesRoot("file:/tmp/wh").toString
+      == "/tmp/wh/balances")
+  }
 }
