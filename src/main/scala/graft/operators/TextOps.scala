@@ -2018,9 +2018,13 @@ object TextOps {
       .join(broadcast(purge), "doc_id").cache()
     val delDlen = s.read.parquet(s"$baseDir/dlen")
       .join(broadcast(purge), "doc_id").cache()
-    purge.write.parquet(s"$delta/tomb")
+    // delta dirs are batch-sized: land them as a few files, not
+    // |shuffle.partitions| shards — every serve probe re-reads each
+    // footer (the X128 small-files discipline applied at write time)
+    purge.coalesce(1).write.parquet(s"$delta/tomb")
     delTf.groupBy(col("term"))
       .agg((-count(lit(1))).cast("double").as("df"))
+      .coalesce(1)
       .write.parquet(s"$delta/df_delta")
     delDlen.agg((-count(lit(1))).cast("double").as("n_docs"),
         (-coalesce(sum(col("dlen")), lit(0.0))).as("sum_dlen"))
@@ -2170,13 +2174,17 @@ object TextOps {
       .agg(count(lit(1)).cast("double").as("tf"))
       .cache()
     val updated = s"$work/delta"
-    batchTf.write.parquet(s"$updated/tf")
+    // batch-sized delta → a few files, not |shuffle.partitions| shards
+    // (every serve probe re-reads each footer)
+    batchTf.coalesce(4).write.parquet(s"$updated/tf")
     batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      .coalesce(4)
       .write.parquet(s"$updated/dlen")
     // df/stats deltas derive from the WRITTEN batch files (round-trip
     // fidelity: the patch describes what actually landed on disk)
     s.read.parquet(s"$updated/tf").groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
+      .coalesce(1)
       .write.parquet(s"$updated/df_delta")
     s.read.parquet(s"$updated/dlen")
       .agg(count(lit(1)).cast("double").as("n_docs"),
@@ -2257,9 +2265,12 @@ object TextOps {
       .join(broadcast(overlap), "doc_id").cache()
     val updated = s"$work/delta"
     val stampsBefore = fileStamps(root)
-    overlap.write.parquet(s"$updated/tomb")
-    batchTf.write.parquet(s"$updated/tf")
+    // batch-sized delta → a few files, not |shuffle.partitions| shards
+    // (every serve probe re-reads each footer)
+    overlap.coalesce(1).write.parquet(s"$updated/tomb")
+    batchTf.coalesce(4).write.parquet(s"$updated/tf")
     batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      .coalesce(4)
       .write.parquet(s"$updated/dlen")
     // both legs' signed df shift in one table; the inc derives from the
     // WRITTEN batch files (round-trip fidelity), the dec from the doomed
@@ -2269,6 +2280,7 @@ object TextOps {
       .unionByName(s.read.parquet(s"$updated/tf").groupBy(col("term"))
         .agg(count(lit(1)).cast("double").as("df")))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .coalesce(1)
       .write.parquet(s"$updated/df_delta")
     delDlen.agg(count(lit(1)).cast("double").as("n_del"),
         coalesce(sum(col("dlen")), lit(0.0)).as("sum_del"))
