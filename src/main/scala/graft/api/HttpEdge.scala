@@ -110,14 +110,17 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     // CURRENT pointer ONCE per install — the resolved v<N> directory is
     // immutable, so every plan built until the next refresh() reads one
     // consistent MV version regardless of concurrent publishes. The
-    // root helper fails fast on a non-local warehouseDir (VersionedRoot
-    // is a local-rename protocol; silent divergence is worse than an
-    // error). Deployment contract: refresh() at least every
-    // mvKeepVersions-1 sync passes, or the pinned version can be
-    // vacuumed mid-serve (Warehouse.sync's retire knob).
-    val mvRoot = graft.warehouse.Warehouse.localBalancesRoot(warehouseDir)
-    if (graft.operators.VersionedRoot.published(mvRoot)) {
-      val pinned = graft.operators.VersionedRoot.resolve(mvRoot).toString
+    // root helper dispatches the storage backend by scheme (r19): local
+    // warehouseDirs read through java.nio, hdfs://-style ones through
+    // the Hadoop FileSystem — same protocol, same pointer; copy-rename
+    // object stores still fail fast (VStore.forPath). Deployment
+    // contract: refresh() at least every mvKeepVersions-1 sync passes,
+    // or the pinned version can be vacuumed mid-serve (Warehouse.sync's
+    // retire knob).
+    val (mvStore, mvRoot) =
+      graft.warehouse.Warehouse.balancesRoot(warehouseDir)
+    if (graft.operators.VersionedRoot.publishedAt(mvStore, mvRoot)) {
+      val pinned = graft.operators.VersionedRoot.resolveAt(mvStore, mvRoot)
       val rule = graft.plans.BalanceMvRewrite.forSource(spark, pinned,
         Warehouse.balances(Warehouse.balanceChanges(table("transfer"))))
       spark.experimental.extraOptimizations =

@@ -26,10 +26,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *     codegen).
   *
   * (Σh) mod m == (Σ(h mod m)) mod m == ((a mod m)+(b mod m)) mod m folded
-  * in any order — so the value is identical to both rejected spellings
-  * and to the DuckDB oracle's `CAST(SUM(CAST(h AS HUGEINT)) % m AS
-  * BIGINT)`; no oracle changes when swapping spellings. Null children are
-  * skipped (SUM semantics); an all-null or empty group evaluates to 0.
+  * in any order — so on every NON-EMPTY group the value is identical to
+  * both rejected spellings and to the DuckDB oracle's
+  * `CAST(SUM(CAST(h AS HUGEINT)) % m AS BIGINT)`; no oracle changes when
+  * swapping spellings. Null children are skipped (SUM semantics). ONE
+  * deliberate divergence: an all-null or EMPTY group evaluates to 0
+  * (nullable=false), where SUM — and therefore the pmod(sum(...)) and
+  * hashSumSql spellings — returns NULL. Unobservable at every current
+  * call site (each aggregates groups that exist because a row produced
+  * them), but a GLOBAL aggregate over a possibly-empty frame must wrap
+  * the oracle side in coalesce(..., 0) or not use mod_sum.
   *
   * Reference analog: none — §2j UDF/UDAF extension surface.
   */

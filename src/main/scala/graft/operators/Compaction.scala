@@ -163,12 +163,12 @@ object Compaction {
       .groupBy(col("change_type"))
       // membership fingerprint, not an ordered one: a class is a SET, and
       // the unchanged class is ~the whole lake — any collect-and-sort
-      // checksum would funnel it through one group. The sum accumulates
-      // WIDE and is mod-2^40-bounded AFTER aggregation (TextOps.hashSum)
-      // so it stays BIGINT on both engines at any group size — bounding
-      // the addends instead overflows Int64 at ~1.7e7 rows per group,
-      // and a DECIMAL(38,0) output column trips the driver hash gate's
-      // arrow Decimal canonicalization even when every value matches
+      // checksum would funnel it through one group. hashSum routes through
+      // the mod_sum DeclarativeAggregate (r18), whose BIGINT buffer is
+      // mod-2^40-reduced at EVERY update/merge — value-identical to the
+      // retired wide-DECIMAL spelling by (Σh) mod m == (Σ(h mod m)) mod m,
+      // exact at any group size, and free of both the Java-Decimal update
+      // cost and the driver hash gate's arrow Decimal canonicalization
       .agg(count(lit(1)).as("n_rows"),
         graft.operators.TextOps.hashSum("k", HashSumMod).as("key_hashsum"))
       .orderBy("change_type")

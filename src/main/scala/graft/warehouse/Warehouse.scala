@@ -29,22 +29,26 @@ object Warehouse {
     */
   final case class SyncStats(newTenants: Long, newAccounts: Long, newTransfers: Long)
 
-  /** The balance-MV root as a java.nio path — [[graft.operators
-    * .VersionedRoot]] speaks java.nio (its atomicity claims are local-FS
-    * renames), while the rest of the warehouse goes through the Hadoop
-    * FileSystem. A non-file `warehouseDir` (hdfs://, s3a://) would make
-    * `Paths.get` silently produce a bogus LOCAL directory — the MV would
-    * publish/resolve somewhere the tables aren't, with no error. Fail
-    * fast instead: a distributed deployment publishes the MV through its
-    * table format's commit, not this local-rename protocol. */
-  private[graft] def localBalancesRoot(warehouseDir: String): java.nio.file.Path = {
-    val scheme = new org.apache.hadoop.fs.Path(warehouseDir).toUri.getScheme
-    require(scheme == null || scheme == "file",
-      s"balance MV versioning requires a local warehouseDir; got scheme " +
-        s"'$scheme' — route the MV through the deployment's table-format " +
-        s"commit instead (spark.graft.balance.mvPath)")
-    java.nio.file.Paths.get(
-      new org.apache.hadoop.fs.Path(warehouseDir).toUri.getPath, "balances")
+  /** The balance-MV root plus the [[graft.operators.VStore]] backend its
+    * scheme selects (r19 — the r18 local-only fail-fast retired): a
+    * schemeless or file: warehouseDir takes the java.nio fast path (via
+    * the URI path, so `file:/wh` and `/wh` publish to the same place);
+    * hdfs:// and any other atomic-rename scheme commits the SAME
+    * VersionedRoot protocol through the Hadoop FileSystem backend
+    * (NameNode-atomic claim + pointer flip). Copy-rename object stores
+    * (s3a://, gs://, …) still fail fast inside VStore.forPath — their
+    * rename is copy+delete, so the MV there must route through a
+    * conditional-PUT adapter or the deployment's table-format commit
+    * (spark.graft.balance.mvPath). */
+  private[graft] def balancesRoot(warehouseDir: String)
+      : (graft.operators.VStore, String) = {
+    val hp = new org.apache.hadoop.fs.Path(warehouseDir)
+    val scheme = hp.toUri.getScheme
+    if (scheme == null || scheme == "file")
+      (graft.operators.VStore.Local,
+        java.nio.file.Paths.get(hp.toUri.getPath, "balances").toString)
+    else (graft.operators.VStore.forPath(warehouseDir),
+      new org.apache.hadoop.fs.Path(hp, "balances").toString)
   }
 
   /** `INSERT … ON CONFLICT DO NOTHING` ≡ rows of `discovered` whose key is
@@ -321,19 +325,19 @@ object Warehouse {
     // transfers, not the lake.
     locally {
       import graft.operators.VersionedRoot
-      val mvRoot = Warehouse.localBalancesRoot(warehouseDir)
-      if (nTransfers > 0 || !VersionedRoot.published(mvRoot)) {
+      val (mvStore, mvRoot) = Warehouse.balancesRoot(warehouseDir)
+      if (nTransfers > 0 || !VersionedRoot.publishedAt(mvStore, mvRoot)) {
         // the refresh MUST NOT be answered by the very rule it feeds: on
         // a serving session the installed rewrite matches this exact
         // aggregate and would publish a copy of the OLD version
         graft.plans.BalanceMvRewrite.suppressed {
-          VersionedRoot.publish(mvRoot, vdir =>
+          VersionedRoot.publishAt(mvStore, mvRoot, vdir =>
             balancePreAgg(readOr("transfer", discovered.limit(0)))
-              .write.mode("overwrite").parquet(vdir.toString))
+              .write.mode("overwrite").parquet(vdir)): Unit
         }
         val keep = spark.conf
           .get("spark.graft.balance.mvKeepVersions", "2").toInt
-        VersionedRoot.retire(mvRoot, keep = keep)
+        VersionedRoot.retireAt(mvStore, mvRoot, keep = keep)
       }
     }
     events.unpersist()

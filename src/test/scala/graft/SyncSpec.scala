@@ -167,19 +167,23 @@ class SyncSpec extends SparkSpec {
       == Warehouse.SyncStats(0, 0, 0))
   }
 
-  test("balance MV root fails fast on a non-local warehouseDir") {
-    // VersionedRoot is a local-rename protocol; a distributed
-    // warehouseDir must error, not publish the MV into a bogus local
-    // path while the tables live elsewhere (the r18 ADVICE divergence)
+  test("balance MV root dispatches backend by scheme; copy-rename stores fail fast") {
+    // r19: an hdfs:// warehouseDir routes the SAME commit protocol
+    // through the Hadoop backend (atomic rename on the NameNode) and the
+    // root stays on that filesystem — never a bogus local path. Object
+    // stores whose rename is copy+delete still error with adapter
+    // guidance rather than committing on a non-atomic primitive.
+    val (hdfsStore, hdfsRoot) = Warehouse.balancesRoot("hdfs://nn:8020/wh")
+    assert(hdfsRoot == "hdfs://nn:8020/wh/balances")
+    assert(hdfsStore.isInstanceOf[graft.operators.VStore.Hadoop])
     intercept[IllegalArgumentException] {
-      Warehouse.localBalancesRoot("hdfs://nn:8020/wh")
+      Warehouse.balancesRoot("s3a://bucket/wh")
     }
-    intercept[IllegalArgumentException] {
-      Warehouse.localBalancesRoot("s3a://bucket/wh")
-    }
-    assert(Warehouse.localBalancesRoot("/tmp/wh").toString
-      == "/tmp/wh/balances")
-    assert(Warehouse.localBalancesRoot("file:/tmp/wh").toString
-      == "/tmp/wh/balances")
+    val (localStore, localRoot) = Warehouse.balancesRoot("/tmp/wh")
+    assert(localRoot == "/tmp/wh/balances"
+      && localStore == graft.operators.VStore.Local)
+    val (fileStore, fileRoot) = Warehouse.balancesRoot("file:/tmp/wh")
+    assert(fileRoot == "/tmp/wh/balances"
+      && fileStore == graft.operators.VStore.Local)
   }
 }
