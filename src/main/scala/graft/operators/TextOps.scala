@@ -1814,15 +1814,19 @@ object TextOps {
       avg(col("dlen")).as("avgdl"))
     val df_ = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    bm25Score(s, tf, dlen, df_, stats)
+    bm25Score(s, tf, Some(dlen), df_, stats)
   }
 
   /** The Okapi scoring tail shared by [[bm25Search]] (index built in-plan)
     * and [[bm25Serve]] (index read from parquet): ONE spelling of the
     * ranking math, so the stored-index path cannot silently diverge from
-    * the gate the oracle checks.
+    * the gate the oracle checks. `dlen` is Some(side table) on the
+    * in-plan path; None when `tf` already carries its `dlen` column (the
+    * stored-index layout, r19) — the serve plan then touches NOTHING
+    * corpus-sized after the term filter.
     */
-  private def bm25Score(s: SparkSession, tf: DataFrame, dlen: DataFrame,
+  private def bm25Score(s: SparkSession, tf: DataFrame,
+                        dlen: Option[DataFrame],
                         df_ : DataFrame, stats: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -1830,10 +1834,10 @@ object TextOps {
       .flatMap { case (q, ts) => ts.map((q, _)) }.toDF("query", "term")
     val w = Window.partitionBy(col("query"))
       .orderBy(col("skey").desc, col("doc_id"))
-    tf.join(broadcast(queryTerms), "term")
+    val termMatched = tf.join(broadcast(queryTerms), "term")
       .join(broadcast(df_.join(broadcast(queryTerms), "term")
         .select("term", "df").distinct()), "term")
-      .join(dlen, "doc_id")
+    dlen.fold(termMatched)(d => termMatched.join(d, "doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -1865,22 +1869,53 @@ object TextOps {
     }.toString
   }
 
+  /** Postings are hash-partitioned by doc into this many bucket dirs at
+    * build — the takedown-pruning key: a delete/update derives its
+    * df/stats shifts from the doomed docs' OWN rows, and the bucket
+    * filter turns that read into a partition-pruned scan of the buckets
+    * the batch actually touches instead of the full postings table. 16
+    * at gate scale; at 100 TB the knob rises with the postings volume
+    * (buckets ≈ table size / a few GB) — the pruning ratio for a
+    * K-doc takedown is min(K, buckets)/buckets either way. */
+  private val Bm25DocBuckets = 16L
+
   /** One spelling of the four stored BM25 tables over any corpus frame —
     * shared by the full build and the history-only build the ADD gate
-    * patches, so the two can never tokenize or aggregate differently. */
+    * patches, so the two can never tokenize or aggregate differently.
+    *
+    * Layout (r19, the r18 verdict's #2 and #5):
+    *   - `tf` carries `dlen` ON the posting row (the Lucene norms
+    *     discipline): serving scores from term-pruned postings alone —
+    *     the corpus-sized per-doc dlen table is never scanned at query
+    *     time. One window-sum by doc_id at BUILD buys a join-free serve.
+    *   - `tf` is written partitioned by `doc_bucket` = h60(doc_id) mod
+    *     [[Bm25DocBuckets]], so a takedown's read of the doomed docs'
+    *     rows prunes to the touched buckets (PlanSpec-pinned).
+    *   - `dlen`/`df` land via keyed AQE rebalance (size-targeted file
+    *     counts: one file at gate scale, advisory-sized splits at 100
+    *     TB) — they are side tables read whole-or-filtered, never the
+    *     serve hot path.
+    */
   private def writeBm25Index(s: SparkSession, corpus: DataFrame,
                              tmp: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val terms = corpus
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .write.parquet(s"$tmp/tf")
+      .withColumn("dlen",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("doc_bucket", pmod(h60("doc_id"), lit(Bm25DocBuckets)))
+      .repartition(Bm25DocBuckets.toInt, col("doc_bucket"))
+      .write.partitionBy("doc_bucket").parquet(s"$tmp/tf")
     val tfStored = s.read.parquet(s"$tmp/tf")
     // integral doubles: the per-doc sum is exact regardless of add order
     tfStored.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      .repartition(col("doc_id"))
       .write.parquet(s"$tmp/dlen")
     tfStored.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
+      .repartition(col("term"))
       .write.parquet(s"$tmp/df")
     // sum_dlen rides along for the DELETE/ADD paths: dlen values are
     // integral doubles, so the stored sum is exact and an incremental
@@ -1915,10 +1950,12 @@ object TextOps {
   def bm25Serve(s: SparkSession, dir: String): DataFrame = {
     val root = bm25BuildIndex(s, dir)
     val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
+    // postings carry dlen (r19): after the term filter the plan touches
+    // nothing corpus-sized — no per-doc dlen join at query time
     val tf = s.read.parquet(s"$root/tf").filter(col("term").isin(qTerms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dlen"))
     val df_ = s.read.parquet(s"$root/df").filter(col("term").isin(qTerms: _*))
-    bm25Score(s, tf, s.read.parquet(s"$root/dlen"),
-      df_, s.read.parquet(s"$root/stats"))
+    bm25Score(s, tf, None, df_, s.read.parquet(s"$root/stats"))
   }
 
   private val lastBm25DelDir = newTempDirRef()
@@ -1943,12 +1980,15 @@ object TextOps {
     * Scale shape: `qTerms` bounds every term-keyed read BEFORE any join
     * (PushedFilters on the postings scan), so the tombstone anti-join is
     * query-bounded — tombstones themselves are a takedown list, a
-    * broadcast at any scale. X128-style compaction ([[bm25IndexFold]])
-    * folds the deltas back into one clean root.
+    * broadcast at any scale. Postings carry `dlen` (r19, the r18
+    * verdict's #5), so nothing corpus-sized survives the term filter:
+    * the per-doc dlen TABLE is lifecycle metadata (stats derivation,
+    * overlap decisions), never a serve-time scan. X128-style compaction
+    * ([[bm25IndexFold]]) folds the deltas back into one clean root.
     */
   private[graft] def bm25Effective(s: SparkSession, dirs: Seq[String],
                                    qTerms: Option[Seq[String]])
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     def sub(d: String, n: String): Option[String] = {
       val p = java.nio.file.Paths.get(d, n)
       if (java.nio.file.Files.exists(p)) Some(p.toString) else None
@@ -1971,8 +2011,10 @@ object TextOps {
           .drop("ti", "src_pos")
       }
     }
-    val tf = alive("tf", termFilter)
-    val dlen = alive("dlen", identity)
+    // the explicit projection drops the base dirs' doc_bucket partition
+    // column, so bucketed roots and flat delta dirs union by one schema
+    val tf = alive("tf", d => termFilter(d)
+      .select(col("doc_id"), col("term"), col("tf"), col("dlen")))
     val dfBases = dirs.flatMap(d => sub(d, "df"))
     val dfDeltas = dirs.flatMap(d => sub(d, "df_delta"))
     val df_ =
@@ -1996,28 +2038,32 @@ object TextOps {
           sum(col("sum_dlen")).as("sum_dlen"))
         .select(col("n_docs"),
           (col("sum_dlen") / col("n_docs")).as("avgdl"), col("sum_dlen"))
-    (tf, dlen, df_, stats)
+    (tf, df_, stats)
   }
 
   /** Serve the standing queries from a manifest dir list — one spelling
     * for every BM25 lifecycle gate's before/after probes. */
   private def bm25ServeDirs(s: SparkSession, dirs: Seq[String],
                             qTerms: Seq[String]): DataFrame = {
-    val (tf, dlen, df_, stats) = bm25Effective(s, dirs, Some(qTerms))
-    bm25Score(s, tf, dlen, df_, stats)
+    val (tf, df_, stats) = bm25Effective(s, dirs, Some(qTerms))
+    bm25Score(s, tf, None, df_, stats)
   }
 
   /** The O(batch) takedown delta: tombstones plus the df/stats shifts
-    * read off the purged docs' OWN rows (a partition-pruned read at
-    * scale; nothing in the base dir is written). Shared by the delete
-    * gate and the fold spec. */
+    * read off the purged docs' OWN rows — a PARTITION-PRUNED read (r19,
+    * the r18 verdict's #2 executed): the purge list's doc buckets (≤
+    * [[Bm25DocBuckets]] values, pruning metadata, a bounded collect)
+    * filter the bucketed postings scan down to the touched partitions
+    * before the broadcast join, so a K-doc takedown reads
+    * min(K, buckets)/buckets of the postings table instead of all of it
+    * (PlanSpec-pinned). Nothing in the base dir is written; the per-doc
+    * dlen shift reads off the SAME pruned rows (postings carry dlen —
+    * the dlen side table isn't touched at all). Shared by the delete
+    * gate, the upsert gate's delete leg, and the fold spec. */
   private[graft] def writeBm25DeleteDelta(s: SparkSession, baseDir: String,
                                           purge: DataFrame,
                                           delta: String): Unit = {
-    val delTf = s.read.parquet(s"$baseDir/tf")
-      .join(broadcast(purge), "doc_id").cache()
-    val delDlen = s.read.parquet(s"$baseDir/dlen")
-      .join(broadcast(purge), "doc_id").cache()
+    val delTf = prunedDoomedPostings(s, s"$baseDir/tf", purge).cache()
     // delta dirs are batch-sized: land them as a few files, not
     // |shuffle.partitions| shards — every serve probe re-reads each
     // footer (the X128 small-files discipline applied at write time).
@@ -2029,11 +2075,28 @@ object TextOps {
       .agg((-count(lit(1))).cast("double").as("df"))
       .repartition(1)
       .write.parquet(s"$delta/df_delta")
-    delDlen.agg((-count(lit(1))).cast("double").as("n_docs"),
+    // per-doc dlen rides on every posting row: max-per-doc re-reads the
+    // one value (exact integral double) without the dlen side table
+    delTf.groupBy(col("doc_id")).agg(max(col("dlen")).as("dlen"))
+      .agg((-count(lit(1))).cast("double").as("n_docs"),
         (-coalesce(sum(col("dlen")), lit(0.0))).as("sum_dlen"))
       .write.parquet(s"$delta/stats_delta")
     delTf.unpersist(blocking = false)
-    delDlen.unpersist(blocking = false)
+  }
+
+  /** The doomed docs' own posting rows, read with bucket pruning: filter
+    * the bucketed `tf` scan to the doomed docs' partitions, then
+    * broadcast-join the doom list. The collect is ≤ [[Bm25DocBuckets]]
+    * rows — partition-pruning METADATA, not data (the same driver-side
+    * grain as a table format's partition listing). */
+  private[graft] def prunedDoomedPostings(s: SparkSession, tfDir: String,
+                                          doomed: DataFrame): DataFrame = {
+    val buckets = doomed
+      .select(pmod(h60("doc_id"), lit(Bm25DocBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    s.read.parquet(tfDir)
+      .filter(col("doc_bucket").isin(buckets: _*))
+      .join(broadcast(doomed), "doc_id")
   }
 
   /** X128 compaction on the sparse family: fold a delta'd BM25 manifest
@@ -2046,10 +2109,18 @@ object TextOps {
                                    vroot: java.nio.file.Path,
                                    out: String): Seq[String] = {
     val dirs = VersionedRoot.resolveDirs(vroot)
-    val (tf, dlen, df_, stats) = bm25Effective(s, dirs, None)
-    tf.write.parquet(s"$out/tf")
-    dlen.write.parquet(s"$out/dlen")
-    df_.write.parquet(s"$out/df")
+    val (tf, df_, stats) = bm25Effective(s, dirs, None)
+    // the compacted root reproduces the BUILD layout exactly: postings
+    // re-bucketed by doc (so the next takedown prunes against the folded
+    // root too), side tables size-targeted via keyed AQE rebalance
+    tf.withColumn("doc_bucket", pmod(h60("doc_id"), lit(Bm25DocBuckets)))
+      .repartition(Bm25DocBuckets.toInt, col("doc_bucket"))
+      .write.partitionBy("doc_bucket").parquet(s"$out/tf")
+    s.read.parquet(s"$out/tf")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+      .repartition(col("doc_id"))
+      .write.parquet(s"$out/dlen")
+    df_.repartition(col("term")).write.parquet(s"$out/df")
     stats.write.parquet(s"$out/stats")
     VersionedRoot.replaceDirs(vroot, dirs, Seq(out)): Unit
     VersionedRoot.resolveDirs(vroot)
@@ -2124,6 +2195,70 @@ object TextOps {
       .withColumn("hist_untouched", lit(histUntouched))
   }
 
+  private val lastBm25CmpDir = newTempDirRef()
+
+  /** X128 compaction on the BM25 tombstone chain, priced under the
+    * oracle (r19, the r18 verdict's #4 — q_dedup_index_compact's
+    * discipline on the sparse family): accumulate a takedown delta
+    * behind the manifest, serve THROUGH the pointer, fold the chain into
+    * one clean root ([[bm25IndexFold]] — the race-safe replace, appends
+    * riding along), serve again, then retire + vacuum the
+    * now-unreferenced delta dir. The oracle rebuilds BM25 from scratch
+    * over the surviving corpus — the after-fold serve must equal it
+    * cell-by-cell — and pins the witnesses: serve_unchanged
+    * (before-fold ≡ after-fold, Spark-vs-Spark over immutable rows),
+    * tomb_gone (no tombstone dir survives the fold AND no purged doc's
+    * postings remain — physically checked), files_dropped (the folded
+    * root holds strictly fewer parquet files than the chain it replaced
+    * — the small-files payoff), n_dirs_vacuumed (exactly the one delta
+    * dir this gate owns is reclaimed; the shared base fixture is
+    * referenced-not-owned and survives).
+    *
+    * Reference analog: none — §2x extension surface; the MinHash
+    * family's q_dedup_index_compact is the template.
+    */
+  def bm25IndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = bm25BuildIndex(s, dir)
+    val work = freshTempDir(lastBm25CmpDir, "bm25idx_cmp")
+    val cycle = VersionedRoot.cycle(java.nio.file.Paths.get(work), root)
+    val purge = docs(s, dir).filter(col("source") === PurgeSource)
+      .select(col("doc_id"))
+    writeBm25DeleteDelta(s, root, purge, s"$work/delta")
+    val servedBefore = cycle.append(s"$work/delta")
+    val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
+    val before = bm25ServeDirs(s, servedBefore, qTerms).localCheckpoint()
+    val servedAfter = bm25IndexFold(s, cycle.vroot, s"$work/compact")
+    val after = bm25ServeDirs(s, servedAfter, qTerms).localCheckpoint()
+    val nChanged = before.exceptAll(after)
+      .unionByName(after.exceptAll(before)).count()
+    val filesBefore = parquetFileCount(servedBefore)
+    val filesAfter = parquetFileCount(servedAfter)
+    val tombGone = !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$work/compact", "tomb")) &&
+      s.read.parquet(s"$work/compact/tf")
+        .join(broadcast(purge), "doc_id").count() == 0
+    // the pre-fold version still serves readers that pinned it (swap-
+    // while-serving; `before` is materialized), so retire + vacuum may
+    // reclaim: only the delta this gate owns is a candidate
+    VersionedRoot.retire(cycle.vroot, keep = 1)
+    val vacuumed = VersionedRoot.vacuumDirs(cycle.vroot, Seq(s"$work/delta"))
+    after
+      .withColumn("serve_unchanged", lit(nChanged == 0L))
+      .withColumn("tomb_gone", lit(tombGone))
+      .withColumn("files_dropped", lit(filesBefore > filesAfter))
+      .withColumn("n_dirs_vacuumed", lit(vacuumed.length.toLong))
+      .orderBy("query", "rank")
+  }
+
+  private def bm25IndexCompactSql =
+    s"""SELECT query, rank, doc_id, TRUE AS serve_unchanged,
+       |  TRUE AS tomb_gone, TRUE AS files_dropped,
+       |  CAST(1 AS BIGINT) AS n_dirs_vacuumed FROM (
+       |${bm25SearchSqlOver(
+            s"(SELECT * FROM documents WHERE source != '$PurgeSource')" +
+              " AS documents")}
+       |) ORDER BY query, rank""".stripMargin
+
   private val lastBm25AddDir = newTempDirRef()
 
   /** Incremental document ADD on the stored BM25 index (X121, r16) — the
@@ -2170,11 +2305,15 @@ object TextOps {
     // (r16 verdict #8) so bench reps price the UPDATE, not a second serve
     val before = memoServe(s"bm25hist_before:$dir")(
       bm25ServeDirs(s, cycle.before, qTerms))
-    // the batch's own postings — the ONLY tokenization in the gate
+    // the batch's own postings — the ONLY tokenization in the gate;
+    // dlen rides on the posting rows (the build layout, r19) so the
+    // delta serves join-free like the base
     val batchTf = docs(s, dir).filter(!isHistoryDoc)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("dlen", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .cache()
     val updated = s"$work/delta"
     // batch-sized delta → a few files, not |shuffle.partitions| shards
@@ -2257,16 +2396,17 @@ object TextOps {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("dlen", sum(col("tf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .cache()
     // which batch ids are updates is decided by the INDEX: a semi-join
     // against the stored per-doc side table
     val overlap = batch.select(col("doc_id"))
       .join(s.read.parquet(s"$root/dlen"), Seq("doc_id"), "left_semi")
       .cache()
-    val delTf = s.read.parquet(s"$root/tf")
-      .join(broadcast(overlap), "doc_id").cache()
-    val delDlen = s.read.parquet(s"$root/dlen")
-      .join(broadcast(overlap), "doc_id").cache()
+    // the doomed rows: bucket-pruned read of the overlap docs' own
+    // postings (r19 — the same pruned scan the delete gate pins)
+    val delTf = prunedDoomedPostings(s, s"$root/tf", overlap).cache()
     val updated = s"$work/delta"
     val stampsBefore = fileStamps(root)
     // batch-sized delta → a few files, not |shuffle.partitions| shards
@@ -2287,7 +2427,11 @@ object TextOps {
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .repartition(1)
       .write.parquet(s"$updated/df_delta")
-    delDlen.agg(count(lit(1)).cast("double").as("n_del"),
+    // the delete leg's dlen shift reads off the pruned doomed rows
+    // themselves (postings carry dlen) — the dlen side table is only
+    // touched for the overlap DECISION above
+    delTf.groupBy(col("doc_id")).agg(max(col("dlen")).as("dlen"))
+      .agg(count(lit(1)).cast("double").as("n_del"),
         coalesce(sum(col("dlen")), lit(0.0)).as("sum_del"))
       .crossJoin(s.read.parquet(s"$updated/dlen")
         .agg(count(lit(1)).cast("double").as("n_add"),
@@ -2297,7 +2441,6 @@ object TextOps {
       .write.parquet(s"$updated/stats_delta")
     batchTf.unpersist(blocking = false)
     delTf.unpersist(blocking = false)
-    delDlen.unpersist(blocking = false)
     overlap.unpersist(blocking = false)
     val servedAfter = cycle.append(updated)
     val histUntouched = fileStamps(root) == stampsBefore
@@ -5133,9 +5276,10 @@ object TextOps {
     * Determinism: shard = md5-60-bit(doc_id) mod [[ExportShards]] (the
     * hashSplit portability discipline — stable across engines and reruns
     * where a round-robin or task-id scheme is neither); content_key =
-    * (Σ md5-60-bit(normalized text)) mod 2^40 — the wide-sum-then-mod
-    * spelling: the 60-bit addends accumulate in a wide type and ONE mod
-    * bounds the emitted value into BIGINT (hashSum). At 100 TB the export IS one
+    * (Σ md5-60-bit(normalized text)) mod 2^40 via hashSum's mod_sum
+    * aggregate (r18): the BIGINT buffer is mod-reduced at every
+    * update/merge, value-identical to a wide sum by
+    * (Σh) mod m == (Σ(h mod m)) mod m. At 100 TB the export IS one
     * hash-clustered write (the shuffle key is the write partitioning) and
     * the manifest is a count/sum aggregate over the written files —
     * map-side-combining into |shards| cells. */
@@ -5388,6 +5532,7 @@ object TextOps {
     "q_dedup_index_compact" -> (dedupIndexCompact(_, _)),
     "q_dedup_index_purge" -> (dedupIndexPurge(_, _)),
     "q_bm25_index_delete" -> (bm25IndexDelete(_, _)),
+    "q_bm25_index_compact" -> (bm25IndexCompact(_, _)),
     "q_bm25_index_add" -> (bm25IndexAdd(_, _)),
     "q_bm25_index_upsert" -> (bm25IndexUpsert(_, _)),
     "q_ngram_jaccard" -> (ngramJaccard(_, _)),
@@ -5453,6 +5598,7 @@ object TextOps {
     "q_dedup_index_compact" -> dedupIndexCompactSql,
     "q_dedup_index_purge" -> dedupIndexPurgeSql,
     "q_bm25_index_delete" -> bm25IndexDeleteSql,
+    "q_bm25_index_compact" -> bm25IndexCompactSql,
     "q_bm25_index_add" -> bm25IndexAddSql,
     "q_bm25_index_upsert" -> bm25IndexUpsertSql,
     "q_ngram_jaccard" -> minhashNearDupSql,

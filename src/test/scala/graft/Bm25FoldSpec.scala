@@ -30,11 +30,12 @@ class Bm25FoldSpec extends SparkSpec {
     val dirs = cycle.append(work.resolve("delta0").toString)
     assert(dirs.size == 2)
     def serveRows(d: Seq[String]): Set[(Long, Double)] = {
-      val (tf, dlen, df_, stats) = TextOps.bm25Effective(s, d, None)
+      val (tf, df_, stats) = TextOps.bm25Effective(s, d, None)
       // fingerprint the full effective index, not just scores: postings
-      // rows, the dictionary, and the global stats must all survive the
-      // fold bit-for-bit (integral doubles — sums exact)
-      val post = tf.join(dlen, "doc_id")
+      // rows (dlen rides on them — the r19 layout), the dictionary, and
+      // the global stats must all survive the fold bit-for-bit
+      // (integral doubles — sums exact)
+      val post = tf
         .select(col("doc_id"), (col("tf") * col("dlen")).as("w"))
         .groupBy(col("doc_id")).agg(sum(col("w")).as("w"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
