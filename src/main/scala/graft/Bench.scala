@@ -200,7 +200,22 @@ object Bench {
         "q_stream_dedup_ingest grew BY DESIGN in r18 (per-micro-batch " +
         "version resolution + cross-batch clone fixture + in-loop " +
         "retire/vacuum - the production door's semantics, priced); " +
-        "bm25 delete/add/upsert shrank (O(batch) tombstone deltas)\""
+        "bm25 delete/add/upsert shrank (O(batch) tombstone deltas). " +
+        "r19 attributions (worktree at 1b9bfd1, alternating scoped " +
+        "pairs BOTH orders): q_unigram_train's r18 1.27x closes as " +
+        "drift - 9 pairs measured 1.07x median with MIXED signs once " +
+        "pair order was reversed (fixed-order pairs bias ~5-10% toward " +
+        "the second runner; the protocol now alternates order). The " +
+        "r18 bm25 add/upsert sf0.1 'wins' were favorable draws: the " +
+        "r17 O(history) rewrite is CHEAPER at sf0.1 (quiet A/B - " +
+        "upsert 4.4-4.5 vs 4.9-5.3, add 3.0-3.3 vs 3.3-3.7); the " +
+        "tombstone-delta design pays fixed per-delta job overhead at " +
+        "small scale and is priced for the decade, where delete is " +
+        "FLAT (SCALING.json). q_bm25_index_compact is NEW in r19 " +
+        "(~4.6 s: sacrificial delta clone + fold + after-serve + " +
+        "vacuum per cold rep by design; the delta write and chain " +
+        "serve are fixture/memoized - they are the delete gate's " +
+        "priced ops)\""
       s"""{"metric":"total","value":${num("%.6f", total)},"unit":"sec","sf":"$sfDir",$note,"queries":$qs,"median_raw":$raws,"reps":$spreads$scaling}""" + "\n"
     }
     java.nio.file.Files.write(

