@@ -113,7 +113,7 @@ final class HttpEdge(spark: SparkSession, warehouseDir: String, port: Int) {
     // root helper dispatches the storage backend by scheme (r19): local
     // warehouseDirs read through java.nio, hdfs://-style ones through
     // the Hadoop FileSystem — same protocol, same pointer; copy-rename
-    // object stores still fail fast (VStore.forPath). Deployment
+    // object stores still fail fast (VStore.forRoot). Deployment
     // contract: refresh() at least every mvKeepVersions-1 sync passes,
     // or the pinned version can be vacuumed mid-serve (Warehouse.sync's
     // retire knob).

@@ -20,11 +20,11 @@ package graft.operators
 private[graft] object AppendRaceMain {
   def main(args: Array[String]): Unit = {
     val Array(root, tag, nStr) = args
-    val st: VStore = VStore.forPath(root)
+    val (st, rootPath) = VStore.forRoot(root)
     (0 until nStr.toInt).foreach { i =>
-      val d = st.child(root, s"data_${tag}_$i")
+      val d = st.child(rootPath, s"data_${tag}_$i")
       st.mkdirs(d)
-      VersionedRoot.appendDirsAt(st, root, Seq(d)): Unit
+      VersionedRoot.appendDirsAt(st, rootPath, Seq(d)): Unit
     }
     println(s"appended ${nStr.toInt} deltas as $tag")
   }

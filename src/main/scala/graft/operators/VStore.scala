@@ -9,40 +9,46 @@ import scala.jdk.CollectionConverters._
   * protocol must commit on the storage a 100 TB lake actually lives on,
   * not only on local POSIX.
   *
-  *   - `claimDir`: ATOMICALLY create a directory that must not already
-  *     exist — the version-number reservation. Exactly one of N racing
-  *     claimers wins; losers observe "already claimed", never a partial.
+  *   - `claimDir`: ATOMICALLY claim a version name by exclusive create
+  *     of its `<name>.claim` marker file (r19 — the marker, not the
+  *     directory, is the reservation: Spark's SaveMode.Overwrite deletes
+  *     and recreates the version DIRECTORY mid-write, which under a
+  *     directory-as-claim design hands the vacated name to a racing
+  *     publisher). Exactly one of N racing claimers wins; losers observe
+  *     "already claimed", never a partial; indeterminate outcomes throw.
   *   - `atomicSwap`: rename `src` onto `dst`, replacing it, as one
   *     indivisible operation — the pointer flip. A concurrent reader of
   *     `dst` sees the old content or the new, never a torn file.
   *   - `mkdirs` / `exists` / `readString` / `writeString` / `listNames` /
-  *     `deleteTree`: the non-contended plumbing (idempotent, no atomicity
-  *     burden beyond their own call).
+  *     `deleteTree` / `deleteFile`: the non-contended plumbing
+  *     (idempotent, no atomicity burden beyond their own call).
   *
   * Backends:
-  *   - [[VStore.Local]] — java.nio: `Files.createDirectory` (kernel-
-  *     atomic mkdir(2): EEXIST for every loser regardless of process) and
-  *     `ATOMIC_MOVE` rename (rename(2), atomic within a filesystem).
-  *     The fast path for schemeless/`file:` roots — zero Hadoop overhead
-  *     per pointer read, which matters because serve paths resolve
-  *     CURRENT per plan.
+  *   - [[VStore.Local]] — java.nio: `Files.createFile` on the marker
+  *     (kernel-atomic creat(2)+O_EXCL: EEXIST for every loser regardless
+  *     of process) and `ATOMIC_MOVE` rename (rename(2), atomic within a
+  *     filesystem). The fast path for schemeless/`file:` roots — zero
+  *     Hadoop overhead per pointer read, which matters because serve
+  *     paths resolve CURRENT per plan.
   *   - [[VStore.hadoop]] — the Hadoop FileSystem/FileContext API. On
-  *     HDFS both primitives are NameNode-atomic: the claim is a
-  *     rename-without-OVERWRITE of a private staging dir onto the version
-  *     name (HDFS rename2 fails with FileAlreadyExistsException if the
-  *     destination exists — the same reservation semantics as mkdir-
-  *     exclusive), and the flip is rename with Options.Rename.OVERWRITE
-  *     (atomic replace, the primitive HBase/Iceberg-on-HDFS commits use).
-  *     A file:/schemeless path through this store binds the two
-  *     contended primitives to the kernel spellings instead (see the
-  *     class doc — Hadoop's local connector has no atomic exclusive-
-  *     create or overwrite-rename), so the protocol is equally strong on
-  *     either scheme. Object stores without atomic rename (s3a://) are
-  *     explicitly NOT claimed: their rename is copy+delete, so a manifest
-  *     root on raw S3 needs a conditional-PUT (If-None-Match) adapter or
-  *     a log-ordered commit service (the S3A committer / DynamoDB-lock
-  *     pattern); [[VStore.forPath]] fails fast on those schemes rather
-  *     than committing on a non-atomic rename.
+  *     HDFS both primitives are NameNode-atomic: the claim is `create`
+  *     of the marker WITHOUT the overwrite flag (one NameNode
+  *     transaction, FileAlreadyExistsException for every loser — the
+  *     classic HDFS lock-file primitive), and the flip is rename with
+  *     Options.Rename.OVERWRITE (atomic replace, the primitive
+  *     HBase/Iceberg-on-HDFS commits use). A file:/schemeless path
+  *     through this store binds the two contended primitives to the
+  *     kernel spellings instead (see the class doc — Hadoop's local
+  *     connector has no atomic exclusive-create or overwrite-rename), so
+  *     the protocol is equally strong on either scheme. Object stores
+  *     without atomic rename (s3a://) are explicitly NOT claimed for
+  *     COMMITS: their rename is copy+delete, so a manifest root on raw
+  *     S3 needs a conditional-PUT (If-None-Match) adapter or a
+  *     log-ordered commit service (the S3A committer / DynamoDB-lock
+  *     pattern); [[VStore.forRoot]] fails fast on those schemes — and on
+  *     any scheme whose rename contract is UNVERIFIED — rather than
+  *     committing on a non-atomic rename. Reads dispatch separately
+  *     ([[VStore.forRead]]): resolving a pointer is safe anywhere.
   *
   * Reference analog: the reference's atomic-commit primitive is the
   * Postgres upsert (SecondaryPersistence.scala:30-127); a lake engine's
@@ -51,8 +57,17 @@ import scala.jdk.CollectionConverters._
   */
 private[graft] sealed trait VStore {
   def mkdirs(p: String): Unit
-  /** Atomically create directory `p`; true iff THIS caller created it.
-    * False means another (possibly crashed) claimer owns it. */
+  /** Atomically claim the name `p`: create the sibling marker file
+    * `<p>.claim` exclusively, then ensure directory `p` exists. True iff
+    * THIS caller won the marker; false means another (possibly crashed)
+    * claimer owns it. The marker — not the directory — IS the
+    * reservation: a writer that deletes and recreates the claimed
+    * directory mid-write (Spark's SaveMode.Overwrite does exactly this)
+    * cannot reopen the claim window, because the marker survives.
+    * An outcome the backend cannot classify (e.g. an RPC failure after
+    * the create may have committed) THROWS rather than returning false:
+    * a false from a claim this process actually owns would wedge the
+    * manifest silently — a loud indeterminate error is operator-visible. */
   def claimDir(p: String): Boolean
   def exists(p: String): Boolean
   def readString(p: String): String
@@ -62,6 +77,9 @@ private[graft] sealed trait VStore {
   /** Immediate-child names of `dir` (files and directories). */
   def listNames(dir: String): Seq[String]
   def deleteTree(p: String): Unit
+  /** Delete a single file if present (claim markers, orphaned pointer
+    * temps) — never a directory. */
+  def deleteFile(p: String): Unit
   def child(dir: String, name: String): String
 }
 
@@ -70,9 +88,14 @@ private[graft] object VStore {
   /** java.nio backend — the default for schemeless local roots. */
   object Local extends VStore {
     def mkdirs(p: String): Unit = { Files.createDirectories(Paths.get(p)); () }
+    // creat(2) with O_EXCL: the kernel serializes racing creators on the
+    // parent directory inode — exactly one caller wins, process-agnostic
     def claimDir(p: String): Boolean =
-      try { Files.createDirectory(Paths.get(p)); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      try {
+        Files.createFile(Paths.get(s"$p.claim"))
+        Files.createDirectories(Paths.get(p))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     def exists(p: String): Boolean = Files.exists(Paths.get(p))
     def readString(p: String): String = Files.readString(Paths.get(p))
     def writeString(p: String, content: String): Unit = {
@@ -90,6 +113,9 @@ private[graft] object VStore {
     }
     def deleteTree(p: String): Unit =
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    def deleteFile(p: String): Unit = {
+      Files.deleteIfExists(Paths.get(p)); ()
+    }
     def child(dir: String, name: String): String =
       Paths.get(dir).resolve(name).toString
   }
@@ -103,17 +129,17 @@ private[graft] object VStore {
     * takes this branch).
     *
     * Per-scheme primitive binding for the two CONTENDED operations: on
-    * hdfs:// the claim is rename-without-OVERWRITE of a private staging
-    * dir onto the version name and the flip is rename with OVERWRITE —
-    * both single NameNode transactions (rename2). Hadoop's LOCAL
-    * connector spells neither atomically (RawLocalFileSystem's
-    * exclusive-create and overwrite-rename are exists-check-then-act,
-    * and AbstractFileSystem's default OVERWRITE path is delete+rename),
-    * while the kernel has atomic spellings of exactly these two —
-    * mkdir(2) and rename(2) — so a file:/schemeless path binds claim and
-    * swap to java.nio directly: same semantics the NameNode provides
-    * natively, no silent weakening. Everything non-contended goes
-    * through the Hadoop FileSystem on every scheme. */
+    * hdfs:// the claim is exclusive `create` of the `.claim` marker and
+    * the flip is rename with OVERWRITE — both single NameNode
+    * transactions. Hadoop's LOCAL connector spells neither atomically
+    * (RawLocalFileSystem's exclusive-create and overwrite-rename are
+    * exists-check-then-act, and AbstractFileSystem's default OVERWRITE
+    * path is delete+rename), while the kernel has atomic spellings of
+    * exactly these two — creat(2)+O_EXCL and rename(2) — so a
+    * file:/schemeless path binds claim and swap to java.nio directly:
+    * same semantics the NameNode provides natively, no silent
+    * weakening. Everything non-contended goes through the Hadoop
+    * FileSystem on every scheme. */
   final class Hadoop(conf: org.apache.hadoop.conf.Configuration)
       extends VStore {
     import org.apache.hadoop.fs.{FileContext, FileSystem, Options,
@@ -136,32 +162,36 @@ private[graft] object VStore {
 
     def mkdirs(p: String): Unit = { fs(hp(p)).mkdirs(hp(p)); () }
 
-    /** The claim. hdfs://: stage a private directory, rename it (NO
-      * overwrite) onto the version name — the exists-check and move are
-      * one NameNode transaction, losers get FileAlreadyExistsException,
-      * exactly mkdir-exclusive semantics. (FileSystem.mkdirs cannot
-      * claim: it is mkdir -p, success on an existing directory.)
-      * file:/schemeless: mkdir(2) via java.nio — the kernel's exclusive
-      * create (see class doc for why the Hadoop local connector can't). */
+    /** The claim: exclusive create of the `<p>.claim` marker. On HDFS,
+      * `create` without the OVERWRITE flag is a single NameNode
+      * transaction that throws FileAlreadyExistsException for every
+      * loser — the classic HDFS lock-file primitive (no staging dir, so
+      * a crashed claimer leaves only the marker + an empty version dir,
+      * which IS the wedge case the commit loop's deadline reports and
+      * retire sweeps once resolved). file:/schemeless: creat(2) with
+      * O_EXCL via java.nio — the same kernel primitive Local uses.
+      * (FileSystem.mkdirs cannot claim: it is mkdir -p, success on an
+      * existing directory.) A bare IOException propagates: the create
+      * may or may not have committed on the NameNode, and reporting
+      * "lost" for a claim this process actually owns would wedge the
+      * sequence silently — indeterminate outcomes must fail loudly. */
     def claimDir(p: String): Boolean = {
       val dst = hp(p)
       if (isLocalScheme(dst))
-        try { Files.createDirectory(nio(dst)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        try {
+          Files.createFile(nio(hp(s"$p.claim")))
+          Files.createDirectories(nio(dst))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       else {
-        val tmp = new HPath(dst.getParent,
-          s".claim-${java.util.UUID.randomUUID()}")
-        fs(dst).mkdirs(tmp)
-        try { fc(dst).rename(tmp, dst); true }
-        catch {
+        val marker = hp(s"$p.claim")
+        try {
+          fs(marker).create(marker, false).close()
+          fs(dst).mkdirs(dst)
+          true
+        } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-               _: java.nio.file.FileAlreadyExistsException =>
-            fs(dst).delete(tmp, true); false
-          case e: java.io.IOException =>
-            // some FS shims report "destination exists" as a bare
-            // IOException; a lost claim only if dst now exists
-            fs(dst).delete(tmp, true)
-            if (fs(dst).exists(dst)) false else throw e
+               _: java.nio.file.FileAlreadyExistsException => false
         }
       }
     }
@@ -200,6 +230,8 @@ private[graft] object VStore {
 
     def deleteTree(p: String): Unit = { fs(hp(p)).delete(hp(p), true); () }
 
+    def deleteFile(p: String): Unit = { fs(hp(p)).delete(hp(p), false); () }
+
     def child(dir: String, name: String): String =
       new HPath(hp(dir), name).toString
   }
@@ -215,24 +247,57 @@ private[graft] object VStore {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-  /** Schemes whose Hadoop "rename" is copy+delete (not atomic): a
-    * manifest commit on them would be last-copy-wins corruption, so the
-    * dispatch refuses rather than silently weakening the protocol. */
-  private val NonAtomicRenameSchemes =
-    Set("s3a", "s3", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss")
+  /** Schemes with a VERIFIED atomic rename + exclusive-create contract
+    * (single-NameNode-transaction semantics or an equivalent): the only
+    * storage a versioned-root COMMIT may target. An ALLOWLIST, not a
+    * denylist — an unknown scheme fails safe rather than silently
+    * getting primitives its store may spell as copy+delete. */
+  private val AtomicCommitSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
 
-  /** Backend for a root path: schemeless → the java.nio fast path;
-    * file:/hdfs:/any-atomic-rename scheme → the Hadoop backend; known
-    * copy-rename object stores → fail fast with the adapter guidance. */
-  def forPath(path: String): VStore = {
+  /** Known copy-rename object stores — named so their refusal carries
+    * the specific adapter guidance instead of the generic one. */
+  private val CopyRenameSchemes =
+    Set("s3a", "s3", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+      "oss", "cosn", "swift")
+
+  /** COMMIT-side dispatch for a root path: the backend plus the root
+    * string the caller should use with it (file: URIs normalize to the
+    * plain local path so `file:/wh` and `/wh` commit to the same place).
+    * Schemeless/file: → the java.nio fast path; allowlisted atomic
+    * schemes → the Hadoop backend; known copy-rename object stores →
+    * fail fast with conditional-PUT/table-format guidance; anything
+    * UNKNOWN also refuses — committing a manifest on an unverified
+    * rename contract would be silent last-copy-wins corruption. */
+  def forRoot(path: String): (VStore, String) = {
+    val uri = new org.apache.hadoop.fs.Path(path).toUri
+    Option(uri.getScheme).map(_.toLowerCase) match {
+      case None => (Local, path)
+      case Some("file") => (Local, uri.getPath)
+      case Some(s) if AtomicCommitSchemes.contains(s) =>
+        (hadoop(activeHadoopConf), path)
+      case Some(s) if CopyRenameSchemes.contains(s) =>
+        throw new IllegalArgumentException(
+          s"versioned-root commits need an atomic rename; scheme '$s' " +
+            "renames by copy+delete. Route this root through a " +
+            "conditional-PUT adapter or a table-format commit instead " +
+            "(see VStore scaladoc).")
+      case Some(s) =>
+        throw new IllegalArgumentException(
+          s"scheme '$s' has no VERIFIED atomic-rename/exclusive-create " +
+            "contract here; versioned-root commits refuse unverified " +
+            "storage. Verify the scheme's rename2/create atomicity and " +
+            "add it to VStore.AtomicCommitSchemes, or route through a " +
+            "table-format commit.")
+    }
+  }
+
+  /** READ-side dispatch: resolving a pointer or a manifest list is plain
+    * reads — safe on ANY filesystem, copy-rename object stores included
+    * (an index PUBLISHED by an adapter elsewhere is still served from
+    * here). Schemeless → java.nio; any scheme → the Hadoop backend. */
+  def forRead(path: String): VStore = {
     val scheme = new org.apache.hadoop.fs.Path(path).toUri.getScheme
-    if (scheme == null) Local
-    else if (NonAtomicRenameSchemes.contains(scheme.toLowerCase))
-      throw new IllegalArgumentException(
-        s"versioned-root commits need an atomic rename; scheme '$scheme' " +
-          "renames by copy+delete. Route this root through a " +
-          "conditional-PUT adapter or a table-format commit instead " +
-          "(see VStore scaladoc).")
-    else hadoop(activeHadoopConf)
+    if (scheme == null) Local else hadoop(activeHadoopConf)
   }
 }

@@ -36,21 +36,22 @@ import java.nio.file.{Files, Path, Paths}
   * API below is the `file://` fast path; the `*At(store, root)` spellings
   * commit the SAME protocol on any Hadoop FileSystem whose rename is
   * atomic (hdfs:// first-class; copy-rename object stores fail fast with
-  * adapter guidance — see [[VStore.forPath]]).
+  * adapter guidance — see [[VStore.forRoot]]).
   *
   * CROSS-PROCESS SAFETY: the specs race THREADS in one JVM, but nothing
   * in the protocol is JVM-scoped — both contended primitives bottom out
   * in storage-level atomicity that is process-agnostic by contract:
-  * `Files.createDirectory` is one mkdir(2) syscall (the kernel serializes
-  * racing creators on the directory inode; every loser gets EEXIST — the
-  * JVM adds no locking and holds no state the kernel doesn't see), and
-  * `ATOMIC_MOVE` is one rename(2) (atomic within a filesystem, per
-  * POSIX). On the Hadoop backend the same two primitives are single
-  * NameNode transactions (rename2 without/with OVERWRITE). Racing
-  * processes therefore interleave exactly like racing threads: through
-  * the storage primitive, never around it — which
-  * VersionedRootProcessSpec demonstrates with two forked JVMs appending
-  * concurrently (no lost delta, sequential versions).
+  * the claim is one creat(2) with O_EXCL on the `v<N>.claim` marker
+  * (the kernel serializes racing creators on the parent inode; every
+  * loser gets EEXIST — the JVM adds no locking and holds no state the
+  * kernel doesn't see), and the flip is one rename(2) via `ATOMIC_MOVE`
+  * (atomic within a filesystem, per POSIX). On the Hadoop backend the
+  * same two primitives are single NameNode transactions (exclusive
+  * create; rename2 with OVERWRITE). Racing processes therefore
+  * interleave exactly like racing threads: through the storage
+  * primitive, never around it — which VersionedRootProcessSpec
+  * demonstrates with two forked JVMs appending concurrently (no lost
+  * delta, sequential versions).
   *
   * The gates in this repo keep their freshTempDir layout (each run's
   * updated index is OUTPUT under test, rebuilt per call); this object is
@@ -86,10 +87,13 @@ object VersionedRoot {
     * writer's delta — use [[appendDirsAt]]/[[replaceDirsAt]], whose
     * claim-in-order commit detects the conflict, for those.
     *
-    * Because the claim IS the directory, `write` receives an EXISTING
-    * empty directory — parquet writers must use SaveMode.Overwrite (or
-    * write into child paths), as ErrorIfExists refuses any existing
-    * path. */
+    * The claim is a MARKER FILE (`v<N>.claim`), not the directory
+    * itself (r19): `write` receives an existing empty directory, so
+    * parquet writers must use SaveMode.Overwrite (ErrorIfExists refuses
+    * any existing path) — and Overwrite's delete-and-recreate of the
+    * version directory is SAFE, because the reservation lives in the
+    * marker and survives the delete (a directory-as-claim design would
+    * hand the vacated name to a racing publisher mid-write — spec'd). */
   def publishAt(st: VStore, root: String, write: String => Unit): String = {
     st.mkdirs(root)
     var next = 1 + currentVersionAt(st, root).getOrElse(0L)
@@ -143,7 +147,14 @@ object VersionedRoot {
       .sortBy(_.stripPrefix("v").toLong)
     versions.dropRight(keep)
       .filter(_.stripPrefix("v").toLong < pinned)
-      .foreach(v => st.deleteTree(st.child(root, v)))
+      .foreach { v =>
+        st.deleteTree(st.child(root, v))
+        // sweep the version's claim marker and any orphaned pointer temp
+        // (a crashed publisher's leavings) with it — the root must not
+        // accumulate per-version junk over a long retire cadence
+        st.deleteFile(st.child(root, s"$v.claim"))
+        st.deleteFile(st.child(root, s"$Pointer.tmp.$v"))
+      }
   }
 
   /** True once the root carries a committed pointer. */
@@ -300,7 +311,7 @@ object VersionedRoot {
   //
   // Every gate and the single-node deployment speak these Path spellings;
   // they are the exact protocol above bound to VStore.Local. A root on
-  // cluster storage goes through the *At spellings with VStore.forPath.
+  // cluster storage goes through the *At spellings with VStore.forRoot.
 
   /** [[publishAt]] on the local backend. */
   def publish(root: Path, write: Path => Unit): Path =
@@ -348,12 +359,16 @@ object VersionedRoot {
   /** Resolve `path` through its CURRENT pointer when it is a versioned
     * root, else return it unchanged — the reader-side shim that lets one
     * conf/path key serve both layouts (a flat parquet dir and a
-    * published root). Backend dispatch by scheme ([[VStore.forPath]]):
+    * published root). Backend dispatch by scheme ([[VStore.forRead]]):
     * a schemeless root reads through java.nio, an hdfs:// root through
     * the Hadoop API — either way one tiny file, the same per-plan
     * metadata cost a table format pays to pin its latest snapshot. */
   def resolveIfVersioned(path: String): String = {
-    val st = VStore.forPath(path)
+    // READ dispatch, deliberately permissive: resolving is plain reads,
+    // safe on any filesystem — a flat parquet dir on an object store
+    // must pass through unchanged (published() false), not throw the
+    // COMMIT-side scheme refusal
+    val st = VStore.forRead(path)
     if (publishedAt(st, path)) resolveAt(st, path) else path
   }
 

@@ -30,25 +30,18 @@ object Warehouse {
   final case class SyncStats(newTenants: Long, newAccounts: Long, newTransfers: Long)
 
   /** The balance-MV root plus the [[graft.operators.VStore]] backend its
-    * scheme selects (r19 — the r18 local-only fail-fast retired): a
-    * schemeless or file: warehouseDir takes the java.nio fast path (via
-    * the URI path, so `file:/wh` and `/wh` publish to the same place);
-    * hdfs:// and any other atomic-rename scheme commits the SAME
-    * VersionedRoot protocol through the Hadoop FileSystem backend
-    * (NameNode-atomic claim + pointer flip). Copy-rename object stores
-    * (s3a://, gs://, …) still fail fast inside VStore.forPath — their
-    * rename is copy+delete, so the MV there must route through a
-    * conditional-PUT adapter or the deployment's table-format commit
-    * (spark.graft.balance.mvPath). */
+    * scheme selects (r19 — the r18 local-only fail-fast retired): ONE
+    * dispatcher, [[graft.operators.VStore.forRoot]] — schemeless/file:
+    * take the java.nio fast path (normalized, so `file:/wh` and `/wh`
+    * publish to the same place), allowlisted atomic-rename schemes
+    * (hdfs://, …) commit the SAME protocol through the Hadoop backend,
+    * and copy-rename object stores fail fast with adapter guidance
+    * (route the MV through spark.graft.balance.mvPath + the
+    * deployment's table-format commit there). */
   private[graft] def balancesRoot(warehouseDir: String)
       : (graft.operators.VStore, String) = {
-    val hp = new org.apache.hadoop.fs.Path(warehouseDir)
-    val scheme = hp.toUri.getScheme
-    if (scheme == null || scheme == "file")
-      (graft.operators.VStore.Local,
-        java.nio.file.Paths.get(hp.toUri.getPath, "balances").toString)
-    else (graft.operators.VStore.forPath(warehouseDir),
-      new org.apache.hadoop.fs.Path(hp, "balances").toString)
+    val (st, root) = graft.operators.VStore.forRoot(warehouseDir)
+    (st, st.child(root, "balances"))
   }
 
   /** `INSERT … ON CONFLICT DO NOTHING` ≡ rows of `discovered` whose key is

@@ -191,7 +191,9 @@ class CompactionSpec extends SparkSpec {
     }
     VersionedRoot.publish(root, writeVersion) // v1
     VersionedRoot.publish(root, writeVersion) // v2, CURRENT → v2
-    // simulate the crash: the version directory exists, no pointer flip
+    // simulate the crash AFTER the claim (marker + directory, r19 — the
+    // reservation is the `v3.claim` marker), before any pointer flip
+    Files.createFile(root.resolve("v3.claim"))
     Files.createDirectory(root.resolve("v3"))
     Files.writeString(root.resolve("v3").resolve("data"), "x"): Unit
     VersionedRoot.retire(root, keep = 1)
@@ -283,7 +285,9 @@ class CompactionSpec extends SparkSpec {
     val base = root.resolve("data_base")
     Files.createDirectories(base)
     VersionedRoot.publishDirs(root, Seq(base.toString)) // v1
-    Files.createDirectory(root.resolve("v2")) // the crash: claimed, no flip
+    // the crash: claimed (marker + dir, r19), no flip
+    Files.createFile(root.resolve("v2.claim"))
+    Files.createDirectory(root.resolve("v2"))
     val d = root.resolve("data_d"); Files.createDirectories(d)
     val ex = intercept[IllegalStateException] {
       VersionedRoot.appendDirsWithin(root, Seq(d.toString), waitMs = 300)

@@ -161,6 +161,30 @@ class VersionedRootStoreSpec extends AnyFunSuite {
         Set(base, r1, r2, mine))
     }
 
+    test(s"[$name] an Overwrite-style writer (delete + recreate of the version dir) cannot reopen the claim") {
+      // Spark's SaveMode.Overwrite DELETES the destination directory
+      // before writing. With a directory-as-claim design, that delete
+      // hands the vacated name to any racing publisher computing
+      // CURRENT+1 — two writers interleave inside one "immutable"
+      // version. r19: the reservation is the `v<N>.claim` marker, which
+      // survives the writer's delete, so the racer's claim must lose at
+      // every point of the write.
+      val root = freshRoot(st, s"vrs_ovw_$name")
+      VersionedRoot.publishAt(st, root,
+        v => st.writeString(st.child(v, "data"), "v1"))
+      val published = VersionedRoot.publishAt(st, root, { v =>
+        // the Overwrite dance: destination vanishes mid-write
+        st.deleteTree(v)
+        assert(!st.claimDir(v),
+          "a racer must NOT win the claim while the dir is deleted")
+        st.mkdirs(v)
+        st.writeString(st.child(v, "data"), "v2")
+      })
+      assert(published.endsWith("v2"))
+      assert(st.readString(
+        st.child(VersionedRoot.resolveAt(st, root), "data")) == "v2")
+    }
+
     test(s"[$name] replaceDirs keeps deltas appended during the compaction") {
       val root = freshRoot(st, s"vrs_repl_$name")
       val Seq(b, d1, d2, cdir) = Seq("base", "d1", "d2", "compact").map { n =>
@@ -188,6 +212,8 @@ class VersionedRootStoreSpec extends AnyFunSuite {
       assert(st.claimDir(st.child(root, "v3")))
       VersionedRoot.retireAt(st, root, keep = 1) // v1 manifest goes
       assert(!st.exists(st.child(root, "v1")), "v1 is retireable")
+      assert(!st.exists(st.child(root, "v1.claim")),
+        "retire must sweep the retired version's claim marker")
       assert(st.exists(st.child(root, "v2")),
         "the pointed-at v2 must survive retire(keep=1) despite orphan v3")
       val gone = VersionedRoot.vacuumDirsAt(st, root, Seq(a, b, c))
@@ -201,5 +227,21 @@ class VersionedRootStoreSpec extends AnyFunSuite {
       assert(published.endsWith("v4"),
         s"publish must claim past the orphan, got $published")
     }
+  }
+
+  test("resolveIfVersioned reads through any scheme and passes flat paths through") {
+    // the reader-side shim's contract (regression: the commit-side
+    // scheme refusal must NOT leak into reads — a flat parquet dir on
+    // any filesystem passes through unchanged, and a published root
+    // resolves, here exercised through the Hadoop read path via file:)
+    val flat = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "vrs_flat")
+    assert(VersionedRoot.resolveIfVersioned(s"file:$flat") == s"file:$flat")
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/tmp"), "vrs_pub")
+    VersionedRoot.publishAt(VStore.Local, root.toString,
+      v => VStore.Local.writeString(VStore.Local.child(v, "data"), "x"))
+    assert(VersionedRoot.resolveIfVersioned(s"file:$root").endsWith("v1"))
+    assert(VersionedRoot.resolveIfVersioned(root.toString).endsWith("v1"))
   }
 }
