@@ -1907,6 +1907,13 @@ object TextOps {
         sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .withColumn("doc_bucket", pmod(h60("doc_id"), lit(Bm25DocBuckets)))
       .repartition(Bm25DocBuckets.toInt, col("doc_bucket"))
+      // term-CLUSTER within each bucket file: the serve-side term filter
+      // already reaches the scan (PushedFilters); sorted row groups give
+      // it min/max stats to SKIP row groups, so at 100 TB a query reads
+      // ~|matching terms' postings| bytes, not every bucket's full file.
+      // Takedown reads are doc-keyed joins after partition pruning —
+      // term order within a bucket is irrelevant to them.
+      .sortWithinPartitions(col("doc_bucket"), col("term"))
       .write.partitionBy("doc_bucket").parquet(s"$tmp/tf")
     val tfStored = s.read.parquet(s"$tmp/tf")
     // integral doubles: the per-doc sum is exact regardless of add order
@@ -2115,6 +2122,7 @@ object TextOps {
     // root too), side tables size-targeted via keyed AQE rebalance
     tf.withColumn("doc_bucket", pmod(h60("doc_id"), lit(Bm25DocBuckets)))
       .repartition(Bm25DocBuckets.toInt, col("doc_bucket"))
+      .sortWithinPartitions(col("doc_bucket"), col("term"))
       .write.partitionBy("doc_bucket").parquet(s"$out/tf")
     s.read.parquet(s"$out/tf")
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
@@ -2339,7 +2347,8 @@ object TextOps {
     // batch-sized delta → a few files, not |shuffle.partitions| shards
     // (every serve probe re-reads each footer); repartition, not
     // coalesce — coalesce would throttle the producing agg itself
-    batchTf.repartition(4).write.parquet(s"$updated/tf")
+    batchTf.repartition(4).sortWithinPartitions(col("term"))
+      .write.parquet(s"$updated/tf")
     batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
       .repartition(4)
       .write.parquet(s"$updated/dlen")
@@ -2433,7 +2442,8 @@ object TextOps {
     // (every serve probe re-reads each footer); repartition, not
     // coalesce — coalesce would throttle the producing agg itself
     overlap.repartition(1).write.parquet(s"$updated/tomb")
-    batchTf.repartition(4).write.parquet(s"$updated/tf")
+    batchTf.repartition(4).sortWithinPartitions(col("term"))
+      .write.parquet(s"$updated/tf")
     batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
       .repartition(4)
       .write.parquet(s"$updated/dlen")
