@@ -161,6 +161,43 @@ object VersionedRoot {
   def publishedAt(st: VStore, root: String): Boolean =
     st.exists(st.child(root, Pointer))
 
+  /** The sanctioned cleanup for the wedge [[appendDirsAt]]'s horizon
+    * reports (r19 verdict): a claimer that crashed AFTER winning the
+    * `v<N+1>.claim` marker but BEFORE its pointer flip blocks every
+    * subsequent committer (claim-order = flip-order — nobody can claim
+    * v<N+2> usefully while CURRENT sits at v<N>). Recovery = delete the
+    * wedged claim's marker + directory + orphaned pointer temp, so the
+    * next committer can re-claim the number.
+    *
+    * PRECONDITION (the operator's assertion, not checkable from storage):
+    * no LIVE writer holds the claim — run this only after the wedge
+    * horizon threw and the claiming process is confirmed dead; recovering
+    * a live writer's claim would let two writers share one "immutable"
+    * version directory. The method enforces what IS checkable: it only
+    * ever touches the first claimed-but-unflipped version STRICTLY AHEAD
+    * of CURRENT (a committed version is never recovery-eligible), and it
+    * returns false (touching nothing) when there is no wedge.
+    */
+  def recoverWedgedClaimAt(st: VStore, root: String): Boolean = {
+    val next = currentVersionAt(st, root).getOrElse(0L) + 1
+    val marker = st.child(root, s"v$next.claim")
+    if (!st.exists(marker)) false // no claim ahead of the pointer: no wedge
+    else {
+      // order matters: the directory and pointer temp go FIRST, the marker
+      // LAST — the marker is the reservation, so a crash mid-recovery
+      // leaves the name still claimed (safe, re-runnable) rather than
+      // re-claimable with the dead writer's partial directory alive
+      st.deleteTree(st.child(root, s"v$next"))
+      st.deleteFile(st.child(root, s"$Pointer.tmp.v$next"))
+      st.deleteFile(marker)
+      true
+    }
+  }
+
+  /** [[recoverWedgedClaimAt]] on the local backend. */
+  def recoverWedgedClaim(root: Path): Boolean =
+    recoverWedgedClaimAt(VStore.Local, root.toString)
+
   // ---- manifest versions (multi-directory indexes) ----------------------
   //
   // The append-only index families (minhash sets/bands, bm25 postings,
@@ -226,11 +263,13 @@ object VersionedRoot {
     st.mkdirs(root)
     var lastSeen = -1L
     var deadline = Long.MaxValue
+    var pollMs = 1L
     while (true) {
       val baseV = currentVersionAt(st, root).getOrElse(0L)
       if (baseV != lastSeen) { // movement (or first look): fresh horizon
         lastSeen = baseV
         deadline = System.nanoTime() + waitMs * 1000000L
+        pollMs = 1L // contention is resolving — go back to eager polls
       }
       val base =
         if (baseV > 0) dirsOfAt(st, st.child(root, s"v$baseV")) else Seq.empty
@@ -251,8 +290,19 @@ object VersionedRoot {
         throw new IllegalStateException(
           s"manifest commit wedged: v$next claimed but never flipped " +
           s"within ${waitMs}ms of pointer movement — crashed publisher " +
-          s"at $vdir")
-      Thread.sleep(1)
+          s"at $vdir (verify no live writer, then recoverWedgedClaimAt)")
+      // Jittered exponential backoff, reset on pointer movement (r19
+      // verdict): every poll is a currentVersionAt READ — one NameNode
+      // RPC on hdfs:// — so a flat 1 ms spin under sustained contention
+      // is ~1000 RPC/s PER waiting writer hammering the NameNode. 1 ms
+      // stays for the first re-reads (a healthy racer's flip is one tiny
+      // write away), then the interval doubles to a 64 ms ceiling — two
+      // orders of magnitude less RPC pressure, still ~500 polls before a
+      // 30 s no-movement horizon expires. Jitter desynchronizes waiters
+      // that lost the same claim at the same instant.
+      Thread.sleep(pollMs +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1 + pollMs / 2))
+      pollMs = math.min(pollMs * 2, 64L)
     }
     throw new IllegalStateException("unreachable")
   }
