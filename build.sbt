@@ -45,4 +45,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // silently disabling compilation ("CodeCache is full") and turning the
   // CPU-bound tail queries interpreted. Bench logs per-query occupancy.
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++ sys.env.get("SPARK_GRAFT_TMPDIR").map { d =>
+  // A/B hook: redirect java.io.tmpdir (gate scratch dirs + Spark's
+  // default local dir) to an alternate filesystem, e.g. a tmpfs — the
+  // caller must create the directory first
+  s"-Djava.io.tmpdir=$d"
+}.toSeq

@@ -201,21 +201,21 @@ object Bench {
         "version resolution + cross-batch clone fixture + in-loop " +
         "retire/vacuum - the production door's semantics, priced); " +
         "bm25 delete/add/upsert shrank (O(batch) tombstone deltas). " +
-        "r19 attributions (worktree at 1b9bfd1, alternating scoped " +
-        "pairs BOTH orders): q_unigram_train's r18 1.27x closes as " +
-        "drift - 9 pairs measured 1.07x median with MIXED signs once " +
-        "pair order was reversed (fixed-order pairs bias ~5-10% toward " +
-        "the second runner; the protocol now alternates order). The " +
-        "r18 bm25 add/upsert sf0.1 'wins' were favorable draws: the " +
-        "r17 O(history) rewrite is CHEAPER at sf0.1 (quiet A/B - " +
-        "upsert 4.4-4.5 vs 4.9-5.3, add 3.0-3.3 vs 3.3-3.7); the " +
-        "tombstone-delta design pays fixed per-delta job overhead at " +
-        "small scale and is priced for the decade, where delete is " +
-        "FLAT (SCALING.json). q_bm25_index_compact is NEW in r19 " +
-        "(~4.6 s: sacrificial delta clone + fold + after-serve + " +
-        "vacuum per cold rep by design; the delta write and chain " +
-        "serve are fixture/memoized - they are the delete gate's " +
-        "priced ops)\""
+        "r20 attributions (worktree at 53fe83b, 5 alternating scoped " +
+        "pairs BOTH orders, SCALING.md r20 note): the three r19 movers " +
+        "on untouched code close - q_pagerank ratios [0.79-1.08] " +
+        "median 0.98 and q_stream_static_join [0.81-1.14] median 1.02 " +
+        "are DRIFT (mixed signs); q_ngram_jaccard [0.99-1.13] median " +
+        "1.09 is mostly drift (neither side reproduces the 3.24 s " +
+        "artifact draw; residual ~1.1x is inside its documented flake " +
+        "band, watch item). q_ann_pq changed BY DESIGN in r20: " +
+        "codebook training memoizes per JVM like every other trained " +
+        "gate (buildPerJvm precedent), so reps price encode+ADC+rerank " +
+        "(scoped 3.47 -> 1.77 s). r20 also re-ran the r10 YARDSTICK " +
+        "CODE on today's machine (full r10 suite at a8b1f35): see " +
+        "SCALING.md r20 - the per-query yardstick itself drifts with " +
+        "the VM, so cross-round grades should lean on shared-subset " +
+        "sums and same-day A/Bs\""
       s"""{"metric":"total","value":${num("%.6f", total)},"unit":"sec","sf":"$sfDir",$note,"queries":$qs,"median_raw":$raws,"reps":$spreads$scaling}""" + "\n"
     }
     java.nio.file.Files.write(
