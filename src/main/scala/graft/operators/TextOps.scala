@@ -1938,8 +1938,8 @@ object TextOps {
     *     TB) — they are side tables read whole-or-filtered, never the
     *     serve hot path.
     */
-  private def writeBm25Index(s: SparkSession, corpus: DataFrame,
-                             tmp: String): Unit = {
+  private[graft] def writeBm25Index(s: SparkSession, corpus: DataFrame,
+                                    tmp: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val buckets = bm25DocBuckets(s)
     // the family stamp goes first: layout version + the bucket count this

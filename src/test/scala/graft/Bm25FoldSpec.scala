@@ -68,4 +68,42 @@ class Bm25FoldSpec extends SparkSpec {
       Seq(work.resolve("delta0").toString))
     assert(gone == Seq(work.resolve("delta0").toString))
   }
+
+  test("bm25 bucket family is recorded in meta and drives the probe (r20)") {
+    val s = spark
+    // build with a NON-DEFAULT bucket count: the index must record it and
+    // a later probe (different session knob) must prune with the RECORDED
+    // modulus, never the session's — the X81 family rule on the bm25 knob
+    val tmp = java.nio.file.Files.createTempDirectory("bm25meta").toString
+    val corpus = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    s.conf.set("graft.bm25.docBuckets", "4")
+    try TextOps.writeBm25Index(s, corpus, tmp)
+    finally s.conf.unset("graft.bm25.docBuckets")
+    val meta = s.read.parquet(s"$tmp/meta").head()
+    assert(meta.getAs[Long]("doc_buckets") == 4L,
+      "meta must record the build-time bucket count")
+    assert(meta.getAs[Int]("layout") == 2)
+    // session knob back at default 16; the probe must still prune mod 4
+    val purge = corpus.select(col("doc_id")).limit(3)
+    val plan = TextOps.prunedDoomedPostings(s, tmp, purge)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("doc_bucket")),
+      s"probe must partition-prune:\n$plan")
+    // with modulus 4 every bucket value in the filter is < 4; a probe
+    // hashing mod 16 would emit values the 4-bucket layout never wrote
+    val vals = "doc_bucket#\\d+ IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(pf.get).map(_.group(1))
+      .getOrElse(fail(s"no IN filter in: ${pf.get}"))
+      .split(",").map(_.trim.toLong)
+    assert(vals.nonEmpty && vals.forall(_ < 4),
+      s"probe must prune with the RECORDED modulus 4, got ${vals.toSeq}")
+    // an r18-format root (no meta) fails with rebuild guidance
+    val bare = java.nio.file.Files.createTempDirectory("bm25old").toString
+    val ex = intercept[IllegalStateException] {
+      TextOps.prunedDoomedPostings(s, bare, purge)
+    }
+    assert(ex.getMessage.contains("Rebuild"))
+  }
 }
