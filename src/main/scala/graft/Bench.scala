@@ -205,10 +205,11 @@ object Bench {
         "pairs BOTH orders, SCALING.md r20 note): the three r19 movers " +
         "on untouched code close - q_pagerank ratios [0.79-1.08] " +
         "median 0.98 and q_stream_static_join [0.81-1.14] median 1.02 " +
-        "are DRIFT (mixed signs); q_ngram_jaccard [0.99-1.13] median " +
-        "1.09 is mostly drift (neither side reproduces the 3.24 s " +
-        "artifact draw; residual ~1.1x is inside its documented flake " +
-        "band, watch item). q_ann_pq changed BY DESIGN in r20: " +
+        "are DRIFT (mixed signs); q_ngram_jaccard closes as " +
+        "drift-dominated on 11 pooled pairs ([0.91-1.18], signs mixed, " +
+        "median 1.11 - neither side reproduces the 3.24 s artifact " +
+        "draw; residual <=1.1x is inside its documented flake band, " +
+        "watch item). q_ann_pq changed BY DESIGN in r20: " +
         "codebook training memoizes per JVM like every other trained " +
         "gate (buildPerJvm precedent), so reps price encode+ADC+rerank " +
         "(scoped 3.47 -> 1.77 s). r20 also re-ran the r10 YARDSTICK " +
