@@ -116,16 +116,23 @@ object Bench {
           // Outlier guard (r9: the driver recorded one query at 28 s that
           // measures <3 s in every builder-side run — a transient
           // machine-level stall poisoning 2 of 3 reps sets the GRADE).
-          // SYMMETRIC trigger: any >3× spread between the fastest and
+          // SYMMETRIC trigger: any >1.5× spread between the fastest and
           // slowest rep — whether the suspect reps are slow OR fast —
           // earns `reps` extra samples, and the median is re-taken over
           // the full pool. Both the raw-first-N median and the guarded
           // median land in BENCH_DETAIL.json (median_raw), so the
           // headline is never a silently re-derived number.
+          // r21 (the r19/r20 verdicts' open item): the trigger tightened
+          // 3× → 1.5× — q_ngram_jaccard's documented 1.4× wobble and the
+          // streaming gates' load draws never tripped the 3× rule, so
+          // exactly the reps that set round grades went un-damped
+          // (measured r21 baseline: reps [4.7, 8.6, 11.5] on one query,
+          // no re-sample). Extra wall cost is bounded: only spread
+          // queries pay, and the pool median still reports honestly.
           val all =
-            if (reps >= 2 && samples.max > 3 * samples.min) {
+            if (reps >= 2 && samples.max > 1.5 * samples.min) {
               System.err.println(f"[bench] $name spread ${samples.max}%.2f" +
-                f" > 3x best ${samples.min}%.2f - taking $reps extra reps")
+                f" > 1.5x best ${samples.min}%.2f - taking $reps extra reps")
               samples ++ Seq.fill(reps) { settle(); timed(run(fn(spark, sfDir))) }
             } else samples
           (median(all), median(samples), all)
@@ -235,7 +242,38 @@ object Bench {
       val arr = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""""failed_count":${failed.size},"failed":$arr,"""
     }
-    val budget = 1100 - failedJson.length
+    // Self-attributing denominator (r20 verdict #2): the per-query
+    // yardstick drifts 1.35× with the machine-day on byte-identical code
+    // (BENCH_YARDSTICK_r20 vs the r10 artifact), so the artifact of
+    // record carries the most recent SAME-MACHINE yardstick re-run and
+    // the ratio computed from it. YARDSTICK.json is committed by the
+    // round that measured it (re-running the r10 bench code in a pinned
+    // worktree — recipe in SCALING.md); `measured` dates the pairing so
+    // a stale yardstick is visible, not implicit.
+    val yardstickJson = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_YARDSTICK_JSON", "YARDSTICK.json"))
+      if (!java.nio.file.Files.isReadable(p)) ""
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        def f(key: String): Option[String] =
+          ("\"" + key + "\"\\s*:\\s*([0-9.]+)").r
+            .findFirstMatchIn(txt).map(_.group(1))
+        val date = "\"measured\"\\s*:\\s*\"([^\"]*)\"".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        (f("total_sec"), f("n_queries")) match {
+          case (Some(ts), Some(nq))
+              if nq.toDouble > 0 && meds.nonEmpty && total > 0 =>
+            val ratio = (total / meds.size) / (ts.toDouble / nq.toDouble)
+            s""""yardstick_same_day":{"total_sec":$ts,"n":$nq,""" +
+              s""""measured":"$date"},""" +
+              s""""vs_yardstick":${num("%.2f", ratio)},"""
+          case _ => ""
+        }
+      }
+    }
+    val budget = 1100 - failedJson.length - yardstickJson.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = 0
     var kept = 0
@@ -251,7 +289,7 @@ object Bench {
     val omittedSec = bySlowest.drop(kept).map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},""" +
-        s""""queries_omitted":$omitted,"omitted_sec":${r3(omittedSec)},$failedJson""" +
+        s""""queries_omitted":$omitted,"omitted_sec":${r3(omittedSec)},$failedJson$yardstickJson""" +
         s""""detail_file":"$detailPath","sf":"$sfDir"}"""
     if (line.length > 1600)
       System.err.println(s"[bench] WARNING: json line ${line.length} chars — " +

@@ -486,11 +486,14 @@ object Similarity {
     val root = srpBuildIndex(s, dir)
     val vecs = s.read.parquet(s"$root/vecs")
     val updated = TextOps.freshTempDir(lastSrpPurgeDir, "srpidx_purge")
-    s.read.parquet(s"$root/meta").write.parquet(s"$updated/meta")
-    vecs.filter(!isPurgedVec("vec_id"))
-      .write.parquet(s"$updated/vecs")
-    s.read.parquet(s"$root/sig").filter(!isPurgedVec("vec_id"))
-      .write.parquet(s"$updated/sig")
+    // meta copy and the two anti-filtered rewrites are independent
+    // (disjoint output dirs) — overlapped per guide §2.6 (r21)
+    ParallelJobs.inParallel(
+      () => s.read.parquet(s"$root/meta").write.parquet(s"$updated/meta"),
+      () => vecs.filter(!isPurgedVec("vec_id"))
+        .write.parquet(s"$updated/vecs"),
+      () => s.read.parquet(s"$root/sig").filter(!isPurgedVec("vec_id"))
+        .write.parquet(s"$updated/sig"))
     val raw = Tables.load(s, dir, "embeddings")
     val before = serveVecDedupIncremental(s, raw, root).cache()
     val after = serveVecDedupIncremental(s, raw, updated)
@@ -598,9 +601,14 @@ object Similarity {
     // files are never rewritten; serving reads the manifest's dir union,
     // visible exactly at the pointer flip (the partition-add shape)
     val updated = s"$work/delta"
-    s.read.parquet(s"$root/meta").write.parquet(s"$updated/meta")
-    accepted.write.parquet(s"$updated/vecs")
-    bandSignatures(accepted, bands, bits).write.parquet(s"$updated/sig")
+    // meta copy, vecs append and sig append are independent (disjoint
+    // dirs; vecs/sig read the cached accepted frame) — overlapped per
+    // guide §2.6 (r21), identical bytes either way
+    ParallelJobs.inParallel(
+      () => s.read.parquet(s"$root/meta").write.parquet(s"$updated/meta"),
+      () => accepted.write.parquet(s"$updated/vecs"),
+      () => bandSignatures(accepted, bands, bits)
+        .write.parquet(s"$updated/sig"))
     val servedAfter = cycle.append(updated)
     val second = serveVecDedupIncremental(s, raw, servedAfter: _*)
       .select(col("batch_vec")).distinct()
@@ -2087,10 +2095,13 @@ object Similarity {
     // just the cells the batch occupies gain files, untouched cells (and
     // all history files) are never rewritten
     val updated = s"$work/delta"
-    s.read.parquet(s"$root/cents").write.parquet(s"$updated/cents")
-    accepted.select(col("vec_id"), col("v"), col("nn"),
-        col("cell").cast("long").as("cell"))
-      .write.partitionBy("cell").parquet(s"$updated/members")
+    // cents copy and members append are independent (disjoint dirs;
+    // members reads the cached accepted frame) — guide §2.6 (r21)
+    ParallelJobs.inParallel(
+      () => s.read.parquet(s"$root/cents").write.parquet(s"$updated/cents"),
+      () => accepted.select(col("vec_id"), col("v"), col("nn"),
+          col("cell").cast("long").as("cell"))
+        .write.partitionBy("cell").parquet(s"$updated/members"))
     val servedAfter = cycle.append(updated)
     // two partitioned roots can't share one scan (no common basePath);
     // each read partition-prunes independently and the union is the
@@ -2158,11 +2169,14 @@ object Similarity {
     val root = semBuildIndex(s, dir)
     val members = s.read.parquet(s"$root/members")
     val updated = TextOps.freshTempDir(lastSemPurgeDir, "semidx_purge")
-    s.read.parquet(s"$root/cents").write.parquet(s"$updated/cents")
-    members.filter(!isPurgedVec("vec_id"))
-      .select(col("vec_id"), col("v"), col("nn"),
-        col("cell").cast("long").as("cell"))
-      .write.partitionBy("cell").parquet(s"$updated/members")
+    // cents copy and the survivors rewrite are independent (disjoint
+    // dirs) — guide §2.6 (r21)
+    ParallelJobs.inParallel(
+      () => s.read.parquet(s"$root/cents").write.parquet(s"$updated/cents"),
+      () => members.filter(!isPurgedVec("vec_id"))
+        .select(col("vec_id"), col("v"), col("nn"),
+          col("cell").cast("long").as("cell"))
+        .write.partitionBy("cell").parquet(s"$updated/members"))
     val before = probeSemIndex(s, dir, root).cache()
     val after = probeSemIndex(s, dir, updated)
     val out = members.agg(count(lit(1)).as("n_history"))

@@ -480,12 +480,14 @@ object TextOps {
     * can band its appends differently from the build. Overwrite mode:
     * a retried micro-batch epoch re-lands the same delta idempotently. */
   private[graft] def writeMinhashDelta(s: SparkSession, accepted: DataFrame,
-                                       dir: String): Unit = {
-    accepted.write.mode("overwrite").parquet(s"$dir/sets")
-    bandKeysOf(accepted.select(col("doc_id"),
-        expr("minhash_sig(s)").as("sig")), NumBands, RowsPerBand)
-      .write.mode("overwrite").parquet(s"$dir/bands")
-  }
+                                       dir: String): Unit =
+    // sets and bands both derive from `accepted` alone and land in
+    // disjoint dirs — overlapped per guide §2.6 (r21), identical bytes
+    ParallelJobs.inParallel(
+      () => accepted.write.mode("overwrite").parquet(s"$dir/sets"),
+      () => bandKeysOf(accepted.select(col("doc_id"),
+          expr("minhash_sig(s)").as("sig")), NumBands, RowsPerBand)
+        .write.mode("overwrite").parquet(s"$dir/bands"))
 
   /** Incremental near-dup of a fresh batch AGAINST the stored index — the
     * dedup operation that actually runs every crawl: the batch (20% split)
@@ -854,20 +856,24 @@ object TextOps {
     val accepted = batchSh.join(dups, Seq("doc_id"), "left_anti").cache()
     val work = Paths.get(freshTempDir(lastMhCompactDir, "mhidx_cmp"))
     val vroot = work.resolve("vroot")
-    val deltas = (0 until 3).map { i =>
-      val d = work.resolve(s"delta$i").toString
-      writeMinhashDelta(s, accepted.filter(pmod(col("doc_id"), lit(3L)) === i), d)
-      d
-    }
+    // the three accumulated deltas are disjoint slices of the cached
+    // accepted frame landing in disjoint dirs — overlapped per guide
+    // §2.6 (r21); the manifest publish keeps the SAME dir order
+    val deltas = (0 until 3).map(i => work.resolve(s"delta$i").toString)
+    ParallelJobs.inParallel((0 until 3).map(i => () =>
+      writeMinhashDelta(s,
+        accepted.filter(pmod(col("doc_id"), lit(3L)) === i), deltas(i))): _*)
     VersionedRoot.publishDirs(vroot, base +: deltas)
     val servedBefore = VersionedRoot.resolveDirs(vroot)
     val pairsBefore = serveDedupIncremental(s, batchSh, servedBefore: _*)
       .select(col("batch_doc"), col("hist_doc")).localCheckpoint()
     val cdir = work.resolve("compact").toString
-    Compaction.compact(s, servedBefore.map(r => s"$r/sets"),
-      s"$cdir/sets", 128L * 1024 * 1024)
-    Compaction.compact(s, servedBefore.map(r => s"$r/bands"),
-      s"$cdir/bands", 128L * 1024 * 1024)
+    // sets and bands compact independently into disjoint dirs (§2.6)
+    ParallelJobs.inParallel(
+      () => Compaction.compact(s, servedBefore.map(r => s"$r/sets"),
+        s"$cdir/sets", 128L * 1024 * 1024),
+      () => Compaction.compact(s, servedBefore.map(r => s"$r/bands"),
+        s"$cdir/bands", 128L * 1024 * 1024))
     // race-safe replace: deltas appended AFTER servedBefore was resolved
     // ride along behind the compacted dir instead of being dropped
     VersionedRoot.replaceDirs(vroot, servedBefore, Seq(cdir))
@@ -1069,22 +1075,35 @@ object TextOps {
     // index buckets stay near-singleton even on low-entropy corpora. A
     // plain lexicographic order is equally CORRECT but puts corpus-wide
     // boilerplate shingles into prefixes and inflates the bucket join.
-    val ex = raw.select(col("doc_id"), explode(col("s")).as("shingle"))
+    //
+    // r21 (guide §4 — eliminate non-codegen expressions in the hot
+    // path): the prefix is selected with a row_number window over
+    // (df, shingle) per doc instead of the old collect_list →
+    // sort_array → interpreted `transform` HOF → slice → re-explode
+    // chain. Identical prefix by construction — row_number under the
+    // same (df asc, shingle asc) total order ≤ the same prefLen formula
+    // (n = |s| is carried from the cached set, and the old `ordered`
+    // array was a permutation of s, so size(s#sorted) == n) — but the
+    // per-row work is a streaming rank instead of an ObjectHashAggregate
+    // building and sorting a per-doc array then running an interpreted
+    // lambda over it. Plan: 2 exchanges either way (shingle for df,
+    // doc_id for the per-doc order); the ObjectHashAggregate + Generate
+    // pair is gone (plans/r21/q_ngram_jaccard_{before,after}.txt).
+    val ex = raw.select(col("doc_id"), size(col("s")).as("n"),
+      explode(col("s")).as("shingle"))
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, "shingle")
-      .groupBy("doc_id")
-      .agg(expr("transform(sort_array(collect_list(struct(df, shingle))), x -> x.shingle)")
-        .as("s"))
-
-    val prefLen = (size(col("s"))
-      - ceil(lit(JaccardThreshold) * size(col("s"))).cast("int") + 1)
-    // Cache the PREFIX index too: the self-join below reads it from BOTH
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    // Cache the PREFIX index: the self-join below reads it from BOTH
     // sides, and without the cache each side re-executes the whole
-    // dfreq-aggregate + per-doc re-sort chain (two corpus shuffles) —
+    // dfreq-aggregate + per-doc rank chain (two corpus shuffles) —
     // exchange reuse is not guaranteed across the differently-aliased
     // branches. One fill, two columnar reads.
-    val pref = ordered
-      .select(col("doc_id"), explode(slice(col("s"), lit(1), prefLen)).as("shingle"))
+    val pref = ex.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("n") - ceil(lit(JaccardThreshold) * col("n")).cast("int") + 1)
+      .select(col("doc_id"), col("shingle"))
       .cache()
 
     val candidates = pref.toDF("doc_a", "shingle")
@@ -1901,24 +1920,52 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
 
   /** The index root's recorded (layout, doc_buckets). A root without the
-    * meta table predates the stamp → explicit rebuild guidance.
+    * meta table predates the stamp → explicit rebuild guidance; a root
+    * stamped with a layout this code does not speak → explicit
+    * unsupported-layout guidance (r21, the r20 ADVICE: the serve-path
+    * guard only sniffed for the dlen column, so a future v3 root would
+    * have been consumed with v2 logic silently).
     * Memoized per root path: a published root is immutable by the
     * VersionedRoot contract, so its stamp never changes — the cache
-    * keeps the per-takedown cost at zero instead of one footer read. */
+    * keeps the per-takedown cost at zero instead of one footer read.
+    * [[writeBm25Index]]/[[bm25IndexFold]] invalidate their target path
+    * (r21, the r20 ADVICE: an in-place rebuild under a different
+    * `graft.bm25.docBuckets` must never serve the stale modulus). */
   private def bm25IndexMeta(s: SparkSession, root: String): (Int, Long) =
-    bm25MetaCache.computeIfAbsent(root, _ => try {
-      val r = s.read.parquet(s"$root/meta")
-        .select(col("layout"), col("doc_buckets")).head()
-      (r.getInt(0), r.getLong(1))
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException =>
+    bm25MetaCache.computeIfAbsent(root, _ => {
+      val (layout, buckets) = try {
+        val r = s.read.parquet(s"$root/meta")
+          .select(col("layout"), col("doc_buckets")).head()
+        (r.getInt(0), r.getLong(1))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"BM25 index at $root carries no meta table — it predates " +
+              s"layout v$Bm25Layout (r18 flat-tf format: no dlen column, " +
+              "no doc_bucket partitioning, no recorded bucket count). " +
+              "Rebuild the index (writeBm25Index) before serving or " +
+              "taking down against it.", e)
+      }
+      if (layout != Bm25Layout)
         throw new IllegalStateException(
-          s"BM25 index at $root carries no meta table — it predates " +
-            s"layout v$Bm25Layout (r18 flat-tf format: no dlen column, " +
-            "no doc_bucket partitioning, no recorded bucket count). " +
-            "Rebuild the index (writeBm25Index) before serving or " +
-            "taking down against it.", e)
+          s"BM25 index at $root records layout v$layout; this build " +
+            s"speaks v$Bm25Layout only. Rebuild the index " +
+            "(writeBm25Index) or upgrade the reader before serving it.")
+      (layout, buckets)
     })
+
+  /** [[bm25IndexMeta]] for dirs that may legitimately carry no meta
+    * (manifest DELTA dirs) — `None` instead of the rebuild throw, still
+    * validating the layout when a stamp IS present. Never caches the
+    * absence (a dir can gain a meta table later in its lifecycle). */
+  private def bm25IndexMetaOpt(s: SparkSession,
+                               d: String): Option[(Int, Long)] =
+    Option(bm25MetaCache.get(d)).orElse {
+      val hasMeta =
+        try { s.read.parquet(s"$d/meta"); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (hasMeta) Some(bm25IndexMeta(s, d)) else None
+    }
 
   /** One spelling of the four stored BM25 tables over any corpus frame —
     * shared by the full build and the history-only build the ADD gate
@@ -1941,6 +1988,10 @@ object TextOps {
   private[graft] def writeBm25Index(s: SparkSession, corpus: DataFrame,
                                     tmp: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // r21 (the r20 ADVICE): a rebuild in place must drop the memoized
+    // stamp, or a same-JVM probe would prune with the OLD modulus and
+    // silently miss doomed rows — the exact failure the stamp prevents
+    bm25MetaCache.remove(tmp): Unit
     val buckets = bm25DocBuckets(s)
     // the family stamp goes first: layout version + the bucket count this
     // build partitions with, read back by every probe/takedown
@@ -2135,18 +2186,23 @@ object TextOps {
     // footer (the X128 small-files discipline applied at write time).
     // repartition, NOT coalesce: coalesce propagates up and would run
     // the producing aggregation on the merged partition count (measured
-    // 1.44x -> 1.77x at the decade); the extra shuffle is batch-sized
-    purge.repartition(1).write.parquet(s"$delta/tomb")
-    delTf.groupBy(col("term"))
-      .agg((-count(lit(1))).cast("double").as("df"))
-      .repartition(1)
-      .write.parquet(s"$delta/df_delta")
-    // per-doc dlen rides on every posting row: max-per-doc re-reads the
-    // one value (exact integral double) without the dlen side table
-    delTf.groupBy(col("doc_id")).agg(max(col("dlen")).as("dlen"))
-      .agg((-count(lit(1))).cast("double").as("n_docs"),
-        (-coalesce(sum(col("dlen")), lit(0.0))).as("sum_dlen"))
-      .write.parquet(s"$delta/stats_delta")
+    // 1.44x -> 1.77x at the decade); the extra shuffle is batch-sized.
+    // The three delta tables have no dependency on each other (all read
+    // the cached doomed rows / purge list, all land in disjoint dirs) —
+    // overlapped per guide §2.6 (r21), identical bytes either way.
+    ParallelJobs.inParallel(
+      () => purge.repartition(1).write.parquet(s"$delta/tomb"),
+      () => delTf.groupBy(col("term"))
+        .agg((-count(lit(1))).cast("double").as("df"))
+        .repartition(1)
+        .write.parquet(s"$delta/df_delta"),
+      // per-doc dlen rides on every posting row: max-per-doc re-reads
+      // the one value (exact integral double) without the dlen side
+      // table
+      () => delTf.groupBy(col("doc_id")).agg(max(col("dlen")).as("dlen"))
+        .agg((-count(lit(1))).cast("double").as("n_docs"),
+          (-coalesce(sum(col("dlen")), lit(0.0))).as("sum_dlen"))
+        .write.parquet(s"$delta/stats_delta"))
     delTf.unpersist(blocking = false)
   }
 
@@ -2195,27 +2251,38 @@ object TextOps {
     // the fold PRESERVES the index's recorded family: bucket count comes
     // from the base root's meta (the first manifest dir carrying one),
     // and the compacted root re-stamps it — a probe against the folded
-    // root prunes with the same modulus it was written with
-    val buckets = dirs.collectFirst {
-      case d if java.nio.file.Files.exists(java.nio.file.Paths.get(d, "meta")) =>
-        bm25IndexMeta(s, d)._2
-    }.getOrElse(bm25DocBuckets(s))
+    // root prunes with the same modulus it was written with. Resolved
+    // through the parquet reader, NOT a local-FS existence probe (r21,
+    // the r20 ADVICE: `Files.exists` on an hdfs://-style dir string
+    // never matches, and the old session-knob fallback could silently
+    // re-stamp a DIFFERENT modulus); a manifest whose dirs carry no
+    // stamp at all fails loudly — it predates the recorded family.
+    val buckets = dirs.view.flatMap(d => bm25IndexMetaOpt(s, d))
+      .headOption.map(_._2).getOrElse(throw new IllegalStateException(
+        s"no manifest dir of $vroot carries a meta stamp — pre-layout-" +
+          s"v$Bm25Layout root; rebuild the index (writeBm25Index) " +
+          "instead of folding it"))
+    bm25MetaCache.remove(out): Unit
     s.createDataFrame(Seq((Bm25Layout, buckets)))
       .toDF("layout", "doc_buckets")
       .write.parquet(s"$out/meta")
     // the compacted root reproduces the BUILD layout exactly: postings
     // re-bucketed by doc (so the next takedown prunes against the folded
-    // root too), side tables size-targeted via keyed AQE rebalance
-    tf.withColumn("doc_bucket", pmod(h60("doc_id"), lit(buckets)))
-      .repartition(buckets.toInt, col("doc_bucket"))
-      .sortWithinPartitions(col("doc_bucket"), col("term"))
-      .write.partitionBy("doc_bucket").parquet(s"$out/tf")
+    // root too), side tables size-targeted via keyed AQE rebalance.
+    // tf/df/stats are independent reads of the manifest chain (disjoint
+    // output dirs) — overlapped per guide §2.6 (r21); dlen re-derives
+    // from the WRITTEN tf files, so it runs after they land.
+    ParallelJobs.inParallel(
+      () => tf.withColumn("doc_bucket", pmod(h60("doc_id"), lit(buckets)))
+        .repartition(buckets.toInt, col("doc_bucket"))
+        .sortWithinPartitions(col("doc_bucket"), col("term"))
+        .write.partitionBy("doc_bucket").parquet(s"$out/tf"),
+      () => df_.repartition(col("term")).write.parquet(s"$out/df"),
+      () => stats.write.parquet(s"$out/stats"))
     s.read.parquet(s"$out/tf")
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
       .repartition(col("doc_id"))
       .write.parquet(s"$out/dlen")
-    df_.repartition(col("term")).write.parquet(s"$out/df")
-    stats.write.parquet(s"$out/stats")
     VersionedRoot.replaceDirs(vroot, dirs, Seq(out)): Unit
     VersionedRoot.resolveDirs(vroot)
   }
@@ -2432,22 +2499,26 @@ object TextOps {
     val updated = s"$work/delta"
     // batch-sized delta → a few files, not |shuffle.partitions| shards
     // (every serve probe re-reads each footer); repartition, not
-    // coalesce — coalesce would throttle the producing agg itself
-    batchTf.repartition(4).sortWithinPartitions(col("term"))
-      .write.parquet(s"$updated/tf")
-    batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
-      .repartition(4)
-      .write.parquet(s"$updated/dlen")
+    // coalesce — coalesce would throttle the producing agg itself.
+    // Two overlap groups (guide §2.6, r21): tf/dlen are independent;
     // df/stats deltas derive from the WRITTEN batch files (round-trip
-    // fidelity: the patch describes what actually landed on disk)
-    s.read.parquet(s"$updated/tf").groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
-      .repartition(1)
-      .write.parquet(s"$updated/df_delta")
-    s.read.parquet(s"$updated/dlen")
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        coalesce(sum(col("dlen")), lit(0.0)).as("sum_dlen"))
-      .write.parquet(s"$updated/stats_delta")
+    // fidelity: the patch describes what actually landed on disk) so
+    // they form a second group after the first lands.
+    ParallelJobs.inParallel(
+      () => batchTf.repartition(4).sortWithinPartitions(col("term"))
+        .write.parquet(s"$updated/tf"),
+      () => batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+        .repartition(4)
+        .write.parquet(s"$updated/dlen"))
+    ParallelJobs.inParallel(
+      () => s.read.parquet(s"$updated/tf").groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .repartition(1)
+        .write.parquet(s"$updated/df_delta"),
+      () => s.read.parquet(s"$updated/dlen")
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          coalesce(sum(col("dlen")), lit(0.0)).as("sum_dlen"))
+        .write.parquet(s"$updated/stats_delta"))
     batchTf.unpersist(blocking = false)
     val after = bm25ServeDirs(s, cycle.append(updated), qTerms)
     before.withColumn("phase", lit("before"))
@@ -2526,35 +2597,41 @@ object TextOps {
     val stampsBefore = fileStamps(root)
     // batch-sized delta → a few files, not |shuffle.partitions| shards
     // (every serve probe re-reads each footer); repartition, not
-    // coalesce — coalesce would throttle the producing agg itself
-    overlap.repartition(1).write.parquet(s"$updated/tomb")
-    batchTf.repartition(4).sortWithinPartitions(col("term"))
-      .write.parquet(s"$updated/tf")
-    batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
-      .repartition(4)
-      .write.parquet(s"$updated/dlen")
-    // both legs' signed df shift in one table; the inc derives from the
-    // WRITTEN batch files (round-trip fidelity), the dec from the doomed
-    // rows' own postings
-    delTf.groupBy(col("term"))
-      .agg((-count(lit(1))).cast("double").as("df"))
-      .unionByName(s.read.parquet(s"$updated/tf").groupBy(col("term"))
-        .agg(count(lit(1)).cast("double").as("df")))
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .repartition(1)
-      .write.parquet(s"$updated/df_delta")
-    // the delete leg's dlen shift reads off the pruned doomed rows
-    // themselves (postings carry dlen) — the dlen side table is only
-    // touched for the overlap DECISION above
-    delTf.groupBy(col("doc_id")).agg(max(col("dlen")).as("dlen"))
-      .agg(count(lit(1)).cast("double").as("n_del"),
-        coalesce(sum(col("dlen")), lit(0.0)).as("sum_del"))
-      .crossJoin(s.read.parquet(s"$updated/dlen")
-        .agg(count(lit(1)).cast("double").as("n_add"),
-          coalesce(sum(col("dlen")), lit(0.0)).as("sum_add")))
-      .select((col("n_add") - col("n_del")).as("n_docs"),
-        (col("sum_add") - col("sum_del")).as("sum_dlen"))
-      .write.parquet(s"$updated/stats_delta")
+    // coalesce — coalesce would throttle the producing agg itself.
+    // Two overlap groups (guide §2.6, r21): tomb/tf/dlen are mutually
+    // independent (disjoint dirs, cached inputs); df_delta/stats_delta
+    // re-read the WRITTEN tf/dlen files (round-trip fidelity) so they
+    // form a second group after the first lands.
+    ParallelJobs.inParallel(
+      () => overlap.repartition(1).write.parquet(s"$updated/tomb"),
+      () => batchTf.repartition(4).sortWithinPartitions(col("term"))
+        .write.parquet(s"$updated/tf"),
+      () => batchTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+        .repartition(4)
+        .write.parquet(s"$updated/dlen"))
+    ParallelJobs.inParallel(
+      // both legs' signed df shift in one table; the inc derives from
+      // the WRITTEN batch files (round-trip fidelity), the dec from the
+      // doomed rows' own postings
+      () => delTf.groupBy(col("term"))
+        .agg((-count(lit(1))).cast("double").as("df"))
+        .unionByName(s.read.parquet(s"$updated/tf").groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .repartition(1)
+        .write.parquet(s"$updated/df_delta"),
+      // the delete leg's dlen shift reads off the pruned doomed rows
+      // themselves (postings carry dlen) — the dlen side table is only
+      // touched for the overlap DECISION above
+      () => delTf.groupBy(col("doc_id")).agg(max(col("dlen")).as("dlen"))
+        .agg(count(lit(1)).cast("double").as("n_del"),
+          coalesce(sum(col("dlen")), lit(0.0)).as("sum_del"))
+        .crossJoin(s.read.parquet(s"$updated/dlen")
+          .agg(count(lit(1)).cast("double").as("n_add"),
+            coalesce(sum(col("dlen")), lit(0.0)).as("sum_add")))
+        .select((col("n_add") - col("n_del")).as("n_docs"),
+          (col("sum_add") - col("sum_del")).as("sum_dlen"))
+        .write.parquet(s"$updated/stats_delta"))
     batchTf.unpersist(blocking = false)
     delTf.unpersist(blocking = false)
     overlap.unpersist(blocking = false)
