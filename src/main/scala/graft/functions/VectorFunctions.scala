@@ -153,6 +153,42 @@ object VectorFunctions {
       s"wordpiece_toks expects (tokens, array<string> literal), got ${exprs.length} args")
   }
 
+  // vocab pieces/costs must be literal arrays at plan time (the DP table
+  // is compiled once per expression) — same acceptance as wordpieceBuilder,
+  // plus the cost leg's long/int literals
+  private[functions] val unigramDpBuilder: Seq[Expression] => Expression = {
+    case Seq(word, parr, carr) =>
+      def strings(e: Expression): Seq[String] = e match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
+          if elems.forall(x => x.foldable && x.dataType == org.apache.spark.sql.types.StringType) =>
+          elems.map(_.eval(null).toString)
+        case lit: Literal if lit.dataType.isInstanceOf[ArrayType] =>
+          lit.value.asInstanceOf[ArrayData].toArray[Any](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        case other => throw new IllegalArgumentException(
+          s"unigram_dp pieces must be a literal array of strings, got $other")
+      }
+      def longs(e: Expression): Seq[Long] = e match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
+          if elems.forall(_.foldable) =>
+          elems.map(_.eval(null) match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case other => throw new IllegalArgumentException(
+              s"unigram_dp cost must be integral, got $other")
+          })
+        case lit: Literal if lit.dataType.isInstanceOf[ArrayType] =>
+          lit.value.asInstanceOf[ArrayData]
+            .toArray[Any](org.apache.spark.sql.types.LongType)
+            .map(_.asInstanceOf[Long]).toSeq
+        case other => throw new IllegalArgumentException(
+          s"unigram_dp costs must be a literal array of longs, got $other")
+      }
+      UnigramDp(word, strings(parr), longs(carr))
+    case exprs => throw new IllegalArgumentException(
+      s"unigram_dp expects (word, pieces literal, costs literal), got ${exprs.length} args")
+  }
+
   /** Imperative registration for embedded use (tests, Verify/Bench mains):
     * makes `expr("vec_dot(a, b)")` / `expr("winnow_fps(t, 8, 4)")`
     * resolvable on an existing session.
@@ -176,6 +212,8 @@ object VectorFunctions {
       "wordpiece_toks", wordpieceBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mod_sum", ModSum.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unigram_dp", unigramDpBuilder, "built-in")
   }
 }
 
@@ -220,6 +258,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("mod_sum"),
       new ExpressionInfo(classOf[ModSum].getName, "mod_sum"),
       ModSum.builder))
+    ext.injectFunction((
+      FunctionIdentifier("unigram_dp"),
+      new ExpressionInfo(classOf[UnigramDp].getName, "unigram_dp"),
+      VectorFunctions.unigramDpBuilder))
     // the engine's one custom optimizer rule, conf-bound: sessions built
     // with spark.graft.balance.mvPath + spark.graft.balance.lakePath answer
     // the declarative full-lake balance aggregate from the maintained

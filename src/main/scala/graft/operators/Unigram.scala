@@ -29,13 +29,18 @@ import org.apache.spark.sql.functions._
   * Plan shape at 100 TB: the corpus tokenizes ONCE into word occurrences;
   * ALL training runs on the DISTINCT-WORD table (vocabulary-bounded —
   * the word-level amortization every real tokenizer trainer uses: Zipf
-  * makes |distinct words| ≪ |tokens|). The per-word Viterbi is a pure
-  * columnar fold (two `aggregate` higher-order expressions over a
-  * ≤13-slot integer array) against the vocabulary broadcast as a one-row
-  * map literal; usage counting is one explode of ≤48 candidate slots per
-  * word + a map-side-combining sum keyed on ≤|vocab| pieces. Each round
-  * is therefore ONE narrow shuffle over the word table; the corpus is
-  * never re-read after the word count. Words are truncated to [[MaxLen]]
+  * makes |distinct words| ≪ |tokens|). The per-word Viterbi is ONE call
+  * of the native codegen'd `unigram_dp` kernel (forward fold, backward
+  * fold and optimal-path piece marking in a single pass over primitive
+  * long arrays, vocab compiled once into a hash map — r21; the earlier
+  * higher-order-function spelling was interpreted and linear-scanned
+  * the vocab map per lookup); usage counting explodes the kernel's
+  * ≤48-slot optimal-piece array + a map-side-combining sum keyed on
+  * ≤|vocab| pieces. Each round is therefore ONE narrow shuffle over the
+  * word table; the corpus is never re-read after the word count. The
+  * vocabulary itself is driver-held model grain (≤ |alphabet| +
+  * [[SeedMulti]] rows — the wordpiece/BPE trainer discipline) riding
+  * the kernel as expression literals. Words are truncated to [[MaxLen]]
   * chars (both engines, documented) so the DP is a fixed-size fold.
   */
 object Unigram {
@@ -85,55 +90,44 @@ object Unigram {
       .localCheckpoint()
   }
 
-  /** Forward+backward integer Viterbi over each word, vocabulary supplied
-    * as a broadcast one-row map literal: dpf[i] = cheapest segmentation of
-    * the first i chars, dpb[i] = cheapest segmentation of the suffix from
-    * i, total = dpf[len]. Pure fold — no join, no shuffle. The
-    * `slice(sequence(...), 1, length(wt))` spelling keeps zero-length
-    * words off the DESCENDING-sequence trap. */
+  /** Forward+backward integer Viterbi over each word — ONE call of the
+    * native `unigram_dp` kernel per word (guide §4 / r21: the previous
+    * higher-order-function spelling — two `aggregate` folds whose step
+    * `transform` rebuilt the whole DP array per character, probing the
+    * vocabulary through `element_at`'s LINEAR map scan — was evaluated
+    * interpretively and drove the gate's 2.7–15.6 s bench wobble; the
+    * kernel runs the identical integer min-plus arithmetic as primitive
+    * long-array loops against a hashed vocab, bit-for-bit the same
+    * result, pinned by the AlgebraProps naive-DP property and the
+    * unchanged DuckDB oracle). `d.total` = dpf[len] (the optimal cost),
+    * `d.b0` = dpb[0] (= total, the min-plus identity the usage marking
+    * stands on), `d.pieces` = every vocab piece on ANY optimal path,
+    * one element per qualifying (position, length) slot.
+    *
+    * The vocabulary rides the kernel as literal arrays — driver-held
+    * model grain (≤ |alphabet| + [[SeedMulti]] rows, the wordpiece_toks
+    * vlit discipline), passed through `lit(...)`/`call_function` so
+    * arbitrary piece characters never round-trip through SQL text. */
   private[graft] def dpFrames(words: DataFrame, vocab: DataFrame): DataFrame = {
-    val vm = vocab.agg(
-      map_from_entries(collect_list(struct(col("piece"), col("cost"))))
-        .as("vm"))
-    val inf = s"CAST($Inf AS BIGINT)"
-    val initF = s"transform(sequence(0, $MaxLen), " +
-      s"k -> IF(k = 0, CAST(0 AS BIGINT), $inf))"
-    val stepF = (1 to MaxPiece).map { l =>
-      s"IF(i >= $l, element_at(acc, i - $l + 1) + " +
-        s"coalesce(element_at(vm, substring(wt, i - $l + 1, $l)), $inf), $inf)"
-    }.mkString("least(", ", ", ")")
-    val dpfExpr = s"aggregate(slice(sequence(1, $MaxLen), 1, length(wt)), " +
-      s"$initF, (acc, i) -> transform(acc, (v, k) -> IF(k = i, $stepF, v)))"
-    val initB = s"transform(sequence(0, $MaxLen), " +
-      s"k -> IF(k = length(wt), CAST(0 AS BIGINT), $inf))"
-    val stepB = (1 to MaxPiece).map { l =>
-      s"IF(i + $l <= length(wt), element_at(acc, i + $l + 1) + " +
-        s"coalesce(element_at(vm, substring(wt, i + 1, $l)), $inf), $inf)"
-    }.mkString("least(", ", ", ")")
-    val dpbExpr =
-      s"aggregate(reverse(slice(sequence(0, ${MaxLen - 1}), 1, length(wt))), " +
-        s"$initB, (acc, i) -> transform(acc, (v, k) -> IF(k = i, $stepB, v)))"
-    words.crossJoin(broadcast(vm))
-      .withColumn("dpf", expr(dpfExpr))
-      .withColumn("dpb", expr(dpbExpr))
-      .withColumn("total", expr("element_at(dpf, length(wt) + 1)"))
+    graft.functions.VectorFunctions.register(words.sparkSession)
+    val rows = vocab.select(col("piece"), col("cost")).collect()
+    val pieces = rows.map(_.getString(0))
+    val costs = rows.map(_.getLong(1))
+    words
+      .withColumn("d", call_function("unigram_dp", col("wt"),
+        lit(pieces), lit(costs)))
+      .withColumn("total", col("d.total"))
   }
 
   /** Occurrence-weighted usage of every vocabulary piece on ANY optimal
     * segmentation path: candidate slot (j, l) is on one iff
-    * dpf[j] + cost + dpb[j+l] = total — the engine-free tie rule. */
+    * dpf[j] + cost + dpb[j+l] = total — the engine-free tie rule, now
+    * marked inside the `unigram_dp` kernel (d.pieces carries one element
+    * per qualifying slot, so the sum below is the same per-slot
+    * occurrence weighting the explode(j)×explode(l) form computed). */
   private def usageOf(dp: DataFrame): DataFrame =
     dp.filter(length(col("wt")) >= 1)
-      .withColumn("j",
-        explode(expr(s"slice(sequence(0, ${MaxLen - 1}), 1, length(wt))")))
-      .withColumn("l", explode(expr(
-        (1 to MaxPiece).mkString("array(", ", ", ")"))))
-      .filter(expr("j + l <= length(wt)"))
-      .withColumn("piece", expr("substring(wt, j + 1, l)"))
-      .withColumn("pc", expr("element_at(vm, piece)"))
-      .filter(col("pc").isNotNull)
-      .filter(expr(
-        "element_at(dpf, j + 1) + pc + element_at(dpb, j + l + 1) = total"))
+      .select(explode(col("d.pieces")).as("piece"), col("f"))
       .groupBy(col("piece")).agg(sum(col("f")).as("n_used"))
 
   /** Re-estimate costs from usage (Laplace +1 over the surviving
@@ -157,9 +151,10 @@ object Unigram {
 
   /** The [[Rounds]]-round hard-EM loop over a cached word table; returns
     * the final (piece, cost, n_used). Each round materializes only the
-    * ≤|vocab|-row table (the bpeTrain driver-boundedness discipline —
-    * here not even a collect: the vocabulary stays a distributed frame
-    * checkpointed per round). */
+    * ≤|vocab|-row table (the bpeTrain driver-boundedness discipline:
+    * the vocabulary is checkpointed per round and collected once per
+    * round as the next DP kernel's literal table — bounded model
+    * grain, never corpus-sized). */
   private def fitVocab(words: DataFrame): DataFrame = {
     var vocab = seedVocab(words)
     var last: DataFrame = null

@@ -187,11 +187,14 @@ object AlgebraProps extends Properties("graft.algebra") {
     }
 
   // ---- Unigram integer Viterbi fold (the q_unigram_* kernel claim) ----
-  // The columnar `aggregate` fold in Unigram.dpFrames must equal the
-  // textbook min-plus DP on arbitrary vocab/cost tables, and the
-  // backward fold's dpb[0] must equal the forward total (both are "the
-  // cheapest full segmentation") — the identity the usage-marking
-  // equality test dpf[j] + cost + dpb[j+l] = total stands on.
+  // The native unigram_dp kernel behind Unigram.dpFrames must equal the
+  // textbook min-plus DP on arbitrary vocab/cost tables, the backward
+  // fold's dpb[0] must equal the forward total (both are "the cheapest
+  // full segmentation") — the identity the usage-marking rule
+  // dpf[j] + cost + dpb[j+l] = total stands on — and the kernel's
+  // optimal-path piece marking must equal a naive enumeration of the
+  // qualifying (position, length) slots (multiplicity included: the
+  // usage fold weights each slot separately).
 
   private val genVocabWords: Gen[(List[(String, Long)], List[String])] = for {
     nv <- Gen.choose(3, 12)
@@ -213,20 +216,36 @@ object AlgebraProps extends Properties("graft.algebra") {
       val wdf = words.toDF("wt").withColumn("f", lit(1L))
       val vdf = vocab.toDF("piece", "cost")
       val out = graft.operators.Unigram.dpFrames(wdf, vdf)
-        .select(col("wt"), col("total"),
-          expr("element_at(dpb, 1)").as("b0")).collect()
+        .select(col("wt"), col("total"), col("d.b0").as("b0"),
+          col("d.pieces").as("pieces")).collect()
       val vm = vocab.toMap
-      def naive(w: String): Long = {
-        val inf = Long.MaxValue / 4
-        val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
-        for (i <- 1 to w.length; l <- 1 to math.min(4, i);
+      val inf = 1000000000000000L
+      def dpTables(w: String): (Array[Long], Array[Long]) = {
+        val n = w.length
+        val f = Array.fill(n + 1)(inf); f(0) = 0L
+        for (i <- 1 to n; l <- 1 to math.min(4, i);
              c <- vm.get(w.substring(i - l, i)))
-          dp(i) = math.min(dp(i), dp(i - l) + c)
-        dp(w.length)
+          f(i) = math.min(f(i), f(i - l) + c)
+        val b = Array.fill(n + 1)(inf); b(n) = 0L
+        for (i <- (n - 1) to 0 by -1; l <- 1 to math.min(4, n - i);
+             c <- vm.get(w.substring(i, i + l)))
+          b(i) = math.min(b(i), b(i + l) + c)
+        (f, b)
       }
       out.length == words.length && out.forall { r =>
-        val t = naive(r.getAs[String]("wt"))
-        r.getAs[Long]("total") == t && r.getAs[Long]("b0") == t
+        val w = r.getAs[String]("wt")
+        val (f, b) = dpTables(w)
+        val t = f(w.length)
+        // naive slot enumeration of the engine-free usage-marking rule
+        val wantPieces = (for {
+          j <- 0 until w.length
+          l <- 1 to math.min(4, w.length - j)
+          p = w.substring(j, j + l)
+          c <- vm.get(p)
+          if f(j) + c + b(j + l) == t
+        } yield p).sorted
+        r.getAs[Long]("total") == t && r.getAs[Long]("b0") == t &&
+          r.getAs[Seq[String]]("pieces").sorted == wantPieces
       }
     }
 }

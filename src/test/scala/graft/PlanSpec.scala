@@ -157,19 +157,28 @@ class PlanSpec extends SparkSpec {
 
   test("unigram serving segments against the stored vocabulary — no refit") {
     // the apply path: the trained piece table comes off the ugidx
-    // artifact; the only aggregates are the batch's distinct-word count
-    // (keys=[wt]) and the per-doc sum (keys=[doc_id]) — any aggregate
-    // keyed on `piece` is the seed-count / usage / prune machinery the
-    // stored vocab exists to remove from the serving plan
-    val plan = graft.operators.Unigram.unigramTokenize(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("ugidx"),
-      s"serving must read the stored vocabulary:\n$plan")
+    // artifact and rides the unigram_dp kernel as expression literals
+    // (r21 — the wordpiece vlit discipline; the stored read is the
+    // bounded driver-side collect at plan build, so no ugidx scan node
+    // remains in the executed plan). The only aggregates are the batch's
+    // distinct-word count (keys=[wt]) and the per-doc sum
+    // (keys=[doc_id]) — any aggregate keyed on `piece` is the
+    // seed-count / usage / prune machinery the stored vocab exists to
+    // remove from the serving plan. Serve-vs-refit equivalence itself is
+    // behavioral (LlmOpsSpec's stored-vocab test + the DuckDB oracle).
+    val qe = graft.operators.Unigram.unigramTokenize(spark, dir)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    // the kernel projection collapses into the word aggregate's result
+    // expressions, so the physical rendering shows only the output name —
+    // witness the kernel on the analyzed plan, where expressions print
+    assert(qe.analyzed.toString.contains("unigram_dp"),
+      s"serving must segment through the native DP kernel:\n${qe.analyzed}")
     assert("HashAggregate\\(keys=\\[piece".r.findFirstIn(plan).isEmpty,
       s"serving must not refit the vocabulary:\n$plan")
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 3,
-      s"expected word-count scan + doc rejoin + stored vocab, found $scans:\n$plan")
+    assert(scans == 2,
+      s"expected word-count scan + doc rejoin only, found $scans:\n$plan")
   }
 
   test("keyset cursor predicate reaches the transfer scan") {
