@@ -1289,6 +1289,13 @@ object TextOps {
     var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
+    // r21 A/B'd fusing TWO propagation steps per materialization (the
+    // pagerank round-fusion win): wash here in both orders (3.31 vs
+    // 3.32, 2.88 vs 2.72 scoped medians) — the pair graph's components
+    // are shallow, so the loop already converges in ~3 steps and the
+    // deeper composite plan gives back what the saved action bought.
+    // Kept single-step for the simpler plan; re-fuse if a deeper-
+    // diameter corpus ever makes the round count the cost.
     while (!converged && rounds < 25) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("lbl"))
@@ -2586,7 +2593,19 @@ object TextOps {
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .cache()
     // which batch ids are updates is decided by the INDEX: a semi-join
-    // against the stored per-doc side table
+    // against the stored per-doc side table (column-pruned — only
+    // dlen's doc_id chunk is read). r21 A/B'd the guide-§3.1 build-side
+    // flip — dlen streaming past a broadcast of the O(batch) id list
+    // (`dlen.join(broadcast(batchIds), "left_semi")`) — and measured it
+    // SLOWER in both orders (scoped medians 6.1/7.2 s vs 5.4/5.4 s):
+    // the forced broadcast adds an exchange + a driver collect job per
+    // rep, while dlen at every measurable scale here (sf0.1 AND the sf1
+    // decade) is far under the auto-broadcast threshold, so both
+    // spellings plan the same BHJ-on-dlen and the flip is pure local
+    // overhead. The flip becomes right only when dlen outgrows the
+    // broadcast threshold (the planner would then SMJ-shuffle the
+    // corpus-sized side); that regime is unreachable in this harness —
+    // recorded as the production alternative rather than paid for now.
     val overlap = batch.select(col("doc_id"))
       .join(s.read.parquet(s"$root/dlen"), Seq("doc_id"), "left_semi")
       .cache()
