@@ -45,7 +45,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // silently disabling compilation ("CodeCache is full") and turning the
   // CPU-bound tail queries interpreted. Bench logs per-query occupancy.
   "-XX:ReservedCodeCacheSize=512m",
-) ++ sys.env.get("SPARK_GRAFT_TMPDIR").map { d =>
+) ++ (sys.env.getOrElse("SPARK_GRAFT_GC", "parallel") match {
+  // r21, guide §1.2 step 3 (config, after algorithm + per-task work):
+  // the throughput collector for a BATCH driver JVM. Measured on the
+  // GC-sensitive 10-query scoped set, alternating A/B/A/B with the JDK
+  // 17 default G1: 18.41 / 18.41 s (parallel) vs 23.72 / 22.02 s (G1),
+  // every query faster and the run-to-run spread collapsed — G1's
+  // concurrent cycles + region management tax a heap that churns
+  // short-lived task/codegen garbage at 32 local cores. -Xms alone
+  // under G1 moved nothing (23.75 s), so the win is the collector.
+  // Parameterized: a latency-sensitive deployment (streaming serving)
+  // keeps G1 via SPARK_GRAFT_GC=g1; any other value passes through as a
+  // raw JVM flag.
+  case "parallel" => Seq("-XX:+UseParallelGC")
+  case "g1" | "default" => Seq.empty
+  case other => Seq(other)
+}) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").map(_.trim.split("\\s+").toSeq)
+  .getOrElse(Seq.empty) ++ sys.env.get("SPARK_GRAFT_TMPDIR").map { d =>
   // A/B hook: redirect java.io.tmpdir (gate scratch dirs + Spark's
   // default local dir) to an alternate filesystem, e.g. a tmpfs — the
   // caller must create the directory first
