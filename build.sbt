@@ -38,8 +38,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] drives 32 concurrent tasks through one JVM; 16g keeps the
   // unified memory pool comfortable for the cache-heavy near-dup suite
-  // (the box has 128g; override via SPARK_DRIVER_MEM)
+  // (the box has 128g; override via SPARK_DRIVER_MEM). Xms pinned to Xmx
+  // (r21): under the parallel collector an initially-small heap sizes the
+  // young gen tiny, so the media gates' MB-scale decode arrays promote
+  // straight to old gen and trigger multi-second full GCs until adaptive
+  // sizing catches up (measured: q_stream_audio_dedup_indexed reps
+  // 6.9/9.5 s on a fresh JVM without Xms, 1.5-1.8 s with it).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // 80+ whole-stage-codegen queries × 3 reps compile thousands of generated
   // classes; the JDK 17 default 240m JIT code cache can fill mid-suite,
   // silently disabling compilation ("CodeCache is full") and turning the
