@@ -1063,11 +1063,13 @@ object TextOps {
     * LSH recall odds.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Cache the raw sets FIRST: the shingle-building expression is a chain
-    // of interpreted higher-order lambdas (transform/array_distinct — no
-    // codegen), and Catalyst's filter pushdown clones it into the pushed
-    // predicate, so every uncached reuse pays it several times per row.
-    // One materialization here; every branch below reads columnar cache.
+    // Cache the raw sets FIRST: the shingle build (native word_shingles
+    // kernel since the HOF chain was retired) is read by THREE branches
+    // below (size column, prefix explode, exact verify), and Catalyst's
+    // filter pushdown clones the producing expression into pushed
+    // predicates, so every uncached reuse would re-run the kernel and
+    // the norm regex several times per row. One materialization here;
+    // every branch reads columnar cache.
     val raw = shingles(s, dir).cache()
 
     // Global order = ascending DOCUMENT FREQUENCY (ties by shingle text):
